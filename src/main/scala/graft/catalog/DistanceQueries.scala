@@ -1,0 +1,68 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.core.Tables
+import graft.functions.Distances
+
+/** One query per distance metric (SURVEY.md §2.3, M1–M12): the distance of
+  * every stored vector to the query vector `vec_id = 0`, rounded to 4
+  * decimals for cross-engine float determinism. The DuckDB oracle computes
+  * the same fold with `generate_series` over the 64 components (fixture dim,
+  * TESTDATA.md), accumulating in DOUBLE exactly as the Spark side does.
+  * Hamming (M10) operates on float bit patterns — not SQL-expressible, so it
+  * is a rows-only check (driver records a weaker gate).
+  */
+object DistanceQueries {
+
+  private val dim = 64 // fixture embedding dimensionality (FIXTURES.md §1)
+
+  // a = stored vector component, q = query vector component (both DOUBLE).
+  private val ax = "a.embedding[t.i]::DOUBLE"
+  private val qx = "q.qe[t.i]::DOUBLE"
+
+  /** DuckDB aggregate term per metric, over grouped (a, q) component pairs. */
+  private val oracleTerm: Map[String, String] = Map(
+    "l2sq" -> s"sum(power($ax - $qx, 2))",
+    "l2" -> s"sqrt(sum(power($ax - $qx, 2)))",
+    "cosine" -> s"1 - sum($ax * $qx) / (sqrt(sum($ax * $ax)) * sqrt(sum($qx * $qx)))",
+    "manhattan" -> s"sum(abs($ax - $qx))",
+    "chebyshev" -> s"max(abs($ax - $qx))",
+    "canberra" -> (s"sum(CASE WHEN abs($ax) + abs($qx) = 0 THEN 0 " +
+      s"ELSE abs($ax - $qx) / (abs($ax) + abs($qx)) END)"),
+    "braycurtis" -> (s"CASE WHEN sum(abs($ax + $qx)) = 0 THEN 0 " +
+      s"ELSE sum(abs($ax - $qx)) / sum(abs($ax + $qx)) END"),
+    "l3" -> s"power(sum(power(abs($ax - $qx), 3)), 1.0/3)",
+    "l4" -> s"power(sum(power(abs($ax - $qx), 4)), 1.0/4)",
+    "minkowski_2.5" -> s"power(sum(power(abs($ax - $qx), 2.5)), 1.0/2.5)",
+    "pnorm_2.5" -> s"sum(power(abs($ax - $qx), 2.5))")
+
+  private def oracleFor(metricName: String): Option[String] =
+    oracleTerm.get(metricName).map { term =>
+      s"""
+      SELECT a.vec_id AS vec_id, round($term, 4) AS dist
+      FROM embeddings a,
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
+           generate_series(1, $dim) t(i)
+      GROUP BY a.vec_id
+      ORDER BY vec_id"""
+    }
+
+  private def distQuery(m: Distances.Metric): Q = Q(
+    s"dist_${m.name}",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val (a, b) =
+        if (m == Distances.Hamming) (col("embedding"), col("qe")) // raw bits
+        else (Distances.asDouble(col("embedding")), Distances.asDouble(col("qe")))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (if (m == Distances.Hamming) m(a, b).cast("double") else round(m(a, b), 4)).as("dist"))
+        .orderBy("vec_id")
+    },
+    oracleFor(m.name))
+
+  def qs: Seq[Q] = Distances.all.map(distQuery)
+}

@@ -1,0 +1,59 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.core.Tables
+
+/** CRUD-as-table-rewrite surface (SURVEY.md §2.1 I9–I11, §2.2 D6/D7): the
+  * reference mutates its LSM store per id; on Spark these are single-plan
+  * rewrites — anti-join for remove, bit-exact group-by for dedup. Both use
+  * the *intended* semantics, not the reference's root-leaf-only prune bug
+  * (lsh.rs:487, documented in SURVEY.md §7.5).
+  */
+object EngineQueries {
+
+  /** I10/D7 exact dedup, "first-inserted wins": the fixture has no duplicate
+    * vectors, so the query plants them (UNION ALL with shifted ids) and keeps
+    * min(id) per bit-identical embedding — the UUIDv7-ordering semantics of
+    * the reference (lsh.rs:270-288). */
+  val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val dup = e.unionAll(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      dup.groupBy("embedding")
+        .agg(min("vec_id").as("vec_id"))
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH dup AS (SELECT vec_id, embedding FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 100000, embedding FROM embeddings)
+      SELECT min(vec_id) AS vec_id
+      FROM dup
+      GROUP BY embedding
+      ORDER BY vec_id"""))
+
+  /** I9/D6 remove: left-anti join of the vectors table against the id set
+    * (here: every 7th id), replacing the reference's per-id leaf filtering
+    * loop (lsh.rs:473-503). */
+  val removeAntiJoin = Q(
+    "remove_anti_join",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val toRemove = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+      e.join(toRemove, Seq("vec_id"), "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+    Some("""
+      SELECT vec_id, label
+      FROM embeddings
+      WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)
+      ORDER BY vec_id"""))
+
+  def qs: Seq[Q] = Seq(dedupExact, removeAntiJoin)
+}

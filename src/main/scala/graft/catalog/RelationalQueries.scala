@@ -1,0 +1,133 @@
+package graft.catalog
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.core.Tables
+
+/** Relational surface (SURVEY.md §2.6): scan/filter/project, group-by
+  * aggregation, multi-way joins with broadcast dims, ranking windows,
+  * event-time bucketing, sort/limit. These double as the bench headliners —
+  * each is shaped the way it should run at 100 TB (filters pushed to the
+  * scan, small dimensions broadcast, partial aggregation before shuffle).
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped pricing summary: map-side partial agg → 6-group final. */
+  val q1Agg = Q(
+    "q1_agg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Star join: lineitem ⋈ orders ⋈ customer ⋈ nation, dims broadcast.
+    * Revenue per nation — the canonical fact-to-dim join shape. */
+  val joinRevenue = Q(
+    "q_join_revenue_by_nation",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  val topOrders = Q(
+    "q_window_top_orders",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders)
+      WHERE rk <= 3
+      ORDER BY o_custkey, rk"""))
+
+  /** Event-time bucketing: hourly tumbling aggregation over the events
+    * table — the batch twin of the Structured Streaming ingest path
+    * (graft.streaming). */
+  val eventsHourly = Q(
+    "q_events_hourly",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"))
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket, event_type"""))
+
+  /** Sort/limit (TakeOrderedAndProject): global top-25 lineitems. */
+  val topK = Q(
+    "q_top_lineitems",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      FROM lineitem
+      ORDER BY price DESC, l_orderkey, l_linenumber
+      LIMIT 25"""))
+
+  def qs: Seq[Q] = Seq(q1Agg, joinRevenue, topOrders, eventsHourly, topK)
+}

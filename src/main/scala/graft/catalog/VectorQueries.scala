@@ -1,0 +1,126 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.core.Tables
+import graft.functions.{Distances, VectorOps}
+import graft.ops.SimSearch
+
+/** Vector algebra + search surface: I1–I3 (hyperplane predicate, subtract,
+  * average), D11/I13 (batch exact top-k), I14 (emptiness probe), and the
+  * IVF approximate path (scale extension).
+  */
+object VectorQueries {
+
+  /** I1+I2+I3+dot in one query over adjacent vector pairs: scalar summaries
+    * of subtract/average/dot plus the hyperplane-side predicate of the
+    * hyperplane through (a,b)'s midpoint applied to vector 0
+    * (reference: lsh.rs:39-43,174-190,192-248). */
+  val vecOps = Q(
+    "vec_ops",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id"), Distances.asDouble(col("embedding")).as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), Distances.asDouble(col("embedding")).as("eb"))
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(Distances.asDouble(col("embedding")).as("e0"))
+      val coeff = VectorOps.subtract(col("eb"), col("ea"))
+      val mid = VectorOps.average(col("ea"), col("eb"))
+      val const = -Distances.dot(coeff, mid)
+      a.join(b, "vec_id").crossJoin(broadcast(q0))
+        .select(
+          col("vec_id"),
+          round(aggregate(coeff, lit(0.0), _ + _), 4).as("sub_sum"),
+          round(aggregate(mid, lit(0.0), _ + _), 4).as("avg_sum"),
+          round(Distances.dot(col("ea"), col("eb")), 4).as("dot_ab"),
+          VectorOps.pointIsAbove(coeff, const, col("e0")).as("q0_above"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS e0 FROM embeddings WHERE vec_id = 0)
+      SELECT a.vec_id AS vec_id,
+             round(sum(b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE), 4) AS sub_sum,
+             round(sum((a.embedding[t.i]::DOUBLE + b.embedding[t.i]::DOUBLE) / 2), 4) AS avg_sum,
+             round(sum(a.embedding[t.i]::DOUBLE * b.embedding[t.i]::DOUBLE), 4) AS dot_ab,
+             (sum((b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE) * q.e0[t.i]::DOUBLE)
+              - sum((b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE)
+                    * (a.embedding[t.i]::DOUBLE + b.embedding[t.i]::DOUBLE) / 2)) >= 0 AS q0_above
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id = a.vec_id + 1, q, generate_series(1, 64) t(i)
+      GROUP BY a.vec_id
+      ORDER BY vec_id"""))
+
+  /** D11/I13: batch exact kNN — ONE plan for the whole query batch
+    * (broadcast queries × streamed vectors scan → per-query ranking window),
+    * vs the reference's per-query rayon loop (core.rs:290-313). */
+  val knnExact = Q(
+    "knn_exact_l2sq",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, e, k = 10)
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2)), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, vec_id"""))
+
+  /** Cosine variant of the batch kNN (default image/audio metric, M1). */
+  val knnCosine = Q(
+    "knn_exact_cosine",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, e, k = 10, metric = Distances.Cosine)
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, a.vec_id,
+                        round(1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE)
+                                  / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE))
+                                     * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE))), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, vec_id"""))
+
+  /** IVF-Flat approximate top-k (scale path; recall-gated in ScalaTest
+    * against knn_exact — centroid choice uses xxhash64, not SQL-expressible,
+    * so the driver records a rows-only check). */
+  val knnIvf = Q(
+    "ann_ivf_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (assigned, centroids) = SimSearch.ivfAssign(e, nlist = 16)
+      SimSearch.ivfTopK(queries, assigned, centroids, k = 10, nprobe = 8)
+        .orderBy("query_id", "vec_id")
+    },
+    None)
+
+  /** I14 emptiness probe: `is_empty`/`no_vectors` as a count. */
+  val countVectors = Q(
+    "count_vectors",
+    (s, dir) => Tables.embeddings(s, dir).agg(count(lit(1)).as("n")),
+    Some("SELECT count(*) AS n FROM embeddings"))
+
+  def qs: Seq[Q] = Seq(vecOps, knnExact, knnCosine, knnIvf, countVectors)
+}
