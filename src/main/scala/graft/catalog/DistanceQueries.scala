@@ -22,21 +22,26 @@ object DistanceQueries {
   private val ax = "a.embedding[t.i]::DOUBLE"
   private val qx = "q.qe[t.i]::DOUBLE"
 
-  /** DuckDB aggregate term per metric, over grouped (a, q) component pairs. */
+  /** DuckDB aggregate term per metric, over grouped (a, q) component pairs.
+    * Every sum is an ordered aggregate (`ORDER BY t.i`) so DuckDB folds in
+    * ascending component order — exactly the order Spark's `aggregate` HOF
+    * folds the array — keeping the non-associative FP accumulation
+    * bit-identical on both engines (the round-1 cosine hash mismatch). */
   private val oracleTerm: Map[String, String] = Map(
-    "l2sq" -> s"sum(power($ax - $qx, 2))",
-    "l2" -> s"sqrt(sum(power($ax - $qx, 2)))",
-    "cosine" -> s"1 - sum($ax * $qx) / (sqrt(sum($ax * $ax)) * sqrt(sum($qx * $qx)))",
-    "manhattan" -> s"sum(abs($ax - $qx))",
+    "l2sq" -> s"sum(power($ax - $qx, 2) ORDER BY t.i)",
+    "l2" -> s"sqrt(sum(power($ax - $qx, 2) ORDER BY t.i))",
+    "cosine" -> (s"1 - sum($ax * $qx ORDER BY t.i) / " +
+      s"(sqrt(sum($ax * $ax ORDER BY t.i)) * sqrt(sum($qx * $qx ORDER BY t.i)))"),
+    "manhattan" -> s"sum(abs($ax - $qx) ORDER BY t.i)",
     "chebyshev" -> s"max(abs($ax - $qx))",
     "canberra" -> (s"sum(CASE WHEN abs($ax) + abs($qx) = 0 THEN 0 " +
-      s"ELSE abs($ax - $qx) / (abs($ax) + abs($qx)) END)"),
-    "braycurtis" -> (s"CASE WHEN sum(abs($ax + $qx)) = 0 THEN 0 " +
-      s"ELSE sum(abs($ax - $qx)) / sum(abs($ax + $qx)) END"),
-    "l3" -> s"power(sum(power(abs($ax - $qx), 3)), 1.0/3)",
-    "l4" -> s"power(sum(power(abs($ax - $qx), 4)), 1.0/4)",
-    "minkowski_2.5" -> s"power(sum(power(abs($ax - $qx), 2.5)), 1.0/2.5)",
-    "pnorm_2.5" -> s"sum(power(abs($ax - $qx), 2.5))")
+      s"ELSE abs($ax - $qx) / (abs($ax) + abs($qx)) END ORDER BY t.i)"),
+    "braycurtis" -> (s"CASE WHEN sum(abs($ax + $qx) ORDER BY t.i) = 0 THEN 0 " +
+      s"ELSE sum(abs($ax - $qx) ORDER BY t.i) / sum(abs($ax + $qx) ORDER BY t.i) END"),
+    "l3" -> s"power(sum(power(abs($ax - $qx), 3) ORDER BY t.i), 1.0/3)",
+    "l4" -> s"power(sum(power(abs($ax - $qx), 4) ORDER BY t.i), 1.0/4)",
+    "minkowski_2.5" -> s"power(sum(power(abs($ax - $qx), 2.5) ORDER BY t.i), 1.0/2.5)",
+    "pnorm_2.5" -> s"sum(power(abs($ax - $qx), 2.5) ORDER BY t.i)")
 
   private def oracleFor(metricName: String): Option[String] =
     oracleTerm.get(metricName).map { term =>

@@ -23,7 +23,10 @@ object EngineQueries {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val dup = e.unionAll(
         e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      dup.groupBy("embedding")
+      // Scale-safe grouping key: xxhash64 of the embedding (8 bytes shuffled
+      // per row), not the raw 64-float array — the bit-exact analogue of the
+      // reference's `to_bits` canonicalization (lsh.rs:279).
+      dup.groupBy(xxhash64(col("embedding")).as("emb_hash"))
         .agg(min("vec_id").as("vec_id"))
         .select("vec_id")
         .orderBy("vec_id")

@@ -28,28 +28,35 @@ object VectorQueries {
       val coeff = VectorOps.subtract(col("eb"), col("ea"))
       val mid = VectorOps.average(col("ea"), col("eb"))
       val const = -Distances.dot(coeff, mid)
+      // The hyperplane-side predicate is compared through a rounded margin
+      // (not the raw >= 0 boolean) so a near-zero margin cannot flip between
+      // engines with different summation order.
+      val margin = round(Distances.dot(coeff, col("e0")) + const, 4)
       a.join(b, "vec_id").crossJoin(broadcast(q0))
         .select(
           col("vec_id"),
           round(aggregate(coeff, lit(0.0), _ + _), 4).as("sub_sum"),
           round(aggregate(mid, lit(0.0), _ + _), 4).as("avg_sum"),
           round(Distances.dot(col("ea"), col("eb")), 4).as("dot_ab"),
-          VectorOps.pointIsAbove(coeff, const, col("e0")).as("q0_above"))
+          margin.as("q0_margin"),
+          (margin >= 0.0).as("q0_above"))
         .orderBy("vec_id")
     },
     Some("""
-      WITH q AS (SELECT embedding AS e0 FROM embeddings WHERE vec_id = 0)
-      SELECT a.vec_id AS vec_id,
-             round(sum(b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE), 4) AS sub_sum,
-             round(sum((a.embedding[t.i]::DOUBLE + b.embedding[t.i]::DOUBLE) / 2), 4) AS avg_sum,
-             round(sum(a.embedding[t.i]::DOUBLE * b.embedding[t.i]::DOUBLE), 4) AS dot_ab,
-             (sum((b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE) * q.e0[t.i]::DOUBLE)
-              - sum((b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE)
-                    * (a.embedding[t.i]::DOUBLE + b.embedding[t.i]::DOUBLE) / 2)) >= 0 AS q0_above
-      FROM embeddings a
-      JOIN embeddings b ON b.vec_id = a.vec_id + 1, q, generate_series(1, 64) t(i)
-      GROUP BY a.vec_id
-      ORDER BY vec_id"""))
+      WITH q AS (SELECT embedding AS e0 FROM embeddings WHERE vec_id = 0),
+      m AS (
+        SELECT a.vec_id AS vec_id,
+               round(sum(b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE ORDER BY t.i), 4) AS sub_sum,
+               round(sum((a.embedding[t.i]::DOUBLE + b.embedding[t.i]::DOUBLE) / 2 ORDER BY t.i), 4) AS avg_sum,
+               round(sum(a.embedding[t.i]::DOUBLE * b.embedding[t.i]::DOUBLE ORDER BY t.i), 4) AS dot_ab,
+               round(sum((b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE) * q.e0[t.i]::DOUBLE ORDER BY t.i)
+                - sum((b.embedding[t.i]::DOUBLE - a.embedding[t.i]::DOUBLE)
+                      * (a.embedding[t.i]::DOUBLE + b.embedding[t.i]::DOUBLE) / 2 ORDER BY t.i), 4) AS q0_margin
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id = a.vec_id + 1, q, generate_series(1, 64) t(i)
+        GROUP BY a.vec_id)
+      SELECT vec_id, sub_sum, avg_sum, dot_ab, q0_margin, q0_margin >= 0 AS q0_above
+      FROM m ORDER BY vec_id"""))
 
   /** D11/I13: batch exact kNN — ONE plan for the whole query batch
     * (broadcast queries × streamed vectors scan → per-query ranking window),
@@ -67,7 +74,7 @@ object VectorQueries {
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                  FROM embeddings WHERE vec_id < 5),
            d AS (SELECT q.query_id, a.vec_id,
-                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2)), 4) AS dist
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
                  FROM embeddings a, q, generate_series(1, 64) t(i)
                  GROUP BY q.query_id, a.vec_id)
       SELECT query_id, vec_id, dist
@@ -90,9 +97,9 @@ object VectorQueries {
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                  FROM embeddings WHERE vec_id < 5),
            d AS (SELECT q.query_id, a.vec_id,
-                        round(1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE)
-                                  / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE))
-                                     * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE))), 4) AS dist
+                        round(1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)
+                                  / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE ORDER BY t.i))
+                                     * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i))), 4) AS dist
                  FROM embeddings a, q, generate_series(1, 64) t(i)
                  GROUP BY q.query_id, a.vec_id)
       SELECT query_id, vec_id, dist

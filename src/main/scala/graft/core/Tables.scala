@@ -29,11 +29,12 @@ object Tables {
     * bucket at >= second granularity). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Exact integer division: `/` on longs is double division, and epoch
+    // nanos (~1.7e18) exceed double's 53-bit mantissa — `div` stays lossless.
     load(spark, dir, "events").withColumn(
       "ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000)
-          .cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

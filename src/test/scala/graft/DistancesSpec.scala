@@ -28,14 +28,19 @@ class DistancesSpec extends AnyFunSuite {
   private val metrics = Distances.all.filterNot(_ == Distances.Hamming)
 
   test("identity: d(a, a) == 0") {
-    metrics.foreach { m =>
+    metrics.filterNot(_ == Distances.Cosine).foreach { m =>
       val d = df.select(m($"a", $"a").as("d")).as[Double].collect()
-      assert(d.forall(x => math.abs(x) < 1e-9 || (m == Distances.Cosine && x <= 1.0)),
-        s"${m.name}: d(a,a) != 0")
+      assert(d.forall(x => math.abs(x) < 1e-9), s"${m.name}: d(a,a) != 0")
     }
-    // cosine(a,a) == 0 except for the zero vector (defined as 1.0)
-    val c = df.select(Distances.cosine($"a", $"a").as("d")).as[Double].collect()
-    assert(c.count(x => math.abs(x) > 1e-9) <= 1)
+    // cosine(a,a) ≈ 0 for every non-zero vector; exactly 1.0 for the zero
+    // vector (the engine's defined value — Distances.cosine doc).
+    val c = df.select(
+      Distances.cosine($"a", $"a").as("d"),
+      aggregate(transform($"a", x => abs(x)), lit(0.0), _ + _).as("mass"))
+      .as[(Double, Double)].collect()
+    c.foreach { case (d, mass) =>
+      if (mass == 0.0) assert(d == 1.0) else assert(math.abs(d) < 1e-9)
+    }
   }
 
   test("symmetry: d(a, b) == d(b, a)") {
@@ -48,8 +53,6 @@ class DistancesSpec extends AnyFunSuite {
 
   test("non-negativity") {
     (metrics :+ Distances.Hamming).foreach { m =>
-      val col = if (m == Distances.Hamming)
-        m(lit(null).cast("array<float>"), lit(null)) else m($"a", $"b")
       val d = df.select(m($"a", $"b").cast("double").as("d")).as[Double].collect()
       assert(d.forall(_ >= -1e-12), s"${m.name} negative distance")
     }
