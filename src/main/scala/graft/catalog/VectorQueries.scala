@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Catalog.Q
 import graft.core.Tables
 import graft.functions.{Distances, VectorOps}
-import graft.ops.SimSearch
+import graft.ops.{Ivf, SimSearch}
 
 /** Vector algebra + search surface: I1–I3 (hyperplane predicate, subtract,
   * average), D11/I13 (batch exact top-k), I14 (emptiness probe), and the
@@ -108,6 +108,27 @@ object VectorQueries {
       WHERE rn <= 10
       ORDER BY query_id, vec_id"""))
 
+  /** Per-JVM IVF index cache: built once per (sfDir, nlist), persisted
+    * `partitionBy("cell_id")` so every query after the first is a
+    * partition-pruned scan — the round-1 entry rebuilt the index inside
+    * every execution. */
+  object IvfCache {
+    private val cache =
+      scala.collection.concurrent.TrieMap[String, (String, Ivf.IvfModel)]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String, nlist: Int)
+        : (org.apache.spark.sql.DataFrame, Ivf.IvfModel) = {
+      val (path, model) = cache.getOrElseUpdate(s"$dir|$nlist", {
+        val e = Tables.embeddings(s, dir)
+        val m = Ivf.chooseCentroids(e, nlist)
+        val p = "/tmp/graft_ivf/v2_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$nlist"
+        Ivf.buildIndex(e, m, p)
+        (p, m)
+      })
+      (Ivf.loadIndex(s, path), model)
+    }
+  }
+
   /** IVF-Flat approximate top-k (scale path; recall-gated in ScalaTest
     * against knn_exact — centroid choice uses xxhash64, not SQL-expressible,
     * so the driver records a rows-only check). */
@@ -117,8 +138,8 @@ object VectorQueries {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val (assigned, centroids) = SimSearch.ivfAssign(e, nlist = 16)
-      SimSearch.ivfTopK(queries, assigned, centroids, k = 10, nprobe = 8)
+      val (index, model) = IvfCache.ensure(s, dir, nlist = 16)
+      Ivf.topK(queries, index, model, k = 10, nprobe = 12)
         .orderBy("query_id", "vec_id")
     },
     None)

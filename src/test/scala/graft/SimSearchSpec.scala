@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Tables
-import graft.ops.SimSearch
+import graft.ops.{Ivf, SimSearch}
 
 class SimSearchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -32,15 +32,16 @@ class SimSearchSpec extends AnyFunSuite {
     }
   }
 
-  test("ivfTopK: recall@10 vs exact oracle is usable, exact at full probe") {
+  test("Ivf.topK: recall@10 >= 0.9 vs exact oracle, exact at full probe") {
     val exact = SimSearch.exactTopK(queries, emb, k = 10)
-    val (assigned, centroids) = SimSearch.ivfAssign(emb, nlist = 16)
+    val model = Ivf.chooseCentroids(emb, nlist = 16)
+    val assigned = Ivf.assign(emb, model)
     assert(assigned.count() == emb.count()) // every vector in exactly one cell
-    val approx = SimSearch.ivfTopK(queries, assigned, centroids, k = 10, nprobe = 8)
+    val approx = Ivf.topK(queries, assigned, model, k = 10, nprobe = 12)
     val r = SimSearch.recallAtK(approx, exact)
-    assert(r >= 0.6, s"recall@10 = $r with nprobe=8/16")
+    assert(r >= 0.9, s"recall@10 = $r with nprobe=12/16")
     // probing every cell makes IVF exhaustive → exact
-    val full = SimSearch.ivfTopK(queries, assigned, centroids, k = 10, nprobe = 16)
+    val full = Ivf.topK(queries, assigned, model, k = 10, nprobe = 16)
     assert(SimSearch.recallAtK(full, exact) == 1.0)
   }
 
