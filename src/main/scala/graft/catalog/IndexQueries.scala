@@ -1,3 +1,69 @@
 package graft.catalog
+
+import org.apache.spark.sql.functions._
+
 import graft.Catalog.Q
-object IndexQueries { def qs: Seq[Q] = Seq() }
+import graft.core.Tables
+import graft.index.LshForest
+
+/** The LSH random-projection forest surface (SURVEY.md §2.1 I4–I8, I12,
+  * I13): build on a bounded sample, persist the bucket table partitioned by
+  * tree_id, probe + backup-branch top-up, exact rerank. RNG-dependent (tree
+  * shape depends on the seed), so not SQL-expressible — the driver records
+  * rows-only checks; recall and determinism are gated in LshForestSpec. */
+object IndexQueries {
+
+  /** Per-JVM forest cache: model built + bucket table persisted once per
+    * (sfDir, options) — queries after the first are pruned scans. */
+  object LshCache {
+    private val cache = scala.collection.concurrent.TrieMap[
+      String, (String, LshForest.ForestModel)]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
+        opts: LshForest.Options = LshForest.Options())
+        : (org.apache.spark.sql.DataFrame, LshForest.ForestModel) = {
+      val key = s"$dir|${opts.numTrees}|${opts.maxNodeSize}|${opts.seed}"
+      val (path, model) = cache.getOrElseUpdate(key, {
+        val e = Tables.embeddings(s, dir)
+        val m = LshForest.build(e, opts)
+        val p = "/tmp/graft_lsh/v1_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_") +
+          s"_${opts.numTrees}_${opts.maxNodeSize}_${opts.seed}"
+        LshForest.writeIndex(e, m, p)
+        (p, m)
+      })
+      (LshForest.loadIndex(s, path), model)
+    }
+  }
+
+  /** I13/D11 through the forest: the reference's flagship `search` path
+    * (lsh.rs:544-565) — probe 15 trees, union + dedup candidates, exact
+    * rerank, take 10. */
+  val lshKnn = Q(
+    "lsh_knn_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (buckets, model) = LshCache.ensure(s, dir)
+      LshForest.topK(queries, buckets, e, model, k = 10)
+        .orderBy("query_id", "vec_id")
+    },
+    None)
+
+  /** I14-adjacent probe over the index itself: per-tree bucket stats
+    * (leaf count, max leaf population) — the operational health check for
+    * the forest (reference's `no_trees` / tree sizing, lsh.rs:389-409). */
+  val lshStats = Q(
+    "lsh_index_stats",
+    (s, dir) => {
+      val (buckets, _) = LshCache.ensure(s, dir)
+      buckets.groupBy("tree_id")
+        .agg(
+          countDistinct("leaf_id").as("n_leaves"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("tree_id")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(lshKnn, lshStats)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.index.LshForest
+import graft.ops.SimSearch
+
+/** LSH forest gates (SURVEY.md §5, BASELINE.md): recall@10 >= 0.9 vs the
+  * brute-force oracle at reference defaults (15 trees), leaf-size bound,
+  * build determinism, candidate sanity. */
+class LshForestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private lazy val emb = Tables.embeddings(spark, SparkTestBase.sf0001).cache()
+
+  private def queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  private lazy val model = LshForest.build(emb)
+  private lazy val buckets = LshForest.bucketTable(emb, model).cache()
+
+  test("build: every vector lands in exactly one leaf per tree") {
+    val n = emb.count()
+    val counts = buckets.groupBy("tree_id").count().collect()
+    assert(counts.length == model.numTrees)
+    counts.foreach(r => assert(r.getAs[Long]("count") == n))
+  }
+
+  test("build: leaf sizes bounded by max_node_size (reference default 5)") {
+    val maxLeaf = buckets.groupBy("tree_id", "leaf_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxLeaf < model.opts.maxNodeSize,
+      s"largest leaf $maxLeaf !< ${model.opts.maxNodeSize}")
+  }
+
+  test("build: deterministic — same seed, same bucket table") {
+    val model2 = LshForest.build(emb)
+    val b2 = LshForest.bucketTable(emb, model2)
+    assert(buckets.exceptAll(b2).isEmpty && b2.exceptAll(buckets).isEmpty)
+  }
+
+  test("search: recall@10 >= 0.9 vs exact oracle at 15 trees") {
+    val exact = SimSearch.exactTopK(queries, emb, k = 10)
+    val approx = LshForest.topK(queries, buckets, emb, model, k = 10)
+    val r = SimSearch.recallAtK(approx, exact)
+    assert(r >= 0.9, s"recall@10 = $r at numTrees=${model.numTrees}")
+  }
+
+  test("search: self-retrieval — each query's top hit is itself at dist 0") {
+    val top = LshForest.topK(queries, buckets, emb, model, k = 1).collect()
+    assert(top.length == 5)
+    top.foreach { r =>
+      assert(r.getAs[Long]("query_id") == r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("dist") == 0.0)
+    }
+  }
+
+  test("candidates: at least min(searchK, n) per query, all stored ids") {
+    val cand = LshForest.candidates(queries, buckets, model, searchK = 10)
+    val perQuery = cand.groupBy("query_id").count().collect()
+    assert(perQuery.length == 5)
+    perQuery.foreach(r => assert(r.getAs[Long]("count") >= 10))
+    // results ⊆ stored ids
+    val stray = cand.join(emb.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    assert(stray == 0)
+  }
+}
