@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
 import graft.core.Tables
+import graft.engine.{EngineConfig, ZebraEngine}
 
 /** CRUD-as-table-rewrite surface (SURVEY.md §2.1 I9–I11, §2.2 D6/D7): the
   * reference mutates its LSM store per id; on Spark these are single-plan
@@ -58,5 +59,46 @@ object EngineQueries {
       WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)
       ORDER BY vec_id"""))
 
-  def qs: Seq[Q] = Seq(dedupExact, removeAntiJoin)
+  /** Per-JVM engine instance over the fixture: created + loaded once
+    * (read-only afterwards, so the catalog entry stays idempotent). */
+  object EngineCache {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_engine/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        ZebraEngine.destroy(p)
+        val eng = ZebraEngine.create(s, p, EngineConfig(dim = 64))
+        eng.insertRecords(Tables.embeddings(s, dir)
+          .select(format_string("v%06d", col("vec_id")).as("id"), col("embedding")))
+        p
+      })
+  }
+
+  /** D1+D9+D11 through the real engine lifecycle: records inserted via
+    * `insert_records` into an engine directory, queried back with
+    * `query_vectors` — hash-checked against the same kNN oracle (the stored
+    * floats round-trip parquet bit-exactly). */
+  val engineRoundtrip = Q(
+    "engine_roundtrip",
+    (s, dir) => {
+      val eng = ZebraEngine.open(s, EngineCache.ensure(s, dir))
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      eng.queryVectors(queries, k = 10)
+        .orderBy("query_id", "id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, printf('v%06d', a.vec_id) AS id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, id"""))
+
+  def qs: Seq[Q] = Seq(dedupExact, removeAntiJoin, engineRoundtrip)
 }

@@ -1,0 +1,312 @@
+package graft.engine
+
+import java.io.{File, FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Distances
+import graft.index.LshForest
+import graft.ops.SimSearch
+
+/** Engine configuration — the runtime equivalent of the reference's
+  * compile-time type parameters `Database<N, Met, Mod>`
+  * (reference: src/database/core.rs:55-64). */
+final case class EngineConfig(
+    dim: Int,
+    metric: String = "l2sq",
+    numTrees: Int = 15,
+    maxNodeSize: Int = 5,
+    seed: Long = 42L) {
+  def distanceMetric: Distances.Metric = Distances.byName(metric)
+}
+
+/** The engine lifecycle (reference: src/database/core.rs:92-254) as a
+  * Spark-native database rooted at a directory:
+  *
+  * {{{
+  *   <path>/zebra.json        metadata (dim, metric, index options)  [.zebra file, core.rs:183-190]
+  *   <path>/vectors/          parquet (id, seq, embedding, document) [fjall KV + doc files]
+  *   <path>/index/            LSH bucket table, partitionBy(tree_id) [tree blobs]
+  *   <path>/index_model.bin   broadcast-able forest (hyperplanes)
+  * }}}
+  *
+  * Mutations are table rewrites (stage to a sibling dir, then atomic swap)
+  * instead of the reference's per-key LSM writes; remove/deduplicate use the
+  * *intended* semantics, not the reference's root-leaf-only prune bug
+  * (lsh.rs:487 — SURVEY.md §7.5). Documents live as a BINARY column, so
+  * D12/D13 (per-doc LZ4 files) collapse into parquet column compression.
+  *
+  * The monotone `seq` column reproduces UUIDv7 insertion ordering
+  * (lsh.rs:415) — "first-inserted wins" for deduplicate.
+  */
+final class ZebraEngine private (
+    val spark: SparkSession, val path: String, val config: EngineConfig) {
+  import ZebraEngine._
+
+  private def vectorsDir = s"$path/vectors"
+  private def indexDir = s"$path/index"
+  private def modelFile = s"$path/index_model.bin"
+
+  /** D1-adjacent: the vectors table (empty DF with the right schema when
+    * nothing has been inserted yet). */
+  def vectors: DataFrame =
+    if (hasData(vectorsDir)) spark.read.parquet(vectorsDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], recordSchema)
+
+  def count(): Long = vectors.count()
+
+  /** I14 `is_empty` / `no_vectors` (reference: lsh.rs:389-409). */
+  def isEmpty: Boolean = !hasData(vectorsDir) || vectors.isEmpty
+
+  private def nextSeq(): Long =
+    if (!hasData(vectorsDir)) 0L
+    else vectors.agg(coalesce(max("seq"), lit(-1L))).head().getLong(0) + 1L
+
+  /** D9 `insert_records` (reference: core.rs:245-254): append records and,
+    * if an index exists, route the new batch through the EXISTING broadcast
+    * trees and append to their leaves — the reference's incremental `add`
+    * (I7, lsh.rs:440-466) as a micro-batch append. Leaf overflow is handled
+    * by [[refreshIndex]] compaction rather than per-insert splitting (I8's
+    * per-row tree mutation is the one genuinely non-Spark-shaped op —
+    * SURVEY.md §7.5).
+    *
+    * `records` needs (embedding ARRAY<FLOAT>); optional id STRING and
+    * document BINARY columns are preserved, missing ids are minted. */
+  def insertRecords(records: DataFrame): Unit = {
+    val base = nextSeq()
+    // seq = base + monotonically_increasing_id(): unique within the batch,
+    // strictly greater than every previous batch's seq (ids are < 2^63-base),
+    // and computed without any shuffle — a global row_number window would
+    // funnel the whole batch through one partition. Values are sparse, not
+    // contiguous; only their ORDER carries meaning (insertion precedence).
+    val withSeq = records
+      .withColumn("seq", lit(base) + monotonically_increasing_id())
+    val withId =
+      if (records.columns.contains("id")) withSeq
+      else withSeq.withColumn("id", format_string("v%012d", col("seq")))
+    val withDoc =
+      if (records.columns.contains("document")) withId
+      else withId.withColumn("document", lit(null).cast(BinaryType))
+    val batch = withDoc.select("id", "seq", "embedding", "document")
+    batch.write.mode(SaveMode.Append).parquet(vectorsDir)
+    loadModel().foreach { model =>
+      LshForest.bucketTable(batch, model, vecId = "id")
+        .repartition(col("tree_id"))
+        .write.mode(SaveMode.Append).partitionBy("tree_id").parquet(indexDir)
+    }
+  }
+
+  /** D8 `insert_documents` (core.rs:232-235): embed then insert. */
+  def insertDocuments(docs: DataFrame, embedder: Embedder): Unit =
+    insertRecords(embedder.embed(docs, "document", "embedding"))
+
+  /** D11 `query_vectors` (core.rs:290-313): batch top-k, one plan. Uses the
+    * LSH forest when an index has been built, brute-force otherwise. */
+  def queryVectors(queries: DataFrame, k: Int): DataFrame = {
+    val m = config.distanceMetric
+    loadModel() match {
+      case Some(model) if hasData(indexDir) =>
+        LshForest.topK(
+          queries, spark.read.parquet(indexDir), vectors, model, k,
+          metric = m, vecId = "id")
+      case _ =>
+        SimSearch.exactTopK(queries, vectors, k, metric = m, vecId = "id")
+    }
+  }
+
+  /** D10 `query_documents` (core.rs:267-277): embed queries, then D11,
+    * then join each hit's stored document back (free — column projection). */
+  def queryDocuments(docs: DataFrame, embedder: Embedder, k: Int): DataFrame = {
+    val q = embedder.embed(docs, "document", "embedding")
+    queryVectors(q, k)
+      .join(vectors.select(col("id"), col("document")), Seq("id"))
+      .select(col("query_id"), col("id"), col("dist"), col("document"))
+  }
+
+  /** D6/I9 `remove` (core.rs:205-213): left-anti rewrite of vectors and
+    * index — the intended semantics, not the reference's root-leaf-only
+    * prune (lsh.rs:487). */
+  def remove(ids: DataFrame): Unit = {
+    val idCol = ids.columns.head
+    rewrite(vectorsDir, vectors.join(
+      ids.select(col(idCol).as("id")), Seq("id"), "left_anti"))
+    if (hasData(indexDir))
+      rewritePartitioned(indexDir, spark.read.parquet(indexDir).join(
+        ids.select(col(idCol).as("id")), Seq("id"), "left_anti"))
+  }
+
+  /** D7/I10 `deduplicate` (core.rs:216-224, lsh.rs:270-288): bit-exact
+    * dedup on the embedding's hash, first-inserted (lowest seq) wins. */
+  def deduplicate(): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("embedding"))).orderBy(col("seq"))
+    val kept = vectors
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val keptIds = kept.select("id")
+    rewrite(vectorsDir, kept)
+    if (hasData(indexDir))
+      rewritePartitioned(indexDir,
+        spark.read.parquet(indexDir).join(keptIds, Seq("id"), "left_semi"))
+  }
+
+  /** Build (or rebuild — leaf-split compaction) the LSH forest index. */
+  def refreshIndex(): Unit = {
+    val model = LshForest.build(
+      vectors, LshForest.Options(
+        config.numTrees, config.maxNodeSize, config.seed), vecId = "id")
+    LshForest.writeIndex(vectors, model, indexDir, vecId = "id")
+    saveModel(model)
+  }
+
+  private[engine] def loadModel(): Option[LshForest.ForestModel] = {
+    val f = new File(modelFile)
+    if (!f.exists()) None
+    else {
+      val in = new ObjectInputStream(new FileInputStream(f))
+      try Some(in.readObject().asInstanceOf[LshForest.ForestModel])
+      finally in.close()
+    }
+  }
+
+  private def saveModel(m: LshForest.ForestModel): Unit = {
+    val out = new ObjectOutputStream(new FileOutputStream(modelFile))
+    try out.writeObject(m) finally out.close()
+  }
+
+  /** D5 `clear_database` (core.rs:194-198) + I11 `clear` (lsh.rs:506-529,
+    * whose tree-clearing loop is buggy in the reference — SURVEY.md §7.5):
+    * drop vectors, index, and model; keep metadata. */
+  def clear(): Unit = {
+    deleteRecursively(new File(vectorsDir))
+    deleteRecursively(new File(indexDir))
+    new File(modelFile).delete()
+    ()
+  }
+
+  /** D4 `save_database` (core.rs:183-190): persist metadata. Parquet
+    * commits are job-atomic, so unlike the reference there is no fsync
+    * choreography — only the tiny JSON changes. */
+  def save(): Unit = writeMeta(path, config)
+
+  /** Rewrite a table in place: stage, then swap (atomic at the dir level —
+    * the engine's replacement for the reference's per-key LSM deletes). */
+  private def rewrite(dir: String, df: DataFrame): Unit = {
+    val tmp = dir + ".staging"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    swap(dir, tmp)
+  }
+
+  private def rewritePartitioned(dir: String, df: DataFrame): Unit = {
+    val tmp = dir + ".staging"
+    df.write.mode(SaveMode.Overwrite).partitionBy("tree_id").parquet(tmp)
+    swap(dir, tmp)
+  }
+
+  private def swap(dir: String, tmp: String): Unit = {
+    val old = new File(dir)
+    val bak = new File(dir + ".old")
+    deleteRecursively(bak)
+    if (old.exists() && !old.renameTo(bak))
+      throw new java.io.IOException(s"cannot stage out $dir")
+    if (!new File(tmp).renameTo(old)) {
+      bak.renameTo(old) // restore
+      throw new java.io.IOException(s"cannot swap in $tmp")
+    }
+    deleteRecursively(bak)
+  }
+}
+
+object ZebraEngine {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("document", BinaryType, nullable = true)))
+
+  /** Batch embedding transform — the engine-facing analogue of the
+    * reference's `DatabaseEmbeddingModel` trait (model/core.rs:12-37):
+    * users plug their own by implementing one method. */
+  trait Embedder extends Serializable {
+    def dim: Int
+    /** Add `outCol: ARRAY<FLOAT>` computed from `inCol`. */
+    def embed(df: DataFrame, inCol: String, outCol: String): DataFrame
+  }
+
+  /** D2 `new` / `new_with_path` (core.rs:110-157). */
+  def create(spark: SparkSession, path: String, config: EngineConfig): ZebraEngine = {
+    val dir = new File(path)
+    if (new File(dir, "zebra.json").exists())
+      throw new IllegalStateException(s"engine already exists at $path")
+    dir.mkdirs()
+    writeMeta(path, config)
+    new ZebraEngine(spark, path, config)
+  }
+
+  /** D1 `open` (core.rs:92-102). */
+  def open(spark: SparkSession, path: String): ZebraEngine =
+    new ZebraEngine(spark, path, readMeta(path))
+
+  /** D3 `open_or_create` (core.rs:168-176). */
+  def openOrCreate(spark: SparkSession, path: String, config: EngineConfig): ZebraEngine =
+    if (new File(path, "zebra.json").exists()) open(spark, path)
+    else create(spark, path, config)
+
+  /** Destroy an engine directory entirely (tests / tooling). */
+  def destroy(path: String): Unit = deleteRecursively(new File(path))
+
+  private def hasData(dir: String): Boolean = {
+    val f = new File(dir)
+    f.exists() && f.listFiles() != null &&
+      f.listFiles().exists(x => x.getName.endsWith(".parquet") ||
+        x.getName.startsWith("tree_id=") || x.getName == "_SUCCESS")
+  }
+
+  // Metadata JSON — hand-rolled (flat schema, no dependency).
+  private def writeMeta(path: String, c: EngineConfig): Unit = {
+    val json =
+      s"""{"dim":${c.dim},"metric":"${c.metric}","num_trees":${c.numTrees},""" +
+        s""""max_node_size":${c.maxNodeSize},"seed":${c.seed}}"""
+    Files.write(
+      Paths.get(path, "zebra.json"), json.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readMeta(path: String): EngineConfig = {
+    val f = Paths.get(path, "zebra.json")
+    if (!Files.exists(f))
+      throw new IllegalStateException(s"no engine at $path (missing zebra.json)")
+    val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    def num(k: String): String = {
+      val m = s""""$k"\\s*:\\s*(-?[0-9]+)""".r.findFirstMatchIn(json)
+      m.map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"bad zebra.json: missing $k"))
+    }
+    def str(k: String): String = {
+      val m = s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(json)
+      m.map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"bad zebra.json: missing $k"))
+    }
+    EngineConfig(
+      dim = num("dim").toInt,
+      metric = str("metric"),
+      numTrees = num("num_trees").toInt,
+      maxNodeSize = num("max_node_size").toInt,
+      seed = num("seed").toLong)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) {
+      val fs = f.listFiles()
+      if (fs != null) fs.foreach(deleteRecursively)
+    }
+    f.delete()
+    ()
+  }
+}

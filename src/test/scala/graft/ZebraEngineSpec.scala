@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.engine.{EngineConfig, ZebraEngine}
+
+/** Engine lifecycle round-trip (SURVEY.md §2.2 D1–D10): create → insert →
+  * query → dedup → remove → incremental index add → clear → reopen. */
+class ZebraEngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val enginePath = "/tmp/graft_test_engine"
+
+  private lazy val emb = Tables.embeddings(spark, SparkTestBase.sf0001)
+    .select(format_string("v%06d", col("vec_id")).as("id"), col("embedding"))
+    .cache()
+
+  private def freshEngine(): ZebraEngine = {
+    ZebraEngine.destroy(enginePath)
+    ZebraEngine.create(spark, enginePath, EngineConfig(dim = 64))
+  }
+
+  test("lifecycle round-trip: create, insert, query, dedup, remove, clear") {
+    val eng = freshEngine()
+    assert(eng.isEmpty)
+
+    eng.insertRecords(emb)
+    assert(eng.count() == 500)
+
+    // exact query: each stored vector's top-1 is itself at distance 0
+    val queries = emb.limit(3)
+      .select(col("id").as("query_id"), col("embedding"))
+    val top1 = eng.queryVectors(queries, k = 1).collect()
+    assert(top1.length == 3)
+    top1.foreach { r =>
+      assert(r.getAs[String]("query_id") == r.getAs[String]("id"))
+      assert(r.getAs[Double]("dist") == 0.0)
+    }
+
+    // dedup: re-insert the same 500 embeddings under new ids; first wins
+    eng.insertRecords(emb.select(concat(lit("dup_"), col("id")).as("id"), col("embedding")))
+    assert(eng.count() == 1000)
+    eng.deduplicate()
+    assert(eng.count() == 500)
+    assert(eng.vectors.filter(col("id").startsWith("dup_")).count() == 0,
+      "first-inserted must win")
+
+    // remove
+    eng.remove(emb.limit(10).select("id"))
+    assert(eng.count() == 490)
+
+    // clear
+    eng.clear()
+    assert(eng.isEmpty)
+  }
+
+  test("metadata round-trip: open reads back the created config") {
+    freshEngine()
+    val reopened = ZebraEngine.open(spark, enginePath)
+    assert(reopened.config == EngineConfig(dim = 64))
+    // openOrCreate on an existing engine opens it
+    val viaOpenOrCreate = ZebraEngine.openOrCreate(
+      spark, enginePath, EngineConfig(dim = 1))
+    assert(viaOpenOrCreate.config.dim == 64)
+    // create on an existing engine refuses
+    intercept[IllegalStateException] {
+      ZebraEngine.create(spark, enginePath, EngineConfig(dim = 64))
+    }
+  }
+
+  test("indexed query + incremental add (I7): new batch routed through existing trees") {
+    val eng = freshEngine()
+    eng.insertRecords(emb.limit(400))
+    eng.refreshIndex()
+
+    // indexed self-retrieval
+    val queries = emb.limit(3).select(col("id").as("query_id"), col("embedding"))
+    val top1 = eng.queryVectors(queries, k = 1).collect()
+    top1.foreach(r => assert(r.getAs[String]("query_id") == r.getAs[String]("id")))
+
+    // incremental insert appends to the EXISTING index (no rebuild) and the
+    // new vectors are immediately retrievable through the indexed path
+    val rest = emb.exceptAll(emb.limit(400))
+    eng.insertRecords(rest)
+    assert(eng.count() == 500)
+    val newQ = rest.limit(2).select(col("id").as("query_id"), col("embedding"))
+    val hits = eng.queryVectors(newQ, k = 1).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      assert(r.getAs[String]("query_id") == r.getAs[String]("id"))
+      assert(r.getAs[Double]("dist") == 0.0)
+    }
+
+    // remove keeps the index consistent: removed ids never surface
+    val victim = emb.limit(1)
+    eng.remove(victim.select("id"))
+    val vQ = victim.select(col("id").as("query_id"), col("embedding"))
+    val after = eng.queryVectors(vQ, k = 5).collect()
+    val victimId = victim.head().getString(0)
+    assert(after.forall(_.getAs[String]("id") != victimId))
+  }
+}
