@@ -1,3 +1,90 @@
 package graft.catalog
+
+import org.apache.spark.sql.functions._
+
 import graft.Catalog.Q
-object EmbedQueries { def qs: Seq[Q] = Seq() }
+import graft.core.Tables
+import graft.embed.HashingTextEmbedder
+import graft.engine.{EngineConfig, ZebraEngine}
+import graft.functions.Distances
+import graft.ops.SimSearch
+
+/** The embedding surface (SURVEY.md §2.4 E1/E2, §2.2 D8/D10): the hashing
+  * text embedder plus the document-level insert/query composition. The
+  * embedder is not SQL-expressible (MurmurHash3 feature hashing), so the
+  * driver records rows-only checks; determinism and self-retrieval are
+  * gated in EmbedderSpec. */
+object EmbedQueries {
+
+  private val embedder = HashingTextEmbedder()
+
+  /** E2 + D11: embed the documents fixture, then batch kNN over the
+    * embedded space — text-to-text retrieval without a pre-embedded table. */
+  val textKnn = Q(
+    "text_knn",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val vecs = embedder.embed(docs, "text", "embedding")
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val queries = vecs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, vecs, k = 5, metric = Distances.Cosine)
+        .orderBy("query_id", "vec_id")
+    },
+    None)
+
+  /** Embedding contract probe: every produced vector is 384-d unit-norm
+    * (or the zero vector for empty text). */
+  val embedNorm = Q(
+    "embed_norm_check",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      embedder.embed(docs, "text", "embedding")
+        .select(
+          col("doc_id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(aggregate(
+            Distances.asDouble(col("embedding")),
+            lit(0.0), (acc, x) => acc + x * x)), 2).as("norm"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Per-JVM document engine: the full D8 path (embed → insert) run once. */
+  object DocEngineCache {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_doc_engine/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        ZebraEngine.destroy(p)
+        val eng = ZebraEngine.create(
+          s, p, EngineConfig(dim = embedder.dim, metric = "cosine"))
+        val docs = Tables.documents(s, dir)
+          .select(
+            format_string("d%06d", col("doc_id")).as("id"),
+            col("text").cast("binary").as("document"))
+        eng.insertDocuments(docs, embedder)
+        p
+      })
+  }
+
+  /** D8+D10 end-to-end: documents inserted through `insert_documents`
+    * (embed → store), queried back as raw text through `query_documents`
+    * (embed → kNN → document fetch). Each query's top hit is itself. */
+  val docRoundtrip = Q(
+    "doc_knn_engine",
+    (s, dir) => {
+      val eng = ZebraEngine.open(s, DocEngineCache.ensure(s, dir))
+      val queries = Tables.documents(s, dir).filter(col("doc_id") < 3)
+        .select(
+          col("doc_id").as("query_id"),
+          col("text").cast("binary").as("document"))
+      eng.queryDocuments(queries, embedder, k = 3)
+        .select(col("query_id"), col("id"),
+          col("dist"), length(col("document")).as("doc_len"))
+        .orderBy("query_id", "id")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(textKnn, embedNorm, docRoundtrip)
+}

@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.embed.Embedder
 import graft.functions.Distances
 import graft.index.LshForest
 import graft.ops.SimSearch
@@ -229,15 +230,6 @@ object ZebraEngine {
     StructField("seq", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false)),
     StructField("document", BinaryType, nullable = true)))
-
-  /** Batch embedding transform — the engine-facing analogue of the
-    * reference's `DatabaseEmbeddingModel` trait (model/core.rs:12-37):
-    * users plug their own by implementing one method. */
-  trait Embedder extends Serializable {
-    def dim: Int
-    /** Add `outCol: ARRAY<FLOAT>` computed from `inCol`. */
-    def embed(df: DataFrame, inCol: String, outCol: String): DataFrame
-  }
 
   /** D2 `new` / `new_with_path` (core.rs:110-157). */
   def create(spark: SparkSession, path: String, config: EngineConfig): ZebraEngine = {
