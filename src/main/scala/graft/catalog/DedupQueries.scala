@@ -1,3 +1,265 @@
 package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.Catalog.Q
-object DedupQueries { def qs: Seq[Q] = Seq() }
+import graft.core.Tables
+import graft.functions.Distances
+import graft.index.LshForest
+
+/** Training-data-pipeline deduplication (builder brief; beyond the
+  * reference's bit-exact I10): exact text dedup, MinHash+LSH banded
+  * near-dup, SimHash, n-gram Jaccard verification, and embedding-cosine
+  * near-dup over LSH buckets. Everything is bucketed — no stage ever
+  * compares all pairs.
+  *
+  * The MinHash pipeline derives its permutations from md5 (present and
+  * bit-identical in both Spark and DuckDB), which makes the whole
+  * shingle → signature → band → candidate → verify cascade SQL-expressible
+  * and hash-checkable cross-engine — rare for an LSH pipeline.
+  */
+object DedupQueries {
+
+  private val ShingleN = 3 // word n-gram size
+  private val Perms = 16 // minhash permutations
+  private val BandRows = 4 // 4 bands x 4 rows
+  private val JaccardThreshold = 0.8
+
+  /** Word shingles of `text`: n-grams of the single-space tokenization;
+    * documents shorter than n words contribute one whole-text shingle.
+    * (Split on the literal space to match the oracle's string_split.) */
+  private def shingleCol: Column = {
+    val words = split(lower(col("text")), " ")
+    when(size(words) >= ShingleN,
+      transform(sequence(lit(0), size(words) - ShingleN),
+        i => concat_ws(" ", slice(words, i + 1, lit(ShingleN)))))
+      .otherwise(array(concat_ws(" ", words)))
+  }
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingleCol).as("shingle"))
+      .distinct()
+
+  /** Banded MinHash signatures: (doc_id, band_id, band_hash). Permutation j
+    * of a shingle is md5(j || '|' || shingle); the signature entry is the
+    * minimum over shingles; a band hashes BandRows consecutive entries.
+    * Explode-then-min runs entirely map-side before one partial agg. */
+  private def bandTable(s: SparkSession, dir: String): DataFrame = {
+    val perms = array((1 to Perms).map(lit): _*)
+    shingleTable(s, dir)
+      .select(col("doc_id"), col("shingle"), explode(perms).as("j"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit("|"), col("shingle")).cast("binary")).as("h"))
+      .groupBy("doc_id", "j").agg(min("h").as("mh"))
+      .withColumn("band_id", floor((col("j") - 1) / BandRows).cast("int"))
+      .groupBy("doc_id", "band_id")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+          s => s.getField("mh")), "").cast("binary")).as("band_hash"))
+  }
+
+  /** Candidate pairs = docs sharing any band bucket (the ONLY pair
+    * generation — never all-pairs), then verified with true n-gram Jaccard
+    * computed on the candidate set alone. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandTable(s, dir)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingleTable(s, dir)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("doc_a"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("doc_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Shared oracle CTE chain mirroring the Spark pipeline 1:1. */
+  private val oraclePipeline = s"""
+      WITH words AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) >= $ShingleN
+                    THEN array_to_string(w[i+1:i+$ShingleN], ' ')
+                    ELSE array_to_string(w, ' ') END AS shingle
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, greatest(len(w) - $ShingleN, 0) + 1)) AS i
+              FROM words)),
+      mh AS (
+        SELECT doc_id, p.j, min(md5(p.j::VARCHAR || '|' || shingle)) AS mh
+        FROM sh, generate_series(1, $Perms) p(j)
+        GROUP BY doc_id, p.j),
+      bands AS (
+        SELECT doc_id, CAST((j-1) // $BandRows AS INT) AS band_id,
+               md5(string_agg(mh, '' ORDER BY j)) AS band_hash
+        FROM mh GROUP BY doc_id, CAST((j-1) // $BandRows AS INT)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      vp AS (
+        SELECT i.doc_a, i.doc_b,
+               i.inter / (ca.n + cb.n - i.inter) AS jaccard
+        FROM (SELECT p.doc_a, p.doc_b, count(*) AS inter
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.doc_a
+              JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+              GROUP BY p.doc_a, p.doc_b) i
+        JOIN cnt ca ON ca.doc_id = i.doc_a
+        JOIN cnt cb ON cb.doc_id = i.doc_b
+        WHERE i.inter / (ca.n + cb.n - i.inter) >= $JaccardThreshold)"""
+
+  /** Exact doc dedup on md5(text), first (lowest doc_id) wins — the text
+    * analogue of I10's bit-pattern dedup. The fixture has no exact text
+    * dups, so the query plants them (shifted-id union). */
+  val dedupExactDocs = Q(
+    "dedup_exact_docs",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dup = d.unionAll(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      dup.groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "text_md5")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH dup AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000, text FROM documents)
+      SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+      FROM dup
+      GROUP BY md5(text)
+      ORDER BY doc_id"""))
+
+  /** MinHash near-dup candidate pairs with n-gram-Jaccard verification —
+    * the load-bearing operator of a training-data pipeline, hash-checked
+    * against DuckDB running the identical cascade. */
+  val minhashPairs = Q(
+    "dedup_minhash_pairs",
+    (s, dir) => verifiedPairs(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""$oraclePipeline
+      SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+      FROM vp ORDER BY doc_a, doc_b"""))
+
+  /** Keep-list under first-wins semantics: drop every doc that near-dups a
+    * lower id (greedy, matches I10's first-inserted-wins). */
+  val minhashKeep = Q(
+    "dedup_minhash_keep",
+    (s, dir) => {
+      val drop = verifiedPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+      Tables.documents(s, dir).select("doc_id")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some(s"""$oraclePipeline
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM vp)
+      ORDER BY doc_id"""))
+
+  /** 64-bit SimHash of the token multiset (MurmurHash3-derived bits — not
+    * SQL-expressible, rows-only; precision gated in DedupSpec). */
+  private[graft] def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.toLowerCase.split(" ").filter(_.nonEmpty).foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x5eed1)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x5eed2)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simhashUdf = udf((t: String) => simhash64(if (t == null) "" else t))
+
+  /** SimHash near-dup pairs: banded on 4 x 16-bit chunks (a pair within
+    * Hamming distance 3 must agree on at least one chunk), verified with
+    * popcount of the XOR — bucketed, never all-pairs. */
+  val simhashPairs = Q(
+    "dedup_simhash_pairs",
+    (s, dir) => {
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
+      val banded = sig.select(
+        col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bc"))
+        .select(col("doc_id"), col("sig"),
+          col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+      pairs
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  /** Embedding-space near-dup via the LSH forest: pairs co-located in a
+    * bucket (bounded leaves), verified by cosine. Exact duplicates are
+    * planted (shifted-id union), and identical vectors route identically,
+    * so the expected output is exactly the planted pairs — which makes
+    * this RNG-built path ORACLE-checkable. */
+  val embeddingNearDup = Q(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.unionAll(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val model = LshForest.build(planted)
+      val buckets = LshForest.bucketTable(planted, model)
+      val pairs = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.tree_id") === col("b.tree_id") &&
+            col("a.leaf_id") === col("b.leaf_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val v = planted.select(col("vec_id"), Distances.asDouble(col("embedding")).as("emb"))
+      pairs
+        .join(v.as("va").select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+        .join(v.as("vb").select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+        .withColumn("cos_sim", round(Distances.cosineSim(col("ea"), col("eb")), 4))
+        .filter(col("cos_sim") >= 0.999)
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""
+      SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b, 1.0 AS cos_sim
+      FROM embeddings ORDER BY vec_a"""))
+
+  def qs: Seq[Q] = Seq(
+    dedupExactDocs, minhashPairs, minhashKeep, simhashPairs, embeddingNearDup)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.DedupQueries
+import graft.core.Tables
+
+/** Near-dup dedup quality gates: the banded MinHash pipeline must find the
+  * fixture's planted near-duplicates (high recall on strong dups) without
+  * inventing weak ones (perfect precision at the Jaccard threshold, since
+  * every candidate is re-verified with the true n-gram Jaccard). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sf0001
+
+  /** Ground truth: all-pairs 3-gram Jaccard, computed locally (test only —
+    * the pipeline under test never does all-pairs). */
+  private lazy val truth: Map[(Long, Long), Double] = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    (for {
+      i <- sh.indices.iterator
+      j <- (i + 1) until sh.length
+      a = sh(i); b = sh(j)
+      inter = (a._2 & b._2).size
+      if inter > 0
+      jac = inter.toDouble / (a._2.size + b._2.size - inter)
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1)) -> jac).toMap
+  }
+
+  test("minhash pairs: perfect precision (every reported pair >= threshold truly)") {
+    val found = DedupQueries.minhashPairs.run(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(found.nonEmpty, "fixture has planted near-dups; none found")
+    found.foreach { case ((a, b), jac) =>
+      val t = truth.getOrElse((a, b), 0.0)
+      assert(math.abs(t - jac) < 1e-3, s"pair ($a,$b): reported $jac, truth $t")
+      assert(t >= 0.8)
+    }
+  }
+
+  test("minhash pairs: high recall on strong near-dups (truth jaccard >= 0.9)") {
+    val found = DedupQueries.minhashPairs.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = truth.filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty, "fixture should contain strong near-dups")
+    val recall = strong.count(found).toDouble / strong.size
+    assert(recall >= 0.9, s"recall on strong dups = $recall (${strong.size} strong)")
+  }
+
+  test("keep-list drops exactly the dominated docs") {
+    val pairs = DedupQueries.minhashPairs.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map(_._2).toSet
+    val kept = DedupQueries.minhashKeep.run(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val all = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == all -- dropped)
+  }
+
+  test("simhash pairs: found pairs are genuinely similar") {
+    val found = DedupQueries.simhashPairs.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.nonEmpty)
+    val jacs = found.map { case (a, b) => truth.getOrElse((a, b), 0.0) }
+    assert(jacs.count(_ >= 0.5).toDouble / jacs.length >= 0.8,
+      s"simhash precision@J0.5 = ${jacs.count(_ >= 0.5)}/${jacs.length}")
+  }
+
+  test("simhash is deterministic and order-insensitive to tokens' hash") {
+    assert(DedupQueries.simhash64("a b c") == DedupQueries.simhash64("a b c"))
+    assert(DedupQueries.simhash64("x") != DedupQueries.simhash64("y"))
+  }
+}
