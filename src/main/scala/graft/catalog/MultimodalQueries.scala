@@ -1,3 +1,84 @@
 package graft.catalog
+
+import org.apache.spark.sql.functions._
+
 import graft.Catalog.Q
-object MultimodalQueries { def qs: Seq[Q] = Seq() }
+import graft.embed.{AudioSpectrogramEmbedder, ImageFeatureEmbedder, MultimodalFixtures}
+import graft.functions.Distances
+import graft.ops.SimSearch
+
+/** Multimodal surface (SURVEY.md §2.4 E3–E7, §2.5 C3/C4): images and audio
+  * as opaque BINARY columns flowing through decode → feature-embed → kNN.
+  * No binary fixtures ship in /root/testdata (FIXTURES.md §3), so the
+  * inputs are deterministic generated PNGs/WAVs; embedders are hash-based
+  * (not SQL-expressible) — rows-only checks here, contracts gated in
+  * MultimodalSpec. */
+object MultimodalQueries {
+
+  private val imageEmbedder = ImageFeatureEmbedder()
+  private val audioEmbedder = AudioSpectrogramEmbedder()
+
+  /** C3 image insert+query: 24 generated PNGs → decode/resize/normalize →
+    * 768-d features → cosine kNN, queried with re-generated (bit-identical)
+    * images: top-1 must be self at distance 0. */
+  val imageKnn = Q(
+    "multimodal_image_knn",
+    (s, dir) => {
+      import s.implicits._
+      val images = (0 until 24).map(i => (i.toLong, MultimodalFixtures.makePng(i)))
+      val df = images.toDF("vec_id", "document")
+      val vecs = imageEmbedder.embed(df, "document", "embedding")
+        .select(col("vec_id"), col("embedding"))
+      val queries = vecs.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, vecs, k = 3, metric = Distances.Cosine)
+        .orderBy("query_id", "vec_id")
+    },
+    None)
+
+  /** C4 audio insert+query: sine sweeps + noise clips → spectrogram-as-
+    * image (the reference's core audio trick) → 768-d → cosine kNN. */
+  val audioKnn = Q(
+    "multimodal_audio_knn",
+    (s, dir) => {
+      import s.implicits._
+      val clips =
+        (0 until 8).map(i => (i.toLong, MultimodalFixtures.makeWavSine(220.0 * (i + 1)))) ++
+          (8 until 12).map(i => (i.toLong, MultimodalFixtures.makeWavNoise(i)))
+      val df = clips.toDF("vec_id", "document")
+      val vecs = audioEmbedder.embed(df, "document", "embedding")
+        .select(col("vec_id"), col("embedding"))
+      val queries = vecs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, vecs, k = 3, metric = Distances.Cosine)
+        .orderBy("query_id", "vec_id")
+    },
+    None)
+
+  /** E3 decode-path probe: per-image tensor statistics after resize +
+    * ImageNet normalization (the plumbing a real ViT would consume). */
+  val imageDecodeStats = Q(
+    "multimodal_image_decode",
+    (s, dir) => {
+      import s.implicits._
+      val images = (0 until 24).map(i => (i.toLong, MultimodalFixtures.makePng(i)))
+      val statsUdf = udf { (bytes: Array[Byte]) =>
+        val t = ImageFeatureEmbedder.loadImage224(bytes)
+        if (t == null) (0, 0.0, 0.0)
+        else {
+          val flat = t.flatten.flatten
+          (flat.length,
+            math.rint(flat.sum / flat.length * 10000) / 10000,
+            math.rint(flat.max * 10000) / 10000)
+        }
+      }
+      images.toDF("vec_id", "document")
+        .select(col("vec_id"), statsUdf(col("document")).as("s"))
+        .select(col("vec_id"), col("s._1").as("n_values"),
+          col("s._2").as("mean_val"), col("s._3").as("max_val"))
+        .orderBy("vec_id")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(imageKnn, audioKnn, imageDecodeStats)
+}
