@@ -129,5 +129,69 @@ object RelationalQueries {
       ORDER BY price DESC, l_orderkey, l_linenumber
       LIMIT 25"""))
 
-  def qs: Seq[Q] = Seq(q1Agg, joinRevenue, topOrders, eventsHourly, topK)
+  /** The Structured Streaming transform (graft.streaming.StreamOps
+    * .hourlyEventStats) executed on the batch events table — the unified
+    * DataFrame API means the STREAMING plan itself is what gets
+    * oracle-checked here (StreamingSpec proves stream/batch parity on a
+    * MemoryStream). */
+  val eventsHourlyStream = Q(
+    "q_events_hourly_stream",
+    (s, dir) => {
+      graft.streaming.StreamOps.hourlyEventStats(Tables.events(s, dir))
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("value_sum"))
+        .orderBy("hour_start", "event_type")
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, count(*) AS n_events, round(sum(value), 4) AS value_sum
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type"""))
+
+  /** Gap-based sessionization (30-min inactivity): lag + running sum —
+    * the classic event-pipeline shape (shuffles once by user_id, exactly
+    * what a 100 TB sessionize does). Arithmetic on epoch micros keeps the
+    * two engines bit-identical (events carry no sub-µs precision). */
+  val eventsSessions = Q(
+    "q_events_sessions",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val prev = lag("us", 1).over(w)
+      val g = e
+        .withColumn("new_sess",
+          when(prev.isNull || col("us") - prev > 1800000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // duration to 4 decimals via integer truncation to 100µs units —
+      // round() would flake on half-boundary cases (HALF_UP vs HALF_EVEN).
+      g.groupBy("user_id", "sess_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max("us").as("mx"), min("us").as("mn"))
+        .withColumn("duration_sec", expr("(mx - mn) div 100") / 10000.0)
+        .select("user_id", "sess_id", "n_events", "duration_sec")
+        .orderBy("user_id", "sess_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      s AS (SELECT user_id, event_id, us,
+              CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id, us,
+              sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM s)
+      SELECT user_id, sess_id::BIGINT AS sess_id, count(*) AS n_events,
+             ((max(us) - min(us)) // 100) / 10000.0 AS duration_sec
+      FROM g GROUP BY user_id, g.sess_id
+      ORDER BY user_id, sess_id"""))
+
+  def qs: Seq[Q] = Seq(
+    q1Agg, joinRevenue, topOrders, eventsHourly, topK,
+    eventsHourlyStream, eventsSessions)
 }

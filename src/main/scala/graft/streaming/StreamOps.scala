@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.engine.ZebraEngine
+
+/** Structured Streaming surface (SURVEY.md §7.6; reference has no streaming
+  * — its only continuous op is incremental `add`, lsh.rs:440-466).
+  *
+  * Every transform here is written against the unified DataFrame API: the
+  * SAME function runs on a batch DataFrame (verified against the DuckDB
+  * oracle via the catalog) and on a streaming DataFrame (verified in
+  * StreamingSpec with MemoryStream). That parity is the design point — the
+  * batch plan IS the streaming plan, so correctness carries over.
+  */
+object StreamOps {
+
+  /** Event-time windowed aggregation with a watermark: events per hour per
+    * type (count + value sum). On a stream this is incremental state with
+    * late-data tolerance `lateness`; on a batch frame the watermark is a
+    * no-op and the result equals the grouped aggregate. */
+  def hourlyEventStats(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("value_sum"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** Exactly-once id semantics over a stream: watermarked streaming
+    * deduplication (state expires past the watermark — bounded memory). */
+  def dedupByIdStream(records: DataFrame, lateness: String = "1 hour"): DataFrame =
+    records.withWatermark("ts", lateness).dropDuplicates("id", "ts")
+
+  /** Streaming vector ingest into a [[ZebraEngine]]: every micro-batch is
+    * one `insert_records` call — the reference's incremental `add` (I7)
+    * driven by a stream. When the engine has an index, each batch routes
+    * through the existing broadcast trees (see ZebraEngine.insertRecords);
+    * periodic `refreshIndex()` compacts overflowing leaves (I8's split). */
+  def ingestVectors(
+      stream: DataFrame, engine: ZebraEngine,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) engine.insertRecords(batch)
+      }
+      .start()
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{EngineConfig, ZebraEngine}
+import graft.streaming.StreamOps
+
+/** Streaming parity gates: the same transform on a MemoryStream must agree
+  * with its batch execution; foreachBatch ingest feeds the engine. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val sampleEvents = Seq(
+    (ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(30), "view", 3.0),
+    (ts(65), "click", 4.0), (ts(80), "view", 5.0), (ts(90), "view", 6.0))
+
+  test("windowed agg: streaming result equals batch result on the same data") {
+    val batch = StreamOps.hourlyEventStats(
+      sampleEvents.toDF("ts", "event_type", "value"))
+      .orderBy("hour_start", "event_type").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.hourlyEventStats(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      val stream = spark.table("hourly_test")
+        .orderBy("hour_start", "event_type").collect()
+      assert(stream.toSeq == batch.toSeq)
+      assert(batch.length == 4) // 2 hours x 2 types
+    } finally q.stop()
+  }
+
+  test("streaming dedup: duplicate ids within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.dedupByIdStream(mem.toDF().toDF("ts", "id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), "a"), (ts(1), "a"), (ts(2), "b"), (ts(1), "a"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch vector ingest: stream -> engine -> query round trip") {
+    val path = "/tmp/graft_test_stream_engine"
+    val ckpt = "/tmp/graft_test_stream_ckpt"
+    ZebraEngine.destroy(path)
+    ZebraEngine.destroy(ckpt)
+    val eng = ZebraEngine.create(spark, path, EngineConfig(dim = 4))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Array[Float])]
+    val q = StreamOps.ingestVectors(
+      mem.toDF().toDF("id", "embedding"), eng, ckpt)
+    try {
+      mem.addData(("a", Array(1f, 0f, 0f, 0f)), ("b", Array(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      mem.addData(("c", Array(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      assert(eng.count() == 3)
+      val queries = Seq(("qa", Array(1f, 0f, 0f, 0f))).toDF("query_id", "embedding")
+      val top = eng.queryVectors(queries, k = 1).collect()
+      assert(top.head.getAs[String]("id") == "a")
+      assert(top.head.getAs[Double]("dist") == 0.0)
+    } finally {
+      q.stop()
+      ZebraEngine.destroy(path)
+      ZebraEngine.destroy(ckpt)
+    }
+  }
+}
