@@ -27,14 +27,15 @@ object Distances {
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
   /** Inner product Σ aᵢ·bᵢ — the primitive under cosine and the hyperplane
-    * routing predicate (reference: src/database/index/lsh.rs:39-43). */
-  def dot(a: Column, b: Column): Column = fsum(zip_with(a, b, _ * _))
+    * routing predicate (reference: src/database/index/lsh.rs:39-43).
+    * Hot path → native codegen expression (same fold order as the HOF
+    * form, bit-identical results). */
+  def dot(a: Column, b: Column): Column = VectorDistance(a, b, VectorDistance.Dot)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** M2 `L2SquaredDistance` (distance.rs:34-49) — default text metric. */
-  def l2sq(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+  def l2sq(a: Column, b: Column): Column = VectorDistance(a, b, VectorDistance.L2Sq)
 
   /** M7 `L2Distance` (distance.rs:99-114). */
   def l2(a: Column, b: Column): Column = sqrt(l2sq(a, b))
@@ -42,20 +43,16 @@ object Distances {
   /** M1 `CosineDistance` = 1 − cos(a,b) (distance.rs:15-32) — default
     * image/audio metric. Zero-norm inputs yield distance 1.0 rather than
     * NaN (engine choice; the fixture has no zero vectors). */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(1.0)).otherwise(lit(1.0) - dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column =
+    VectorDistance(a, b, VectorDistance.Cosine)
 
   /** Cosine similarity (not distance) — convenience for near-dup ops. */
-  def cosineSim(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  def cosineSim(a: Column, b: Column): Column =
+    VectorDistance(a, b, VectorDistance.CosineSim)
 
   /** M6 `ManhattanDistance` Σ|aᵢ−bᵢ| (distance.rs:87-97). */
   def manhattan(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => abs(x - y)))
+    VectorDistance(a, b, VectorDistance.Manhattan)
 
   /** M3 `ChebyshevDistance` max|aᵢ−bᵢ| (distance.rs:51-61). */
   def chebyshev(a: Column, b: Column): Column =
