@@ -50,6 +50,35 @@ object IndexQueries {
     },
     None)
 
+  /** The forest at an exhaustive candidate budget (searchK >= corpus size)
+    * degenerates to exact kNN — probes cover every leaf, candidates = all
+    * vectors, rerank is the brute-force scan — so the full
+    * route → bucket-join → rerank path gets a deterministic hash-checked
+    * oracle despite the RNG-dependent tree shapes. */
+  val lshKnnFull = Q(
+    "lsh_knn_full_budget",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (buckets, model) = LshCache.ensure(s, dir)
+      LshForest.topK(queries, buckets, e, model, k = 10,
+        searchKOpt = Some(Int.MaxValue))
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, vec_id"""))
+
   /** I14-adjacent probe over the index itself: per-tree bucket stats
     * (leaf count, max leaf population) — the operational health check for
     * the forest (reference's `no_trees` / tree sizing, lsh.rs:389-409). */
@@ -65,5 +94,5 @@ object IndexQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(lshKnn, lshStats)
+  def qs: Seq[Q] = Seq(lshKnn, lshKnnFull, lshStats)
 }

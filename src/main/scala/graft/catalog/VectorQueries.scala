@@ -144,11 +144,38 @@ object VectorQueries {
     },
     None)
 
+  /** IVF at full probe (nprobe = nlist) is exhaustive — algebraically equal
+    * to exact kNN — so the whole IVF plumbing (persisted partitioned index,
+    * probe generation, cell join, bounded top-k) gets a deterministic
+    * hash-checked oracle even though centroid choice is engine-specific. */
+  val knnIvfFull = Q(
+    "ann_ivf_full_probe",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (index, model) = IvfCache.ensure(s, dir, nlist = 16)
+      Ivf.topK(queries, index, model, k = 10, nprobe = 16)
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, vec_id"""))
+
   /** I14 emptiness probe: `is_empty`/`no_vectors` as a count. */
   val countVectors = Q(
     "count_vectors",
     (s, dir) => Tables.embeddings(s, dir).agg(count(lit(1)).as("n")),
     Some("SELECT count(*) AS n FROM embeddings"))
 
-  def qs: Seq[Q] = Seq(vecOps, knnExact, knnCosine, knnIvf, countVectors)
+  def qs: Seq[Q] = Seq(vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, countVectors)
 }

@@ -1,0 +1,27 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.catalog.{IndexQueries, VectorQueries}
+import graft.core.Tables
+import graft.ops.Ivf
+
+/** Dev tool: print the physical plans of the index-probed paths to confirm
+  * partition pruning + broadcast joins + absence of unbounded windows. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (index, model) = VectorQueries.IvfCache.ensure(spark, dir, nlist = 16)
+    println("===== IVF topK =====")
+    Ivf.topK(queries, index, model, k = 10, nprobe = 4).explain("formatted")
+    val (buckets, fmodel) = IndexQueries.LshCache.ensure(spark, dir)
+    println("===== LSH topK =====")
+    graft.index.LshForest.topK(queries, buckets, e, fmodel, k = 10).explain("formatted")
+    spark.stop()
+  }
+}
