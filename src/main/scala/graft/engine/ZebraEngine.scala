@@ -156,6 +156,22 @@ final class ZebraEngine private (
         spark.read.parquet(indexDir).join(keptIds, Seq("id"), "left_semi"))
   }
 
+  /** I8 leaf-split compaction policy: incremental adds only append to
+    * existing leaves, so leaves grow past max_node_size over time (the
+    * reference splits per insert, lsh.rs:350-382 — per-row tree mutation,
+    * the one genuinely non-Spark-shaped op). This checks the largest leaf
+    * and rebuilds the forest when it exceeds `factor`·max_node_size.
+    * Returns true when a rebuild happened. One cheap aggregate over the
+    * bucket table; call it on an ingest cadence (e.g. per N micro-batches). */
+  def compactIndexIfNeeded(factor: Double = 4.0): Boolean = {
+    if (!hasData(indexDir) || loadModel().isEmpty) return false
+    val maxLeaf = spark.read.parquet(indexDir)
+      .groupBy("tree_id", "leaf_id").count()
+      .agg(max("count")).head().getLong(0)
+    if (maxLeaf > factor * config.maxNodeSize) { refreshIndex(); true }
+    else false
+  }
+
   /** Build (or rebuild — leaf-split compaction) the LSH forest index. */
   def refreshIndex(): Unit = {
     val model = LshForest.build(

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Distances
+
+/** Property-based metric axioms (SURVEY.md §5.3) evaluated through the
+  * actual Catalyst expressions over generated vectors — including the
+  * codegen-vs-HOF parity obligation for the native VectorDistance kernels
+  * (they must be bit-identical, since the DuckDB oracle hashes depend on
+  * the exact fold). */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val genVec: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](dim, Gen.chooseNum(-8f, 8f))
+  private val genPair: Gen[(Array[Float], Array[Float])] =
+    for { a <- genVec; b <- genVec } yield (a, b)
+
+  /** Deterministic ScalaCheck draws (no scalatestplus bridge on the
+    * offline classpath): `trials` seeded samples per property, each
+    * evaluated as one Spark job over the whole generated batch. */
+  private def forAllSeeded[A](gen: Gen[A], trials: Int = 4)(body: A => Unit): Unit =
+    (0 until trials).foreach { t =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + t)))
+    }
+
+  // HOF formulations retained verbatim for the parity obligation.
+  private def hofSum(arr: org.apache.spark.sql.Column) =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    hofSum(zip_with(a, b, _ * _))
+  private def hofL2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    hofSum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+  private def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val denom = sqrt(hofDot(a, a)) * sqrt(hofDot(b, b))
+    when(denom === 0.0, lit(1.0)).otherwise(lit(1.0) - hofDot(a, b) / denom)
+  }
+
+  test("codegen VectorDistance == HOF formulation, bit for bit") {
+    forAllSeeded(Gen.listOfN(24, genPair)) { pairs =>
+      {
+        val df = pairs.toDF("a", "b")
+          .select(Distances.asDouble($"a").as("a"), Distances.asDouble($"b").as("b"))
+        val rows = df.select(
+          Distances.dot($"a", $"b").as("n_dot"), hofDot($"a", $"b").as("h_dot"),
+          Distances.l2sq($"a", $"b").as("n_l2"), hofL2sq($"a", $"b").as("h_l2"),
+          Distances.cosine($"a", $"b").as("n_cos"), hofCosine($"a", $"b").as("h_cos"))
+          .collect()
+        rows.foreach { r =>
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(1)), "dot mismatch")
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(3)), "l2sq mismatch")
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(5)), "cosine mismatch")
+        }
+      }
+    }
+  }
+
+  test("triangle inequality holds for the true metrics") {
+    forAllSeeded(Gen.listOfN(16, for { a <- genVec; b <- genVec; c <- genVec } yield (a, b, c))) {
+      triples =>
+        {
+          val df = triples.toDF("a", "b", "c").select(
+            Distances.asDouble($"a").as("a"),
+            Distances.asDouble($"b").as("b"),
+            Distances.asDouble($"c").as("c"))
+          Seq[Distances.Metric](
+            Distances.L2, Distances.Manhattan, Distances.Chebyshev,
+            Distances.Minkowski(2.5)).foreach { m =>
+            val bad = df.filter(
+              m($"a", $"c") > m($"a", $"b") + m($"b", $"c") + lit(1e-9)).count()
+            assert(bad == 0, s"${m.name} violates triangle inequality")
+          }
+        }
+    }
+  }
+
+  test("minkowski family: p=1 is manhattan, p=2 is l2, pnorm(2) is l2sq") {
+    forAllSeeded(Gen.listOfN(24, genPair)) { pairs =>
+      {
+        val df = pairs.toDF("a", "b")
+          .select(Distances.asDouble($"a").as("a"), Distances.asDouble($"b").as("b"))
+        val bad = df.filter(
+          (abs(Distances.minkowski($"a", $"b", 1.0) - Distances.manhattan($"a", $"b")) > 1e-6) ||
+            (abs(Distances.minkowski($"a", $"b", 2.0) - Distances.l2($"a", $"b")) > 1e-6) ||
+            (abs(Distances.pnorm($"a", $"b", 2.0) - Distances.l2sq($"a", $"b")) > 1e-6))
+          .count()
+        assert(bad == 0)
+      }
+    }
+  }
+
+  test("hyperplane side predicate flips under hyperplane negation (off the boundary)") {
+    import graft.functions.VectorOps
+    forAllSeeded(Gen.listOfN(24, genPair)) { pairs =>
+      {
+        val df = pairs.toDF("c", "p")
+          .select(Distances.asDouble($"c").as("c"), Distances.asDouble($"p").as("p"))
+        val negC = transform($"c", x => -x)
+        val margin = Distances.dot($"c", $"p")
+        val bad = df
+          .filter(abs(margin) > 1e-9) // boundary: >= 0 makes 0 side-stable
+          .filter(VectorOps.pointIsAbove($"c", lit(0.0), $"p") ===
+            VectorOps.pointIsAbove(negC, lit(0.0), $"p"))
+          .count()
+        assert(bad == 0)
+      }
+    }
+  }
+
+  test("dedup is idempotent on generated duplicate batches") {
+    forAllSeeded(Gen.zip(Gen.listOfN(12, genVec), Gen.chooseNum(1, 4))) { case (vecs, dupFactor) =>
+      {
+        val rows = (0 until dupFactor).flatMap(r =>
+          vecs.zipWithIndex.map { case (v, i) => (r * 1000 + i.toLong, v) })
+        val df = rows.toDF("vec_id", "embedding")
+        def dedup(d: org.apache.spark.sql.DataFrame) =
+          d.groupBy(xxhash64(col("embedding")).as("h"))
+            .agg(min("vec_id").as("vec_id"))
+        val once = dedup(df)
+        assert(once.count() == vecs.distinct.length)
+        // idempotence: applying first-wins again changes nothing
+        val again = once.select(col("vec_id"))
+        assert(again.exceptAll(once.select("vec_id")).isEmpty)
+      }
+    }
+  }
+}

@@ -100,4 +100,21 @@ class ZebraEngineSpec extends AnyFunSuite {
     val victimId = victim.head().getString(0)
     assert(after.forall(_.getAs[String]("id") != victimId))
   }
+
+  test("I8 compaction: incremental appends fatten leaves, compact rebuilds them") {
+    val eng = freshEngine()
+    eng.insertRecords(emb.limit(100))
+    eng.refreshIndex()
+    assert(!eng.compactIndexIfNeeded(), "fresh index must not need compaction")
+    // route 400 more vectors through the existing 100-vector trees: leaves
+    // overflow far past max_node_size
+    eng.insertRecords(emb.exceptAll(emb.limit(100)))
+    assert(eng.compactIndexIfNeeded(factor = 4.0), "overflowed index must compact")
+    // after the rebuild, the leaf bound holds again on the full corpus
+    val maxLeaf = spark.read.parquet("/tmp/graft_test_engine/index")
+      .groupBy("tree_id", "leaf_id").count().agg(max("count")).head().getLong(0)
+    assert(maxLeaf <= 4 * eng.config.maxNodeSize,
+      s"post-compaction max leaf $maxLeaf")
+    assert(!eng.compactIndexIfNeeded())
+  }
 }
