@@ -69,5 +69,36 @@ object DistanceQueries {
     },
     oracleFor(m.name))
 
-  def qs: Seq[Q] = Distances.all.map(distQuery)
+  /** The native kernels exposed as SQL functions (GraftFunctions /
+    * spark.sql.extensions=graft.GraftExtensions): the same query a SQL-only
+    * user would write, hash-checked against the same oracle as the Column
+    * API — proving API parity. */
+  val sqlFunctions = Q(
+    "dist_sql_functions",
+    (s, dir) => {
+      graft.GraftFunctions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+      s.sql("""
+        SELECT a.vec_id AS vec_id,
+               round(vector_l2sq(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                 CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS l2sq,
+               round(vector_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                   CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS cos_dist
+        FROM graft_embeddings a,
+             (SELECT embedding AS qe FROM graft_embeddings WHERE vec_id = 0) q
+        ORDER BY vec_id""")
+    },
+    Some(s"""
+      SELECT a.vec_id AS vec_id,
+             round(sum(power($ax - $qx, 2) ORDER BY t.i), 4) AS l2sq,
+             round(1 - sum($ax * $qx ORDER BY t.i)
+                       / (sqrt(sum($ax * $ax ORDER BY t.i))
+                          * sqrt(sum($qx * $qx ORDER BY t.i))), 4) AS cos_dist
+      FROM embeddings a,
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
+           generate_series(1, $dim) t(i)
+      GROUP BY a.vec_id
+      ORDER BY vec_id"""))
+
+  def qs: Seq[Q] = Distances.all.map(distQuery) :+ sqlFunctions
 }
