@@ -282,12 +282,19 @@ object LshForest {
       queries: DataFrame, buckets: DataFrame, model: ForestModel, searchK: Int,
       queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
     val probes = routeQueries(queries, model, searchK, queryId)
-    // Literal (tree_id, leaf_id) pruning predicate per tree.
+    // Literal (tree_id, leaf_id) pruning predicate per tree. Bounded: past
+    // ~4k leaf literals the optimizer pays more building the predicate than
+    // the scan saves — fall back to pruning on tree_id alone (partition
+    // level) and let the broadcast bucket join do the leaf selection.
     val probed = probes.select("tree_id", "leaf_id").distinct().collect()
       .groupBy(_.getInt(0)).map { case (t, rows) => t -> rows.map(_.getInt(1)).toSeq }
-    val pruned = probed.map { case (t, leaves) =>
-      (col("tree_id") === t) && col("leaf_id").isin(leaves: _*)
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    val totalLeaves = probed.valuesIterator.map(_.size).sum
+    val pruned =
+      if (totalLeaves <= 4000)
+        probed.map { case (t, leaves) =>
+          (col("tree_id") === t) && col("leaf_id").isin(leaves: _*)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+      else col("tree_id").isin(probed.keys.toSeq: _*)
     buckets.filter(pruned)
       .join(broadcast(probes), Seq("tree_id", "leaf_id"))
       .select(col(queryId), col("q_emb"), col(vecId))
@@ -317,12 +324,27 @@ object LshForest {
     // trees; see LshForestSpec gate). Callers trade recall for latency by
     // passing searchKOpt explicitly.
     val searchK = searchKOpt.getOrElse(math.max(4 * k, model.opts.maxNodeSize))
+    val spark = queries.sparkSession
+    // Execute the candidate pipeline exactly ONCE: collect the (query, vec)
+    // pairs (bounded by |queries| · numTrees · searchK by construction) and
+    // rebuild them as a small broadcast frame — re-deriving them lazily
+    // inside the rerank plan would run the probe + bucket join twice.
     val cand = candidates(queries, buckets, model, searchK, queryId, vecId)
-    val candIds = cand.select(vecId).distinct().collect().map(_.get(0))
+      .select(col(queryId), col(vecId))
+    val pairRows = cand.collect()
+    val pairDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairRows.toIndexedSeq, 1), cand.schema)
+    val candIds = pairRows.map(_.get(1)).distinct
+    // Push candidate ids into the scan while the literal set is small;
+    // beyond that the broadcast join alone prunes (row-group stats can't
+    // help a 100k-literal predicate, and the optimizer would choke on it).
     val v = vectors
-      .filter(if (candIds.length <= 100000) col(vecId).isin(candIds: _*) else lit(true))
+      .filter(if (candIds.length <= 10000) col(vecId).isin(candIds.toSeq: _*) else lit(true))
       .select(col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
-    val scored = v.join(broadcast(cand), vecId)
+    val q = queries.select(
+      col(queryId), Distances.asDouble(col("embedding")).as("q_emb"))
+    val scored = v.join(broadcast(pairDf), vecId)
+      .join(broadcast(q), queryId)
       .withColumn("dist", round(metric(col("q_emb"), col("v_emb")), roundTo))
     SimSearch.takeTopK(scored, k, queryId, vecId)
   }
