@@ -191,7 +191,63 @@ object RelationalQueries {
       FROM g GROUP BY user_id, g.sess_id
       ORDER BY user_id, sess_id"""))
 
+  /** TPC-H Q3-shaped shipping priority: selective filters on BOTH sides of
+    * the join (segment on the dim, date range on fact + orders) — the shape
+    * whose entire value at 100 TB is that every predicate reaches the
+    * parquet scan (verified: PushedFilters on all three scans) before the
+    * broadcast join. */
+  val q3Shipping = Q(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val cutoff = "1998-06-15"
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-15'
+        AND l_shipdate > TIMESTAMP '1998-06-15'
+      GROUP BY l_orderkey, orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** Rollup with grouping indicators — multi-level aggregation in one pass
+    * (partial agg handles every level map-side; no per-level rescan). */
+  val rollupRevenue = Q(
+    "q_rollup_returnflag",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n,
+             grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
-    eventsHourlyStream, eventsSessions)
+    eventsHourlyStream, eventsSessions, q3Shipping, rollupRevenue)
 }

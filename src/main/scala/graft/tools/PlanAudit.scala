@@ -22,6 +22,8 @@ object PlanAudit {
     val (buckets, fmodel) = IndexQueries.LshCache.ensure(spark, dir)
     println("===== LSH topK =====")
     graft.index.LshForest.topK(queries, buckets, e, fmodel, k = 10).explain("formatted")
+    println("===== Q3 shipping =====")
+    graft.catalog.RelationalQueries.q3Shipping.run(spark, dir).explain("formatted")
     spark.stop()
   }
 }
