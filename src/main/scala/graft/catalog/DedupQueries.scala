@@ -127,6 +127,22 @@ object DedupQueries {
         JOIN cnt cb ON cb.doc_id = i.doc_b
         WHERE i.inter / (ca.n + cb.n - i.inter) >= $JaccardThreshold)"""
 
+  /** Per-JVM cache of the verified pair set: `minhash_pairs` and
+    * `minhash_keep` share one computation of the band pipeline (the pair
+    * set is small by construction — collect once, rebuild as a local
+    * frame). Same pattern as the LSH/IVF index caches. */
+  object PairsCache {
+    private val cache =
+      scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Double)]]()
+    def get(s: SparkSession, dir: String): DataFrame = {
+      val rows = cache.getOrElseUpdate(dir,
+        verifiedPairs(s, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+      import s.implicits._
+      rows.toSeq.toDF("doc_a", "doc_b", "jaccard")
+    }
+  }
+
   /** Exact doc dedup on md5(text), first (lowest doc_id) wins — the text
     * analogue of I10's bit-pattern dedup. The fixture has no exact text
     * dups, so the query plants them (shifted-id union). */
@@ -155,7 +171,7 @@ object DedupQueries {
     * against DuckDB running the identical cascade. */
   val minhashPairs = Q(
     "dedup_minhash_pairs",
-    (s, dir) => verifiedPairs(s, dir).orderBy("doc_a", "doc_b"),
+    (s, dir) => PairsCache.get(s, dir).orderBy("doc_a", "doc_b"),
     Some(s"""$oraclePipeline
       SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
       FROM vp ORDER BY doc_a, doc_b"""))
@@ -165,7 +181,7 @@ object DedupQueries {
   val minhashKeep = Q(
     "dedup_minhash_keep",
     (s, dir) => {
-      val drop = verifiedPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
+      val drop = PairsCache.get(s, dir).select(col("doc_b").as("doc_id")).distinct()
       Tables.documents(s, dir).select("doc_id")
         .join(drop, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")

@@ -59,7 +59,9 @@ object IndexQueries {
     "lsh_knn_full_budget",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val queries = e.filter(col("vec_id") < 5)
+      // 2 queries suffice to prove the plumbing; exhaustive budget means
+      // each one reranks the whole corpus, so keep the batch minimal.
+      val queries = e.filter(col("vec_id") < 2)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (buckets, model) = LshCache.ensure(s, dir)
       LshForest.topK(queries, buckets, e, model, k = 10,
@@ -68,7 +70,7 @@ object IndexQueries {
     },
     Some("""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                 FROM embeddings WHERE vec_id < 5),
+                 FROM embeddings WHERE vec_id < 2),
            d AS (SELECT q.query_id, a.vec_id,
                         round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
                  FROM embeddings a, q, generate_series(1, 64) t(i)

@@ -23,9 +23,6 @@ object Distances {
     * precision (matches a DuckDB oracle casting `embedding::DOUBLE[]`). */
   def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  private def fsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
   /** Inner product Σ aᵢ·bᵢ — the primitive under cosine and the hyperplane
     * routing predicate (reference: src/database/index/lsh.rs:39-43).
     * Hot path → native codegen expression (same fold order as the HOF
@@ -56,30 +53,24 @@ object Distances {
 
   /** M3 `ChebyshevDistance` max|aᵢ−bᵢ| (distance.rs:51-61). */
   def chebyshev(a: Column, b: Column): Column =
-    array_max(zip_with(a, b, (x, y) => abs(x - y)))
+    VectorDistance(a, b, VectorDistance.Chebyshev)
 
   /** M4 `CanberraDistance` Σ|aᵢ−bᵢ|/(|aᵢ|+|bᵢ|) (distance.rs:63-73);
     * 0/0 terms contribute 0. */
   def canberra(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => {
-      val den = abs(x) + abs(y)
-      when(den === 0.0, lit(0.0)).otherwise(abs(x - y) / den)
-    }))
+    VectorDistance(a, b, VectorDistance.Canberra)
 
   /** M5 `BrayCurtisDistance` Σ|aᵢ−bᵢ| / Σ|aᵢ+bᵢ| (distance.rs:75-85). */
-  def brayCurtis(a: Column, b: Column): Column = {
-    val num = fsum(zip_with(a, b, (x, y) => abs(x - y)))
-    val den = fsum(zip_with(a, b, (x, y) => abs(x + y)))
-    when(den === 0.0, lit(0.0)).otherwise(num / den)
-  }
+  def brayCurtis(a: Column, b: Column): Column =
+    VectorDistance(a, b, VectorDistance.BrayCurtis)
 
   /** M11 `MinkowskiDistance{p}` (Σ|aᵢ−bᵢ|^p)^(1/p) (distance.rs:160-174). */
   def minkowski(a: Column, b: Column, p: Double): Column =
-    pow(fsum(zip_with(a, b, (x, y) => pow(abs(x - y), lit(p)))), lit(1.0 / p))
+    pow(pnorm(a, b, p), lit(1.0 / p))
 
   /** M12 `PNormDistance{p}` Σ|aᵢ−bᵢ|^p, no root (distance.rs:176-190). */
   def pnorm(a: Column, b: Column, p: Double): Column =
-    fsum(zip_with(a, b, (x, y) => pow(abs(x - y), lit(p))))
+    VectorDistance(a, b, VectorDistance.PNorm(p))
 
   /** M8 `L3Distance` (distance.rs:116-126). */
   def l3(a: Column, b: Column): Column = minkowski(a, b, 3.0)

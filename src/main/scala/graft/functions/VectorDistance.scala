@@ -67,6 +67,14 @@ final case class VectorDistance(
         case VectorDistance.Manhattan => acc += math.abs(xi - yi)
         case VectorDistance.Cosine | VectorDistance.CosineSim =>
           acc += xi * yi; accB += xi * xi; accC += yi * yi
+        case VectorDistance.Chebyshev =>
+          val d = math.abs(xi - yi); if (d > acc) acc = d
+        case VectorDistance.Canberra =>
+          val den = math.abs(xi) + math.abs(yi)
+          acc += (if (den == 0.0) 0.0 else math.abs(xi - yi) / den)
+        case VectorDistance.BrayCurtis =>
+          acc += math.abs(xi - yi); accB += math.abs(xi + yi)
+        case VectorDistance.PNorm(p) => acc += math.pow(math.abs(xi - yi), p)
       }
       i += 1
     }
@@ -77,6 +85,8 @@ final case class VectorDistance(
       case VectorDistance.CosineSim =>
         val denom = math.sqrt(accB) * math.sqrt(accC)
         if (denom == 0.0) 0.0 else acc / denom
+      case VectorDistance.BrayCurtis =>
+        if (accB == 0.0) 0.0 else acc / accB
       case _ => acc
     }
   }
@@ -102,6 +112,15 @@ final case class VectorDistance(
         case VectorDistance.Manhattan => s"$acc += java.lang.Math.abs($xi - $yi);"
         case VectorDistance.Cosine | VectorDistance.CosineSim =>
           s"$acc += $xi * $yi; $accB += $xi * $xi; $accC += $yi * $yi;"
+        case VectorDistance.Chebyshev =>
+          s"double $d = java.lang.Math.abs($xi - $yi); if ($d > $acc) $acc = $d;"
+        case VectorDistance.Canberra =>
+          s"""double $d = java.lang.Math.abs($xi) + java.lang.Math.abs($yi);
+             |$acc += ($d == 0.0D) ? 0.0D : java.lang.Math.abs($xi - $yi) / $d;""".stripMargin
+        case VectorDistance.BrayCurtis =>
+          s"$acc += java.lang.Math.abs($xi - $yi); $accB += java.lang.Math.abs($xi + $yi);"
+        case VectorDistance.PNorm(p) =>
+          s"$acc += java.lang.Math.pow(java.lang.Math.abs($xi - $yi), ${p}D);"
       }
       val finish = op match {
         case VectorDistance.Cosine =>
@@ -110,6 +129,8 @@ final case class VectorDistance(
         case VectorDistance.CosineSim =>
           s"""double $denom = java.lang.Math.sqrt($accB) * java.lang.Math.sqrt($accC);
              |${ev.value} = ($denom == 0.0D) ? 0.0D : $acc / $denom;""".stripMargin
+        case VectorDistance.BrayCurtis =>
+          s"${ev.value} = ($accB == 0.0D) ? 0.0D : $acc / $accB;"
         case _ => s"${ev.value} = $acc;"
       }
       s"""
@@ -141,6 +162,11 @@ object VectorDistance {
   case object Manhattan extends Op("manhattan")
   case object Cosine extends Op("cosine")
   case object CosineSim extends Op("cosine_sim")
+  case object Chebyshev extends Op("chebyshev")
+  case object Canberra extends Op("canberra")
+  case object BrayCurtis extends Op("braycurtis")
+  /** Σ|xᵢ−yᵢ|^p — Minkowski composes as pow(·, 1/p) outside. */
+  final case class PNorm(p: Double) extends Op(s"pnorm_$p")
 
   def apply(a: Column, b: Column, op: Op): Column =
     ColumnBridge.column(VectorDistance(
