@@ -10,14 +10,16 @@ import graft.ops.SimSearch
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Batch exact kNN — the reference's `query_vectors` path
-    * (src/database/core.rs:290-313) as one Spark plan. */
+    * The reference's flagship path end to end: LSH-forest ANN search
+    * (route → probe w/ backup branches → candidate union → exact rerank;
+    * src/database/index/lsh.rs:544-565) over the persisted bucket table. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    SimSearch.exactTopK(queries, e, k = 5)
+    val (buckets, model) = catalog.IndexQueries.LshCache.ensure(spark, dir)
+    graft.index.LshForest.topK(queries, buckets, e, model, k = 5)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
