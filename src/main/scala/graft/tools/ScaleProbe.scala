@@ -40,7 +40,8 @@ object ScaleProbe {
     val (exact, _) = time(SimSearch.exactTopK(queries, vecs, 10).cache())
     val (_, tExact) = time(exact.count())
 
-    val (model, tBuild) = time(LshForest.build(vecs))
+    val nt = if (args.length > 1) args(1).toInt else 15
+    val (model, tBuild) = time(LshForest.build(vecs, LshForest.Options(numTrees = nt)))
     val path = s"/tmp/graft_scale_probe_$n"
     val (_, tIndex) = time(LshForest.writeIndex(vecs, model, path))
     val buckets = LshForest.loadIndex(spark, path)
