@@ -64,6 +64,9 @@ object EmbedQueries {
             format_string("d%06d", col("doc_id")).as("id"),
             col("text").cast("binary").as("document"))
         eng.insertDocuments(docs, embedder)
+        // index the corpus: doc queries then run the COMPLETE reference
+        // stack (embed -> forest probe -> rerank -> document fetch)
+        eng.refreshIndex()
         p
       })
   }
