@@ -247,7 +247,31 @@ object RelationalQueries {
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY gid, l_returnflag, l_linestatus"""))
 
+  /** Distinct aggregation (expand + two-phase agg in Spark): distinct
+    * parts/suppliers per return flag alongside plain aggregates — the
+    * remaining §2.6 aggregation shape. */
+  val distinctAgg = Q(
+    "q_distinct_agg",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
-    eventsHourlyStream, eventsSessions, q3Shipping, rollupRevenue)
+    eventsHourlyStream, eventsSessions, q3Shipping, rollupRevenue,
+    distinctAgg)
 }
