@@ -43,10 +43,19 @@ object DistanceQueries {
     "minkowski_2.5" -> s"power(sum(power(abs($ax - $qx), 2.5) ORDER BY t.i), 1.0/2.5)",
     "pnorm_2.5" -> s"sum(power(abs($ax - $qx), 2.5) ORDER BY t.i)")
 
+  /** Cosine is a quotient of three accumulations and lands close enough to
+    * round() half-boundaries that Spark's and DuckDB's round implementations
+    * disagree on a handful of rows (the round-1/round-2 red). Quantize it by
+    * truncation instead — floor/multiply/divide are exactly specified IEEE
+    * ops, so bit-identical doubles quantize identically on both engines. */
+  private def quantize(metricName: String, term: String): String =
+    if (metricName == "cosine") s"floor(greatest(0, $term) * 1e4) / 1e4"
+    else s"round($term, 4)"
+
   private def oracleFor(metricName: String): Option[String] =
     oracleTerm.get(metricName).map { term =>
       s"""
-      SELECT a.vec_id AS vec_id, round($term, 4) AS dist
+      SELECT a.vec_id AS vec_id, ${quantize(metricName, term)} AS dist
       FROM embeddings a,
            (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
            generate_series(1, $dim) t(i)
@@ -64,7 +73,11 @@ object DistanceQueries {
         else (Distances.asDouble(col("embedding")), Distances.asDouble(col("qe")))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"),
-          (if (m == Distances.Hamming) m(a, b).cast("double") else round(m(a, b), 4)).as("dist"))
+          (m match {
+            case Distances.Hamming => m(a, b).cast("double")
+            case Distances.Cosine => Distances.trunc4NonNeg(m(a, b))
+            case _ => round(m(a, b), 4)
+          }).as("dist"))
         .orderBy("vec_id")
     },
     oracleFor(m.name))
@@ -82,8 +95,8 @@ object DistanceQueries {
         SELECT a.vec_id AS vec_id,
                round(vector_l2sq(CAST(a.embedding AS ARRAY<DOUBLE>),
                                  CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS l2sq,
-               round(vector_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
-                                   CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS cos_dist
+               floor(greatest(0D, vector_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                   CAST(q.qe AS ARRAY<DOUBLE>))) * 1e4) / 1e4 AS cos_dist
         FROM graft_embeddings a,
              (SELECT embedding AS qe FROM graft_embeddings WHERE vec_id = 0) q
         ORDER BY vec_id""")
@@ -91,9 +104,9 @@ object DistanceQueries {
     Some(s"""
       SELECT a.vec_id AS vec_id,
              round(sum(power($ax - $qx, 2) ORDER BY t.i), 4) AS l2sq,
-             round(1 - sum($ax * $qx ORDER BY t.i)
-                       / (sqrt(sum($ax * $ax ORDER BY t.i))
-                          * sqrt(sum($qx * $qx ORDER BY t.i))), 4) AS cos_dist
+             floor(greatest(0, 1 - sum($ax * $qx ORDER BY t.i)
+                        / (sqrt(sum($ax * $ax ORDER BY t.i))
+                           * sqrt(sum($qx * $qx ORDER BY t.i)))) * 1e4) / 1e4 AS cos_dist
       FROM embeddings a,
            (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
            generate_series(1, $dim) t(i)

@@ -97,9 +97,9 @@ object VectorQueries {
       WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                  FROM embeddings WHERE vec_id < 5),
            d AS (SELECT q.query_id, a.vec_id,
-                        round(1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)
-                                  / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE ORDER BY t.i))
-                                     * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i))), 4) AS dist
+                        floor(greatest(0, 1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)
+                                   / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE ORDER BY t.i))
+                                      * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)))) * 1e4) / 1e4 AS dist
                  FROM embeddings a, q, generate_series(1, 64) t(i)
                  GROUP BY q.query_id, a.vec_id)
       SELECT query_id, vec_id, dist

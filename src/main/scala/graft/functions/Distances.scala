@@ -23,6 +23,22 @@ object Distances {
     * precision (matches a DuckDB oracle casting `embedding::DOUBLE[]`). */
   def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
+  /** Cross-engine-deterministic 4-decimal quantization: floor(x·1e4)/1e4.
+    * Unlike `round(x, 4)` — whose handling of doubles near a 0.00005
+    * half-boundary differs between engines (Spark rounds the exact decimal
+    * expansion via BigDecimal; DuckDB scales-and-rounds in binary) — floor
+    * and IEEE multiply/divide are exactly specified, so bit-identical inputs
+    * quantize identically. Same pattern as `q_events_sessions`
+    * (RelationalQueries). DuckDB twin: `floor(x * 1e4) / 1e4`. */
+  def trunc4(c: Column): Column = floor(c * lit(1e4)) / lit(1e4)
+
+  /** [[trunc4]] clamped below at 0 — for metrics that are mathematically
+    * non-negative but can dip a few ulps under 0 in FP (cosine self-distance
+    * = 1 − dot/‖a‖‖b‖ ≈ −1e-16), where floor would snap to −0.0001.
+    * `greatest` is exact on both engines. DuckDB twin:
+    * `floor(greatest(0, x) * 1e4) / 1e4`. */
+  def trunc4NonNeg(c: Column): Column = trunc4(greatest(lit(0.0), c))
+
   /** Inner product Σ aᵢ·bᵢ — the primitive under cosine and the hyperplane
     * routing predicate (reference: src/database/index/lsh.rs:39-43).
     * Hot path → native codegen expression (same fold order as the HOF

@@ -53,8 +53,14 @@ object SimSearch {
     val v = vectors.select(
       col(vecId),
       Distances.asDouble(vectors("embedding")).as("v_emb"))
-    val scored = v.crossJoin(broadcast(q))
-      .withColumn("dist", round(metric(col("q_emb"), col("v_emb")), roundTo))
+    // Cosine quantizes by truncation, not round(): its quotient lands close
+    // enough to round-half boundaries that Spark's and DuckDB's round
+    // implementations disagree on occasional rows (see Distances.trunc4).
+    val raw = metric(col("q_emb"), col("v_emb"))
+    val dist =
+      if (metric == Distances.Cosine) Distances.trunc4NonNeg(raw)
+      else round(raw, roundTo)
+    val scored = v.crossJoin(broadcast(q)).withColumn("dist", dist)
     takeTopK(scored, k, queryId, vecId)
   }
 
