@@ -144,18 +144,28 @@ object LshForest {
       .getOrElse(Leaf(nextLeaf(), ids.length))
   }
 
+  /** Row cap bounded by BYTES, not rows: `cap` rows is ~33 MB of driver
+    * memory at the 64-d fixture but ~400 MB at the engine's 768-d
+    * image/audio dims. Above 64-d the row cap scales down by 64/dim
+    * (floor 4096 rows so tree quality survives very high dims). */
+  private[graft] def byteBoundedCap(cap: Int, dim: Int): Int =
+    if (dim <= 64) cap else math.max(4096, (cap.toLong * 64 / dim).toInt)
+
   /** Bounded deterministic sample: the `sampleCap` rows with the smallest
     * xxhash64(vec_id, seed). Exact (= the whole corpus) whenever
     * n <= sampleCap. */
   private def sampleVectors(
-      vectors: DataFrame, opts: Options, vecId: String): Array[Array[Double]] =
+      vectors: DataFrame, opts: Options, vecId: String): Array[Array[Double]] = {
+    val dim = vectors.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(64)
     vectors
       .select(col(vecId), Distances.asDouble(col("embedding")).as("emb"))
       .withColumn("h", xxhash64(col(vecId), lit(opts.seed)))
-      .orderBy("h").limit(opts.sampleCap)
+      .orderBy("h").limit(byteBoundedCap(opts.sampleCap, dim))
       .select("emb")
       .collect()
       .map(_.getSeq[Double](0).toArray)
+  }
 
   /** `build_index` (reference: lsh.rs:411-429): numTrees trees differing
     * only by RNG seed, built driver-side on the bounded sample. */
@@ -210,8 +220,15 @@ object LshForest {
         case Inner(c, k, left, right) =>
           val m = margin(c, k, p)
           val (qSide, backup) = if (m >= 0) (right, left) else (left, right)
-          pq.enqueue(Entry(e.priority, qSide))
-          pq.enqueue(Entry(math.min(e.priority, math.abs(m)), backup))
+          // Annoy's priorities: the query side keeps min(parent, +|m|), the
+          // backup side min(parent, -|m|). With a max-heap the whole
+          // query-side descent (priority >= 0) pops before any backup, and
+          // backups then pop nearest-first — the branch whose crossed
+          // hyperplane margin is SMALLEST has the least-negative priority.
+          // (Round 2 enqueued backups with min(parent, +|m|), which explored
+          // the farthest backup first and cost recall per candidate.)
+          pq.enqueue(Entry(math.min(e.priority, math.abs(m)), qSide))
+          pq.enqueue(Entry(math.min(e.priority, -math.abs(m)), backup))
       }
     }
     out.toSeq
@@ -305,11 +322,16 @@ object LshForest {
     * exact-metric rerank, take k. searchK defaults to the leaf budget
     * max(k, maxNodeSize) per tree.
     *
-    * The rerank never scans the corpus blindly: candidate ids are collected
-    * (they are bounded by |queries| · numTrees · searchK by construction)
-    * and pushed into the vectors scan as a literal IN filter, so parquet
-    * row-group stats prune the fetch; the candidate side is broadcast. The
-    * reference's in-leaf "rank and take n best" (lsh.rs:309-330) is
+    * The candidate pipeline executes exactly ONCE via an eager
+    * localCheckpoint — the probe + bucket join runs a single time and its
+    * (query, vec) pairs stay distributed in executor block storage, so
+    * driver memory is flat in the query-batch size (the round-2 version
+    * collect()ed the pairs: linear driver memory, OOM at ~10⁶ queries).
+    * For small batches the candidate ids additionally push into the vectors
+    * scan as a literal IN filter so parquet row-group stats prune the fetch;
+    * past that the (broadcast-candidate) join alone prunes — row-group stats
+    * can't help a 100k-literal predicate, and the optimizer would choke on
+    * it. The reference's in-leaf "rank and take n best" (lsh.rs:309-330) is
     * deliberately not reproduced — keeping whole leaves gives a candidate
     * superset, so recall can only be >= the reference's at equal settings. */
   def topK(
@@ -324,28 +346,29 @@ object LshForest {
     // trees; see LshForestSpec gate). Callers trade recall for latency by
     // passing searchKOpt explicitly.
     val searchK = searchKOpt.getOrElse(math.max(4 * k, model.opts.maxNodeSize))
-    val spark = queries.sparkSession
-    // Execute the candidate pipeline exactly ONCE: collect the (query, vec)
-    // pairs (bounded by |queries| · numTrees · searchK by construction) and
-    // rebuild them as a small broadcast frame — re-deriving them lazily
-    // inside the rerank plan would run the probe + bucket join twice.
     val cand = candidates(queries, buckets, model, searchK, queryId, vecId)
       .select(col(queryId), col(vecId))
-    val pairRows = cand.collect()
-    val pairDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(pairRows.toIndexedSeq, 1), cand.schema)
-    val candIds = pairRows.map(_.get(1)).distinct
-    // Push candidate ids into the scan while the literal set is small;
-    // beyond that the broadcast join alone prunes (row-group stats can't
-    // help a 100k-literal predicate, and the optimizer would choke on it).
-    val v = vectors
-      .filter(if (candIds.length <= 10000) col(vecId).isin(candIds.toSeq: _*) else lit(true))
-      .select(col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
+      .localCheckpoint() // eager: materialize once, cut lineage, stay distributed
+    val nPairs = cand.count() // free: served from the checkpointed blocks
+    val v0 = vectors.select(
+      col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
+    val v =
+      if (nPairs <= 10000) {
+        val candIds =
+          cand.select(col(vecId)).distinct().collect().map(_.get(0)).toSeq
+        v0.filter(col(vecId).isin(candIds: _*))
+      } else v0
     val q = queries.select(
       col(queryId), Distances.asDouble(col("embedding")).as("q_emb"))
-    val scored = v.join(broadcast(pairDf), vecId)
-      .join(broadcast(q), queryId)
-      .withColumn("dist", round(metric(col("q_emb"), col("v_emb")), roundTo))
+    // Broadcast the pair set while it plausibly fits an executor; at very
+    // large query batches fall back to a shuffle join (the right plan there
+    // — both sides hash on vec_id, nothing collects anywhere).
+    val (candSide, qSide) =
+      if (nPairs <= 2000000) (broadcast(cand), broadcast(q)) else (cand, q)
+    val scored = v.join(candSide, vecId)
+      .join(qSide, queryId)
+      .withColumn("dist",
+        SimSearch.quantize(metric, metric(col("q_emb"), col("v_emb")), roundTo))
     SimSearch.takeTopK(scored, k, queryId, vecId)
   }
 }

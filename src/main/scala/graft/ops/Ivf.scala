@@ -40,10 +40,15 @@ object Ivf {
   def chooseCentroids(
       vectors: DataFrame, nlist: Int, seed: Long = 42L,
       vecId: String = "vec_id", iters: Int = 10, sampleCap: Int = 4096): IvfModel = {
+    // Driver sample bounded by bytes, not rows (same rule as the LSH build
+    // sample): at 768-d the row cap scales down by 64/dim.
+    val dim0 = vectors.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(64)
+    val cap = graft.index.LshForest.byteBoundedCap(sampleCap, dim0)
     val rows = vectors
       .select(col(vecId), Distances.asDouble(col("embedding")).as("emb"))
       .withColumn("h", xxhash64(col(vecId), lit(seed)))
-      .orderBy("h").limit(math.max(nlist, sampleCap))
+      .orderBy("h").limit(math.max(nlist, cap))
       .select("emb")
       .collect()
     val sample = rows.map(_.getSeq[Double](0).toArray)
@@ -156,8 +161,8 @@ object Ivf {
     val scored = index
       .filter(col("cell_id").isin(probedCells: _*))
       .join(broadcast(p), Seq("cell_id"))
-      .withColumn("dist",
-        round(metric(col("q_emb"), Distances.asDouble(col("embedding"))), roundTo))
+      .withColumn("dist", SimSearch.quantize(
+        metric, metric(col("q_emb"), Distances.asDouble(col("embedding"))), roundTo))
     SimSearch.takeTopK(scored, k, queryId, vecId)
   }
 }

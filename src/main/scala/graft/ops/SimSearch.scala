@@ -20,6 +20,16 @@ import graft.functions.Distances
   */
 object SimSearch {
 
+  /** 4-decimal output quantization, cross-engine deterministic: cosine
+    * truncates instead of round()ing — its quotient lands close enough to
+    * round-half boundaries that Spark's and DuckDB's round implementations
+    * disagree on occasional rows (see [[Distances.trunc4NonNeg]]). All other
+    * metrics keep round(·, roundTo). */
+  private[graft] def quantize(
+      metric: Distances.Metric, raw: Column, roundTo: Int): Column =
+    if (metric == Distances.Cosine) Distances.trunc4NonNeg(raw)
+    else round(raw, roundTo)
+
   /** Group the scored rows down to k best per query via the bounded top-k
     * aggregate. `scored` must have (queryId, idCol, "dist") columns. */
   private[graft] def takeTopK(
@@ -53,14 +63,8 @@ object SimSearch {
     val v = vectors.select(
       col(vecId),
       Distances.asDouble(vectors("embedding")).as("v_emb"))
-    // Cosine quantizes by truncation, not round(): its quotient lands close
-    // enough to round-half boundaries that Spark's and DuckDB's round
-    // implementations disagree on occasional rows (see Distances.trunc4).
-    val raw = metric(col("q_emb"), col("v_emb"))
-    val dist =
-      if (metric == Distances.Cosine) Distances.trunc4NonNeg(raw)
-      else round(raw, roundTo)
-    val scored = v.crossJoin(broadcast(q)).withColumn("dist", dist)
+    val scored = v.crossJoin(broadcast(q))
+      .withColumn("dist", quantize(metric, metric(col("q_emb"), col("v_emb")), roundTo))
     takeTopK(scored, k, queryId, vecId)
   }
 
