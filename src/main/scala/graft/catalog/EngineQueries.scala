@@ -63,15 +63,24 @@ object EngineQueries {
     * (read-only afterwards, so the catalog entry stays idempotent). */
   object EngineCache {
     private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String =
-      cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_engine/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    private def build(s: org.apache.spark.sql.SparkSession, dir: String,
+        suffix: String, indexed: Boolean): String =
+      cache.getOrElseUpdate(s"$dir|$suffix", {
+        val p = s"/tmp/graft_engine/v1_$suffix" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
         ZebraEngine.destroy(p)
         val eng = ZebraEngine.create(s, p, EngineConfig(dim = 64))
         eng.insertRecords(Tables.embeddings(s, dir)
           .select(format_string("v%06d", col("vec_id")).as("id"), col("embedding")))
+        if (indexed) eng.refreshIndex()
         p
       })
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      build(s, dir, "", indexed = false)
+    /** Same corpus, but with the LSH forest built — queries take the
+      * indexed branch of `queryVectors`. */
+    def ensureIndexed(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      build(s, dir, "idx_", indexed = true)
   }
 
   /** D1+D9+D11 through the real engine lifecycle: records inserted via
@@ -100,5 +109,35 @@ object EngineQueries {
       WHERE rn <= 10
       ORDER BY query_id, id"""))
 
-  def qs: Seq[Q] = Seq(dedupExact, removeAntiJoin, engineRoundtrip)
+  /** The flagship lifecycle END TO END through the INDEX (reference
+    * core.rs:267-313): insert_records → build_index → route → bucket join →
+    * rerank → top-k. `engine_roundtrip` exercises the brute-force branch of
+    * `query_vectors` (no index built); this entry refreshes the index and
+    * queries at an exhaustive candidate budget, where the forest path
+    * degenerates to exact kNN — so the RNG-dependent indexed branch gets a
+    * deterministic DuckDB hash gate (same trick as `lsh_knn_full_budget`). */
+  val engineIndexedFull = Q(
+    "engine_indexed_full_budget",
+    (s, dir) => {
+      val eng = ZebraEngine.open(s, EngineCache.ensureIndexed(s, dir))
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      eng.queryVectors(queries, k = 10, searchK = Some(Int.MaxValue))
+        .orderBy("query_id", "id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 2),
+           d AS (SELECT q.query_id, printf('v%06d', a.vec_id) AS id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, id"""))
+
+  def qs: Seq[Q] =
+    Seq(dedupExact, removeAntiJoin, engineRoundtrip, engineIndexedFull)
 }

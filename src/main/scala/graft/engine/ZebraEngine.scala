@@ -95,8 +95,16 @@ final class ZebraEngine private (
       else withId.withColumn("document", lit(null).cast(BinaryType))
     val batch = withDoc.select("id", "seq", "embedding", "document")
     batch.write.mode(SaveMode.Append).parquet(vectorsDir)
+    // Route the index from the rows JUST WRITTEN, not from the lazy `batch`
+    // plan: monotonically_increasing_id() is non-deterministic across
+    // re-executions and task retries, so running the plan a second time for
+    // the index write could mint seq/ids that don't match the stored
+    // vectors — silent index corruption (missing/phantom candidates at
+    // query time). seq >= base selects exactly this batch, and parquet
+    // min/max stats prune every older file from the read-back.
     loadModel().foreach { model =>
-      LshForest.bucketTable(batch, model, vecId = "id")
+      val written = spark.read.parquet(vectorsDir).filter(col("seq") >= base)
+      LshForest.bucketTable(written, model, vecId = "id")
         .repartition(col("tree_id"))
         .write.mode(SaveMode.Append).partitionBy("tree_id").parquet(indexDir)
     }
@@ -107,14 +115,17 @@ final class ZebraEngine private (
     insertRecords(embedder.embed(docs, "document", "embedding"))
 
   /** D11 `query_vectors` (core.rs:290-313): batch top-k, one plan. Uses the
-    * LSH forest when an index has been built, brute-force otherwise. */
-  def queryVectors(queries: DataFrame, k: Int): DataFrame = {
+    * LSH forest when an index has been built, brute-force otherwise.
+    * `searchK` overrides the per-tree candidate budget (recall/latency
+    * dial; an exhaustive budget degenerates to exact kNN). */
+  def queryVectors(
+      queries: DataFrame, k: Int, searchK: Option[Int] = None): DataFrame = {
     val m = config.distanceMetric
     loadModel() match {
       case Some(model) if hasData(indexDir) =>
         LshForest.topK(
           queries, spark.read.parquet(indexDir), vectors, model, k,
-          metric = m, vecId = "id")
+          metric = m, searchKOpt = searchK, vecId = "id")
       case _ =>
         SimSearch.exactTopK(queries, vectors, k, metric = m, vecId = "id")
     }
@@ -142,10 +153,16 @@ final class ZebraEngine private (
   }
 
   /** D7/I10 `deduplicate` (core.rs:216-224, lsh.rs:270-288): bit-exact
-    * dedup on the embedding's hash, first-inserted (lowest seq) wins. */
+    * dedup, first-inserted (lowest seq) wins. Partitioned by the embedding's
+    * hash AND the embedding itself: the hash keeps the partitioner cheap,
+    * the full array guarantees a 64-bit collision between distinct vectors
+    * never deletes a non-duplicate (the reference compares full bit
+    * patterns, lsh.rs to_bits). The row shuffled by the window already
+    * carries the embedding column, so the extra key costs nothing. */
   def deduplicate(): Unit = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("embedding"))).orderBy(col("seq"))
+      .partitionBy(xxhash64(col("embedding")), col("embedding"))
+      .orderBy(col("seq"))
     val kept = vectors
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")

@@ -32,10 +32,14 @@ object StreamOps {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("value_sum"))
 
-  /** Exactly-once id semantics over a stream: watermarked streaming
-    * deduplication (state expires past the watermark — bounded memory). */
+  /** Exactly-once id semantics over a stream: deduplicate on id ALONE —
+    * a record re-arriving with the same id but a different event time is
+    * still a duplicate. `dropDuplicatesWithinWatermark` keys state on id
+    * only and expires it past the watermark (bounded memory); plain
+    * `dropDuplicates("id", "ts")` would have let same-id/different-ts
+    * records through. */
   def dedupByIdStream(records: DataFrame, lateness: String = "1 hour"): DataFrame =
-    records.withWatermark("ts", lateness).dropDuplicates("id", "ts")
+    records.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("id")
 
   /** Streaming vector ingest into a [[ZebraEngine]]: every micro-batch is
     * one `insert_records` call — the reference's incremental `add` (I7)

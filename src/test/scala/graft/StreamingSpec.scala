@@ -48,7 +48,10 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("dedup_test")
       .outputMode("append").start()
     try {
-      mem.addData((ts(1), "a"), (ts(1), "a"), (ts(2), "b"), (ts(1), "a"))
+      // (ts(2), "a") re-arrives with the SAME id but a DIFFERENT event time:
+      // id-only dedup must still drop it (round 2 keyed on (id, ts) and let
+      // it through).
+      mem.addData((ts(1), "a"), (ts(1), "a"), (ts(2), "b"), (ts(2), "a"))
       q.processAllAvailable()
       assert(spark.table("dedup_test").count() == 2)
     } finally q.stop()
