@@ -173,20 +173,83 @@ final class ZebraEngine private (
         spark.read.parquet(indexDir).join(keptIds, Seq("id"), "left_semi"))
   }
 
-  /** I8 leaf-split compaction policy: incremental adds only append to
-    * existing leaves, so leaves grow past max_node_size over time (the
-    * reference splits per insert, lsh.rs:350-382 — per-row tree mutation,
-    * the one genuinely non-Spark-shaped op). This checks the largest leaf
-    * and rebuilds the forest when it exceeds `factor`·max_node_size.
-    * Returns true when a rebuild happened. One cheap aggregate over the
-    * bucket table; call it on an ingest cadence (e.g. per N micro-batches). */
+  /** The index's REACHABLE bucket rows: leaf-local splits (see
+    * [[compactIndexIfNeeded]]) leave stale rows whose leaf id no longer
+    * exists in any tree — probes can never emit those ids, so queries
+    * already ignore them; this view filters them for maintenance and
+    * stats. The reachable set is a few-MB broadcast at most
+    * (≈ sampleCap/maxNodeSize · numTrees pairs). */
+  def liveIndex: DataFrame = {
+    val buckets = spark.read.parquet(indexDir)
+    loadModel() match {
+      case None => buckets
+      case Some(model) =>
+        import spark.implicits._
+        val reachable = model.trees.zipWithIndex.flatMap { case (t, i) =>
+          LshForest.leafIds(t).map(l => (i, l))
+        }.toSeq.toDF("tree_id", "leaf_id")
+        buckets.join(broadcast(reachable), Seq("tree_id", "leaf_id"), "left_semi")
+    }
+  }
+
+  /** I8 leaf-split compaction (reference: lsh.rs:350-382 splits ONE
+    * overflowing leaf in place): incremental adds only append to existing
+    * leaves, so leaves grow past max_node_size over time. This finds every
+    * reachable leaf above `factor`·max_node_size, re-splits JUST those
+    * leaves driver-side (bounded — their membership is at most the ingest
+    * volume since the last compaction), grafts the subtrees into the model,
+    * and APPENDS only the re-routed member rows. The old leaf ids become
+    * unreachable; their rows are dead weight queries never touch — the LSM
+    * cost model the reference itself runs on (fjall) — and are reclaimed by
+    * the next full [[refreshIndex]], which this falls back to when stale
+    * rows outgrow live ones or the overflow membership is too big to fetch.
+    * Returns true when any compaction work happened. */
   def compactIndexIfNeeded(factor: Double = 4.0): Boolean = {
     if (!hasData(indexDir) || loadModel().isEmpty) return false
-    val maxLeaf = spark.read.parquet(indexDir)
-      .groupBy("tree_id", "leaf_id").count()
-      .agg(max("count")).head().getLong(0)
-    if (maxLeaf > factor * config.maxNodeSize) { refreshIndex(); true }
-    else false
+    val threshold = factor * config.maxNodeSize
+    val buckets = spark.read.parquet(indexDir)
+    val live = liveIndex
+    val overflowing = live.groupBy("tree_id", "leaf_id").count()
+      .filter(col("count") > threshold)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    if (overflowing.isEmpty) return false
+    val staleRows = buckets.count() - live.count()
+    val memberRows = overflowing.map(_._3).sum
+    // Fall back to a full rebuild when the dead weight dominates or the
+    // overflow membership would strain the driver.
+    if (staleRows > count() * config.numTrees ||
+        memberRows * config.dim > 512L * 1024 * 1024 / 8) {
+      refreshIndex(); return true
+    }
+    var model = loadModel().get
+    val sizeScale = model.sampleTotal.toDouble / math.max(count(), 1L)
+    import spark.implicits._
+    val ovDf = overflowing.map(o => (o._1, o._2)).toSeq.toDF("tree_id", "leaf_id")
+    val members = buckets
+      .join(broadcast(ovDf), Seq("tree_id", "leaf_id"), "left_semi")
+      .join(vectors.select(col("id"), col("embedding")), Seq("id"))
+      .select(col("tree_id"), col("leaf_id"), col("id"),
+        Distances.asDouble(col("embedding")).as("emb"))
+      .collect()
+    val newRows = Seq.newBuilder[(String, Int, Int)]
+    // Sorted fold: leaf-id allocation inside a tree depends on split order,
+    // so iterate deterministically.
+    members.groupBy(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1).foreach {
+      case ((treeId, leafId), rows) =>
+        val ids = rows.map(_.getString(2))
+        val pts = rows.map(_.getSeq[Double](3).toArray)
+        LshForest.splitLeaf(model, treeId, leafId, pts, sizeScale).foreach {
+          case (m2, assign) =>
+            model = m2
+            ids.indices.foreach(i => newRows += ((ids(i), treeId, assign(i))))
+        }
+    }
+    val routed = newRows.result()
+    if (routed.isEmpty) return false // every overflowing leaf unsplittable
+    routed.toDF("id", "tree_id", "leaf_id")
+      .write.mode(SaveMode.Append).partitionBy("tree_id").parquet(indexDir)
+    saveModel(model)
+    true
   }
 
   /** Build (or rebuild — leaf-split compaction) the LSH forest index. */

@@ -182,6 +182,62 @@ object LshForest {
     ForestModel(trees, opts, sample.length)
   }
 
+  /** All leaf ids present in a tree — the REACHABLE bucket set (stale
+    * bucket rows left behind by [[splitLeaf]] carry ids absent here). */
+  def leafIds(n: Node): Seq[Int] = n match {
+    case Leaf(id, _) => Seq(id)
+    case Inner(_, _, l, r) => leafIds(l) ++ leafIds(r)
+  }
+
+  private def maxLeafId(n: Node): Int = n match {
+    case Leaf(id, _) => id
+    case Inner(_, _, l, r) => math.max(maxLeafId(l), maxLeafId(r))
+  }
+
+  private def replaceLeaf(n: Node, leafId: Int, sub: Node): Node = n match {
+    case Leaf(id, _) if id == leafId => sub
+    case l: Leaf => l
+    case Inner(c, k, l, r) =>
+      Inner(c, k, replaceLeaf(l, leafId, sub), replaceLeaf(r, leafId, sub))
+  }
+
+  private def scaleSizes(n: Node, s: Double): Node = n match {
+    case Leaf(id, sz) => Leaf(id, math.max(1, math.round(sz * s).toInt))
+    case Inner(c, k, l, r) => Inner(c, k, scaleSizes(l, s), scaleSizes(r, s))
+  }
+
+  /** I8 leaf-local re-split (reference: lsh.rs:350-382 splits ONE
+    * overflowing leaf in place — not the whole forest): build a subtree
+    * over the leaf's member points and graft it where the leaf was. Fresh
+    * leaf ids are allocated past the tree's current max, so every other
+    * bucket row stays valid and the old leaf id simply becomes unreachable.
+    * `sizeScale` converts full-data member counts back to build-sample
+    * units (leaf sampleSize drives probe budgets).
+    *
+    * Returns the updated model plus each point's new leaf id (parallel to
+    * `points`), or None when the members cannot be split (all points
+    * identical — the leaf stays as is). */
+  def splitLeaf(
+      model: ForestModel, treeId: Int, leafId: Int,
+      points: Array[Array[Double]], sizeScale: Double = 1.0)
+      : Option[(ForestModel, Array[Int])] = {
+    val tree = model.trees(treeId)
+    var next = maxLeafId(tree)
+    val nextLeaf = () => { next += 1; next }
+    val rng = new Random(
+      model.opts.seed * 1000003L + treeId.toLong * 7919L + leafId)
+    buildTree(points, points.indices.toArray, rng,
+      model.opts.maxNodeSize, nextLeaf) match {
+      case _: Leaf => None // unsplittable: identical points
+      case sub0 =>
+        val sub = scaleSizes(sub0, sizeScale)
+        val assign = points.map(p => leafFor(sub, p).leafId)
+        Some((
+          model.copy(trees = model.trees.updated(treeId, replaceLeaf(tree, leafId, sub))),
+          assign))
+    }
+  }
+
   /** Descend to the leaf for a point (reference: `insert` descent,
     * lsh.rs:350-365). */
   private def leafFor(root: Node, p: Array[Double]): Leaf = {

@@ -101,20 +101,37 @@ class ZebraEngineSpec extends AnyFunSuite {
     assert(after.forall(_.getAs[String]("id") != victimId))
   }
 
-  test("I8 compaction: incremental appends fatten leaves, compact rebuilds them") {
+  test("I8 compaction: overflowing leaves re-split in place, no global rebuild") {
     val eng = freshEngine()
     eng.insertRecords(emb.limit(100))
     eng.refreshIndex()
     assert(!eng.compactIndexIfNeeded(), "fresh index must not need compaction")
+    val rowsBefore = spark.read.parquet(s"$enginePath/index").count()
     // route 400 more vectors through the existing 100-vector trees: leaves
     // overflow far past max_node_size
     eng.insertRecords(emb.exceptAll(emb.limit(100)))
+    val rowsAfterInsert = spark.read.parquet(s"$enginePath/index").count()
+    assert(rowsAfterInsert > rowsBefore)
     assert(eng.compactIndexIfNeeded(factor = 4.0), "overflowed index must compact")
-    // after the rebuild, the leaf bound holds again on the full corpus
-    val maxLeaf = spark.read.parquet("/tmp/graft_test_engine/index")
+    // leaf-local proof #1: the bound holds again on every REACHABLE leaf
+    val maxLeaf = eng.liveIndex
       .groupBy("tree_id", "leaf_id").count().agg(max("count")).head().getLong(0)
     assert(maxLeaf <= 4 * eng.config.maxNodeSize,
       s"post-compaction max leaf $maxLeaf")
-    assert(!eng.compactIndexIfNeeded())
+    // leaf-local proof #2: compaction APPENDED re-routed members instead of
+    // rewriting the table — a global rebuild would leave exactly
+    // count·numTrees rows; leaf-local leaves the stale rows in place.
+    val rowsAfterCompact = spark.read.parquet(s"$enginePath/index").count()
+    assert(rowsAfterCompact > rowsAfterInsert, "expected appended split rows")
+    assert(rowsAfterCompact > eng.count() * eng.config.numTrees)
+    assert(!eng.compactIndexIfNeeded(), "leaf bound must hold after one pass")
+    // recall through the compacted index: every query's top-1 is itself
+    val queries = emb.limit(5).select(col("id").as("query_id"), col("embedding"))
+    val top1 = eng.queryVectors(queries, k = 1).collect()
+    assert(top1.length == 5)
+    top1.foreach { r =>
+      assert(r.getAs[String]("query_id") == r.getAs[String]("id"))
+      assert(r.getAs[Double]("dist") == 0.0)
+    }
   }
 }
