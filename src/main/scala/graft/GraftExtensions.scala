@@ -36,12 +36,35 @@ object GraftFunctions {
         VectorDistance(children(0), children(1), op)
       })
 
+  /** `vector_pnorm(a, b, p)` — p must be a foldable literal (it selects the
+    * codegen kernel at plan time, like the reference's compile-time
+    * `PNormDistance{p}` parameter, distance.rs:176-190). */
+  private def mkPNorm(name: String)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name,
+      new ExpressionInfo(classOf[VectorDistance].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, s"$name expects (array, array, p)")
+        require(children(2).foldable, s"$name: p must be a literal")
+        val p = children(2).eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"$name: p must be numeric, got $other")
+        }
+        VectorDistance(children(0), children(1), VectorDistance.PNorm(p))
+      })
+
   val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     mk("vector_dot", VectorDistance.Dot),
     mk("vector_l2sq", VectorDistance.L2Sq),
     mk("vector_manhattan", VectorDistance.Manhattan),
     mk("vector_cosine", VectorDistance.Cosine),
-    mk("vector_cosine_sim", VectorDistance.CosineSim))
+    mk("vector_cosine_sim", VectorDistance.CosineSim),
+    mk("vector_chebyshev", VectorDistance.Chebyshev),
+    mk("vector_canberra", VectorDistance.Canberra),
+    mk("vector_braycurtis", VectorDistance.BrayCurtis),
+    mkPNorm("vector_pnorm"))
 
   /** Register into an already-running session (idempotent). */
   def register(spark: SparkSession): Unit =

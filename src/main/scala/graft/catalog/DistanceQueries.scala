@@ -85,7 +85,7 @@ object DistanceQueries {
   /** The native kernels exposed as SQL functions (GraftFunctions /
     * spark.sql.extensions=graft.GraftExtensions): the same query a SQL-only
     * user would write, hash-checked against the same oracle as the Column
-    * API — proving API parity. */
+    * API — proving API parity across every registered kernel. */
   val sqlFunctions = Q(
     "dist_sql_functions",
     (s, dir) => {
@@ -96,17 +96,30 @@ object DistanceQueries {
                round(vector_l2sq(CAST(a.embedding AS ARRAY<DOUBLE>),
                                  CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS l2sq,
                floor(greatest(0D, vector_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
-                                   CAST(q.qe AS ARRAY<DOUBLE>))) * 1e4) / 1e4 AS cos_dist
+                                   CAST(q.qe AS ARRAY<DOUBLE>))) * 1e4) / 1e4 AS cos_dist,
+               round(vector_manhattan(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                      CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS manhattan,
+               round(vector_chebyshev(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                      CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS chebyshev,
+               round(vector_canberra(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                     CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS canberra,
+               round(vector_braycurtis(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                       CAST(q.qe AS ARRAY<DOUBLE>)), 4) AS braycurtis,
+               round(vector_pnorm(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                  CAST(q.qe AS ARRAY<DOUBLE>), 2.5), 4) AS pnorm
         FROM graft_embeddings a,
              (SELECT embedding AS qe FROM graft_embeddings WHERE vec_id = 0) q
         ORDER BY vec_id""")
     },
     Some(s"""
       SELECT a.vec_id AS vec_id,
-             round(sum(power($ax - $qx, 2) ORDER BY t.i), 4) AS l2sq,
-             floor(greatest(0, 1 - sum($ax * $qx ORDER BY t.i)
-                        / (sqrt(sum($ax * $ax ORDER BY t.i))
-                           * sqrt(sum($qx * $qx ORDER BY t.i)))) * 1e4) / 1e4 AS cos_dist
+             round(${oracleTerm("l2sq")}, 4) AS l2sq,
+             floor(greatest(0, ${oracleTerm("cosine")}) * 1e4) / 1e4 AS cos_dist,
+             round(${oracleTerm("manhattan")}, 4) AS manhattan,
+             round(${oracleTerm("chebyshev")}, 4) AS chebyshev,
+             round(${oracleTerm("canberra")}, 4) AS canberra,
+             round(${oracleTerm("braycurtis")}, 4) AS braycurtis,
+             round(${oracleTerm("pnorm_2.5")}, 4) AS pnorm
       FROM embeddings a,
            (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
            generate_series(1, $dim) t(i)

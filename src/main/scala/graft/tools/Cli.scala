@@ -6,6 +6,60 @@ import org.apache.spark.sql.functions._
 import graft.embed.{AudioSpectrogramEmbedder, Embedder, HashingTextEmbedder, ImageFeatureEmbedder}
 import graft.engine.{EngineConfig, ZebraEngine}
 
+/** Terminal previews of query hits — the reference renders result images
+  * in the terminal (viuer) and plays audio hits (rodio), main.rs:230-254,
+  * 281-299. No display or audio device is assumed here: images render as a
+  * coarse ASCII-luminance block, audio as a duration/rate/peak/RMS line. */
+private[graft] object HitPreview {
+  // ImageNet de-normalization (inverse of E3's load_image224 constants).
+  private val Mean = Array(0.485, 0.456, 0.406)
+  private val Std = Array(0.229, 0.224, 0.225)
+  private val Ramp = " .:-=+*#%@"
+
+  def image(bytes: Array[Byte], cols: Int = 48): String = {
+    val t = ImageFeatureEmbedder.loadImage224(bytes)
+    if (t == null) return "  (undecodable image)"
+    val rows = cols / 2 // terminal cells are ~2x taller than wide
+    val sb = new StringBuilder
+    var ry = 0
+    while (ry < rows) {
+      sb.append("  ")
+      var rx = 0
+      while (rx < cols) {
+        val y = ry * 224 / rows
+        val x = rx * 224 / cols
+        // de-normalize, then BT.601 luma
+        val r = t(0)(y)(x) * Std(0) + Mean(0)
+        val g = t(1)(y)(x) * Std(1) + Mean(1)
+        val b = t(2)(y)(x) * Std(2) + Mean(2)
+        val lum = 0.299 * r + 0.587 * g + 0.114 * b
+        val idx = math.max(0, math.min(Ramp.length - 1,
+          math.round(lum * (Ramp.length - 1)).toInt))
+        sb.append(Ramp(idx))
+        rx += 1
+      }
+      sb.append('\n')
+      ry += 1
+    }
+    sb.result()
+  }
+
+  def audio(bytes: Array[Byte]): String = {
+    val dec = AudioSpectrogramEmbedder.audioToSamples(bytes)
+    if (dec == null) return "  (undecodable audio)"
+    val (samples, rate) = dec
+    var peak = 0.0
+    var sumSq = 0.0
+    samples.foreach { s =>
+      val v = s / 32768.0
+      peak = math.max(peak, math.abs(v))
+      sumSq += v * v
+    }
+    val rms = math.sqrt(sumSq / math.max(1, samples.length))
+    f"  ${samples.length / rate}%.2f s @ ${rate}%.0f Hz, peak $peak%.3f, rms $rms%.3f"
+  }
+}
+
 /** CLI driver — the reference's `main.rs` surface (C1–C5, SURVEY.md §2.5):
   * `<modality> insert|insert-from-files|query|clear` against an engine
   * directory. Modalities mirror the reference's defaults
@@ -85,10 +139,21 @@ object Cli {
         }
         val queries = spark.read.format("binaryFile").load(paths: _*)
           .select(col("path").as("query_id"), col("content").as("document"))
-        engine.queryDocuments(queries, embedder, k)
-          .select(col("query_id"), col("id"), col("dist"))
+        val res = engine.queryDocuments(queries, embedder, k)
+        res.select(col("query_id"), col("id"), col("dist"))
           .orderBy("query_id", "dist")
           .show(100, truncate = false)
+        // C3/C4: preview the hits themselves (first few), as the reference
+        // does with its terminal image render / audio playback.
+        if (modality == "image" || modality == "audio")
+          res.select("id", "document").dropDuplicates("id").limit(3)
+            .collect().foreach { r =>
+              println(s"--- ${r.getString(0)}")
+              val doc = r.getAs[Array[Byte]](1)
+              println(
+                if (modality == "image") HitPreview.image(doc)
+                else HitPreview.audio(doc))
+            }
 
       case "clear" => // C5
         engine.clear()

@@ -95,4 +95,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
     ZebraEngine.destroy(path)
   }
+
+  test("CLI hit previews: ASCII image render and WAV summary (C3/C4)") {
+    val png = graft.tools.HitPreview.image(MultimodalFixtures.makePng(1), cols = 16)
+    val lines = png.linesIterator.toSeq
+    assert(lines.length == 8) // cols/2 rows
+    assert(lines.forall(_.length == 16 + 2)) // 2-space indent + cols chars
+    // undecodable bytes degrade gracefully, never throw
+    assert(graft.tools.HitPreview.image(Array[Byte](1, 2, 3)).contains("undecodable"))
+
+    val wav = graft.tools.HitPreview.audio(
+      MultimodalFixtures.makeWavSine(440.0, rate = 8000f, seconds = 0.5))
+    assert(wav.contains("0.50 s") && wav.contains("8000 Hz"))
+    assert(graft.tools.HitPreview.audio(Array[Byte](9, 9)).contains("undecodable"))
+  }
 }
