@@ -408,8 +408,13 @@ object LshForest {
     val nPairs = cand.count() // free: served from the checkpointed blocks
     val v0 = vectors.select(
       col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
+    // Literal-IN fetch pruning pays off only when the id list is small:
+    // single-query lookups (the latency path — ~searchK·numTrees ids against
+    // a huge corpus scan). Past ~1k literals the optimizer spends more
+    // building the predicate than row-group stats save, and at the
+    // exhaustive-budget extreme the list IS the corpus — pure overhead.
     val v =
-      if (nPairs <= 10000) {
+      if (nPairs <= 1024) {
         val candIds =
           cand.select(col(vecId)).distinct().collect().map(_.get(0)).toSeq
         v0.filter(col(vecId).isin(candIds: _*))
