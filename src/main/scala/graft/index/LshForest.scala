@@ -310,14 +310,32 @@ object LshForest {
   }
 
   /** Persist the bucket table partitioned by tree_id, leaf-sorted within
-    * partitions so leaf probes prune parquet row groups. */
+    * partitions so leaf probes prune parquet row groups.
+    *
+    * The shuffle key is a sub-leaf slice id, not tree_id: hashing on
+    * tree_id alone caps write parallelism at numTrees (15 lumpy tasks for
+    * a corpus-sized sort+encode — the build bottleneck at 10⁸+ rows).
+    * Each tree's leaf range splits into `slices` contiguous chunks, every
+    * task sorts and writes its own chunk, and because a chunk is a
+    * contiguous leaf_id range the resulting files keep tight min/max
+    * leaf_id stats — probe-time file and row-group pruning is unchanged. */
   def writeIndex(
       vectors: DataFrame, model: ForestModel, path: String,
-      vecId: String = "vec_id"): Unit =
+      vecId: String = "vec_id"): Unit = {
+    val spark = vectors.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val slices = math.max(1, (2 * par + model.numTrees - 1) / model.numTrees)
+    val leafSpan = model.trees.map(t => maxLeafId(t) + 1)
+    val chunk = leafSpan.map(span => math.max(1, (span + slices - 1) / slices))
+    val chunkCol = element_at(lit(chunk), col("tree_id") + 1)
     bucketTable(vectors, model, vecId)
-      .repartition(col("tree_id"))
-      .sortWithinPartitions("leaf_id")
+      .withColumn("slice_id",
+        col("tree_id") * slices + (col("leaf_id") / chunkCol).cast("int"))
+      .repartition(model.numTrees * slices, col("slice_id"))
+      .sortWithinPartitions("tree_id", "leaf_id")
+      .drop("slice_id")
       .write.mode("overwrite").partitionBy("tree_id").parquet(path)
+  }
 
   def loadIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
