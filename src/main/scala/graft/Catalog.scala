@@ -21,6 +21,7 @@ object Catalog {
       catalog.IndexQueries.qs ++
       catalog.TextQueries.qs ++
       catalog.DedupQueries.qs ++
+      catalog.PipelineQueries.qs ++
       catalog.EmbedQueries.qs ++
       catalog.MultimodalQueries.qs
 

@@ -1,0 +1,130 @@
+package graft.catalog
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.core.Tables
+
+/** The end-to-end training-data curation pass — the composite a large-scale
+  * LLM pipeline runs over a raw crawl before anything else touches it:
+  * exact dedup → quality/length filter → language-ID → per-language corpus
+  * accounting. Each stage is an operator that already exists on its own in
+  * this catalog (dedup_exact_docs, text_quality_score, text_lang_id); this
+  * entry proves they compose into one Catalyst plan with no driver-side
+  * glue, and the DuckDB twin hash-checks the whole cascade.
+  *
+  * Scale shape: dedup groups on a 16-byte md5 (never on text), the filter is
+  * a map-side predicate, the stopword table rides along as a broadcast, and
+  * every aggregate partial-aggregates map-side. The only shuffles are the
+  * three aggregation shuffles (dedup groups, per-doc token counts, final
+  * per-language rollup) — all carrying hashed or counted rows, not corpora.
+  * The output is integers only (quality pre-quantized per doc), so the
+  * cross-engine hash cannot flake on float accumulation order. */
+object PipelineQueries {
+
+  val curate = Q(
+    "doc_pipeline_curate",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      // Simulated re-crawl: every doc fetched twice under distinct ids —
+      // the dedup stage must provably halve the corpus (same construction
+      // as dedup_exact_docs).
+      val crawl = d.unionAll(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+      // Exact dedup: md5 of the text, first-crawled id wins. Group members
+      // share identical text/lang/source, so min() reconstructs the row
+      // without a second join against the corpus.
+      val deduped = crawl
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+          min("lang").as("lang"), min("source").as("source"))
+        .drop("h")
+      // Quality + length gate (the text_quality_score composite and the
+      // BPE-ish word-token count of text_token_count).
+      val nTokens = size(split(col("text"), " "))
+      val alphaRatio = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      val filtered = deduped
+        .withColumn("word_tokens",
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+        .withColumn("quality",
+          alphaRatio * least(nTokens, lit(100)).cast("double") / 100.0)
+        .filter(col("quality") >= 0.25 && col("word_tokens") >= 10)
+      // Language-ID: best stopword-hit ratio (text_lang_id). Docs with no
+      // stopword hit at all have no prediction and drop out — a real
+      // pipeline routes those to a review queue, not the training set.
+      val stopDf = TextQueries.stopwords.toDF("lang_cand", "word")
+      val tok = filtered
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hits = tok.join(broadcast(stopDf), Seq("word"))
+        .groupBy("doc_id", "lang_cand").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("lang_cand"))
+      val pred = hits.join(cnt, "doc_id")
+        .withColumn("score", col("hits").cast("double") / col("n"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang_cand").as("pred_lang"))
+      // Corpus accounting per (crawl source, predicted language) — the
+      // rollup a curation run reports — with lang-ID agreement against the
+      // table's ground-truth lang column. Quality is quantized per doc
+      // BEFORE summing: integer sums are order-independent.
+      filtered.join(pred, "doc_id")
+        .groupBy("source", "pred_lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .as("n_lang_match"),
+          sum(col("word_tokens").cast("long")).as("sum_word_tokens"),
+          sum(round(col("quality") * 10000, 0).cast("long")).as("sum_quality_1e4"))
+        .orderBy("source", "pred_lang")
+    },
+    Some(s"""
+      WITH crawl AS (SELECT doc_id, text, lang, source FROM documents
+                     UNION ALL
+                     SELECT doc_id + 100000, text, lang, source FROM documents),
+      dedup AS (SELECT min(doc_id) AS doc_id, min(text) AS text,
+                       min(lang) AS lang, min(source) AS source
+                FROM crawl GROUP BY md5(text)),
+      feat AS (SELECT doc_id, text, lang, source,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS word_tokens,
+                      len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                        / length(text)
+                        * least(len(string_split(text, ' ')), 100)::DOUBLE
+                        / 100.0 AS quality
+               FROM dedup),
+      filt AS (SELECT * FROM feat
+               WHERE quality >= 0.25 AND word_tokens >= 10),
+      stop(lang_cand, word) AS (VALUES ${TextQueries.stopValues}),
+      tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+              FROM filt),
+      cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      hits AS (SELECT t.doc_id, s.lang_cand, count(*) AS hits
+               FROM tok t JOIN stop s ON s.word = t.word
+               GROUP BY t.doc_id, s.lang_cand),
+      pred AS (SELECT doc_id, lang_cand AS pred_lang
+               FROM (SELECT h.doc_id, h.lang_cand,
+                            row_number() OVER (
+                              PARTITION BY h.doc_id
+                              ORDER BY h.hits::DOUBLE / c.n DESC, h.lang_cand)
+                              AS rn
+                     FROM hits h JOIN cnt c USING (doc_id))
+               WHERE rn = 1)
+      SELECT f.source, p.pred_lang,
+             count(*) AS n_docs,
+             sum(CASE WHEN p.pred_lang = f.lang THEN 1 ELSE 0 END)
+               AS n_lang_match,
+             sum(f.word_tokens) AS sum_word_tokens,
+             sum(CAST(round(f.quality * 10000, 0) AS BIGINT))
+               AS sum_quality_1e4
+      FROM filt f JOIN pred p USING (doc_id)
+      GROUP BY f.source, p.pred_lang
+      ORDER BY f.source, p.pred_lang"""))
+
+  def qs: Seq[Q] = Seq(curate)
+}

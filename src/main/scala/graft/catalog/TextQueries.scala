@@ -12,8 +12,10 @@ import graft.core.Tables
   * cross-engine hash cannot flake on libm differences. */
 object TextQueries {
 
-  /** Identical stopword lists on both sides — built from one constant. */
-  private val stopwords: Seq[(String, String)] = Seq(
+  /** Identical stopword lists on both sides — built from one constant.
+    * Shared with PipelineQueries so the curation pipeline's lang-ID stage is
+    * the same operator, not a near-copy. */
+  private[catalog] val stopwords: Seq[(String, String)] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "pour", "que"),
@@ -21,7 +23,7 @@ object TextQueries {
     "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni", "ta", "men", "zai", "you")
   ).flatMap { case (lang, ws) => ws.map(lang -> _) }
 
-  private def stopValues: String =
+  private[catalog] def stopValues: String =
     stopwords.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
   /** Token counting: whitespace tokens + regex word tokens ([a-z0-9]+ — the
