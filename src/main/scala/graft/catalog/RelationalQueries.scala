@@ -191,6 +191,33 @@ object RelationalQueries {
       FROM g GROUP BY user_id, g.sess_id
       ORDER BY user_id, sess_id"""))
 
+  /** The same sessionization through the native `session_window` operator
+    * (StreamOps.sessionize — identical plan on batch and stream, which
+    * StreamingSpec proves on a MemoryStream). The oracle rebuilds gap
+    * sessions with the lag/cumsum construction; `>=` on the gap mirrors the
+    * half-open session window. One shuffle by user_id, state merges
+    * incrementally under a watermark on a stream — the 100 TB/continuous
+    * form of q_events_sessions. */
+  val eventsSessionsNative = Q(
+    "q_events_sessions_native",
+    (s, dir) =>
+      graft.streaming.StreamOps.sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "sess_start_us"),
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      s AS (SELECT user_id, event_id, us,
+              CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id, us,
+              sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM s)
+      SELECT user_id, min(us) AS sess_start_us, count(*) AS n_events,
+             ((max(us) - min(us)) // 100) / 10000.0 AS duration_sec
+      FROM g GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_start_us"""))
+
   /** TPC-H Q3-shaped shipping priority: selective filters on BOTH sides of
     * the join (segment on the dim, date range on fact + orders) — the shape
     * whose entire value at 100 TB is that every predicate reaches the
@@ -272,6 +299,6 @@ object RelationalQueries {
 
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
-    eventsHourlyStream, eventsSessions, q3Shipping, rollupRevenue,
-    distinctAgg)
+    eventsHourlyStream, eventsSessions, eventsSessionsNative, q3Shipping,
+    rollupRevenue, distinctAgg)
 }

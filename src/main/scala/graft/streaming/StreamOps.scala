@@ -32,6 +32,26 @@ object StreamOps {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Gap-based sessionization with the native `session_window` — the
+    * Spark-first form of q_events_sessions' lag/cumsum construction: on a
+    * stream it is incremental merging session state with watermark expiry;
+    * on a batch frame it equals the window-function result. A new session
+    * starts when an event arrives >= `gap` after the previous one
+    * (session windows are half-open, so an event exactly `gap` later is a
+    * new session). Duration is exact integer µs arithmetic truncated to
+    * 4 decimals — no float accumulation to flake a cross-engine hash. */
+  def sessionize(
+      events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), min("us").as("mn"), max("us").as("mx"))
+      .select(
+        col("user_id"), col("mn").as("sess_start_us"), col("n_events"),
+        (expr("(mx - mn) div 100") / 10000.0).as("duration_sec"))
+
   /** Exactly-once id semantics over a stream: deduplicate on id ALONE —
     * a record re-arriving with the same id but a different event time is
     * still a duplicate. `dropDuplicatesWithinWatermark` keys state on id

@@ -41,6 +41,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: closed streaming sessions equal the batch result") {
+    // two users; user 1 has a 40-min gap (> 30-min session gap) -> 2 sessions
+    val evs = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(20)),
+      (1L, ts(70)), (1L, ts(75)),
+      (2L, ts(5)), (2L, ts(25)))
+    val batch = StreamOps.sessionize(evs.toDF("user_id", "ts"))
+      .orderBy("user_id", "sess_start_us").collect()
+    assert(batch.length == 3) // (1: two sessions), (2: one)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // append mode emits a session only once the watermark passes it: a
+      // far-future sentinel closes everything real
+      mem.addData((-1L, ts(100000)))
+      q.processAllAvailable()
+      val stream = spark.table("sessions_test")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "sess_start_us").collect()
+      assert(stream.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate ids within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
