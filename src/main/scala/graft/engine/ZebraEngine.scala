@@ -206,7 +206,19 @@ final class ZebraEngine private (
     * Returns true when any compaction work happened. */
   def compactIndexIfNeeded(factor: Double = 4.0): Boolean = {
     if (!hasData(indexDir) || loadModel().isEmpty) return false
-    val threshold = factor * config.maxNodeSize
+    val n = count()
+    // Leaf populations are CORPUS rows, but maxNodeSize bounds the leaf in
+    // BUILD-SAMPLE rows. The floor any compaction can reach is what a FRESH
+    // rebuild on today's corpus would give: maxNodeSize·(n / rebuild-sample)
+    // — at 1M vectors over a 65k sample cap every leaf holds ~15x
+    // maxNodeSize by design, and treating that as overflow would collect
+    // the whole corpus driver-side. A tree that has outgrown its own build
+    // sample (n far past model.sampleTotal, e.g. heavy incremental ingest
+    // into a small index) still reads as overflowing against this bar.
+    val rebuildSample = math.min(
+      n, LshForest.byteBoundedCap(LshForest.Options().sampleCap, config.dim).toLong)
+    val occupancyScale = math.max(1.0, n.toDouble / math.max(rebuildSample, 1L))
+    val threshold = factor * config.maxNodeSize * occupancyScale
     val buckets = spark.read.parquet(indexDir)
     val live = liveIndex
     val overflowing = live.groupBy("tree_id", "leaf_id").count()
@@ -217,12 +229,12 @@ final class ZebraEngine private (
     val memberRows = overflowing.map(_._3).sum
     // Fall back to a full rebuild when the dead weight dominates or the
     // overflow membership would strain the driver.
-    if (staleRows > count() * config.numTrees ||
+    if (staleRows > n * config.numTrees ||
         memberRows * config.dim > 512L * 1024 * 1024 / 8) {
       refreshIndex(); return true
     }
     var model = loadModel().get
-    val sizeScale = model.sampleTotal.toDouble / math.max(count(), 1L)
+    val sizeScale = model.sampleTotal.toDouble / math.max(n, 1L)
     import spark.implicits._
     val ovDf = overflowing.map(o => (o._1, o._2)).toSeq.toDF("tree_id", "leaf_id")
     val members = buckets
@@ -261,19 +273,36 @@ final class ZebraEngine private (
     saveModel(model)
   }
 
+  /** In-process model cache, stamped with the file's (mtime, length): at a
+    * 65k-sample forest the serialized model is hundreds of MB of small Node
+    * objects, and deserializing it per query call dominated end-to-end
+    * latency ~30x at the 1M-vector scale probe. The stamp keeps the cache
+    * coherent when another process (or a saveModel here) rewrites the file. */
+  @volatile private var modelCache: Option[((Long, Long), LshForest.ForestModel)] = None
+
   private[engine] def loadModel(): Option[LshForest.ForestModel] = {
     val f = new File(modelFile)
-    if (!f.exists()) None
+    if (!f.exists()) { modelCache = None; None }
     else {
-      val in = new ObjectInputStream(new FileInputStream(f))
-      try Some(in.readObject().asInstanceOf[LshForest.ForestModel])
-      finally in.close()
+      val stamp = (f.lastModified(), f.length())
+      modelCache match {
+        case Some((s, m)) if s == stamp => Some(m)
+        case _ =>
+          val in = new ObjectInputStream(new FileInputStream(f))
+          val m =
+            try in.readObject().asInstanceOf[LshForest.ForestModel]
+            finally in.close()
+          modelCache = Some((stamp, m))
+          Some(m)
+      }
     }
   }
 
   private def saveModel(m: LshForest.ForestModel): Unit = {
     val out = new ObjectOutputStream(new FileOutputStream(modelFile))
     try out.writeObject(m) finally out.close()
+    val f = new File(modelFile)
+    modelCache = Some(((f.lastModified(), f.length()), m))
   }
 
   /** D5 `clear_database` (core.rs:194-198) + I11 `clear` (lsh.rs:506-529,

@@ -40,6 +40,31 @@ import graft.ops.SimSearch
   */
 object LshForest {
 
+  /** One live Broadcast per (SparkContext, model) INSTANCE: a 65k-sample
+    * forest is ~200 MB of node objects, and re-broadcasting it on every
+    * route/probe call costs seconds of serialization per call and piles up
+    * broadcast blocks faster than the ContextCleaner reclaims them — the
+    * engine-lifecycle probe degraded ~10x over a session from exactly this.
+    * Weak keys let a dropped model (and, via the cleaner, its blocks) be
+    * collected; a stale entry from a stopped context is re-broadcast. */
+  private val bcCache = new java.util.WeakHashMap[
+    ForestModel,
+    (org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[ForestModel])]()
+
+  private def broadcastModel(spark: SparkSession, model: ForestModel)
+      : org.apache.spark.broadcast.Broadcast[ForestModel] =
+    bcCache.synchronized {
+      val sc = spark.sparkContext
+      bcCache.get(model) match {
+        case (`sc`, b) => b
+        case _ =>
+          val b = sc.broadcast(model)
+          bcCache.put(model, (sc, b))
+          b
+      }
+    }
+
   sealed trait Node extends Serializable
   final case class Inner(coeff: Array[Double], const: Double, left: Node, right: Node)
       extends Node
@@ -296,7 +321,7 @@ object LshForest {
   def bucketTable(vectors: DataFrame, model: ForestModel, vecId: String = "vec_id")
       : DataFrame = {
     val spark = vectors.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
+    val bc = broadcastModel(spark, model)
     val routeUdf = udf { (emb: Seq[Float]) =>
       val m = bc.value
       val p = new Array[Double](emb.length)
@@ -348,7 +373,7 @@ object LshForest {
       queries: DataFrame, model: ForestModel, searchK: Int,
       queryId: String = "query_id"): DataFrame = {
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
+    val bc = broadcastModel(spark, model)
     val probeUdf = udf { (emb: Seq[Float]) =>
       val m = bc.value
       val p = new Array[Double](emb.length)
@@ -373,19 +398,27 @@ object LshForest {
       queries: DataFrame, buckets: DataFrame, model: ForestModel, searchK: Int,
       queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
     val probes = routeQueries(queries, model, searchK, queryId)
-    // Literal (tree_id, leaf_id) pruning predicate per tree. Bounded: past
-    // ~4k leaf literals the optimizer pays more building the predicate than
-    // the scan saves — fall back to pruning on tree_id alone (partition
-    // level) and let the broadcast bucket join do the leaf selection.
+    // Scan-pruning predicate. EXACT leaf selection is the broadcast join
+    // below — this predicate only exists so the bucket scan skips files and
+    // row groups, so it must stay cheap PER ROW too (Spark re-applies pushed
+    // filters post-scan): a per-leaf IN list beyond a few hundred literals
+    // costs more evaluating than it saves (8s vs 0.4s at a 6M-row bucket
+    // table). Small probe sets keep exact literals (best stats pruning for
+    // the single-query latency path); larger ones use per-tree leaf_id
+    // ranges — sargable, O(numTrees) per row, and still row-group-tight
+    // against the leaf-sorted file layout.
     val probed = probes.select("tree_id", "leaf_id").distinct().collect()
       .groupBy(_.getInt(0)).map { case (t, rows) => t -> rows.map(_.getInt(1)).toSeq }
     val totalLeaves = probed.valuesIterator.map(_.size).sum
     val pruned =
-      if (totalLeaves <= 4000)
+      if (totalLeaves <= 256)
         probed.map { case (t, leaves) =>
           (col("tree_id") === t) && col("leaf_id").isin(leaves: _*)
         }.reduceOption(_ || _).getOrElse(lit(false))
-      else col("tree_id").isin(probed.keys.toSeq: _*)
+      else
+        probed.map { case (t, leaves) =>
+          (col("tree_id") === t) && col("leaf_id").between(leaves.min, leaves.max)
+        }.reduceOption(_ || _).getOrElse(lit(false))
     buckets.filter(pruned)
       .join(broadcast(probes), Seq("tree_id", "leaf_id"))
       .select(col(queryId), col("q_emb"), col(vecId))
