@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
-import graft.embed.{AudioSpectrogramEmbedder, ImageFeatureEmbedder, MultimodalFixtures}
+import graft.embed.{AudioSpectrogramEmbedder, ImageFeatureEmbedder, MultimodalFixtures, VideoFrameEmbedder, VideoFrames}
 import graft.functions.Distances
 import graft.ops.SimSearch
 
@@ -80,5 +80,56 @@ object MultimodalQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(imageKnn, audioKnn, imageDecodeStats)
+  private val videoEmbedder = VideoFrameEmbedder()
+
+  /** Video frame-sampling: opaque GVID binaries → every 2nd frame exploded
+    * to (video, frame_idx) rows → per-frame decoded-tensor stats. The
+    * explode happens executor-side inside one projection — a 100 TB video
+    * table fans out to frames with no shuffle and no driver involvement. */
+  val videoFrames = Q(
+    "multimodal_video_frames",
+    (s, dir) => {
+      import s.implicits._
+      val videos = (0 until 12).map(i => (i.toLong, MultimodalFixtures.makeVideo(i)))
+      val sampleUdf = udf { (bytes: Array[Byte]) =>
+        val sampled = VideoFrames.sampleFrames(bytes, stride = 2)
+        if (sampled == null) Array.empty[(Int, Array[Byte])] else sampled
+      }
+      val statsUdf = udf { (png: Array[Byte]) =>
+        val t = ImageFeatureEmbedder.loadImage224(png)
+        if (t == null) (0, 0.0)
+        else {
+          val flat = t.flatten.flatten
+          (flat.length, math.rint(flat.sum / flat.length * 10000) / 10000)
+        }
+      }
+      videos.toDF("vec_id", "document")
+        .select(col("vec_id"), explode(sampleUdf(col("document"))).as("f"))
+        .select(col("vec_id"), col("f._1").as("frame_idx"),
+          statsUdf(col("f._2")).as("s"))
+        .select(col("vec_id"), col("frame_idx"),
+          col("s._1").as("n_values"), col("s._2").as("mean_val"))
+        .orderBy("vec_id", "frame_idx")
+    },
+    None)
+
+  /** Video kNN: sampled frames → per-frame E4 features → temporal mean
+    * pool → cosine kNN, queried with re-generated (bit-identical) videos:
+    * top-1 must be self at distance 0. */
+  val videoKnn = Q(
+    "multimodal_video_knn",
+    (s, dir) => {
+      import s.implicits._
+      val videos = (0 until 12).map(i => (i.toLong, MultimodalFixtures.makeVideo(i)))
+      val df = videos.toDF("vec_id", "document")
+      val vecs = videoEmbedder.embed(df, "document", "embedding")
+        .select(col("vec_id"), col("embedding"))
+      val queries = vecs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, vecs, k = 3, metric = Distances.Cosine)
+        .orderBy("query_id", "vec_id")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(imageKnn, audioKnn, imageDecodeStats, videoFrames, videoKnn)
 }

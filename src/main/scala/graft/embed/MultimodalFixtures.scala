@@ -38,6 +38,12 @@ object MultimodalFixtures {
     out.toByteArray
   }
 
+  /** GVID "video" idx: `nFrames` PNG frames whose content drifts with the
+    * frame index — deterministic, distinct per idx, re-generable
+    * bit-identically (the self-retrieval property video kNN needs). */
+  def makeVideo(idx: Int, nFrames: Int = 8): Array[Byte] =
+    VideoFrames.encode((0 until nFrames).map(f => makePng(idx * 131 + f)))
+
   /** Mono 16-bit PCM WAV: `freqHz` sine, 0.5 s at 8 kHz (deterministic). */
   def makeWavSine(freqHz: Double, rate: Float = 8000f, seconds: Double = 0.5): Array[Byte] = {
     val n = (rate * seconds).toInt

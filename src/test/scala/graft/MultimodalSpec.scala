@@ -96,6 +96,50 @@ class MultimodalSpec extends AnyFunSuite {
     ZebraEngine.destroy(path)
   }
 
+  test("video container: encode/decode round trip, sampling stride, degradation") {
+    import graft.embed.VideoFrames
+    val frames = (0 until 8).map(f => MultimodalFixtures.makePng(f))
+    val video = VideoFrames.encode(frames)
+    val back = VideoFrames.decodeFrames(video)
+    assert(back.length == 8)
+    back.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // stride sampling is deterministic and keeps original frame indices
+    val sampled = VideoFrames.sampleFrames(video, stride = 3)
+    assert(sampled.map(_._1).toSeq == Seq(0, 3, 6))
+    // non-container bytes degrade to null, never throw
+    assert(VideoFrames.decodeFrames(Array[Byte](1, 2, 3)) == null)
+    assert(VideoFrames.decodeFrames(MultimodalFixtures.makePng(0)) == null)
+    // truncated container (length prefix past the end) degrades too
+    assert(VideoFrames.decodeFrames(video.dropRight(10)) == null)
+  }
+
+  test("video embedder: deterministic, unit-norm, self-retrieval at 0") {
+    import graft.embed.VideoFrameEmbedder
+    val e = VideoFrameEmbedder()
+    val v0 = e.embedVideo(MultimodalFixtures.makeVideo(0))
+    val v0again = e.embedVideo(MultimodalFixtures.makeVideo(0))
+    assert(v0.sameElements(v0again))
+    val norm = math.sqrt(v0.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // distinct videos embed apart
+    val v1 = e.embedVideo(MultimodalFixtures.makeVideo(1))
+    assert(!v0.sameElements(v1))
+    // undecodable bytes -> zero vector, not a throw
+    assert(e.embedVideo(Array[Byte](9, 9, 9)).forall(_ == 0f))
+
+    // the catalog query: every query video's top-1 is itself at distance 0
+    val knn = graft.catalog.MultimodalQueries.videoKnn
+      .run(spark, SparkTestBase.sf0001).collect()
+    val top1 = knn.groupBy(_.getLong(0)).map { case (_, rows) =>
+      rows.minBy(r => (r.getDouble(2), r.getLong(1)))
+    }
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getDouble(2) == 0.0)
+    }
+  }
+
   test("CLI hit previews: ASCII image render and WAV summary (C3/C4)") {
     val png = graft.tools.HitPreview.image(MultimodalFixtures.makePng(1), cols = 16)
     val lines = png.linesIterator.toSeq
