@@ -114,12 +114,17 @@ object Ivf {
   }
 
   /** Build + persist the index: one assignment pass, written partitioned by
-    * cell_id so probes prune at the file-listing level. */
+    * cell_id so probes prune at the file-listing level. The shuffle on
+    * cell_id clusters each cell into one task — without it every input task
+    * writes a file into every cell directory it touches (tasks x nlist
+    * small files at scale); nlist ~ sqrt(n) keeps the shuffle wide enough
+    * to use the cluster. */
   def buildIndex(
       vectors: DataFrame, model: IvfModel, path: String,
       vecId: String = "vec_id"): Unit =
-    assign(vectors, model, vecId).write
-      .mode("overwrite").partitionBy("cell_id").parquet(path)
+    assign(vectors, model, vecId)
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
   def loadIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
