@@ -64,9 +64,22 @@ final class ZebraEngine private (
   /** I14 `is_empty` / `no_vectors` (reference: lsh.rs:389-409). */
   def isEmpty: Boolean = !hasData(vectorsDir) || vectors.isEmpty
 
+  /** Next free seq. The first call scans parquet footer stats across the
+    * whole table — O(files), which at ingest rates of many batches against
+    * a large table dominates the append — so the watermark is cached and
+    * advanced from each batch's read-back (a scan pruned to the new files).
+    * Concurrent writers to one engine dir were never supported; the cache
+    * doesn't change that contract. */
+  @volatile private var seqWatermark: Long = -1L
+
   private def nextSeq(): Long =
-    if (!hasData(vectorsDir)) 0L
-    else vectors.agg(coalesce(max("seq"), lit(-1L))).head().getLong(0) + 1L
+    if (seqWatermark >= 0L) seqWatermark
+    else if (!hasData(vectorsDir)) { seqWatermark = 0L; 0L }
+    else {
+      val next = vectors.agg(coalesce(max("seq"), lit(-1L))).head().getLong(0) + 1L
+      seqWatermark = next
+      next
+    }
 
   /** D9 `insert_records` (reference: core.rs:245-254): append records and,
     * if an index exists, route the new batch through the EXISTING broadcast
@@ -102,8 +115,13 @@ final class ZebraEngine private (
     // vectors — silent index corruption (missing/phantom candidates at
     // query time). seq >= base selects exactly this batch, and parquet
     // min/max stats prune every older file from the read-back.
+    val written = spark.read.parquet(vectorsDir).filter(col("seq") >= base)
+    // advance the seq watermark from the batch just written — the filter
+    // prunes to the new files via footer stats, so this never rescans the
+    // table the way the cold nextSeq() does
+    seqWatermark =
+      written.agg(coalesce(max("seq"), lit(base - 1L))).head().getLong(0) + 1L
     loadModel().foreach { model =>
-      val written = spark.read.parquet(vectorsDir).filter(col("seq") >= base)
       LshForest.bucketTable(written, model, vecId = "id")
         .repartition(col("tree_id"))
         .write.mode(SaveMode.Append).partitionBy("tree_id").parquet(indexDir)
@@ -312,7 +330,7 @@ final class ZebraEngine private (
     deleteRecursively(new File(vectorsDir))
     deleteRecursively(new File(indexDir))
     new File(modelFile).delete()
-    ()
+    seqWatermark = -1L
   }
 
   /** D4 `save_database` (core.rs:183-190): persist metadata. Parquet
