@@ -50,10 +50,12 @@ object EmbedQueries {
     },
     None)
 
-  /** Per-JVM document engine: the full D8 path (embed → insert) run once. */
+  /** Per-JVM document engine INSTANCE: the full D8 path (embed → insert)
+    * run once. The instance is cached (not the path) so the model
+    * stamp-cache and forest broadcast cache persist across executions. */
   object DocEngineCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    private val cache = scala.collection.concurrent.TrieMap[String, ZebraEngine]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
       cache.getOrElseUpdate(dir, {
         val p = "/tmp/graft_doc_engine/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
         ZebraEngine.destroy(p)
@@ -67,7 +69,7 @@ object EmbedQueries {
         // index the corpus: doc queries then run the COMPLETE reference
         // stack (embed -> forest probe -> rerank -> document fetch)
         eng.refreshIndex()
-        p
+        eng
       })
   }
 
@@ -77,7 +79,7 @@ object EmbedQueries {
   val docRoundtrip = Q(
     "doc_knn_engine",
     (s, dir) => {
-      val eng = ZebraEngine.open(s, DocEngineCache.ensure(s, dir))
+      val eng = DocEngineCache.ensure(s, dir)
       val queries = Tables.documents(s, dir).filter(col("doc_id") < 3)
         .select(
           col("doc_id").as("query_id"),

@@ -59,12 +59,16 @@ object EngineQueries {
       WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)
       ORDER BY vec_id"""))
 
-  /** Per-JVM engine instance over the fixture: created + loaded once
-    * (read-only afterwards, so the catalog entry stays idempotent). */
+  /** Per-JVM engine INSTANCE over the fixture: created + loaded once
+    * (read-only afterwards, so the catalog entry stays idempotent). The
+    * instance — not just the directory — is cached, because the model
+    * deserialization stamp-cache and the forest broadcast cache both key on
+    * the instance/model identity: a fresh `open` per query would reload and
+    * re-broadcast the model on every execution. */
   object EngineCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    private val cache = scala.collection.concurrent.TrieMap[String, ZebraEngine]()
     private def build(s: org.apache.spark.sql.SparkSession, dir: String,
-        suffix: String, indexed: Boolean): String =
+        suffix: String, indexed: Boolean): ZebraEngine =
       cache.getOrElseUpdate(s"$dir|$suffix", {
         val p = s"/tmp/graft_engine/v1_$suffix" +
           dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -73,13 +77,13 @@ object EngineQueries {
         eng.insertRecords(Tables.embeddings(s, dir)
           .select(format_string("v%06d", col("vec_id")).as("id"), col("embedding")))
         if (indexed) eng.refreshIndex()
-        p
+        eng
       })
-    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
       build(s, dir, "", indexed = false)
     /** Same corpus, but with the LSH forest built — queries take the
       * indexed branch of `queryVectors`. */
-    def ensureIndexed(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    def ensureIndexed(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
       build(s, dir, "idx_", indexed = true)
   }
 
@@ -90,7 +94,7 @@ object EngineQueries {
   val engineRoundtrip = Q(
     "engine_roundtrip",
     (s, dir) => {
-      val eng = ZebraEngine.open(s, EngineCache.ensure(s, dir))
+      val eng = EngineCache.ensure(s, dir)
       val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       eng.queryVectors(queries, k = 10)
@@ -119,7 +123,7 @@ object EngineQueries {
   val engineIndexedFull = Q(
     "engine_indexed_full_budget",
     (s, dir) => {
-      val eng = ZebraEngine.open(s, EngineCache.ensureIndexed(s, dir))
+      val eng = EngineCache.ensureIndexed(s, dir)
       val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 2)
         .select(col("vec_id").as("query_id"), col("embedding"))
       eng.queryVectors(queries, k = 10, searchK = Some(Int.MaxValue))
