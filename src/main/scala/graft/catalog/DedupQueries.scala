@@ -128,18 +128,19 @@ object DedupQueries {
         WHERE i.inter / (ca.n + cb.n - i.inter) >= $JaccardThreshold)"""
 
   /** Per-JVM cache of the verified pair set: `minhash_pairs` and
-    * `minhash_keep` share one computation of the band pipeline (the pair
-    * set is small by construction — collect once, rebuild as a local
-    * frame). Same pattern as the LSH/IVF index caches. */
+    * `minhash_keep` share one computation of the band pipeline. Persisted
+    * as parquet rather than collected — the pair set is proportional to the
+    * corpus's duplication, which a 100 TB crawl makes arbitrarily large;
+    * readers get a distributed scan. Same pattern as the LSH/IVF caches. */
   object PairsCache {
-    private val cache =
-      scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Double)]]()
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
     def get(s: SparkSession, dir: String): DataFrame = {
-      val rows = cache.getOrElseUpdate(dir,
-        verifiedPairs(s, dir).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
-      import s.implicits._
-      rows.toSeq.toDF("doc_a", "doc_b", "jaccard")
+      val path = cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_pairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        verifiedPairs(s, dir).write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
     }
   }
 
