@@ -61,6 +61,48 @@ object StreamOps {
   def dedupByIdStream(records: DataFrame, lateness: String = "1 hour"): DataFrame =
     records.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("id")
 
+  /** Per-key cap sampling over a stream: pass through at most `cap` records
+    * per key — "keep at most N documents per domain/user" during training
+    * data ingest. This is the one streaming op here that genuinely needs
+    * custom state: dedup ops key on full identity, windowed aggs can't emit
+    * individual surviving rows, and rank-based sampling (row_number <= N)
+    * doesn't exist on streams — so it runs on
+    * `flatMapGroupsWithState(Append)` with one counter per key and
+    * event-time timeout: once the watermark passes a key's last activity
+    * plus `lateness`, its counter expires (bounded state; a key that
+    * reappears later starts a fresh budget — documented semantics of the
+    * expiry, not a bug).
+    *
+    * Input must have (key STRING, ts TIMESTAMP, id STRING); arrival order
+    * within a micro-batch decides which records win the budget. */
+  def capPerKey(records: DataFrame, cap: Int, lateness: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import records.sparkSession.implicits._
+    val withWm = records.withWatermark("ts", lateness)
+      .select(col("key"), col("ts"), col("id"))
+      .as[(String, java.sql.Timestamp, String)]
+    withWm
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, java.sql.Timestamp, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, java.sql.Timestamp, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(0L)
+            val kept = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+              .take(math.max(0, cap - seen.toInt))
+            state.update(seen + kept.length)
+            state.setTimeoutTimestamp(
+              kept.lastOption.map(_._2.getTime).getOrElse(
+                math.max(state.getCurrentWatermarkMs(), 0L)) + 1L,
+              lateness)
+            kept.iterator
+          }
+      }
+      .toDF("key", "ts", "id")
+  }
+
   /** Streaming vector ingest into a [[ZebraEngine]]: every micro-batch is
     * one `insert_records` call — the reference's incremental `add` (I7)
     * driven by a stream. When the engine has an index, each batch routes

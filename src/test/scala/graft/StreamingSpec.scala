@@ -86,6 +86,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-key cap sampling: at most N records pass per key, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val q = StreamOps.capPerKey(
+      mem.toDF().toDF("key", "ts", "id"), cap = 2)
+      .writeStream.format("memory").queryName("cap_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: key a gets 3 records (one over budget), key b gets 1
+      mem.addData(
+        ("a", ts(1), "a1"), ("a", ts(2), "a2"), ("a", ts(3), "a3"),
+        ("b", ts(1), "b1"))
+      q.processAllAvailable()
+      // batch 2: key a is already exhausted, key b has budget for one more
+      mem.addData(("a", ts(4), "a4"), ("b", ts(5), "b2"), ("b", ts(6), "b3"))
+      q.processAllAvailable()
+      val out = spark.table("cap_test").collect()
+        .map(r => r.getString(2)).toSet
+      // earliest event times win the budget; later records are dropped
+      assert(out == Set("a1", "a2", "b1", "b2"), s"got $out")
+    } finally q.stop()
+  }
+
   test("foreachBatch vector ingest: stream -> engine -> query round trip") {
     val path = "/tmp/graft_test_stream_engine"
     val ckpt = "/tmp/graft_test_stream_ckpt"
