@@ -346,9 +346,17 @@ final class ZebraEngine private (
     swap(dir, tmp)
   }
 
+  /** Partitioned index rewrite, restoring the leaf-sorted layout the probe
+    * path prunes against (writeIndex establishes it; a plain rewrite after
+    * remove/deduplicate would silently lose row-group pruning). Range
+    * partitioning on (tree_id, leaf_id) keeps the write parallel with
+    * bounded file counts; the extra sampling pass is fine for a
+    * maintenance op. */
   private def rewritePartitioned(dir: String, df: DataFrame): Unit = {
     val tmp = dir + ".staging"
-    df.write.mode(SaveMode.Overwrite).partitionBy("tree_id").parquet(tmp)
+    df.repartitionByRange(col("tree_id"), col("leaf_id"))
+      .sortWithinPartitions("tree_id", "leaf_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("tree_id").parquet(tmp)
     swap(dir, tmp)
   }
 
