@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{IndexQueries, RelationalQueries, VectorQueries}
+import graft.core.Tables
+import graft.index.LshForest
+import graft.ops.{Ivf, SimSearch}
+
+/** Physical-plan regression gates: the scale properties this engine is
+  * built on — bounded map-side top-k instead of windows, broadcast joins
+  * on every index/dim join, partition pruning reaching the scans — must
+  * survive refactors, not just the one `.explain` session where they were
+  * first checked. String-level assertions on stable plan markers. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sf0001
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val embeddings = Tables.embeddings(spark, dir)
+  private lazy val queries = embeddings.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  test("exact kNN: bounded top-k aggregate with a partial phase, no window") {
+    val p = plan(SimSearch.exactTopK(queries, embeddings, 10))
+    assert(p.contains("partial_topkagg"), s"missing map-side partial top-k:\n$p")
+    assert(!p.contains("Window"), s"window operator crept into the kNN path:\n$p")
+  }
+
+  test("LSH topK: broadcast rerank joins, no shuffled corpus join") {
+    val (buckets, model) = IndexQueries.LshCache.ensure(spark, dir)
+    val p = plan(LshForest.topK(queries, buckets, embeddings, model, 10))
+    assert(p.contains("BroadcastHashJoin"), s"rerank join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the corpus shuffled:\n$p")
+    assert(p.contains("partial_topkagg"), s"missing bounded top-k:\n$p")
+  }
+
+  test("IVF topK: probed-cell partition pruning reaches the index scan") {
+    val (index, model) = VectorQueries.IvfCache.ensure(spark, dir, nlist = 16)
+    val p = plan(Ivf.topK(queries, index, model, k = 10, nprobe = 4))
+    assert(p.contains("PartitionFilters") && p.contains("cell_id"),
+      s"cell_id partition filter missing from the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+  }
+
+  test("Q3-shaped join: every predicate pushed to its scan, dims broadcast") {
+    val p = plan(RelationalQueries.q3Shipping.run(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the customer scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("relational agg: map-side partials, codegen after AQE finalizes") {
+    val df = RelationalQueries.q1Agg.run(spark, dir)
+    val pre = plan(df)
+    assert(pre.contains("partial_sum"), s"no map-side partial aggregation:\n$pre")
+    df.collect() // AQE only materializes codegen spans in the final plan
+    val post = df.queryExecution.executedPlan.toString
+    // the finalized AQE plan prints codegen spans as "*(n) Operator"
+    assert(post.contains("*(") || post.contains("WholeStageCodegen"),
+      s"aggregation fell out of codegen:\n$post")
+  }
+}

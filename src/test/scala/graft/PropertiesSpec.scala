@@ -133,4 +133,28 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("GVID container: encode/decode round-trips arbitrary frame bytes") {
+    import graft.embed.VideoFrames
+    val genFrame: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 64).flatMap(n =>
+        Gen.containerOfN[Array, Byte](n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))
+    val genFrames: Gen[List[Array[Byte]]] =
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, genFrame))
+    forAllSeeded(genFrames, trials = 8) { frames =>
+      val enc = VideoFrames.encode(frames)
+      val dec = VideoFrames.decodeFrames(enc)
+      assert(dec.length == frames.length)
+      dec.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+      // every strict prefix that cuts into the payload fails cleanly
+      if (enc.length > 8)
+        assert(VideoFrames.decodeFrames(enc.dropRight(1)) == null)
+      // stride sampling covers index 0 and respects the stride
+      val sampled = VideoFrames.sampleFrames(enc, 2)
+      if (frames.nonEmpty) {
+        assert(sampled.head._1 == 0)
+        assert(sampled.map(_._1).forall(_ % 2 == 0))
+      }
+    }
+  }
 }
