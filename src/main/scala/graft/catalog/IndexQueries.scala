@@ -81,6 +81,26 @@ object IndexQueries {
       WHERE rn <= 10
       ORDER BY query_id, vec_id"""))
 
+  /** The recall gate as an observable: recall@10 of the forest at
+    * reference defaults against the exact scan, on the fixture corpus.
+    * Rows-only (the approximate side is RNG-shaped), but the VALUE lands
+    * in the driver's correctness artifact every round — recall regressions
+    * show up as a changed number, not a silently weaker index. */
+  val lshRecall = Q(
+    "lsh_recall_at10",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (buckets, model) = LshCache.ensure(s, dir)
+      val approx = LshForest.topK(queries, buckets, e, model, k = 10)
+      val exact = graft.ops.SimSearch.exactTopK(queries, e, k = 10)
+      val recall = graft.ops.SimSearch.recallAtK(approx, exact)
+      Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
+    },
+    None)
+
   /** I14-adjacent probe over the index itself: per-tree bucket stats
     * (leaf count, max leaf population) — the operational health check for
     * the forest (reference's `no_trees` / tree sizing, lsh.rs:389-409). */
@@ -96,5 +116,5 @@ object IndexQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(lshKnn, lshKnnFull, lshStats)
+  def qs: Seq[Q] = Seq(lshKnn, lshKnnFull, lshRecall, lshStats)
 }
