@@ -397,7 +397,10 @@ object LshForest {
   def candidates(
       queries: DataFrame, buckets: DataFrame, model: ForestModel, searchK: Int,
       queryId: String = "query_id", vecId: String = "vec_id"): DataFrame = {
-    val probes = routeQueries(queries, model, searchK, queryId)
+    // Materialize the probe list once: the pruning collect below and the
+    // bucket join both consume it, and re-running the routing UDF doubles
+    // the per-query tree-walk cost at large batches.
+    val probes = routeQueries(queries, model, searchK, queryId).localCheckpoint()
     // Scan-pruning predicate. EXACT leaf selection is the broadcast join
     // below — this predicate only exists so the bucket scan skips files and
     // row groups, so it must stay cheap PER ROW too (Spark re-applies pushed
