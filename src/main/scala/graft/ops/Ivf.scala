@@ -30,6 +30,27 @@ object Ivf {
     def nlist: Int = centroids.length
   }
 
+  /** One live Broadcast per (SparkContext, model) instance — same rationale
+    * as LshForest's model cache: at nlist=4096 and 768-d the centroid array
+    * is ~25 MB, and assign/probes are called repeatedly per session. */
+  private val bcCache = new java.util.WeakHashMap[
+    IvfModel,
+    (org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])]()
+
+  private def broadcastCentroids(spark: SparkSession, model: IvfModel)
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] =
+    bcCache.synchronized {
+      val sc = spark.sparkContext
+      bcCache.get(model) match {
+        case (`sc`, b) => b
+        case _ =>
+          val b = sc.broadcast(model.centroids)
+          bcCache.put(model, (sc, b))
+          b
+      }
+    }
+
   /** Deterministic trained centroids: take the `sampleCap` rows with the
     * smallest xxhash64(vec_id, seed) — a seeded uniform sample, one bounded
     * `TakeOrderedAndProject` job — then run Lloyd (k-means) iterations on
@@ -96,7 +117,7 @@ object Ivf {
     * the smaller cell_id. */
   def assign(vectors: DataFrame, model: IvfModel, vecId: String = "vec_id"): DataFrame = {
     val spark = vectors.sparkSession
-    val bc = spark.sparkContext.broadcast(model.centroids)
+    val bc = broadcastCentroids(spark, model)
     val cellUdf = udf { (emb: Seq[Float]) =>
       val cents = bc.value
       var best = 0
@@ -135,7 +156,7 @@ object Ivf {
       queries: DataFrame, model: IvfModel, nprobe: Int,
       queryId: String = "query_id"): DataFrame = {
     val spark = queries.sparkSession
-    val bc = spark.sparkContext.broadcast(model.centroids)
+    val bc = broadcastCentroids(spark, model)
     val probeUdf = udf { (emb: Seq[Float]) =>
       val cents = bc.value
       cents.indices
@@ -160,7 +181,9 @@ object Ivf {
       metric: Distances.Metric = Distances.L2Squared,
       queryId: String = "query_id", vecId: String = "vec_id",
       roundTo: Int = 4): DataFrame = {
-    val p = probes(queries, model, nprobe, queryId)
+    // Materialize the probe list once: the partition-pruning collect and
+    // the cell join both consume it (same pattern as LshForest.candidates).
+    val p = probes(queries, model, nprobe, queryId).localCheckpoint()
     val probedCells = p.select("cell_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     val scored = index
