@@ -194,10 +194,13 @@ object RelationalQueries {
   /** The same sessionization through the native `session_window` operator
     * (StreamOps.sessionize — identical plan on batch and stream, which
     * StreamingSpec proves on a MemoryStream). The oracle rebuilds gap
-    * sessions with the lag/cumsum construction; `>=` on the gap mirrors the
-    * half-open session window. One shuffle by user_id, state merges
-    * incrementally under a watermark on a stream — the 100 TB/continuous
-    * form of q_events_sessions. */
+    * sessions with the lag/cumsum construction; strictly `>` on the gap
+    * mirrors session_window's INCLUSIVE merge (windows [t, t+gap] merge
+    * when the next start <= the previous end, so an event exactly gap
+    * later stays in the session — gated by StreamingSpec's planted
+    * boundary test). One shuffle by user_id, state merges incrementally
+    * under a watermark on a stream — the 100 TB/continuous form of
+    * q_events_sessions. */
   val eventsSessionsNative = Q(
     "q_events_sessions_native",
     (s, dir) =>
@@ -206,7 +209,7 @@ object RelationalQueries {
     Some("""
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
       s AS (SELECT user_id, event_id, us,
-              CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+              CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
                    THEN 1 ELSE 0 END AS new_sess
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       g AS (SELECT user_id, us,

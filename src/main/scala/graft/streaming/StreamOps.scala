@@ -36,10 +36,13 @@ object StreamOps {
     * Spark-first form of q_events_sessions' lag/cumsum construction: on a
     * stream it is incremental merging session state with watermark expiry;
     * on a batch frame it equals the window-function result. A new session
-    * starts when an event arrives >= `gap` after the previous one
-    * (session windows are half-open, so an event exactly `gap` later is a
-    * new session). Duration is exact integer µs arithmetic truncated to
-    * 4 decimals — no float accumulation to flake a cross-engine hash. */
+    * starts when an event arrives STRICTLY more than `gap` after the
+    * previous one: windows [t, t+gap] merge when the next start <= the
+    * previous end, so an event exactly `gap` later stays in the session —
+    * the same boundary as q_events_sessions' `diff > gap` (gated by a
+    * planted boundary test in StreamingSpec). Duration is exact integer µs
+    * arithmetic truncated to 4 decimals — no float accumulation to flake a
+    * cross-engine hash. */
   def sessionize(
       events: DataFrame, gap: String = "30 minutes",
       lateness: String = "1 hour"): DataFrame =

@@ -86,6 +86,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window boundary: an event exactly gap later MERGES (inclusive end)") {
+    // session windows [t, t+gap] merge when next start <= previous end, so
+    // the exact-gap event stays in the session; one microsecond past the
+    // gap starts a new one. The q_events_sessions_native oracle encodes
+    // this as strictly `> gap` in its lag/cumsum twin; the fixture may
+    // never produce an exact-gap pair, so plant both boundary sides.
+    val gapPlus = new Timestamp(Timestamp.valueOf("2024-01-01 00:30:00").getTime)
+    gapPlus.setNanos(1000) // 00:30:00.000001 — 1 us past the gap
+    val evs = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00")), // exactly gap -> merges
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, gapPlus)) // just past -> new session
+    val out = StreamOps.sessionize(evs.toDF("user_id", "ts"))
+      .orderBy("user_id", "sess_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L)),
+      s"boundary semantics drifted: ${out.toSeq}")
+  }
+
+  test("sessionize equals the lag/cumsum construction on generated streams") {
+    // randomized parity against an independent reference implementation,
+    // seeded; inter-event gaps are drawn to include exact-boundary values
+    val rnd = new scala.util.Random(7)
+    val gapUs = 1800000000L
+    val evs = (0 until 4).flatMap { user =>
+      var t = 1700000000000000L + user * 1000L
+      (0 until 50).map { _ =>
+        t += (rnd.nextInt(5) match {
+          case 0 => gapUs            // exactly the gap
+          case 1 => gapUs + 1000000L // just past
+          case 2 => gapUs - 1000000L // just inside
+          case _ => rnd.nextLong(gapUs) + 1L
+        })
+        (user.toLong, new Timestamp(t / 1000L))
+      }
+    }
+    // reference: sort per user, same session while diff <= gap (inclusive
+    // merge — the session_window boundary), aggregate
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ts = rows.map(_._2.getTime * 1000L).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Vector[Long]]
+      ts.foreach { t =>
+        if (sessions.nonEmpty && t - sessions.last.last <= gapUs)
+          sessions(sessions.length - 1) = sessions.last :+ t
+        else sessions += Vector(t)
+      }
+      sessions.map(s => (u, s.head, s.length.toLong,
+        ((s.last - s.head) / 100L) / 10000.0))
+    }.sortBy(r => (r._1, r._2))
+    val got = StreamOps.sessionize(evs.toDF("user_id", "ts"))
+      .orderBy("user_id", "sess_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected, s"mismatch:\ngot      ${got.toSeq.take(5)}...\nexpected ${expected.take(5)}...")
+  }
+
   test("per-key cap sampling: at most N records pass per key, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, String)]
