@@ -44,16 +44,23 @@ object PipelineQueries {
           min("lang").as("lang"), min("source").as("source"))
         .drop("h")
       // Quality + length gate (the text_quality_score composite and the
-      // BPE-ish word-token count of text_token_count).
+      // BPE-ish word-token count of text_token_count). quality is the
+      // rational alpha_len·min(n_tok,100) / (text_len·100); both the gate
+      // (quality ≥ 1/4 ⟺ q_num ≥ 25·text_len) and the per-doc 1e-4
+      // quantization (q_num·100 div text_len) stay in exact integer
+      // arithmetic — a float quotient here put round() half-boundaries at
+      // the mercy of 1-ulp engine divergence (the r3 hash red).
       val nTokens = size(split(col("text"), " "))
-      val alphaRatio = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-        .cast("double") / length(col("text"))
+      val alphaLen =
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
       val filtered = deduped
         .withColumn("word_tokens",
           size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
-        .withColumn("quality",
-          alphaRatio * least(nTokens, lit(100)).cast("double") / 100.0)
-        .filter(col("quality") >= 0.25 && col("word_tokens") >= 10)
+        .withColumn("text_len", length(col("text")).cast("long"))
+        .withColumn("q_num", alphaLen * least(nTokens, lit(100)).cast("long"))
+        .filter(col("q_num") >= lit(25L) * col("text_len") &&
+          col("word_tokens") >= 10)
+        .withColumn("quality_1e4", expr("(q_num * 100) div text_len"))
       // Language-ID: best stopword-hit ratio (text_lang_id). Docs with no
       // stopword hit at all have no prediction and drop out — a real
       // pipeline routes those to a review queue, not the training set.
@@ -72,7 +79,8 @@ object PipelineQueries {
       // Corpus accounting per (crawl source, predicted language) — the
       // rollup a curation run reports — with lang-ID agreement against the
       // table's ground-truth lang column. Quality is quantized per doc
-      // BEFORE summing: integer sums are order-independent.
+      // BEFORE summing, and in integers: integer sums are order-independent
+      // and the quantization itself is exact.
       filtered.join(pred, "doc_id")
         .groupBy("source", "pred_lang")
         .agg(
@@ -80,7 +88,7 @@ object PipelineQueries {
           sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
             .as("n_lang_match"),
           sum(col("word_tokens").cast("long")).as("sum_word_tokens"),
-          sum(round(col("quality") * 10000, 0).cast("long")).as("sum_quality_1e4"))
+          sum(col("quality_1e4")).as("sum_quality_1e4"))
         .orderBy("source", "pred_lang")
     },
     Some(s"""
@@ -93,13 +101,14 @@ object PipelineQueries {
       feat AS (SELECT doc_id, text, lang, source,
                       len(regexp_extract_all(lower(text), '[a-z0-9]+'))
                         AS word_tokens,
-                      len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
-                        / length(text)
-                        * least(len(string_split(text, ' ')), 100)::DOUBLE
-                        / 100.0 AS quality
+                      length(text)::BIGINT AS text_len,
+                      len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT
+                        * least(len(string_split(text, ' ')), 100)::BIGINT
+                        AS q_num
                FROM dedup),
-      filt AS (SELECT * FROM feat
-               WHERE quality >= 0.25 AND word_tokens >= 10),
+      filt AS (SELECT *, (q_num * 100) // text_len AS quality_1e4
+               FROM feat
+               WHERE q_num >= 25 * text_len AND word_tokens >= 10),
       stop(lang_cand, word) AS (VALUES ${TextQueries.stopValues}),
       tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
               FROM filt),
@@ -120,8 +129,7 @@ object PipelineQueries {
              sum(CASE WHEN p.pred_lang = f.lang THEN 1 ELSE 0 END)
                AS n_lang_match,
              sum(f.word_tokens) AS sum_word_tokens,
-             sum(CAST(round(f.quality * 10000, 0) AS BIGINT))
-               AS sum_quality_1e4
+             sum(f.quality_1e4) AS sum_quality_1e4
       FROM filt f JOIN pred p USING (doc_id)
       GROUP BY f.source, p.pred_lang
       ORDER BY f.source, p.pred_lang"""))

@@ -48,6 +48,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(rollup.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("quality gate and quantization are exact at planted boundaries") {
+    // Three crafted docs (constants hand-derived from the formula
+    // q_num = alpha_len * min(n_tok, 100); quality = q_num / (text_len*100)):
+    //  - pass:  q_num = 5050 = 25 * 202 — EXACTLY on the gate (>=, so kept),
+    //           quality_1e4 = 2500 with zero remainder
+    //  - fail:  q_num = 5000 < 25 * 202 — one alpha char short, rejected
+    //  - trunc: q_num*100 / text_len = 2511.94… — floor gives 2511 where
+    //           round() would give 2512; pins truncation semantics
+    val passText = (Seq.fill(48)("ab.") :+ "the" :+ "ab....").mkString(" ")
+    val failText = (Seq.fill(48)("ab.") :+ "the" :+ "a.....").mkString(" ")
+    val truncText = (Seq.fill(31)("abc") :+ "the" :+ "zzzzzz").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    import spark.implicits._
+    Seq((1L, passText, "en", "planted", passText.length.toLong),
+        (2L, failText, "en", "planted", failText.length.toLong),
+        (3L, truncText, "en", "planted", truncText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = PipelineQueries.curate.run(spark, tmp).collect()
+    assert(rows.length == 1, s"expected one (planted, en) group: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getString(0) == "planted" && r.getString(1) == "en")
+    assert(r.getLong(2) == 2, "boundary doc must pass the >= gate; fail doc must not")
+    assert(r.getLong(3) == 2)
+    assert(r.getLong(4) == 50L + 33L)
+    assert(r.getLong(5) == 2500L + 2511L,
+      s"expected truncation (2511), not rounding (2512): got ${r.getLong(5)}")
+  }
+
   test("stopword table rides as a broadcast, not a shuffle") {
     val plan = PipelineQueries.curate.run(spark, dir)
       .queryExecution.executedPlan.toString
