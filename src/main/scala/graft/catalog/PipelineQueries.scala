@@ -67,7 +67,11 @@ object PipelineQueries {
       val stopDf = TextQueries.stopwords.toDF("lang_cand", "word")
       val tok = filtered
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Per-doc token totals need no explode+shuffle: the count of split
+      // tokens is just size(split(...)) — a map-side expression. Only the
+      // stopword-hit branch has to materialize tokens as rows.
+      val cnt = filtered.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
       val hits = tok.join(broadcast(stopDf), Seq("word"))
         .groupBy("doc_id", "lang_cand").agg(count(lit(1)).as("hits"))
       val w = Window.partitionBy("doc_id")
@@ -112,7 +116,8 @@ object PipelineQueries {
       stop(lang_cand, word) AS (VALUES ${TextQueries.stopValues}),
       tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
               FROM filt),
-      cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      cnt AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n
+              FROM filt),
       hits AS (SELECT t.doc_id, s.lang_cand, count(*) AS hits
                FROM tok t JOIN stop s ON s.word = t.word
                GROUP BY t.doc_id, s.lang_cand),
