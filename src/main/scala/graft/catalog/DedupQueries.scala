@@ -89,8 +89,9 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Shared oracle CTE chain mirroring the Spark pipeline 1:1. */
-  private val oraclePipeline = s"""
+  /** Shared oracle shingle CTEs (the `sh` table both the MinHash and the
+    * n-gram-Jaccard oracles start from), mirroring [[shingleTable]] 1:1. */
+  private val oracleShingles = s"""
       WITH words AS (
         SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       sh AS (
@@ -100,7 +101,10 @@ object DedupQueries {
                     ELSE array_to_string(w, ' ') END AS shingle
         FROM (SELECT doc_id, w,
                      unnest(range(0, greatest(len(w) - $ShingleN, 0) + 1)) AS i
-              FROM words)),
+              FROM words))"""
+
+  /** Shared oracle CTE chain mirroring the Spark MinHash pipeline 1:1. */
+  private val oraclePipeline = s"""$oracleShingles,
       mh AS (
         SELECT doc_id, p.j, min(md5(p.j::VARCHAR || '|' || shingle)) AS mh
         FROM sh, generate_series(1, $Perms) p(j)
@@ -191,6 +195,89 @@ object DedupQueries {
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT doc_b FROM vp)
       ORDER BY doc_id"""))
+
+  /** Exact n-gram-Jaccard self-join via prefix filtering (AllPairs/PPJoin
+    * family): rank every doc's shingles by global rarity; a pair with
+    * J ≥ t cannot avoid the first n − ⌈t·n⌉ + 1 shingles of either side
+    * (its intersection has ≥ ⌈t·n⌉ members), so joining each doc's PREFIX
+    * against the full inverted index finds every qualifying pair — exact,
+    * unlike probabilistic MinHash banding — while the join fans out only on
+    * the globally rarest shingles. All thresholds are integer comparisons
+    * (⌈4n/5⌉ = (4n+4) div 5; J ≥ 0.8 ⟺ 9·inter ≥ 4·(na+nb)), and the
+    * reported jaccard is a single exact-integer division — deterministic
+    * cross-engine, no accumulation-order float risk. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(s, dir)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val pref = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(cnt, "doc_id")
+      .filter(col("rk") <= col("n") - expr("(4*n + 4) div 5") + 1)
+      .select("doc_id", "shingle")
+    val cand = pref.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(9) * col("inter") >= lit(4) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** Per-JVM parquet cache of the verified n-gram pair set (same pattern
+    * and rationale as [[PairsCache]]). */
+  object NgramPairsCache {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def get(s: SparkSession, dir: String): DataFrame = {
+      val path = cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_ngram_pairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        ngramJaccardPairs(s, dir).write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
+  }
+
+  val ngramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => NgramPairsCache.get(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""$oracleShingles,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      pref AS (
+        SELECT r.doc_id, r.shingle
+        FROM (SELECT s.doc_id, s.shingle,
+                     row_number() OVER (PARTITION BY s.doc_id
+                                        ORDER BY f.df, s.shingle) AS rk
+              FROM sh s JOIN freq f USING (shingle)) r
+        JOIN cnt c USING (doc_id)
+        WHERE r.rk <= c.n - (4*c.n + 4) // 5 + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN sh b ON b.shingle = a.shingle
+                             AND a.doc_id < b.doc_id),
+      i AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b)
+      SELECT i.doc_a, i.doc_b,
+             round(i.inter / (ca.n + cb.n - i.inter), 4) AS jaccard
+      FROM i JOIN cnt ca ON ca.doc_id = i.doc_a
+             JOIN cnt cb ON cb.doc_id = i.doc_b
+      WHERE 9*i.inter >= 4*(ca.n + cb.n)
+      ORDER BY doc_a, doc_b"""))
 
   /** 64-bit SimHash of the token multiset (MurmurHash3-derived bits — not
     * SQL-expressible, rows-only; precision gated in DedupSpec). */
@@ -294,5 +381,6 @@ object DedupQueries {
       FROM embeddings ORDER BY vec_a"""))
 
   def qs: Seq[Q] = Seq(
-    dedupExactDocs, minhashPairs, minhashKeep, simhashPairs, embeddingNearDup)
+    dedupExactDocs, minhashPairs, minhashKeep, ngramJaccard, simhashPairs,
+    embeddingNearDup)
 }

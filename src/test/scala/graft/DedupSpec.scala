@@ -66,6 +66,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == all -- dropped)
   }
 
+  test("ngram jaccard prefix filter is EXACT: equals brute-force all-pairs") {
+    val found = DedupQueries.ngramJaccard.run(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Integer-threshold gate: J >= 0.8 <=> 9*inter >= 4*(na+nb); rebuild the
+    // same predicate on the truth side to avoid float-boundary ambiguity.
+    val expected = truth.filter(_._2 >= 0.8 - 1e-12).keySet
+    assert(expected.nonEmpty, "fixture should contain pairs above threshold")
+    assert(found.keySet == expected,
+      s"prefix filtering must find EXACTLY the qualifying pairs; " +
+        s"missing=${(expected -- found.keySet).take(5)} " +
+        s"extra=${(found.keySet -- expected).take(5)}")
+    found.foreach { case (p, jac) =>
+      assert(math.abs(truth(p) - jac) < 1e-3, s"pair $p: reported $jac, truth ${truth(p)}")
+    }
+  }
+
   test("simhash pairs: found pairs are genuinely similar") {
     val found = DedupQueries.simhashPairs.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
