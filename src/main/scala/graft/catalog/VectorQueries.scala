@@ -171,11 +171,33 @@ object VectorQueries {
       WHERE rn <= 10
       ORDER BY query_id, vec_id"""))
 
+  /** The IVF production path's quality as an observable (twin of
+    * `lsh_recall_at10`): recall@10 at the default nprobe against the exact
+    * scan. Rows-only (centroid choice is engine-specific RNG), but the
+    * VALUE lands in the driver's correctness artifact every round — a
+    * recall regression shows up as a changed number, not a silently weaker
+    * index. */
+  val ivfRecall = Q(
+    "ann_ivf_recall_at10",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (index, model) = IvfCache.ensure(s, dir, nlist = 16)
+      val approx = Ivf.topK(queries, index, model, k = 10, nprobe = 12)
+      val exact = SimSearch.exactTopK(queries, e, k = 10)
+      val recall = SimSearch.recallAtK(approx, exact)
+      Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
+    },
+    None)
+
   /** I14 emptiness probe: `is_empty`/`no_vectors` as a count. */
   val countVectors = Q(
     "count_vectors",
     (s, dir) => Tables.embeddings(s, dir).agg(count(lit(1)).as("n")),
     Some("SELECT count(*) AS n FROM embeddings"))
 
-  def qs: Seq[Q] = Seq(vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, countVectors)
+  def qs: Seq[Q] = Seq(
+    vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall, countVectors)
 }
