@@ -37,11 +37,13 @@ object DedupQueries {
       .otherwise(array(concat_ws(" ", words)))
   }
 
+  /** Distinct (doc_id, shingle) pairs from any (doc_id, text) frame. */
+  private[graft] def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingleCol).as("shingle")).distinct()
+
   /** Distinct (doc_id, shingle) pairs. */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingleCol).as("shingle"))
-      .distinct()
+    shingles(Tables.documents(s, dir))
 
   /** Banded MinHash signatures: (doc_id, band_id, band_hash). Permutation j
     * of a shingle is md5(j || '|' || shingle); the signature entry is the
@@ -206,9 +208,12 @@ object DedupQueries {
     * (⌈4n/5⌉ = (4n+4) div 5; J ≥ 0.8 ⟺ 9·inter ≥ 4·(na+nb)), and the
     * reported jaccard is a single exact-integer division — deterministic
     * cross-engine, no accumulation-order float risk. */
-  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Candidate pairs from the prefix filter alone (exposed for the scale
+    * probe: candidate-set growth is the quantity that decides whether the
+    * join survives a 100× corpus). */
+  private[graft] def ngramCandidates(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleTable(s, dir)
+    val sh = shingles(docs)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
@@ -217,12 +222,17 @@ object DedupQueries {
       .join(cnt, "doc_id")
       .filter(col("rk") <= col("n") - expr("(4*n + 4) div 5") + 1)
       .select("doc_id", "shingle")
-    val cand = pref.as("a")
+    pref.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
+  }
+
+  private[graft] def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ngramCandidates(docs)
       .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sh.as("sb"),
         col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
@@ -242,7 +252,7 @@ object DedupQueries {
     def get(s: SparkSession, dir: String): DataFrame = {
       val path = cache.getOrElseUpdate(dir, {
         val p = "/tmp/graft_ngram_pairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        ngramJaccardPairs(s, dir).write.mode("overwrite").parquet(p)
+        ngramJaccardPairs(Tables.documents(s, dir)).write.mode("overwrite").parquet(p)
         p
       })
       s.read.parquet(path)
