@@ -81,6 +81,28 @@ object IndexQueries {
       WHERE rn <= 10
       ORDER BY query_id, vec_id"""))
 
+  /** Per-JVM parquet cache of the exact-kNN ground truth the recall
+    * observables compare against (vec_id < 20, k = 10, l2sq — shared by the
+    * LSH and IVF twins): the ground truth is deterministic per fixture, so
+    * recomputing the brute-force scan on every execution measured the
+    * oracle, not the index under observation. */
+  object GroundTruthCache {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def topK10(s: org.apache.spark.sql.SparkSession, dir: String)
+        : org.apache.spark.sql.DataFrame = {
+      val path = cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_truth/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        graft.ops.SimSearch.exactTopK(queries, e, k = 10)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
+  }
+
   /** The recall gate as an observable: recall@10 of the forest at
     * reference defaults against the exact scan, on the fixture corpus.
     * Rows-only (the approximate side is RNG-shaped), but the VALUE lands
@@ -95,8 +117,8 @@ object IndexQueries {
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (buckets, model) = LshCache.ensure(s, dir)
       val approx = LshForest.topK(queries, buckets, e, model, k = 10)
-      val exact = graft.ops.SimSearch.exactTopK(queries, e, k = 10)
-      val recall = graft.ops.SimSearch.recallAtK(approx, exact)
+      val recall = graft.ops.SimSearch.recallAtK(
+        approx, GroundTruthCache.topK10(s, dir))
       Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
     },
     None)

@@ -186,8 +186,8 @@ object VectorQueries {
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (index, model) = IvfCache.ensure(s, dir, nlist = 16)
       val approx = Ivf.topK(queries, index, model, k = 10, nprobe = 12)
-      val exact = SimSearch.exactTopK(queries, e, k = 10)
-      val recall = SimSearch.recallAtK(approx, exact)
+      val recall = SimSearch.recallAtK(
+        approx, IndexQueries.GroundTruthCache.topK10(s, dir))
       Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
     },
     None)
