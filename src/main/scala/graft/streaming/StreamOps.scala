@@ -64,6 +64,22 @@ object StreamOps {
   def dedupByIdStream(records: DataFrame, lateness: String = "1 hour"): DataFrame =
     records.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("id")
 
+  /** Streaming CONTENT dedup — the exact-dedup stage of the curation
+    * pipeline (md5 of the text, first arrival wins) applied at ingest time:
+    * a re-crawled page arriving under a new id within the watermark horizon
+    * is dropped. State carries only the 16-byte digest per surviving doc
+    * (never the text) and expires past the watermark — bounded memory at
+    * crawl scale; duplicates farther apart than `lateness` are left for the
+    * batch dedup pass (documented hand-off, same semantics split as
+    * capPerKey). */
+  def dedupByContentStream(
+      docs: DataFrame, textCol: String = "text",
+      lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_md5", md5(col(textCol).cast("binary")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Per-key cap sampling over a stream: pass through at most `cap` records
     * per key — "keep at most N documents per domain/user" during training
     * data ingest. This is the one streaming op here that genuinely needs

@@ -57,6 +57,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
 
+  test("ngram prefix filter: equi-joins only, never a cartesian expansion") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val p = plan(graft.catalog.DedupQueries.ngramJaccardPairs(docs))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the shingle self-join must stay an equi-join on shingle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"shingle/candidate counts must partial-aggregate map-side:\n$p")
+  }
+
   test("relational agg: map-side partials, codegen after AQE finalizes") {
     val df = RelationalQueries.q1Agg.run(spark, dir)
     val pre = plan(df)

@@ -86,6 +86,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming content dedup: re-crawled text under a NEW id is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val q = StreamOps.dedupByContentStream(mem.toDF().toDF("ts", "id", "text"))
+      .writeStream.format("memory").queryName("content_dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(1), "a", "the quick brown fox"),
+        (ts(2), "b", "an entirely different doc"),
+        (ts(3), "c", "the quick brown fox")) // same content, new id -> dropped
+      q.processAllAvailable()
+      val kept = spark.table("content_dedup_test")
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(kept == Set("a", "b"), s"expected first-arrival-wins: $kept")
+    } finally q.stop()
+  }
+
   test("session_window boundary: an event exactly gap later MERGES (inclusive end)") {
     // session windows [t, t+gap] merge when next start <= previous end, so
     // the exact-gap event stays in the session; one microsecond past the
