@@ -134,6 +134,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram prefix filter == brute force on random corpora (completeness theorem)") {
+    // The prefix-filter claim is a theorem (a pair with J >= t cannot avoid
+    // the rarest n - ceil(t*n) + 1 shingles of either side); exercise it on
+    // generated corpora over a tiny vocabulary so shingle collisions and
+    // genuine near-dups both occur, comparing against all-pairs brute force
+    // with the SAME integer threshold (9*inter >= 4*(na+nb)).
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val genDoc: Gen[String] = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val genCorpus: Gen[List[String]] =
+      Gen.chooseNum(6, 16).flatMap(n => Gen.listOfN(n, genDoc))
+    forAllSeeded(genCorpus, trials = 6) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val found = graft.catalog.DedupQueries.ngramJaccardPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+        else Set(w.mkString(" "))
+      }
+      val ss = texts.map(sh)
+      val expected = (for {
+        i <- ss.indices
+        j <- (i + 1) until ss.length
+        inter = (ss(i) & ss(j)).size
+        if 9L * inter >= 4L * (ss(i).size + ss(j).size)
+      } yield (i.toLong, j.toLong)).toSet
+      assert(found == expected,
+        s"missing=${expected -- found} extra=${found -- expected} corpus=$texts")
+    }
+  }
+
   test("GVID container: encode/decode round-trips arbitrary frame bytes") {
     import graft.embed.VideoFrames
     val genFrame: Gen[Array[Byte]] =
