@@ -259,10 +259,9 @@ object DedupQueries {
     }
   }
 
-  val ngramJaccard = Q(
-    "dedup_ngram_jaccard",
-    (s, dir) => NgramPairsCache.get(s, dir).orderBy("doc_a", "doc_b"),
-    Some(s"""$oracleShingles,
+  /** Shared oracle CTE chain for the prefix-filtered pipeline, ending (like
+    * [[oraclePipeline]]) in a `vp(doc_a, doc_b, jaccard)` relation. */
+  private val oracleNgramPipeline = s"""$oracleShingles,
       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
       pref AS (
@@ -281,13 +280,35 @@ object DedupQueries {
             FROM cand c
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-            GROUP BY c.doc_a, c.doc_b)
-      SELECT i.doc_a, i.doc_b,
-             round(i.inter / (ca.n + cb.n - i.inter), 4) AS jaccard
-      FROM i JOIN cnt ca ON ca.doc_id = i.doc_a
-             JOIN cnt cb ON cb.doc_id = i.doc_b
-      WHERE 9*i.inter >= 4*(ca.n + cb.n)
-      ORDER BY doc_a, doc_b"""))
+            GROUP BY c.doc_a, c.doc_b),
+      vp AS (SELECT i.doc_a, i.doc_b,
+                    i.inter / (ca.n + cb.n - i.inter) AS jaccard
+             FROM i JOIN cnt ca ON ca.doc_id = i.doc_a
+                    JOIN cnt cb ON cb.doc_id = i.doc_b
+             WHERE 9*i.inter >= 4*(ca.n + cb.n))"""
+
+  val ngramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => NgramPairsCache.get(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""$oracleNgramPipeline
+      SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+      FROM vp ORDER BY doc_a, doc_b"""))
+
+  /** Keep-list under the EXACT pair set (first-wins, same greedy semantics
+    * as `dedup_minhash_keep`): with prefix filtering the drop set is
+    * provably every doc that near-dups a lower id — no banding misses. */
+  val ngramKeep = Q(
+    "dedup_ngram_keep",
+    (s, dir) => {
+      val drop = NgramPairsCache.get(s, dir).select(col("doc_b").as("doc_id")).distinct()
+      Tables.documents(s, dir).select("doc_id")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some(s"""$oracleNgramPipeline
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM vp)
+      ORDER BY doc_id"""))
 
   /** 64-bit SimHash of the token multiset (MurmurHash3-derived bits — not
     * SQL-expressible, rows-only; precision gated in DedupSpec). */
@@ -391,6 +412,6 @@ object DedupQueries {
       FROM embeddings ORDER BY vec_a"""))
 
   def qs: Seq[Q] = Seq(
-    dedupExactDocs, minhashPairs, minhashKeep, ngramJaccard, simhashPairs,
-    embeddingNearDup)
+    dedupExactDocs, minhashPairs, minhashKeep, ngramJaccard, ngramKeep,
+    simhashPairs, embeddingNearDup)
 }

@@ -82,6 +82,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram keep-list drops exactly the dominated docs") {
+    val pairs = DedupQueries.ngramJaccard.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = DedupQueries.ngramKeep.run(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val dropped = pairs.map(_._2).toSet
+    val all = Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- dropped)
+  }
+
   test("simhash pairs: found pairs are genuinely similar") {
     val found = DedupQueries.simhashPairs.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
