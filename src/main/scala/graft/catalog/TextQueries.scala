@@ -84,7 +84,10 @@ object TextQueries {
       val stopDf = stopwords.toDF("lang", "word")
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Per-doc token totals are size(split(...)) — a map-side expression,
+      // not a second explode+shuffle (same plan fix as doc_pipeline_curate).
+      val cnt = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
       val hits = tok.join(broadcast(stopDf), Seq("word"))
         .groupBy("doc_id", "lang").agg(count(lit(1)).as("h"))
       val scored = hits.join(cnt, "doc_id")
@@ -100,7 +103,8 @@ object TextQueries {
       WITH stop(lang, word) AS (VALUES $stopValues),
       tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
               FROM documents),
-      cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      cnt AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n
+              FROM documents),
       hits AS (SELECT t.doc_id, s.lang, count(*) AS h
                FROM tok t JOIN stop s ON s.word = t.word
                GROUP BY t.doc_id, s.lang),
