@@ -310,14 +310,19 @@ object DedupQueries {
       WHERE doc_id NOT IN (SELECT doc_b FROM vp)
       ORDER BY doc_id"""))
 
-  /** 64-bit SimHash of the token multiset (MurmurHash3-derived bits — not
-    * SQL-expressible, rows-only; precision gated in DedupSpec). */
+  /** 64-bit SimHash of the token multiset. The per-token 64 bits are the
+    * FIRST 8 BYTES OF md5(token) (big-endian) — md5 is present and
+    * bit-identical in both Spark and DuckDB, so unlike a
+    * MurmurHash-derived SimHash the whole sign-vote pipeline is
+    * SQL-expressible and the pair set is hash-checkable cross-engine
+    * (the oracle reproduces the votes nibble-by-nibble from the hex
+    * digest). Vote tie (sum == 0) resolves to bit 0 on both sides. */
   private[graft] def simhash64(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new Array[Int](64)
     text.toLowerCase.split(" ").filter(_.nonEmpty).foreach { t =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x5eed1)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x5eed2)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -332,13 +337,60 @@ object DedupQueries {
 
   private val simhashUdf = udf((t: String) => simhash64(if (t == null) "" else t))
 
+  /** Oracle twin of [[simhash64]] + banding + Hamming verify. Bit m here is
+    * MSB-first (m = 0 is the top bit of the digest's first hex char), i.e.
+    * the Scala LSB index 63 − m — a pure relabeling that changes neither
+    * votes, chunks-as-sets, nor Hamming distances. Fingerprints live as 16
+    * nibble values; chunks are 4-nibble slices; Hamming is
+    * Σ bit_count(xor(nibble_a, nibble_b)). */
+  private val simhashOracle = s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      th AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+      bits AS (
+        SELECT doc_id, m.m,
+               ((strpos('0123456789abcdef', substr(h, m.m // 4 + 1, 1)) - 1)
+                 >> (3 - m.m % 4)) & 1 AS bit
+        FROM th, generate_series(0, 63) m(m)),
+      votes AS (
+        SELECT doc_id, m, CASE WHEN sum(2*bit - 1) > 0 THEN 1 ELSE 0 END AS fb
+        FROM bits GROUP BY doc_id, m),
+      fp AS (
+        SELECT doc_id, m // 4 + 1 AS i,
+               CAST(sum(fb << (3 - m % 4)) AS INT) AS nv
+        FROM votes GROUP BY doc_id, m // 4),
+      bands AS (
+        SELECT doc_id, (i-1) // 4 AS band,
+               sum(nv * CASE (i-1) % 4 WHEN 0 THEN 4096 WHEN 1 THEN 256
+                                       WHEN 2 THEN 16 ELSE 1 END) AS chunk
+        FROM fp GROUP BY doc_id, (i-1) // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(bit_count(xor(fa.nv, fb2.nv))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN fp fa ON fa.doc_id = c.doc_a
+        JOIN fp fb2 ON fb2.doc_id = c.doc_b AND fb2.i = fa.i
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+
   /** SimHash near-dup pairs: banded on 4 x 16-bit chunks (a pair within
     * Hamming distance 3 must agree on at least one chunk), verified with
-    * popcount of the XOR — bucketed, never all-pairs. */
+    * popcount of the XOR — bucketed, never all-pairs. Token-less docs are
+    * excluded (their sign-vote fingerprint is vacuous, and excluding them
+    * keeps the relation identical to the oracle, where they vanish at the
+    * unnest). */
   val simhashPairs = Q(
     "dedup_simhash_pairs",
     (s, dir) => {
       val sig = Tables.documents(s, dir)
+        .filter(size(filter(split(lower(col("text")), " "),
+          t => t =!= lit(""))) > 0)
         .select(col("doc_id"), simhashUdf(col("text")).as("sig"))
       val banded = sig.select(
         col("doc_id"), col("sig"),
@@ -355,12 +407,13 @@ object DedupQueries {
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
         .distinct()
       pairs
-        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some(simhashOracle))
 
   /** Per-JVM bucket-table cache for the planted near-dup corpus: forest
     * built + corpus routed + index persisted ONCE per fixture dir — the
