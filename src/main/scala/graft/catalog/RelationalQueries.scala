@@ -221,6 +221,49 @@ object RelationalQueries {
       FROM g GROUP BY user_id, sess_id
       ORDER BY user_id, sess_start_us"""))
 
+  /** As-of join over the event stream: every purchase picks up the user's
+    * most recent click at-or-before it ([[graft.ops.AsofJoin]] — union +
+    * one window pass, one shuffle, zero joins; see the operator scaladoc
+    * for why that beats a range join at 100 TB). The right side is made
+    * unique per (user_id, us) with an arg-max so the carried payload is
+    * deterministic; the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, which
+    * hash-gates our tie (inclusive >=) and no-match (NULL) semantics
+    * against an independent implementation of the operator. */
+  val eventsAsof = Q(
+    "q_events_asof",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(max("event_id").as("click_id"),
+          expr("max_by(value, event_id)").as("click_value"))
+        .withColumn("us", col("click_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("value").as("purchase_value"))
+      graft.ops.AsofJoin.asof(purchases, clicks, Seq("user_id"), "us")
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          col("purchase_value"), col("click_id"), col("click_us"),
+          (col("us") - col("click_us")).as("lag_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+                 FROM events),
+      c AS (SELECT user_id, us AS click_us, max(event_id) AS click_id,
+                   arg_max(value, event_id) AS click_value
+            FROM e WHERE event_type = 'click' GROUP BY user_id, us),
+      p AS (SELECT event_id, user_id, us, value FROM e
+            WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.us AS purchase_us,
+             p.value AS purchase_value, c.click_id, c.click_us,
+             p.us - c.click_us AS lag_us
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.us >= c.click_us
+      ORDER BY p.event_id"""))
+
   /** TPC-H Q3-shaped shipping priority: selective filters on BOTH sides of
     * the join (segment on the dim, date range on fact + orders) — the shape
     * whose entire value at 100 TB is that every predicate reaches the
@@ -302,6 +345,6 @@ object RelationalQueries {
 
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
-    eventsHourlyStream, eventsSessions, eventsSessionsNative, q3Shipping,
-    rollupRevenue, distinctAgg)
+    eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
+    q3Shipping, rollupRevenue, distinctAgg)
 }
