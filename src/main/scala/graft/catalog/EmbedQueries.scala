@@ -33,6 +33,57 @@ object EmbedQueries {
     },
     None)
 
+  /** Oracle twin of [[textKnn]]: the same embed → exactTopK composition,
+    * but through [[graft.embed.Md5CountEmbedder]] — md5-derived integer
+    * count vectors, so every distance is an exactly-representable integer
+    * and DuckDB can replay the whole path from the hex digests. The
+    * oracle works in the SPARSE domain (dist = ‖q‖² + ‖v‖² − 2·q·v via a
+    * bucket join) while Spark runs the real dense-vector kernel — two
+    * independent formulations that must agree bit-for-bit, which gates
+    * the embed plumbing AND the top-k kernel in one hash check. */
+  val textKnnExact = Q(
+    "text_knn_exact",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val vecs = graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val queries = vecs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, vecs, k = 5)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      th AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+      f AS (SELECT doc_id,
+              ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+              +(strpos('0123456789abcdef', substr(h,2,1))-1)*256
+              +(strpos('0123456789abcdef', substr(h,3,1))-1)*16
+              +(strpos('0123456789abcdef', substr(h,4,1))-1)) % 32 AS bucket,
+              CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1))-1) & 1) = 1
+                   THEN -1 ELSE 1 END AS s
+            FROM th),
+      sp AS (SELECT doc_id, bucket, sum(s) AS w FROM f GROUP BY doc_id, bucket),
+      n2 AS (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
+      dots AS (SELECT qs.doc_id AS query_id, vs.doc_id AS vec_id,
+                      sum(qs.w * vs.w) AS dot
+               FROM sp qs JOIN sp vs ON qs.bucket = vs.bucket
+               WHERE qs.doc_id < 3 GROUP BY qs.doc_id, vs.doc_id),
+      pairs AS (SELECT q.doc_id AS query_id, d.doc_id AS vec_id,
+                       qn.n2 + dn.n2 - 2*coalesce(t.dot, 0) AS dist
+                FROM (SELECT doc_id FROM documents WHERE doc_id < 3) q
+                CROSS JOIN (SELECT doc_id FROM documents) d
+                JOIN n2 qn ON qn.doc_id = q.doc_id
+                JOIN n2 dn ON dn.doc_id = d.doc_id
+                LEFT JOIN dots t ON t.query_id = q.doc_id AND t.vec_id = d.doc_id)
+      SELECT query_id, vec_id, CAST(dist AS BIGINT) AS dist
+      FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= 5
+      ORDER BY query_id, vec_id"""))
+
   /** Embedding contract probe: every produced vector is 384-d unit-norm
     * (or the zero vector for empty text). */
   val embedNorm = Q(
@@ -91,5 +142,5 @@ object EmbedQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(textKnn, embedNorm, docRoundtrip)
+  def qs: Seq[Q] = Seq(textKnn, textKnnExact, embedNorm, docRoundtrip)
 }

@@ -63,3 +63,34 @@ final case class HashingTextEmbedder(dim: Int = 384, seed: Int = 42)
     df.withColumn(outCol, embedUdf(col(inCol).cast("string")))
   }
 }
+
+/** Oracle-twin hashing embedder: INTEGER token-count vectors whose buckets
+  * and signs derive from md5 (bucket = first 16 digest bits mod `dim`,
+  * sign = lowest bit of the 5th hex nibble), with space-split lowercase
+  * tokens — every quantity is reproducible in ANSI SQL from the hex
+  * digest, and L2² between count vectors is integer-exact in IEEE
+  * doubles. Exists so the embed → kNN path has a DuckDB-hash-checkable
+  * twin (`text_knn_exact`) alongside the rows-only 384-d production
+  * embedder above (MurmurHash is not SQL-expressible). Not unit-norm by
+  * design: normalization would reintroduce float quotients. */
+final case class Md5CountEmbedder(dim: Int = 32) extends Embedder {
+
+  def embedText(text: String): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](dim)
+    text.toLowerCase.split(" ").filter(_.nonEmpty).foreach { t =>
+      val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff) // first 4 hex chars
+      val sign = if (((d(2) >> 4) & 1) == 1) -1 else 1 // 5th nibble's low bit
+      acc(v16 % dim) += sign
+    }
+    acc.map(_.toFloat) // counts are far below 2^24: exact as Float
+  }
+
+  override def embed(df: DataFrame, inCol: String, outCol: String): DataFrame = {
+    val embedUdf = udf { (text: String) =>
+      if (text == null) new Array[Float](dim) else embedText(text)
+    }
+    df.withColumn(outCol, embedUdf(col(inCol).cast("string")))
+  }
+}

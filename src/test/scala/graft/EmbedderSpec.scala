@@ -85,4 +85,17 @@ class EmbedderSpec extends AnyFunSuite {
     val selfHits = top.filter(col("query_id") === col("vec_id")).count()
     assert(selfHits == 5)
   }
+
+  test("md5-count twin embedder: deterministic integer counts, self at dist 0") {
+    val twin = graft.embed.Md5CountEmbedder()
+    val a = twin.embedText("the quick brown fox")
+    assert(a.length == 32 && a.sameElements(twin.embedText("the quick brown fox")))
+    assert(a.forall(x => x == math.rint(x))) // integer-valued by construction
+    assert(a.map(x => math.abs(x)).sum == 4f) // one ±1 vote per token
+    val rows = graft.catalog.EmbedQueries.textKnnExact
+      .run(spark, SparkTestBase.sf0001).collect()
+    assert(rows.nonEmpty)
+    val self = rows.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.nonEmpty && self.forall(_.getLong(2) == 0L))
+  }
 }
