@@ -41,19 +41,11 @@ object EmbedQueries {
     * bucket join) while Spark runs the real dense-vector kernel — two
     * independent formulations that must agree bit-for-bit, which gates
     * the embed plumbing AND the top-k kernel in one hash check. */
-  val textKnnExact = Q(
-    "text_knn_exact",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val vecs = graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
-        .select(col("doc_id").as("vec_id"), col("embedding"))
-      val queries = vecs.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      SimSearch.exactTopK(queries, vecs, k = 5)
-        .withColumn("dist", col("dist").cast("long"))
-        .orderBy("query_id", "vec_id")
-    },
-    Some("""
+  /** Shared oracle CTE chain replaying [[graft.embed.Md5CountEmbedder]] in
+    * the sparse domain, ending in per-doc squared norms `n2(doc_id, n2)`
+    * and query-to-doc dot products `dots(query_id, vec_id, dot)` for the
+    * `doc_id < 3` query set. */
+  private val sparseDistances = """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents),
@@ -71,7 +63,21 @@ object EmbedQueries {
       dots AS (SELECT qs.doc_id AS query_id, vs.doc_id AS vec_id,
                       sum(qs.w * vs.w) AS dot
                FROM sp qs JOIN sp vs ON qs.bucket = vs.bucket
-               WHERE qs.doc_id < 3 GROUP BY qs.doc_id, vs.doc_id),
+               WHERE qs.doc_id < 3 GROUP BY qs.doc_id, vs.doc_id)"""
+
+  val textKnnExact = Q(
+    "text_knn_exact",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val vecs = graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val queries = vecs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, vecs, k = 5)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("query_id", "vec_id")
+    },
+    Some(s"""$sparseDistances,
       pairs AS (SELECT q.doc_id AS query_id, d.doc_id AS vec_id,
                        qn.n2 + dn.n2 - 2*coalesce(t.dot, 0) AS dist
                 FROM (SELECT doc_id FROM documents WHERE doc_id < 3) q
@@ -142,5 +148,62 @@ object EmbedQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(textKnn, textKnnExact, embedNorm, docRoundtrip)
+  /** Per-JVM engine INSTANCE over the md5-count embedder (32-d, l2sq) —
+    * the oracle-twin sibling of [[DocEngineCache]]. */
+  object DocEngineMd5Cache {
+    private val cache = scala.collection.concurrent.TrieMap[String, ZebraEngine]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
+      cache.getOrElseUpdate(dir, {
+        val twin = graft.embed.Md5CountEmbedder()
+        val p = "/tmp/graft_doc_engine_md5/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        ZebraEngine.destroy(p)
+        val eng = ZebraEngine.create(
+          s, p, EngineConfig(dim = twin.dim, metric = "l2sq"))
+        val docs = Tables.documents(s, dir)
+          .select(
+            format_string("d%06d", col("doc_id")).as("id"),
+            col("text").cast("binary").as("document"))
+        eng.insertDocuments(docs, twin)
+        eng.refreshIndex()
+        eng
+      })
+  }
+
+  /** The COMPLETE reference stack — D8 insert_documents (embed → store →
+    * index) then D10 query_documents (embed → forest probe → rerank →
+    * document fetch) — under the md5-count twin embedder at exhaustive
+    * budget, so the RNG-built forest degenerates to exact kNN and DuckDB
+    * can hash-check the whole path: the only engine surface that was
+    * gated rows-only (doc_knn_engine) now has a deterministic twin. */
+  val docKnnExact = Q(
+    "doc_knn_exact_budget",
+    (s, dir) => {
+      val eng = DocEngineMd5Cache.ensure(s, dir)
+      val twin = graft.embed.Md5CountEmbedder()
+      val queries = Tables.documents(s, dir).filter(col("doc_id") < 3)
+        .select(
+          col("doc_id").as("query_id"),
+          col("text").cast("binary").as("document"))
+      eng.queryDocuments(queries, twin, k = 3, searchK = Some(Int.MaxValue))
+        .select(
+          col("query_id"), col("id"), col("dist").cast("long").as("dist"),
+          length(col("document")).as("doc_len"))
+        .orderBy("query_id", "id")
+    },
+    Some(s"""$sparseDistances,
+      pairs AS (SELECT q.doc_id AS query_id, printf('d%06d', d.doc_id) AS id,
+                       qn.n2 + dn.n2 - 2*coalesce(t.dot, 0) AS dist,
+                       strlen(d.text) AS doc_len
+                FROM (SELECT doc_id FROM documents WHERE doc_id < 3) q
+                CROSS JOIN (SELECT doc_id, text FROM documents) d
+                JOIN n2 qn ON qn.doc_id = q.doc_id
+                JOIN n2 dn ON dn.doc_id = d.doc_id
+                LEFT JOIN dots t ON t.query_id = q.doc_id AND t.vec_id = d.doc_id)
+      SELECT query_id, id, CAST(dist AS BIGINT) AS dist,
+             CAST(doc_len AS INT) AS doc_len
+      FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, id) <= 3
+      ORDER BY query_id, id"""))
+
+  def qs: Seq[Q] = Seq(textKnn, textKnnExact, embedNorm, docRoundtrip, docKnnExact)
 }

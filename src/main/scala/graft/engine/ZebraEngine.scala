@@ -150,10 +150,13 @@ final class ZebraEngine private (
   }
 
   /** D10 `query_documents` (core.rs:267-277): embed queries, then D11,
-    * then join each hit's stored document back (free — column projection). */
-  def queryDocuments(docs: DataFrame, embedder: Embedder, k: Int): DataFrame = {
+    * then join each hit's stored document back (free — column projection).
+    * `searchK` passes through to D11's candidate budget. */
+  def queryDocuments(
+      docs: DataFrame, embedder: Embedder, k: Int,
+      searchK: Option[Int] = None): DataFrame = {
     val q = embedder.embed(docs, "document", "embedding")
-    queryVectors(q, k)
+    queryVectors(q, k, searchK)
       .join(vectors.select(col("id"), col("document")), Seq("id"))
       .select(col("query_id"), col("id"), col("dist"), col("document"))
   }
