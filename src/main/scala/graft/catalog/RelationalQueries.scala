@@ -264,6 +264,46 @@ object RelationalQueries {
         ON p.user_id = c.user_id AND p.us >= c.click_us
       ORDER BY p.event_id"""))
 
+  /** Range (point-in-interval) join over the event stream: purchases
+    * attributed to the signup whose one-hour window contains them
+    * ([[graft.ops.RangeJoin]] — interval binning turns the BETWEEN
+    * predicate into an equi-join on (user_id, bin); a raw inequality join
+    * would plan as a nested loop). The oracle IS that raw inequality
+    * join, run where it's safe (DuckDB at oracle scale) — an independent
+    * formulation hash-gating the binned join's exactness, including the
+    * inclusive boundaries at both window ends. */
+  val eventsRangeJoin = Q(
+    "q_events_range_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("us").as("win_start"), (col("us") + 3600000000L).as("win_end"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+      graft.ops.RangeJoin.pointInInterval(
+        purchases, signups, Seq("user_id"),
+        pt = "us", start = "win_start", end = "win_end",
+        binWidth = 3600000000L)
+        .select(col("signup_id"), col("purchase_id"),
+          (col("us") - col("win_start")).as("delay_us"))
+        .orderBy("signup_id", "purchase_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+                 FROM events),
+      s AS (SELECT event_id AS signup_id, user_id, us AS win_start,
+                   us + 3600000000 AS win_end
+            FROM e WHERE event_type = 'signup'),
+      p AS (SELECT event_id AS purchase_id, user_id, us FROM e
+            WHERE event_type = 'purchase')
+      SELECT s.signup_id, p.purchase_id, p.us - s.win_start AS delay_us
+      FROM s JOIN p ON p.user_id = s.user_id
+                   AND p.us BETWEEN s.win_start AND s.win_end
+      ORDER BY signup_id, purchase_id"""))
+
   /** TPC-H Q3-shaped shipping priority: selective filters on BOTH sides of
     * the join (segment on the dim, date range on fact + orders) — the shape
     * whose entire value at 100 TB is that every predicate reaches the
@@ -346,5 +386,5 @@ object RelationalQueries {
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
-    q3Shipping, rollupRevenue, distinctAgg)
+    eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg)
 }
