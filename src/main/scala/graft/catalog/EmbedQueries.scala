@@ -90,6 +90,24 @@ object EmbedQueries {
       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= 5
       ORDER BY query_id, vec_id"""))
 
+  /** Exact-norm twin of [[embedNorm]]: under the md5-count embedder the
+    * squared norm is an integer, so the Spark side folds the DENSE vector
+    * while the oracle sums w² in the sparse domain — the norm contract
+    * hash-checked instead of rows-only. */
+  val embedNormExact = Q(
+    "embed_norm_exact",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
+        .select(col("doc_id"), size(col("embedding")).as("dim"),
+          aggregate(Distances.asDouble(col("embedding")), lit(0.0),
+            (a, x) => a + x * x).cast("long").as("n2"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$sparseDistances
+      SELECT doc_id, CAST(32 AS INT) AS dim, CAST(n2 AS BIGINT) AS n2
+      FROM n2 ORDER BY doc_id"""))
+
   /** Embedding contract probe: every produced vector is 384-d unit-norm
     * (or the zero vector for empty text). */
   val embedNorm = Q(
@@ -205,5 +223,6 @@ object EmbedQueries {
       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, id) <= 3
       ORDER BY query_id, id"""))
 
-  def qs: Seq[Q] = Seq(textKnn, textKnnExact, embedNorm, docRoundtrip, docKnnExact)
+  def qs: Seq[Q] = Seq(
+    textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip, docKnnExact)
 }
