@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsofJoin, RangeJoin}
+
+/** Dev tool: scale probe for the time-series joins beyond the fixture.
+  * Synthesizes n clicks + n purchases over n/100 users with
+  * hash-uniform timestamps in a 30-day window, then measures:
+  *
+  *  - as-of join (every purchase → latest prior click): wall time plus a
+  *    zero-violation invariant count (no matched click after its
+  *    purchase);
+  *  - range join (purchases into 1h windows opened at every 50th click):
+  *    wall time, match count, and the bin replication factor (bins per
+  *    interval — the number that decides shuffle width at scale).
+  *
+  * Both joins are one-shuffle shapes, so doubling n should double wall
+  * time, not square it. Run at two sizes to see the curve:
+  *   tools/run.sh graft.tools.JoinScaleProbe 1000000
+  *   tools/run.sh graft.tools.JoinScaleProbe 4000000
+  */
+object JoinScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 1000000
+    val users = math.max(n / 100, 1)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val spanUs = 30L * 24 * 3600 * 1000000 // 30 days of microseconds
+    def synth(salt: Int) = spark.range(n).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id"), lit(salt)), lit(users)).as("user_id"),
+      pmod(xxhash64(col("id"), lit(salt + 7)), lit(spanUs)).as("us"))
+    val clicks = synth(1)
+      .groupBy("user_id", "us").agg(max("event_id").as("click_id"))
+      .withColumn("click_us", col("us")).cache()
+    val purchases = synth(2)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+      .cache()
+    clicks.count(); purchases.count() // exclude synthesis from timings
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val asof = AsofJoin.asof(purchases, clicks, Seq("user_id"), "us").cache()
+    val (nAsof, tAsof) = time(asof.count())
+    val matched = asof.filter(col("click_id").isNotNull)
+    val nMatched = matched.count()
+    val violations = matched.filter(col("click_us") > col("us")).count()
+
+    val winUs = 3600L * 1000000
+    val intervals = clicks.filter(col("click_id") % 50 === 0)
+      .select(col("click_id").as("window_id"), col("user_id"),
+        col("click_us").as("win_start"),
+        (col("click_us") + winUs).as("win_end")).cache()
+    val nIntervals = intervals.count()
+    val (nRange, tRange) = time(RangeJoin.pointInInterval(
+      purchases.withColumnRenamed("us", "p_us"), intervals, Seq("user_id"),
+      "p_us", "win_start", "win_end", binWidth = winUs).count())
+
+    println(s"""{"probe":"joins","n_per_side":$n,"users":$users,""" +
+      s""""asof_rows":$nAsof,"asof_matched":$nMatched,""" +
+      s""""asof_violations":$violations,"asof_sec":$tAsof,""" +
+      s""""range_windows":$nIntervals,"range_matches":$nRange,""" +
+      s""""bins_per_interval":2,"range_sec":$tRange}""")
+    spark.stop()
+  }
+}
