@@ -122,6 +122,77 @@ object StreamOps {
       .toDF("key", "ts", "id")
   }
 
+  /** Streaming as-of join — the continuous form of [[graft.ops.AsofJoin]]
+    * with IDENTICAL semantics (latest right row at-or-before each left row
+    * per key, inclusive ties): a left row emits exactly once, when the
+    * watermark passes its event time — only then is its right-side history
+    * provably complete, because any still-unseen right row must carry a
+    * later timestamp or be late beyond `lateness`. Until then it buffers
+    * in per-key state.
+    *
+    * State is bounded by the watermark horizon: pending lefts not yet
+    * ripe, right rows the watermark hasn't passed, and ONE right row
+    * at-or-below it (the only past row a future left can still match —
+    * everything older is provably shadowed and pruned each batch). An
+    * event-time timeout re-fires the key when the watermark passes its
+    * earliest pending left, so emission doesn't wait for new traffic on
+    * that key; idle keys with nothing pending expire `gcMs` past the
+    * watermark.
+    *
+    * Input columns: (key LONG, ts TIMESTAMP, us LONG event-time micros,
+    * side INT — 0 right / 1 left, id LONG); `us` must be the micros of
+    * `ts` (ts drives the watermark, us keeps sub-millisecond order).
+    * Right rows must be unique per (key, us), as in the batch operator.
+    * Output: (key, us, id, match_id, match_us) with null match columns
+    * when no right row precedes. */
+  def asofStream(
+      records: DataFrame, lateness: String = "1 hour",
+      gcMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import records.sparkSession.implicits._
+    // state: (rights, lefts), both as (us, id)
+    records.withWatermark("ts", lateness)
+      .select(col("key"), col("ts"), col("us"), col("side"), col("id"))
+      .as[(Long, java.sql.Timestamp, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (List[(Long, Long)], List[(Long, Long)]),
+        (Long, Long, Long, Option[Long], Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Int, Long)],
+            state: GroupState[(List[(Long, Long)], List[(Long, Long)])]) =>
+          val wmMs = math.max(state.getCurrentWatermarkMs(), 0L)
+          val wmUs = wmMs * 1000L
+          var (rights, lefts) = state.getOption
+            .getOrElse((List.empty[(Long, Long)], List.empty[(Long, Long)]))
+          rows.foreach { case (_, _, us, side, id) =>
+            if (side == 0) rights = (us, id) :: rights
+            else lefts = (us, id) :: lefts
+          }
+          // ripe: strictly below the watermark floor in micros — any right
+          // row still in flight has us >= wmUs, so these lefts are final
+          val (ripe, still) = lefts.partition(_._1 < wmUs)
+          val out = ripe.sorted.map { case (us, id) =>
+            val prior = rights.filter(_._1 <= us)
+            val m = if (prior.isEmpty) None else Some(prior.max)
+            (key, us, id, m.map(_._2), m.map(_._1))
+          }
+          // a future left has us >= wmUs: it can match rights at >= wmUs
+          // or the single latest right below — drop the shadowed rest
+          val (future, past) = rights.partition(_._1 >= wmUs)
+          val keep = future ++ past.sorted.lastOption.toList
+          if (still.isEmpty && keep.isEmpty) state.remove()
+          else {
+            state.update((keep, still))
+            val target = still.map(_._1 / 1000L).minOption
+              .getOrElse(wmMs + gcMs)
+            state.setTimeoutTimestamp(math.max(target, wmMs) + 1L)
+          }
+          out.iterator
+      }
+      .toDF("key", "us", "id", "match_id", "match_us")
+  }
+
   /** Streaming vector ingest into a [[ZebraEngine]]: every micro-batch is
     * one `insert_records` call — the reference's incremental `add` (I7)
     * driven by a stream. When the engine has an index, each batch routes

@@ -183,6 +183,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of equals the batch as-of on out-of-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def usOf(min: Int): Long = ts(min).getTime * 1000L
+    // (key, ts, us, side 0=right/1=left, id). The right row id=100 arrives
+    // a batch LATE (within the watermark) and is the answer for left 201 —
+    // so the buffering, not just the final flush, is what's under test.
+    val rows = Seq(
+      (1L, 12, 0, 100L), (1L, 50, 0, 101L),                   // rights, key 1
+      (1L, 5, 1, 200L), (1L, 15, 1, 201L),                    // lefts, key 1
+      (1L, 50, 1, 202L), (1L, 70, 1, 203L),
+      (2L, 30, 0, 102L), (2L, 20, 1, 204L))                   // key 2: right after left
+      .map { case (k, m, s, i) => (k, ts(m), usOf(m), s, i) }
+
+    val mem = MemoryStream[(Long, Timestamp, Long, Int, Long)]
+    val q = StreamOps.asofStream(
+      mem.toDF().toDF("key", "ts", "us", "side", "id"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // out-of-order arrival: the late click at 10 lands in batch 2
+      val (b2, b1) = rows.partition(r => r._5 == 100L)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // sentinel right far ahead pushes the watermark past every left
+      mem.addData((9L, ts(300), usOf(300), 0, 999L))
+      q.processAllAvailable()
+
+      val got = spark.table("asof_stream")
+        .filter(col("key") < 9)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+
+      val left = rows.filter(_._4 == 1)
+        .map(r => (r._1, r._3, r._5)).toDF("key", "us", "id")
+      val right = rows.filter(_._4 == 0)
+        .map(r => (r._1, r._3, r._5)).toDF("key", "us", "match_id")
+      val want = graft.ops.AsofJoin.asof(left, right, Seq("key"), "us")
+        .collect() // columns: key, us, id, match_id
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+
+      assert(got.nonEmpty && got == want, s"\ngot  $got\nwant $want")
+      // every left emitted exactly once
+      assert(got.length == rows.count(_._4 == 1))
+    } finally q.stop()
+  }
+
   test("foreachBatch vector ingest: stream -> engine -> query round trip") {
     val path = "/tmp/graft_test_stream_engine"
     val ckpt = "/tmp/graft_test_stream_ckpt"
