@@ -11,7 +11,9 @@ import graft.functions.Distances
   * actual Catalyst expressions over generated vectors — including the
   * codegen-vs-HOF parity obligation for the native VectorDistance kernels
   * (they must be bit-identical, since the DuckDB oracle hashes depend on
-  * the exact fold). */
+  * the exact fold) — plus operator laws for the set-based rewrites (dedup
+  * idempotence, prefix-filter completeness, as-of and range join equality
+  * with their brute-force definitions). */
 class PropertiesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
@@ -188,6 +190,63 @@ class PropertiesSpec extends AnyFunSuite {
         assert(sampled.head._1 == 0)
         assert(sampled.map(_._1).forall(_ % 2 == 0))
       }
+    }
+  }
+
+  private val genEventRow: Gen[(Long, Long, Long)] = for {
+    k <- Gen.chooseNum(1L, 4L)
+    t <- Gen.chooseNum(0L, 80L)
+    id <- Gen.chooseNum(0L, 100000L)
+  } yield (k, t, id)
+
+  test("asof join == brute-force latest-prior scan on random event sets") {
+    val gen = for {
+      ls <- Gen.listOfN(40, genEventRow)
+      rs <- Gen.listOfN(40, genEventRow)
+    } yield (ls, rs)
+    forAllSeeded(gen, trials = 3) { case (ls, rs) =>
+      // rights unique per (key, ts) — the operator's documented contract
+      val rsU = rs.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toList
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val got = graft.ops.AsofJoin.asof(
+        left.toDF("k", "us", "lid"), rsU.toDF("k", "us", "rid"), Seq("k"), "us")
+        .collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toMap
+      val want = left.map { case (k, t, lid) =>
+        val prior = rsU.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (prior.isEmpty) -1L else prior.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("binned range join == brute-force inequality join on random intervals") {
+    val genInterval = for {
+      k <- Gen.chooseNum(1L, 4L)
+      lo <- Gen.chooseNum(0L, 80L)
+      len <- Gen.chooseNum(0L, 30L)
+      id <- Gen.chooseNum(0L, 100000L)
+    } yield (k, lo, lo + len, id)
+    val gen = for {
+      ps <- Gen.listOfN(40, genEventRow)
+      is <- Gen.listOfN(15, genInterval)
+    } yield (ps, is)
+    forAllSeeded(gen, trials = 3) { case (ps, is) =>
+      val points = ps.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val ivals = is.zipWithIndex.map { case ((k, lo, hi, _), i) => (k, lo, hi, i.toLong) }
+      // binWidth 17 deliberately misaligned with the interval lengths
+      val got = graft.ops.RangeJoin.pointInInterval(
+        points.toDF("k", "us", "pid"), ivals.toDF("k", "lo", "hi", "iid"),
+        Seq("k"), "us", "lo", "hi", binWidth = 17L)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val want = for {
+        (k, t, pid) <- points
+        (ik, lo, hi, iid) <- ivals
+        if ik == k && lo <= t && t <= hi
+      } yield (pid, iid)
+      assert(got.length == want.length && got.toSet == want.toSet)
     }
   }
 }
