@@ -261,8 +261,8 @@ object DedupQueries {
 
   /** Shared oracle CTE chain for the prefix-filtered pipeline, ending (like
     * [[oraclePipeline]]) in a `vp(doc_a, doc_b, jaccard)` relation. */
-  private val oracleNgramPipeline = s"""$oracleShingles,
-      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  private[catalog] val oracleNgramPipeline = s"""$oracleShingles,
+      ncnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
       pref AS (
         SELECT r.doc_id, r.shingle
@@ -270,7 +270,7 @@ object DedupQueries {
                      row_number() OVER (PARTITION BY s.doc_id
                                         ORDER BY f.df, s.shingle) AS rk
               FROM sh s JOIN freq f USING (shingle)) r
-        JOIN cnt c USING (doc_id)
+        JOIN ncnt c USING (doc_id)
         WHERE r.rk <= c.n - (4*c.n + 4) // 5 + 1),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -283,8 +283,8 @@ object DedupQueries {
             GROUP BY c.doc_a, c.doc_b),
       vp AS (SELECT i.doc_a, i.doc_b,
                     i.inter / (ca.n + cb.n - i.inter) AS jaccard
-             FROM i JOIN cnt ca ON ca.doc_id = i.doc_a
-                    JOIN cnt cb ON cb.doc_id = i.doc_b
+             FROM i JOIN ncnt ca ON ca.doc_id = i.doc_a
+                    JOIN ncnt cb ON cb.doc_id = i.doc_b
              WHERE 9*i.inter >= 4*(ca.n + cb.n))"""
 
   val ngramJaccard = Q(

@@ -23,9 +23,9 @@ import graft.core.Tables
   * cross-engine hash cannot flake on float accumulation order. */
 object PipelineQueries {
 
-  val curate = Q(
-    "doc_pipeline_curate",
-    (s, dir) => {
+  private def curatePlan(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      nearDedup: Boolean): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -43,6 +43,17 @@ object PipelineQueries {
         .agg(min("doc_id").as("doc_id"), min("text").as("text"),
           min("lang").as("lang"), min("source").as("source"))
         .drop("h")
+      // Near-dup stage (v2 only): drop every doc whose text near-dups a
+      // lower id at 3-gram Jaccard >= 0.8 — the EXACT prefix-filtered pair
+      // set of dedup_ngram_keep, computed on the exact-deduped corpus
+      // (which the planted re-crawl provably reduces back to `documents`,
+      // so the cached pair table applies verbatim).
+      val kept =
+        if (!nearDedup) deduped
+        else deduped.join(
+          DedupQueries.NgramPairsCache.get(s, dir)
+            .select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
       // Quality + length gate (the text_quality_score composite and the
       // BPE-ish word-token count of text_token_count). quality is the
       // rational alpha_len·min(n_tok,100) / (text_len·100); both the gate
@@ -53,7 +64,7 @@ object PipelineQueries {
       val nTokens = size(split(col("text"), " "))
       val alphaLen =
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
-      val filtered = deduped
+      val filtered = kept
         .withColumn("word_tokens",
           size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
         .withColumn("text_len", length(col("text")).cast("long"))
@@ -94,9 +105,9 @@ object PipelineQueries {
           sum(col("word_tokens").cast("long")).as("sum_word_tokens"),
           sum(col("quality_1e4")).as("sum_quality_1e4"))
         .orderBy("source", "pred_lang")
-    },
-    Some(s"""
-      WITH crawl AS (SELECT doc_id, text, lang, source FROM documents
+  }
+
+  private def curateSql(prefix: String, extraFilt: String): String = s"""$prefix crawl AS (SELECT doc_id, text, lang, source FROM documents
                      UNION ALL
                      SELECT doc_id + 100000, text, lang, source FROM documents),
       dedup AS (SELECT min(doc_id) AS doc_id, min(text) AS text,
@@ -112,7 +123,7 @@ object PipelineQueries {
                FROM dedup),
       filt AS (SELECT *, (q_num * 100) // text_len AS quality_1e4
                FROM feat
-               WHERE q_num >= 25 * text_len AND word_tokens >= 10),
+               WHERE q_num >= 25 * text_len AND word_tokens >= 10$extraFilt),
       stop(lang_cand, word) AS (VALUES ${TextQueries.stopValues}),
       tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
               FROM filt),
@@ -137,7 +148,24 @@ object PipelineQueries {
              sum(f.quality_1e4) AS sum_quality_1e4
       FROM filt f JOIN pred p USING (doc_id)
       GROUP BY f.source, p.pred_lang
-      ORDER BY f.source, p.pred_lang"""))
+      ORDER BY f.source, p.pred_lang"""
 
-  def qs: Seq[Q] = Seq(curate)
+  val curate = Q(
+    "doc_pipeline_curate",
+    (s, dir) => curatePlan(s, dir, nearDedup = false),
+    Some(curateSql("\n      WITH", "")))
+
+  /** [[curate]] with the near-dup stage a production crawl pass actually
+    * runs between exact dedup and the quality gate: the EXACT
+    * prefix-filtered n-gram keep-list (dedup_ngram_keep semantics). Five
+    * stages — exact dedup, near-dup, quality gate, lang-ID, rollup — one
+    * Catalyst plan, one DuckDB hash check. */
+  val curateNearDup = Q(
+    "doc_pipeline_curate_v2",
+    (s, dir) => curatePlan(s, dir, nearDedup = true),
+    Some(curateSql(
+      DedupQueries.oracleNgramPipeline + ",",
+      "\n                 AND doc_id NOT IN (SELECT doc_b FROM vp)")))
+
+  def qs: Seq[Q] = Seq(curate, curateNearDup)
 }

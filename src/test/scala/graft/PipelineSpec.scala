@@ -37,6 +37,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 near-dup stage strictly tightens the keep-set, per group") {
+    val v2 = PipelineQueries.curateNearDup.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val v1 = rollup.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v2.nonEmpty)
+    // every v2 group exists in v1 with at least as many docs
+    v2.foreach { case (g, n) => assert(v1.getOrElse(g, 0L) >= n, s"group $g grew") }
+    assert(v2.values.sum < v1.values.sum,
+      "near-dup stage dropped nothing — vacuous on a corpus with planted near-dups")
+  }
+
   test("quality gate is a real filter: some docs are rejected") {
     val survivors = rollup.map(_.getLong(2)).sum
     assert(survivors < nDocs,
