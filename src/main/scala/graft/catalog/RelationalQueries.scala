@@ -229,9 +229,12 @@ object RelationalQueries {
     * deterministic; the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, which
     * hash-gates our tie (inclusive >=) and no-match (NULL) semantics
     * against an independent implementation of the operator. */
-  val eventsAsof = Q(
-    "q_events_asof",
-    (s, dir) => {
+  /** Shared body of the two as-of entries: purchases matched to the
+    * user's latest prior click, through either implementation. */
+  private def asofQuery(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      join: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame) = {
       val e = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
@@ -243,13 +246,14 @@ object RelationalQueries {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"),
           col("value").as("purchase_value"))
-      graft.ops.AsofJoin.asof(purchases, clicks, Seq("user_id"), "us")
+      join(purchases, clicks)
         .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
           col("purchase_value"), col("click_id"), col("click_us"),
           (col("us") - col("click_us")).as("lag_us"))
         .orderBy("event_id")
-    },
-    Some("""
+  }
+
+  private val asofOracle = """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
                  FROM events),
       c AS (SELECT user_id, us AS click_us, max(event_id) AS click_id,
@@ -262,7 +266,26 @@ object RelationalQueries {
              p.us - c.click_us AS lag_us
       FROM p ASOF LEFT JOIN c
         ON p.user_id = c.user_id AND p.us >= c.click_us
-      ORDER BY p.event_id"""))
+      ORDER BY p.event_id"""
+
+  val eventsAsof = Q(
+    "q_events_asof",
+    (s, dir) => asofQuery(s, dir,
+      graft.ops.AsofJoin.asof(_, _, Seq("user_id"), "us")),
+    Some(asofOracle))
+
+  /** The same as-of query through the skew-proof time-bucketed
+    * decomposition ([[graft.ops.AsofJoin.asofBucketed]] — per-(key, bin)
+    * carry, per-bin last-right reduce, per-key prefix over bins,
+    * co-partitioned join-back; a hot key's history splits across bins
+    * instead of serializing into one window task). Same DuckDB ASOF JOIN
+    * oracle: both implementations must land on the identical hash. */
+  val eventsAsofBucketed = Q(
+    "q_events_asof_bucketed",
+    (s, dir) => asofQuery(s, dir,
+      graft.ops.AsofJoin.asofBucketed(_, _, Seq("user_id"), "us",
+        bucketWidth = 6L * 3600 * 1000000)),
+    Some(asofOracle))
 
   /** Range (point-in-interval) join over the event stream: purchases
     * attributed to the signup whose one-hour window contains them
@@ -386,5 +409,5 @@ object RelationalQueries {
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
-    eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg)
+    eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg)
 }

@@ -28,17 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Left rows with the payload columns of the matching right row
-    * appended (null where no right row precedes). `keys` and `ts` must
-    * exist on both sides; every other right column is payload and must
-    * not collide with a left column name. */
-  def asof(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+  /** Tag, null-pad and union the two sides so they share one schema:
+    * (keys…, ts, leftOnly…, payload…, __side 0=right/1=left). */
+  private def tagged(
+      left: DataFrame, right: DataFrame, keys: Seq[String], ts: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     val payload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
     val leftOnly = left.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
     require(payload.nonEmpty, "right side carries no payload columns")
     require(leftOnly.intersect(payload).isEmpty,
       s"right payload ${payload.mkString(",")} collides with left columns")
-
     val lSel = left.select(
       keys.map(col) ++ Seq(col(ts)) ++ leftOnly.map(col) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
@@ -47,15 +46,88 @@ object AsofJoin {
       keys.map(col) ++ Seq(col(ts)) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(col) ++ Seq(lit(0).as("__side")): _*)
+    (lSel.unionAll(rSel), payload, leftOnly)
+  }
 
+  /** Left rows with the payload columns of the matching right row
+    * appended (null where no right row precedes). `keys` and `ts` must
+    * exist on both sides; every other right column is payload and must
+    * not collide with a left column name. */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+    val (all, payload, _) = tagged(left, right, keys, ts)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Same window spec for every payload column: Catalyst collapses these
     // into a single Window node, so the carried payload costs one sort.
-    val carried = payload.foldLeft(lSel.unionAll(rSel)) { (d, c) =>
+    val carried = payload.foldLeft(all) { (d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Skew-proof [[asof]]: identical semantics, but a hot key no longer
+    * serializes into one task. [[asof]]'s window sorts each key's ENTIRE
+    * history in a single partition — at 100 TB one bot user becomes the
+    * straggler that AQE cannot split (skew-join splitting does not apply
+    * to windows). This variant is the classic parallel prefix-scan
+    * decomposition:
+    *
+    *  1. slice time into `bucketWidth` bins and run the carry window per
+    *     (key, bin) — the hot key's history now spreads over its bins,
+    *     each a separately-sorted task;
+    *  2. reduce each bin to its LAST right row (an aggregate with
+    *     map-side partials — skew-cheap);
+    *  3. prefix-carry those bin summaries per key over bins strictly
+    *     before (a window over #bins rows, not #events);
+    *  4. join the carry back on (key, bin) — co-partitioned with step 1 —
+    *     and take the in-bin match when present, the carried one
+    *     otherwise.
+    *
+    * Cost: two narrow shuffles and one tiny window instead of one skewed
+    * sort. Equality with [[asof]] for every bucketWidth is gated by a
+    * random-corpus property test. */
+  def asofBucketed(
+      left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val (tag, payload, _) = tagged(left, right, keys, ts)
+    val all = tag.withColumn("__bin", expr(s"$ts div ${bucketWidth}L"))
+    val binKeys = (keys :+ "__bin").map(col)
+
+    // 1. in-bin carry (rights sort before lefts at equal ts, as in asof)
+    val wBin = Window.partitionBy(binKeys: _*)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBin = payload.foldLeft(all) { (d, c) =>
+      d.withColumn(s"__in_$c", last(col(c), ignoreNulls = true).over(wBin))
+    }
+
+    // 2. each bin's last right row (rights are unique per (key, ts))
+    val lastRight = all.filter(col("__side") === 0)
+      .groupBy(binKeys: _*)
+      .agg(payload.head match {
+        case h => expr(s"max_by($h, $ts)").as(s"__last_$h")
+      }, payload.tail.map(c => expr(s"max_by($c, $ts)").as(s"__last_$c")): _*)
+
+    // 3. prefix-carry bin summaries per key over STRICTLY earlier bins;
+    //    the directory of bins comes from the data itself so lefts in
+    //    right-free bins still receive a carry
+    val bins = all.select(binKeys: _*).distinct()
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col("__bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = payload.foldLeft(bins.join(lastRight, keys :+ "__bin", "left")) {
+      (d, c) => d.withColumn(s"__prev_$c",
+        last(col(s"__last_$c"), ignoreNulls = true).over(wPrev))
+    }.select((keys :+ "__bin").map(col) ++ payload.map(c => col(s"__prev_$c")): _*)
+
+    // 4. in-bin match wins; otherwise the carry from earlier bins
+    val joined = inBin.join(carry, keys :+ "__bin")
+    val resolved = payload.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(s"__in_$c"), col(s"__prev_$c")))
+    }
+    resolved.filter(col("__side") === 1)
+      .drop("__side" +: "__bin" +:
+        (payload.map(c => s"__in_$c") ++ payload.map(c => s"__prev_$c")): _*)
   }
 }

@@ -67,6 +67,32 @@ object JoinScaleProbe {
       s""""asof_violations":$violations,"asof_sec":$tAsof,""" +
       s""""range_windows":$nIntervals,"range_matches":$nRange,""" +
       s""""bins_per_interval":2,"range_sec":$tRange}""")
+
+    // Skew leg: HALF of all events land on user 0 (a bot). The plain asof
+    // serializes that user into one sorted task; the bucketed form splits
+    // it across time bins — same result (property-gated), parallel again.
+    def skewed(salt: Int) = spark.range(n).select(
+      col("id").as("event_id"),
+      when(xxhash64(col("id"), lit(salt + 13)) % 2 === 0, 0L)
+        .otherwise(pmod(xxhash64(col("id"), lit(salt)), lit(users))).as("user_id"),
+      pmod(xxhash64(col("id"), lit(salt + 7)), lit(spanUs)).as("us"))
+    val sClicks = skewed(1)
+      .groupBy("user_id", "us").agg(max("event_id").as("click_id")).cache()
+    val sPurch = skewed(2)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+      .cache()
+    sClicks.count(); sPurch.count()
+    // count the MATCHED rows so the carried payload (and with it the
+    // window) cannot be pruned out of the measured plan
+    val (nPlain, tPlain) = time(
+      AsofJoin.asof(sPurch, sClicks, Seq("user_id"), "us")
+        .filter(col("click_id").isNotNull).count())
+    val (nBuck, tBuck) = time(AsofJoin.asofBucketed(
+      sPurch, sClicks, Seq("user_id"), "us", bucketWidth = spanUs / 64)
+      .filter(col("click_id").isNotNull).count())
+    println(s"""{"probe":"asof_skew","n_per_side":$n,"hot_share":0.5,""" +
+      s""""plain_rows":$nPlain,"plain_sec":$tPlain,""" +
+      s""""bucketed_rows":$nBuck,"bucketed_sec":$tBuck}""")
     spark.stop()
   }
 }

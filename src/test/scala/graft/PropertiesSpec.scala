@@ -221,6 +221,28 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed (skew-proof) asof == plain asof for every bucket width") {
+    val gen = for {
+      ls <- Gen.listOfN(30, genEventRow)
+      rs <- Gen.listOfN(30, genEventRow)
+    } yield (ls, rs)
+    forAllSeeded(gen, trials = 2) { case (ls, rs) =>
+      val rsU = rs.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toList
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toMap
+      val l = left.toDF("k", "us", "lid")
+      val r = rsU.toDF("k", "us", "rid")
+      val plain = run(graft.ops.AsofJoin.asof(l, r, Seq("k"), "us"))
+      for (width <- Seq(1L, 5L, 17L, 1000L)) {
+        val bucketed = run(
+          graft.ops.AsofJoin.asofBucketed(l, r, Seq("k"), "us", width))
+        assert(bucketed == plain, s"bucketWidth=$width diverged")
+      }
+    }
+  }
+
   test("binned range join == brute-force inequality join on random intervals") {
     val genInterval = for {
       k <- Gen.chooseNum(1L, 4L)
