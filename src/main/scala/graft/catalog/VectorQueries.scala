@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Catalog.Q
 import graft.core.Tables
 import graft.functions.{Distances, VectorOps}
-import graft.ops.{Ivf, SimSearch}
+import graft.ops.{Ivf, Pq, SimSearch}
 
 /** Vector algebra + search surface: I1–I3 (hyperplane predicate, subtract,
   * average), D11/I13 (batch exact top-k), I14 (emptiness probe), and the
@@ -192,6 +192,85 @@ object VectorQueries {
     },
     None)
 
+  /** Per-JVM PQ model + persisted codes table (8 subspaces × 256 centroids
+    * over the 64-d fixture: 8 bytes/vector, 32× smaller than the floats). */
+  object PqCache {
+    private val cache =
+      scala.collection.concurrent.TrieMap[String, (String, Pq.PqModel)]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String)
+        : (org.apache.spark.sql.DataFrame, Pq.PqModel) = {
+      val (path, model) = cache.getOrElseUpdate(dir, {
+        val e = Tables.embeddings(s, dir)
+        val m = Pq.train(e, m = 8, ksub = 256)
+        val p = "/tmp/graft_pq/v2_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Pq.encode(e, m).write.mode("overwrite").parquet(p)
+        (p, m)
+      })
+      (s.read.parquet(path), model)
+    }
+  }
+
+  /** PQ production path: ADC over the codes, small exact rerank. Rows-only
+    * (Lloyd-trained codebooks are engine-specific); quality is the recall
+    * observable below plus the exhaustive twin's hash gate. */
+  val knnPq = Q(
+    "ann_pq_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (codes, model) = PqCache.ensure(s, dir)
+      Pq.topK(queries, codes, e, model, k = 10, rerank = 50)
+        .orderBy("query_id", "vec_id")
+    },
+    None)
+
+  /** PQ with an exhaustive rerank budget shortlists EVERY vector, so the
+    * exact rerank makes the result algebraically equal to exact kNN — the
+    * whole compress → ADC scan → shortlist → rerank plumbing lands on a
+    * deterministic hash even though the codebooks are engine-specific
+    * (same twin trick as ann_ivf_full_probe / lsh_knn_full_budget). */
+  val knnPqFull = Q(
+    "ann_pq_full_rerank",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (codes, model) = PqCache.ensure(s, dir)
+      Pq.topK(queries, codes, e, model, k = 10, rerank = Int.MaxValue)
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, vec_id"""))
+
+  /** Codes-only ADC quality as an observable (third member of the recall
+    * family): how much of exact top-10 an 8-byte-per-vector scan recovers
+    * with NO access to the raw floats. */
+  val pqRecall = Q(
+    "ann_pq_recall_at10",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (codes, model) = PqCache.ensure(s, dir)
+      val approx = Pq.adcTopK(queries, codes, model, k = 10)
+      val recall = SimSearch.recallAtK(
+        approx, IndexQueries.GroundTruthCache.topK10(s, dir))
+      Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
+    },
+    None)
+
   /** I14 emptiness probe: `is_empty`/`no_vectors` as a count. */
   val countVectors = Q(
     "count_vectors",
@@ -199,5 +278,6 @@ object VectorQueries {
     Some("SELECT count(*) AS n FROM embeddings"))
 
   def qs: Seq[Q] = Seq(
-    vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall, countVectors)
+    vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
+    knnPq, knnPqFull, pqRecall, countVectors)
 }

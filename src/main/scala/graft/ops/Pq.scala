@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Product quantization — the third ANN family next to the LSH forest and
+  * IVF-Flat, and the one that changes the 100 TB memory equation: the
+  * vector column is compressed `m`-ways (each `dim/m`-wide subvector →
+  * the id of its nearest sub-codebook centroid), so a 64-d float corpus
+  * becomes 8 BYTES per vector (32×), and query-time scoring is
+  * asymmetric-distance (ADC): one `m·ksub` lookup table per query,
+  * O(m) adds per corpus row instead of O(dim) multiplies — a scan over
+  * codes that fits in memory where the raw vectors never would.
+  *
+  * Scale shape mirrors [[Ivf]]: codebooks train on a bounded seeded
+  * driver sample (per-subspace Lloyd), encoding is one narrow map over
+  * the corpus against broadcast codebooks (no join, no shuffle), ADC
+  * scoring is a narrow map emitting (query, dist) pairs reduced by the
+  * bounded [[TopK]] aggregate, and the optional exact-rerank stage joins
+  * only the shortlist back to the raw vectors. With `rerank` ≥ corpus
+  * size the shortlist is exhaustive and the result is algebraically
+  * exact kNN — the same oracle-twin trick as `ann_ivf_full_probe`. */
+object Pq {
+
+  /** [m][ksub][subdim] sub-codebooks. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.headOption.map(_.length).getOrElse(0)
+    def subdim: Int =
+      codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+  }
+
+  private val bcCache = new java.util.WeakHashMap[
+    PqModel,
+    (org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])]()
+
+  private def broadcastBooks(spark: SparkSession, model: PqModel)
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]] =
+    bcCache.synchronized {
+      val sc = spark.sparkContext
+      bcCache.get(model) match {
+        case (`sc`, b) => b
+        case _ =>
+          val b = sc.broadcast(model.codebooks)
+          bcCache.put(model, (sc, b))
+          b
+      }
+    }
+
+  /** Per-subspace Lloyd on a bounded seeded driver sample (the same
+    * sampling rule as [[Ivf.chooseCentroids]] — quantizers train on
+    * samples at any corpus scale). `dim` must divide evenly into `m`. */
+  def train(
+      vectors: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      iters: Int = 10, sampleCap: Int = 4096,
+      vecId: String = "vec_id"): PqModel = {
+    val dim0 = vectors.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(64)
+    require(dim0 % m == 0, s"dim $dim0 not divisible into $m subspaces")
+    val subdim = dim0 / m
+    val cap = graft.index.LshForest.byteBoundedCap(sampleCap, dim0)
+    val sample = vectors
+      .select(col(vecId), Distances.asDouble(col("embedding")).as("emb"))
+      .withColumn("h", xxhash64(col(vecId), lit(seed)))
+      .orderBy("h").limit(math.max(ksub, cap))
+      .select("emb").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val books = Array.tabulate(m) { s =>
+      val sub = sample.map(_.slice(s * subdim, (s + 1) * subdim))
+      var cents = sub.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters && sub.length > ksub) {
+        val sums = Array.fill(cents.length)(new Array[Double](subdim))
+        val counts = new Array[Long](cents.length)
+        sub.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue; var i = 0
+          while (i < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < subdim) { val t = p(j) - cents(i)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subdim) { sums(best)(j) += p(j); j += 1 }
+        }
+        cents = cents.indices.map { i =>
+          if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))
+        }.toArray
+        it += 1
+      }
+      cents
+    }
+    PqModel(books)
+  }
+
+  /** Compress the corpus: (vecId, codes BINARY) — one byte per subspace,
+    * a narrow map against the broadcast codebooks. Ties break toward the
+    * smaller centroid id (deterministic). */
+  def encode(vectors: DataFrame, model: PqModel, vecId: String = "vec_id"): DataFrame = {
+    val bc = broadcastBooks(vectors.sparkSession, model)
+    val enc = udf { (emb: Seq[Float]) =>
+      val books = bc.value
+      val m = books.length
+      val subdim = books(0)(0).length
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cents = books(s)
+        var best = 0; var bestD = Double.MaxValue; var i = 0
+        while (i < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < subdim) {
+            val t = emb(s * subdim + j).toDouble - cents(i)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+    vectors.select(col(vecId), enc(col("embedding")).as("codes"))
+  }
+
+  /** ADC scores of every (query, code row) pair: the per-query
+    * `m × ksub` lookup tables are built once from the collected query
+    * batch (queries are the small side everywhere in this engine) and
+    * broadcast; each corpus row then costs m table adds. Emits
+    * (queryId, vecId, dist) with approximate (quantized-space) dists. */
+  private def adcScores(
+      queries: DataFrame, codes: DataFrame, model: PqModel,
+      queryId: String, vecId: String): DataFrame = {
+    val spark = queries.sparkSession
+    val books = model.codebooks
+    val m = model.m
+    val subdim = model.subdim
+    val luts: Array[(Long, Array[Array[Double]])] = queries
+      .select(col(queryId).cast("long"), Distances.asDouble(col("embedding")))
+      .collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        val lut = Array.tabulate(m) { s =>
+          books(s).map { c =>
+            var d = 0.0; var j = 0
+            while (j < subdim) { val t = q(s * subdim + j) - c(j); d += t * t; j += 1 }
+            d
+          }
+        }
+        (r.getLong(0), lut)
+      }
+    val bc = spark.sparkContext.broadcast(luts)
+    val score = udf { (codes: Array[Byte]) =>
+      bc.value.map { case (qid, lut) =>
+        var d = 0.0
+        var s = 0
+        while (s < codes.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
+        (qid, d)
+      }.toSeq
+    }
+    codes
+      .select(col(vecId), explode(score(col("codes"))).as("qd"))
+      .select(col("qd._1").as(queryId), col(vecId), col("qd._2").as("dist"))
+  }
+
+  /** PQ top-k: ADC shortlist of `rerank` candidates per query, then exact
+    * rerank against the raw vectors (broadcast shortlist join — only the
+    * shortlist's vectors are rescored). `rerank` ≥ corpus size makes the
+    * result exactly equal to [[SimSearch.exactTopK]]. */
+  def topK(
+      queries: DataFrame, codes: DataFrame, vectors: DataFrame,
+      model: PqModel, k: Int, rerank: Int,
+      metric: Distances.Metric = Distances.L2Squared,
+      queryId: String = "query_id", vecId: String = "vec_id",
+      roundTo: Int = 4): DataFrame = {
+    require(rerank >= k, "rerank budget must be at least k")
+    val shortlist = SimSearch.takeTopK(
+      adcScores(queries, codes, model, queryId, vecId), rerank, queryId, vecId)
+      .select(col(queryId), col(vecId))
+    val q = queries.select(
+      col(queryId), Distances.asDouble(col("embedding")).as("q_emb"))
+    val v = vectors.select(
+      col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
+    val scored = shortlist
+      .join(v, Seq(vecId))
+      .join(broadcast(q), Seq(queryId))
+      .withColumn("dist",
+        SimSearch.quantize(metric, metric(col("q_emb"), col("v_emb")), roundTo))
+    SimSearch.takeTopK(scored, k, queryId, vecId)
+  }
+
+  /** Pure-ADC top-k (no rerank) — what a codes-only scan can answer. */
+  def adcTopK(
+      queries: DataFrame, codes: DataFrame, model: PqModel, k: Int,
+      queryId: String = "query_id", vecId: String = "vec_id"): DataFrame =
+    SimSearch.takeTopK(
+      adcScores(queries, codes, model, queryId, vecId), k, queryId, vecId)
+}

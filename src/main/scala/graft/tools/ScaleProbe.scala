@@ -56,6 +56,25 @@ object ScaleProbe {
     println(f"n=$n exact=${tExact}%.2fs (warm ${tExactWarm}%.2fs) " +
       f"lsh=${tLsh}%.2fs (first ${tLshWarm}%.2fs) build=${tBuild}%.2fs " +
       f"index_write=${tIndex}%.2fs recall@10=$recall%.3f cand/query=$nCand")
+
+    // PQ leg on the same clustered corpus: 8-byte codes (32x), ADC scan +
+    // small exact rerank — recall here, not the uniform-random fixture,
+    // is the realistic quality number for the compressed scan.
+    val (pqModel, tTrain) = time(graft.ops.Pq.train(vecs, m = 8, ksub = 256))
+    val (codes, _) = time(graft.ops.Pq.encode(vecs, pqModel).cache())
+    val (_, tEncode) = time(codes.count())
+    val (pqTop, _) = time(
+      graft.ops.Pq.topK(queries, codes, vecs, pqModel, k = 10,
+        rerank = 32 * 10).cache())
+    val (_, tPq) = time(pqTop.count())
+    val pqRecall = SimSearch.recallAtK(pqTop, exact)
+    val (adcTop, _) = time(
+      graft.ops.Pq.adcTopK(queries, codes, pqModel, k = 10).cache())
+    val (_, tAdc) = time(adcTop.count())
+    val adcRecall = SimSearch.recallAtK(adcTop, exact)
+    println(f"pq: train=${tTrain}%.2fs encode=${tEncode}%.2fs " +
+      f"topk(rerank=320)=${tPq}%.2fs recall@10=$pqRecall%.3f " +
+      f"adc_only=${tAdc}%.2fs adc_recall@10=$adcRecall%.3f")
     spark.stop()
   }
 }
