@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Catalog.Q
 import graft.core.Tables
 import graft.functions.{Distances, VectorOps}
-import graft.ops.{Ivf, Pq, SimSearch}
+import graft.ops.{Ivf, IvfPq, Pq, SimSearch}
 
 /** Vector algebra + search surface: I1–I3 (hyperplane predicate, subtract,
   * average), D11/I13 (batch exact top-k), I14 (emptiness probe), and the
@@ -271,6 +271,67 @@ object VectorQueries {
     },
     None)
 
+  /** Per-JVM IVF-PQ model + persisted compressed partitioned index. */
+  object IvfPqCache {
+    private val cache =
+      scala.collection.concurrent.TrieMap[String, (String, IvfPq.IvfPqModel)]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String)
+        : (org.apache.spark.sql.DataFrame, IvfPq.IvfPqModel) = {
+      val (path, model) = cache.getOrElseUpdate(dir, {
+        val e = Tables.embeddings(s, dir)
+        val m = IvfPq.train(e, nlist = 16)
+        val p = "/tmp/graft_ivfpq/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        IvfPq.buildIndex(e, m, p)
+        (p, m)
+      })
+      (IvfPq.loadIndex(s, path), model)
+    }
+  }
+
+  /** IVF-PQ production path: partition-pruned probe + ADC over 8-byte
+    * codes + small exact rerank (rows-only: both quantizers are
+    * engine-specific). */
+  val knnIvfPq = Q(
+    "ann_ivfpq_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (index, model) = IvfPqCache.ensure(s, dir)
+      IvfPq.topK(queries, index, e, model, k = 10, nprobe = 12, rerank = 50)
+        .orderBy("query_id", "vec_id")
+    },
+    None)
+
+  /** IVF-PQ with BOTH budgets exhaustive (nprobe = nlist, rerank =
+    * corpus): the probe covers every cell and the rerank rescans every
+    * shortlisted vector exactly, so the composed compress + prune +
+    * ADC + rerank pipeline is algebraically exact kNN and hash-checks
+    * against the same oracle as the other two full-budget twins. */
+  val knnIvfPqFull = Q(
+    "ann_ivfpq_full_budget",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (index, model) = IvfPqCache.ensure(s, dir)
+      IvfPq.topK(queries, index, e, model,
+        k = 10, nprobe = 16, rerank = Int.MaxValue)
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, vec_id"""))
+
   /** I14 emptiness probe: `is_empty`/`no_vectors` as a count. */
   val countVectors = Q(
     "count_vectors",
@@ -279,5 +340,5 @@ object VectorQueries {
 
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
-    knnPq, knnPqFull, pqRecall, countVectors)
+    knnPq, knnPqFull, pqRecall, knnIvfPq, knnIvfPqFull, countVectors)
 }

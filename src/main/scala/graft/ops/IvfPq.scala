@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** IVF-PQ — the composition the production ANN systems ship (FAISS
+  * IVFPQ): [[Ivf]] cell assignment prunes WHICH partitions are read,
+  * [[Pq]] codes shrink WHAT is read 32×, and the exact rerank touches
+  * raw vectors only for the shortlist. At 100 TB the three multiply:
+  * a 16-of-4096-cell probe reads 0.4% of the files, each 32× smaller
+  * than the float column, and the full-precision fetch is k·rerank rows.
+  *
+  * Nothing here is new machinery — the index is one join of the two
+  * existing assignments written `partitionBy(cell_id)`, and the query
+  * path is Ivf's pruned scan feeding Pq's ADC scorer. Both full-budget
+  * settings together (nprobe = nlist, rerank = corpus) degenerate to
+  * exact kNN, which is what the catalog twin hash-checks. */
+object IvfPq {
+
+  final case class IvfPqModel(coarse: Ivf.IvfModel, pq: Pq.PqModel)
+
+  /** Train both quantizers on the same bounded-sample discipline. */
+  def train(
+      vectors: DataFrame, nlist: Int, m: Int = 8, ksub: Int = 256,
+      vecId: String = "vec_id"): IvfPqModel =
+    IvfPqModel(
+      Ivf.chooseCentroids(vectors, nlist, vecId = vecId),
+      Pq.train(vectors, m = m, ksub = ksub, vecId = vecId))
+
+  /** Build + persist (cell_id, vecId, codes), partitioned by cell — the
+    * compressed, partition-pruned layout. One narrow map per quantizer,
+    * one equi-join on vecId, one clustering shuffle for the write. */
+  def buildIndex(
+      vectors: DataFrame, model: IvfPqModel, path: String,
+      vecId: String = "vec_id"): Unit =
+    Ivf.assign(vectors, model.coarse, vecId).drop("embedding")
+      .join(Pq.encode(vectors, model.pq, vecId), Seq(vecId))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe nprobe cells, ADC-score only their codes, exact-rerank the
+    * shortlist against the raw vectors. */
+  def topK(
+      queries: DataFrame, index: DataFrame, vectors: DataFrame,
+      model: IvfPqModel, k: Int, nprobe: Int, rerank: Int,
+      metric: Distances.Metric = Distances.L2Squared,
+      queryId: String = "query_id", vecId: String = "vec_id",
+      roundTo: Int = 4): DataFrame = {
+    require(rerank >= k, "rerank budget must be at least k")
+    val p = Ivf.probes(queries, model.coarse, nprobe, queryId)
+      .select(queryId, "cell_id").localCheckpoint()
+    val probedCells = p.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // partition-pruned codes scan, restricted per query to ITS probed
+    // cells via the (queryId, cell_id) semi-join on the broadcast probes
+    val probedCodes = index
+      .filter(col("cell_id").isin(probedCells: _*))
+      .join(broadcast(p), Seq("cell_id"))
+      .select(col(queryId), col(vecId), col("codes"))
+    val scored = Pq.adcScoresKeyed(probedCodes, queries, model.pq, queryId, vecId)
+    val shortlist = SimSearch.takeTopK(scored, rerank, queryId, vecId)
+      .select(col(queryId), col(vecId))
+    val q = queries.select(
+      col(queryId), Distances.asDouble(col("embedding")).as("q_emb"))
+    val v = vectors.select(
+      col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
+    val reranked = shortlist
+      .join(v, Seq(vecId))
+      .join(broadcast(q), Seq(queryId))
+      .withColumn("dist",
+        SimSearch.quantize(metric, metric(col("q_emb"), col("v_emb")), roundTo))
+    SimSearch.takeTopK(reranked, k, queryId, vecId)
+  }
+}

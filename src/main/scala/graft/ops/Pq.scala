@@ -132,14 +132,15 @@ object Pq {
     * batch (queries are the small side everywhere in this engine) and
     * broadcast; each corpus row then costs m table adds. Emits
     * (queryId, vecId, dist) with approximate (quantized-space) dists. */
-  private def adcScores(
-      queries: DataFrame, codes: DataFrame, model: PqModel,
-      queryId: String, vecId: String): DataFrame = {
-    val spark = queries.sparkSession
+  /** Collect the (small) query batch and build one `m × ksub` ADC lookup
+    * table per query. */
+  private def queryLuts(
+      queries: DataFrame, model: PqModel, queryId: String)
+      : Array[(Long, Array[Array[Double]])] = {
     val books = model.codebooks
     val m = model.m
     val subdim = model.subdim
-    val luts: Array[(Long, Array[Array[Double]])] = queries
+    queries
       .select(col(queryId).cast("long"), Distances.asDouble(col("embedding")))
       .collect()
       .map { r =>
@@ -153,7 +154,13 @@ object Pq {
         }
         (r.getLong(0), lut)
       }
-    val bc = spark.sparkContext.broadcast(luts)
+  }
+
+  private[ops] def adcScores(
+      queries: DataFrame, codes: DataFrame, model: PqModel,
+      queryId: String, vecId: String): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(queryLuts(queries, model, queryId))
     val score = udf { (codes: Array[Byte]) =>
       bc.value.map { case (qid, lut) =>
         var d = 0.0
@@ -165,6 +172,27 @@ object Pq {
     codes
       .select(col(vecId), explode(score(col("codes"))).as("qd"))
       .select(col("qd._1").as(queryId), col(vecId), col("qd._2").as("dist"))
+  }
+
+  /** ADC scores where each input row already names its query —
+    * (queryId, vecId, codes) → (queryId, vecId, dist) through that
+    * query's lookup table. The [[IvfPq]] shape, where different queries
+    * probe different cells so the fan-out is in the rows, not the UDF. */
+  private[ops] def adcScoresKeyed(
+      rows: DataFrame, queries: DataFrame, model: PqModel,
+      queryId: String, vecId: String): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      queryLuts(queries, model, queryId).toMap)
+    val score = udf { (qid: Long, codes: Array[Byte]) =>
+      val lut = bc.value(qid)
+      var d = 0.0
+      var s = 0
+      while (s < codes.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
+      d
+    }
+    rows.select(col(queryId), col(vecId),
+      score(col(queryId).cast("long"), col("codes")).as("dist"))
   }
 
   /** PQ top-k: ADC shortlist of `rerank` candidates per query, then exact

@@ -41,6 +41,23 @@ class PqSpec extends AnyFunSuite {
     assert(pq == exact)
   }
 
+  test("IVF-PQ: both budgets exhaustive degenerates to exact kNN; probed is close") {
+    import graft.ops.IvfPq
+    val model = IvfPq.train(e, nlist = 16)
+    val path = "/tmp/graft_test_ivfpq"
+    IvfPq.buildIndex(e, model, path)
+    val index = IvfPq.loadIndex(spark, path)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = SimSearch.exactTopK(queries, e, k = 10)
+    val full = IvfPq.topK(queries, index, e, model,
+      k = 10, nprobe = 16, rerank = Int.MaxValue)
+    assert(key(full) == key(exact))
+    val probed = IvfPq.topK(queries, index, e, model,
+      k = 10, nprobe = 12, rerank = 50)
+    assert(SimSearch.recallAtK(probed, exact) >= 0.5)
+  }
+
   test("a 10% ADC shortlist recovers most of exact top-10") {
     val exact = SimSearch.exactTopK(queries, e, k = 10)
     val shortlisted = Pq.topK(queries, codes, e, model, k = 10, rerank = 50)
