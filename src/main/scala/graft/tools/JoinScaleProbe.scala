@@ -93,6 +93,33 @@ object JoinScaleProbe {
     println(s"""{"probe":"asof_skew","n_per_side":$n,"hot_share":0.5,""" +
       s""""plain_rows":$nPlain,"plain_sec":$tPlain,""" +
       s""""bucketed_rows":$nBuck,"bucketed_sec":$tBuck}""")
+
+    // AQE skew-join leg: the complementary case to asofBucketed — for
+    // shuffled JOINS (not windows) Spark's AQE already splits skewed
+    // partitions at runtime. Verify the engine's config actually fires it
+    // on a 50%-hot-key shuffle join, so the division of labor is proven:
+    // joins → AQE, windows → asofBucketed.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // payload must be INCOMPRESSIBLE and must survive the join, or the hot
+    // partition's identical keys LZ4 away to under the skew threshold
+    val fact = skewed(21)
+      .withColumn("payload", md5(col("event_id").cast("string")))
+    val dim = spark.range(users)
+      .select(col("id").as("user_id"), (col("id") % 7).as("segment"))
+    val joined = fact.join(dim, Seq("user_id"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), max(length(col("payload"))).as("plen"))
+    val (nJoin, tJoin) = time(joined.collect().length)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    val skewHandled = finalPlan.contains("skew=true")
+    if (sys.env.contains("GRAFT_DEBUG_PLAN")) println(finalPlan.take(4000))
+    println(s"""{"probe":"aqe_skew_join","n_per_side":$n,""" +
+      s""""rows":$nJoin,"sec":$tJoin,"aqe_split_fired":$skewHandled}""")
     spark.stop()
   }
 }
