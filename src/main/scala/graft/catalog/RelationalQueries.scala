@@ -406,8 +406,36 @@ object RelationalQueries {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** HLL++ sketch distinct-count with a FALSIFIABLE accuracy oracle: the
+    * sketch estimate itself is engine-specific (so it stays out of the
+    * output), but the claim "within 5% of exact" is emitted as a column
+    * the DuckDB twin asserts as a literal TRUE next to the exact count —
+    * if the sketch ever drifts past the bound, the hash check goes red.
+    * The comparison is integer arithmetic (|Δ|·20 ≤ exact). The sketch is
+    * the scale path: one pass, bounded state per group, mergeable across
+    * partitions — count(DISTINCT) at 100 TB is a full shuffle of the
+    * distinct pairs. */
+  val sketchDistinct = Q(
+    "q_sketch_distinct",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct("user_id").as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * lit(20L) <=
+            col("exact_users")).as("within_5pct"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
-    eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg)
+    eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
+    sketchDistinct)
 }
