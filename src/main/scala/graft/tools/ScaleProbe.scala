@@ -65,7 +65,7 @@ object ScaleProbe {
     val (_, tEncode) = time(codes.count())
     val (pqTop, _) = time(
       graft.ops.Pq.topK(queries, codes, vecs, pqModel, k = 10,
-        rerank = 32 * 10).cache())
+        rerank = math.max(320, n / 1000)).cache())
     val (_, tPq) = time(pqTop.count())
     val pqRecall = SimSearch.recallAtK(pqTop, exact)
     val (adcTop, _) = time(
@@ -73,7 +73,7 @@ object ScaleProbe {
     val (_, tAdc) = time(adcTop.count())
     val adcRecall = SimSearch.recallAtK(adcTop, exact)
     println(f"pq: train=${tTrain}%.2fs encode=${tEncode}%.2fs " +
-      f"topk(rerank=320)=${tPq}%.2fs recall@10=$pqRecall%.3f " +
+      f"topk(rerank=${math.max(320, n / 1000)})=${tPq}%.2fs recall@10=$pqRecall%.3f " +
       f"adc_only=${tAdc}%.2fs adc_recall@10=$adcRecall%.3f")
     spark.stop()
   }
