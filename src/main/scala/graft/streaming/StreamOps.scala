@@ -193,6 +193,29 @@ object StreamOps {
       .toDF("key", "us", "id", "match_id", "match_us")
   }
 
+  /** Streaming range (point-in-window) join — the continuous form of
+    * [[graft.ops.RangeJoin]], expressed as Spark's NATIVE stream-stream
+    * join with a time-interval condition: each point row joins every
+    * window opened by the same key at-or-before it within `window`
+    * (`open_ts <= ts <= open_ts + window`, inclusive both ends, matching
+    * the batch operator's BETWEEN). The two explicit watermarks plus the
+    * bounded interval in the join condition are exactly what Structured
+    * Streaming needs to expire join state: a window's state is dropped
+    * once the watermark passes `open_ts + window + lateness`, so state is
+    * proportional to the open-window horizon, not the stream's history.
+    *
+    * `points` needs (user_id, ts TIMESTAMP, …); `opens` needs
+    * (o_user_id, open_ts TIMESTAMP, …) with all other names disjoint. */
+  def rangeJoinStream(
+      points: DataFrame, opens: DataFrame,
+      window: String = "1 hour", lateness: String = "1 hour"): DataFrame =
+    points.withWatermark("ts", lateness)
+      .join(
+        opens.withWatermark("open_ts", lateness),
+        expr(s"""user_id = o_user_id AND
+                 ts >= open_ts AND
+                 ts <= open_ts + INTERVAL $window"""))
+
   /** Streaming vector ingest into a [[ZebraEngine]]: every micro-batch is
     * one `insert_records` call — the reference's incremental `add` (I7)
     * driven by a stream. When the engine has an index, each batch routes

@@ -235,6 +235,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming range join equals the batch binned range join") {
+    implicit val sqlCtx = spark.sqlContext
+    def usOf(min: Int): Long = ts(min).getTime * 1000L
+    // points (user, min, point_id); windows open at (user, min, window_id)
+    val points = Seq((1L, 10, 500L), (1L, 65, 501L), (1L, 130, 502L),
+      (2L, 30, 503L), (2L, 95, 504L))
+    val opens = Seq((1L, 10, 900L), (1L, 120, 901L), (2L, 40, 902L))
+
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    val oMem = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamOps.rangeJoinStream(
+      pMem.toDF().toDF("user_id", "ts", "point_id"),
+      oMem.toDF().toDF("o_user_id", "open_ts", "window_id"))
+      .select("point_id", "window_id")
+      .writeStream.format("memory").queryName("range_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 keeps event times low so the global watermark stays at 0;
+      // batch 2 then delivers window 900 LATE (after the points it
+      // contains) but still above the watermark — the buffered-state path
+      val early = Set(500L, 501L, 503L)
+      pMem.addData(points.filter(p => early(p._3))
+        .map(p => (p._1, ts(p._2), p._3)): _*)
+      oMem.addData((opens(2)._1, ts(opens(2)._2), opens(2)._3))
+      q.processAllAvailable()
+      pMem.addData(points.filterNot(p => early(p._3))
+        .map(p => (p._1, ts(p._2), p._3)): _*)
+      oMem.addData(opens.take(2).map(o => (o._1, ts(o._2), o._3)): _*)
+      q.processAllAvailable()
+      val got = spark.table("range_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val want = graft.ops.RangeJoin.pointInInterval(
+        points.map(p => (p._1, usOf(p._2), p._3)).toDF("user_id", "us", "point_id"),
+        opens.map(o => (o._1, usOf(o._2), usOf(o._2) + 3600000000L, o._3))
+          .toDF("user_id", "lo", "hi", "window_id"),
+        Seq("user_id"), "us", "lo", "hi", binWidth = 3600000000L)
+        .select("point_id", "window_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      assert(got.nonEmpty && got == want, s"\ngot  $got\nwant $want")
+      // the point at exactly open_ts (10,10) and at exactly the window end
+      // must both be present (inclusive boundaries)
+      assert(got.contains((500L, 900L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch vector ingest: stream -> engine -> query round trip") {
     val path = "/tmp/graft_test_stream_engine"
     val ckpt = "/tmp/graft_test_stream_ckpt"
