@@ -18,6 +18,15 @@ object EmbedQueries {
 
   private val embedder = HashingTextEmbedder()
 
+  /** Guard for the md5-twin family: docs whose text has no non-empty
+    * space-split token vanish at the oracle's unnest (no sparse rows, no
+    * ‖·‖² row), while the Spark side would embed them as zero vectors —
+    * excluding them on BOTH sides keeps the relations identical even if
+    * the fixture ever grows an empty document (same guard as
+    * dedup_simhash_pairs). */
+  private def hasTokens: org.apache.spark.sql.Column =
+    size(filter(split(lower(col("text")), " "), t => t =!= lit(""))) > 0
+
   /** E2 + D11: embed the documents fixture, then batch kNN over the
     * embedded space — text-to-text retrieval without a pre-embedded table. */
   val textKnn = Q(
@@ -68,7 +77,8 @@ object EmbedQueries {
   val textKnnExact = Q(
     "text_knn_exact",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, dir)
+        .filter(hasTokens).select(col("doc_id"), col("text"))
       val vecs = graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
         .select(col("doc_id").as("vec_id"), col("embedding"))
       val queries = vecs.filter(col("vec_id") < 3)
@@ -97,7 +107,8 @@ object EmbedQueries {
   val embedNormExact = Q(
     "embed_norm_exact",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, dir)
+        .filter(hasTokens).select(col("doc_id"), col("text"))
       graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
         .select(col("doc_id"), size(col("embedding")).as("dim"),
           aggregate(Distances.asDouble(col("embedding")), lit(0.0),
@@ -178,6 +189,7 @@ object EmbedQueries {
         val eng = ZebraEngine.create(
           s, p, EngineConfig(dim = twin.dim, metric = "l2sq"))
         val docs = Tables.documents(s, dir)
+          .filter(hasTokens)
           .select(
             format_string("d%06d", col("doc_id")).as("id"),
             col("text").cast("binary").as("document"))
@@ -198,7 +210,8 @@ object EmbedQueries {
     (s, dir) => {
       val eng = DocEngineMd5Cache.ensure(s, dir)
       val twin = graft.embed.Md5CountEmbedder()
-      val queries = Tables.documents(s, dir).filter(col("doc_id") < 3)
+      val queries = Tables.documents(s, dir)
+        .filter(col("doc_id") < 3 && hasTokens)
         .select(
           col("doc_id").as("query_id"),
           col("text").cast("binary").as("document"))

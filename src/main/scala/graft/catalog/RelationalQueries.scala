@@ -240,8 +240,7 @@ object RelationalQueries {
           unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
         .groupBy(col("user_id"), col("us").as("click_us"))
-        .agg(max("event_id").as("click_id"),
-          expr("max_by(value, event_id)").as("click_value"))
+        .agg(max("event_id").as("click_id"))
         .withColumn("us", col("click_us"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"),
@@ -256,8 +255,7 @@ object RelationalQueries {
   private val asofOracle = """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
                  FROM events),
-      c AS (SELECT user_id, us AS click_us, max(event_id) AS click_id,
-                   arg_max(value, event_id) AS click_value
+      c AS (SELECT user_id, us AS click_us, max(event_id) AS click_id
             FROM e WHERE event_type = 'click' GROUP BY user_id, us),
       p AS (SELECT event_id, user_id, us, value FROM e
             WHERE event_type = 'purchase')

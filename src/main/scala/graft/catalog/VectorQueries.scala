@@ -13,6 +13,22 @@ import graft.ops.{Ivf, IvfPq, Pq, SimSearch}
   */
 object VectorQueries {
 
+  /** The exact-kNN (l2sq, 5 queries, k=10) DuckDB twin — the ONE oracle
+    * every full-budget ANN entry (and knn_exact_l2sq itself) must land
+    * on: four independent physical paths, one SQL definition. */
+  private val exactKnnL2Oracle = """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, vec_id"""
+
   /** I1+I2+I3+dot in one query over adjacent vector pairs: scalar summaries
     * of subtract/average/dot plus the hyperplane-side predicate of the
     * hyperplane through (a,b)'s midpoint applied to vector 0
@@ -70,18 +86,7 @@ object VectorQueries {
       SimSearch.exactTopK(queries, e, k = 10)
         .orderBy("query_id", "vec_id")
     },
-    Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                 FROM embeddings WHERE vec_id < 5),
-           d AS (SELECT q.query_id, a.vec_id,
-                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
-                 FROM embeddings a, q, generate_series(1, 64) t(i)
-                 GROUP BY q.query_id, a.vec_id)
-      SELECT query_id, vec_id, dist
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY dist, vec_id) AS rn FROM d)
-      WHERE rn <= 10
-      ORDER BY query_id, vec_id"""))
+    Some(exactKnnL2Oracle))
 
   /** Cosine variant of the batch kNN (default image/audio metric, M1). */
   val knnCosine = Q(
@@ -158,18 +163,7 @@ object VectorQueries {
       Ivf.topK(queries, index, model, k = 10, nprobe = 16)
         .orderBy("query_id", "vec_id")
     },
-    Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                 FROM embeddings WHERE vec_id < 5),
-           d AS (SELECT q.query_id, a.vec_id,
-                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
-                 FROM embeddings a, q, generate_series(1, 64) t(i)
-                 GROUP BY q.query_id, a.vec_id)
-      SELECT query_id, vec_id, dist
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY dist, vec_id) AS rn FROM d)
-      WHERE rn <= 10
-      ORDER BY query_id, vec_id"""))
+    Some(exactKnnL2Oracle))
 
   /** The IVF production path's quality as an observable (twin of
     * `lsh_recall_at10`): recall@10 at the default nprobe against the exact
@@ -240,18 +234,7 @@ object VectorQueries {
       Pq.topK(queries, codes, e, model, k = 10, rerank = Int.MaxValue)
         .orderBy("query_id", "vec_id")
     },
-    Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                 FROM embeddings WHERE vec_id < 5),
-           d AS (SELECT q.query_id, a.vec_id,
-                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
-                 FROM embeddings a, q, generate_series(1, 64) t(i)
-                 GROUP BY q.query_id, a.vec_id)
-      SELECT query_id, vec_id, dist
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY dist, vec_id) AS rn FROM d)
-      WHERE rn <= 10
-      ORDER BY query_id, vec_id"""))
+    Some(exactKnnL2Oracle))
 
   /** Codes-only ADC quality as an observable (third member of the recall
     * family): how much of exact top-10 an 8-byte-per-vector scan recovers
@@ -319,18 +302,7 @@ object VectorQueries {
         k = 10, nprobe = 16, rerank = Int.MaxValue)
         .orderBy("query_id", "vec_id")
     },
-    Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                 FROM embeddings WHERE vec_id < 5),
-           d AS (SELECT q.query_id, a.vec_id,
-                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
-                 FROM embeddings a, q, generate_series(1, 64) t(i)
-                 GROUP BY q.query_id, a.vec_id)
-      SELECT query_id, vec_id, dist
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY dist, vec_id) AS rn FROM d)
-      WHERE rn <= 10
-      ORDER BY query_id, vec_id"""))
+    Some(exactKnnL2Oracle))
 
   /** I14 emptiness probe: `is_empty`/`no_vectors` as a count. */
   val countVectors = Q(

@@ -58,12 +58,19 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Same window spec for every payload column: Catalyst collapses these
-    // into a single Window node, so the carried payload costs one sort.
-    val carried = payload.foldLeft(all) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    // The payload is carried as ONE struct, not per column: a right row's
+    // struct is non-null even when its fields are null, so a NULL field in
+    // the latest right row is carried as NULL instead of being shadowed by
+    // an older row's value (per-column last(ignoreNulls) would stitch
+    // fields from DIFFERENT right rows — not ASOF semantics).
+    val packed = all.withColumn("__p",
+      when(col("__side") === 0, struct(payload.map(col): _*)))
+    val carried = packed
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(carried) { (d, c) =>
+      d.withColumn(c, col(s"__p.$c"))
     }
-    carried.filter(col("__side") === 1).drop("__side")
+    unpacked.filter(col("__side") === 1).drop("__side", "__p")
   }
 
   /** Skew-proof [[asof]]: identical semantics, but a hot key no longer
@@ -92,23 +99,25 @@ object AsofJoin {
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val (tag, payload, _) = tagged(left, right, keys, ts)
-    val all = tag.withColumn("__bin", expr(s"$ts div ${bucketWidth}L"))
+    val all = tag
+      .withColumn("__bin", expr(s"$ts div ${bucketWidth}L"))
+      // atomic payload struct, same rationale as in [[asof]]
+      .withColumn("__p",
+        when(col("__side") === 0, struct(payload.map(col): _*)))
     val binKeys = (keys :+ "__bin").map(col)
 
     // 1. in-bin carry (rights sort before lefts at equal ts, as in asof)
     val wBin = Window.partitionBy(binKeys: _*)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inBin = payload.foldLeft(all) { (d, c) =>
-      d.withColumn(s"__in_$c", last(col(c), ignoreNulls = true).over(wBin))
-    }
+    val inBin = all.withColumn("__in",
+      last(col("__p"), ignoreNulls = true).over(wBin))
 
-    // 2. each bin's last right row (rights are unique per (key, ts))
+    // 2. each bin's last right row as one struct (rights are unique per
+    //    (key, ts)), so fields can never mix across rows
     val lastRight = all.filter(col("__side") === 0)
       .groupBy(binKeys: _*)
-      .agg(payload.head match {
-        case h => expr(s"max_by($h, $ts)").as(s"__last_$h")
-      }, payload.tail.map(c => expr(s"max_by($c, $ts)").as(s"__last_$c")): _*)
+      .agg(expr(s"max_by(__p, $ts)").as("__last"))
 
     // 3. prefix-carry bin summaries per key over STRICTLY earlier bins;
     //    the directory of bins comes from the data itself so lefts in
@@ -116,18 +125,17 @@ object AsofJoin {
     val bins = all.select(binKeys: _*).distinct()
     val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col("__bin").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = payload.foldLeft(bins.join(lastRight, keys :+ "__bin", "left")) {
-      (d, c) => d.withColumn(s"__prev_$c",
-        last(col(s"__last_$c"), ignoreNulls = true).over(wPrev))
-    }.select((keys :+ "__bin").map(col) ++ payload.map(c => col(s"__prev_$c")): _*)
+    val carry = bins.join(lastRight, keys :+ "__bin", "left")
+      .withColumn("__prev", last(col("__last"), ignoreNulls = true).over(wPrev))
+      .select((keys :+ "__bin").map(col) :+ col("__prev"): _*)
 
     // 4. in-bin match wins; otherwise the carry from earlier bins
-    val joined = inBin.join(carry, keys :+ "__bin")
-    val resolved = payload.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(col(s"__in_$c"), col(s"__prev_$c")))
+    val resolved = payload.foldLeft(
+      inBin.join(carry, keys :+ "__bin")
+        .withColumn("__f", coalesce(col("__in"), col("__prev")))) { (d, c) =>
+      d.withColumn(c, col(s"__f.$c"))
     }
     resolved.filter(col("__side") === 1)
-      .drop("__side" +: "__bin" +:
-        (payload.map(c => s"__in_$c") ++ payload.map(c => s"__prev_$c")): _*)
+      .drop("__side", "__bin", "__p", "__in", "__prev", "__f")
   }
 }

@@ -73,10 +73,20 @@ object Ivf {
       .select("emb")
       .collect()
     val sample = rows.map(_.getSeq[Double](0).toArray)
-    var cents = sample.take(nlist).map(_.clone())
+    IvfModel(lloyd(sample, nlist, iters))
+  }
+
+  /** Lloyd iterations over a driver-side sample — the ONE copy of the
+    * numeric loop, shared by this coarse quantizer and [[Pq]]'s
+    * per-subspace codebooks so the two can never drift apart.
+    * Init = first k sample points; an empty cluster keeps its centroid;
+    * a sample of ≤ k points is returned as the centroids unchanged. */
+  private[ops] def lloyd(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    var cents = sample.take(k).map(_.clone())
     val dim = if (sample.isEmpty) 0 else sample.head.length
     var it = 0
-    while (it < iters && sample.length > nlist) {
+    while (it < iters && sample.length > k) {
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Long](cents.length)
       sample.foreach { p =>
@@ -92,12 +102,12 @@ object Ivf {
         while (j < dim) { sums(best)(j) += p(j); j += 1 }
       }
       cents = cents.indices.map { i =>
-        if (counts(i) == 0) cents(i) // empty cell keeps its centroid
+        if (counts(i) == 0) cents(i) // empty cluster keeps its centroid
         else sums(i).map(_ / counts(i))
       }.toArray
       it += 1
     }
-    IvfModel(cents)
+    cents
   }
 
   private def sqDist(emb: Seq[Float], c: Array[Double]): Double = {

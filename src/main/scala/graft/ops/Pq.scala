@@ -60,6 +60,7 @@ object Pq {
     val dim0 = vectors.select(size(col("embedding"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(64)
     require(dim0 % m == 0, s"dim $dim0 not divisible into $m subspaces")
+    require(ksub <= 256, s"ksub $ksub exceeds the one-byte code space")
     val subdim = dim0 / m
     val cap = graft.index.LshForest.byteBoundedCap(sampleCap, dim0)
     val sample = vectors
@@ -69,30 +70,7 @@ object Pq {
       .select("emb").collect()
       .map(_.getSeq[Double](0).toArray)
     val books = Array.tabulate(m) { s =>
-      val sub = sample.map(_.slice(s * subdim, (s + 1) * subdim))
-      var cents = sub.take(ksub).map(_.clone())
-      var it = 0
-      while (it < iters && sub.length > ksub) {
-        val sums = Array.fill(cents.length)(new Array[Double](subdim))
-        val counts = new Array[Long](cents.length)
-        sub.foreach { p =>
-          var best = 0; var bestD = Double.MaxValue; var i = 0
-          while (i < cents.length) {
-            var d = 0.0; var j = 0
-            while (j < subdim) { val t = p(j) - cents(i)(j); d += t * t; j += 1 }
-            if (d < bestD) { bestD = d; best = i }
-            i += 1
-          }
-          counts(best) += 1
-          var j = 0
-          while (j < subdim) { sums(best)(j) += p(j); j += 1 }
-        }
-        cents = cents.indices.map { i =>
-          if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))
-        }.toArray
-        it += 1
-      }
-      cents
+      Ivf.lloyd(sample.map(_.slice(s * subdim, (s + 1) * subdim)), ksub, iters)
     }
     PqModel(books)
   }

@@ -56,6 +56,25 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out("p3").isEmpty)              // right row is after the left row
   }
 
+  test("multi-column payload is carried ATOMICALLY: a NULL field in the " +
+    "matching right row stays NULL (never stitched from an older row)") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, "p")).toDF("k", "us", "tag")
+    val right = Seq(
+      (1L, 5L, Some("old_a"), Some("old_b")),
+      (1L, 10L, Some("new_a"), Option.empty[String]))
+      .toDF("k", "us", "pa", "pb")
+    def check(out: org.apache.spark.sql.DataFrame): Unit = {
+      val r = out.select("pa", "pb").collect().head
+      assert(r.getString(0) == "new_a")
+      assert(r.isNullAt(1), "NULL field of the matching row was shadowed " +
+        "by an older right row — payload columns mixed across rows")
+    }
+    check(AsofJoin.asof(left, right, Seq("k"), "us"))
+    for (w <- Seq(1L, 7L, 100L))
+      check(AsofJoin.asofBucketed(left, right, Seq("k"), "us", w))
+  }
+
   test("plan: one shuffle on the key, no join operator") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a")).toDF("k", "us", "tag")
