@@ -85,6 +85,20 @@ object EngineQueries {
       * indexed branch of `queryVectors`. */
     def ensureIndexed(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
       build(s, dir, "idx_", indexed = true)
+    /** Same corpus through the PLUGGABLE index kind: the engine built and
+      * queried over an IVF-PQ codes index instead of the LSH forest. */
+    def ensureIvfPq(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
+      cache.getOrElseUpdate(s"$dir|ivfpq_", {
+        val p = "/tmp/graft_engine/v1_ivfpq_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        ZebraEngine.destroy(p)
+        val eng = ZebraEngine.create(
+          s, p, EngineConfig(dim = 64, indexKind = "ivfpq"))
+        eng.insertRecords(Tables.embeddings(s, dir)
+          .select(format_string("v%06d", col("vec_id")).as("id"), col("embedding")))
+        eng.refreshIndex()
+        eng
+      })
   }
 
   /** D1+D9+D11 through the real engine lifecycle: records inserted via
@@ -142,6 +156,35 @@ object EngineQueries {
       WHERE rn <= 10
       ORDER BY query_id, id"""))
 
+  /** The SAME lifecycle and query contract through the engine's pluggable
+    * index kind: insert_records → IVF-PQ index (coarse cells × 8-byte
+    * codes) → partition-pruned ADC probe → exact rerank, at exhaustive
+    * budget — the pipeline degenerates to exact kNN and lands on the same
+    * hash as engine_indexed_full_budget does through the LSH forest. One
+    * oracle, two engine index implementations. */
+  val engineIvfPqFull = Q(
+    "engine_ivfpq_full_budget",
+    (s, dir) => {
+      val eng = EngineCache.ensureIvfPq(s, dir)
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      eng.queryVectors(queries, k = 10, searchK = Some(Int.MaxValue))
+        .orderBy("query_id", "id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 2),
+           d AS (SELECT q.query_id, printf('v%06d', a.vec_id) AS id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, id"""))
+
   def qs: Seq[Q] =
-    Seq(dedupExact, removeAntiJoin, engineRoundtrip, engineIndexedFull)
+    Seq(dedupExact, removeAntiJoin, engineRoundtrip, engineIndexedFull,
+      engineIvfPqFull)
 }

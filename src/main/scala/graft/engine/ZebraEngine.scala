@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 import graft.embed.Embedder
 import graft.functions.Distances
 import graft.index.LshForest
-import graft.ops.SimSearch
+import graft.ops.{IvfPq, SimSearch}
 
 /** Engine configuration — the runtime equivalent of the reference's
   * compile-time type parameters `Database<N, Met, Mod>`
@@ -21,7 +21,10 @@ final case class EngineConfig(
     metric: String = "l2sq",
     numTrees: Int = 15,
     maxNodeSize: Int = 5,
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    indexKind: String = "lsh") {
+  require(indexKind == "lsh" || indexKind == "ivfpq",
+    s"unknown indexKind '$indexKind' (lsh | ivfpq)")
   def distanceMetric: Distances.Metric = Distances.byName(metric)
 }
 
@@ -121,10 +124,23 @@ final class ZebraEngine private (
     // table the way the cold nextSeq() does
     seqWatermark =
       written.agg(coalesce(max("seq"), lit(base - 1L))).head().getLong(0) + 1L
-    loadModel().foreach { model =>
-      LshForest.bucketTable(written, model, vecId = "id")
-        .repartition(col("tree_id"))
-        .write.mode(SaveMode.Append).partitionBy("tree_id").parquet(indexDir)
+    config.indexKind match {
+      case "ivfpq" =>
+        // route the batch through the EXISTING quantizers (I7's shape):
+        // coarse assignment + codes, appended into the cell partitions
+        loadIvfPqModel().foreach { m =>
+          graft.ops.Ivf.assign(written, m.coarse, vecId = "id")
+            .drop("embedding")
+            .join(graft.ops.Pq.encode(written, m.pq, vecId = "id"), Seq("id"))
+            .repartition(col("cell_id"))
+            .write.mode(SaveMode.Append).partitionBy("cell_id").parquet(indexDir)
+        }
+      case _ =>
+        loadModel().foreach { model =>
+          LshForest.bucketTable(written, model, vecId = "id")
+            .repartition(col("tree_id"))
+            .write.mode(SaveMode.Append).partitionBy("tree_id").parquet(indexDir)
+        }
     }
   }
 
@@ -139,13 +155,33 @@ final class ZebraEngine private (
   def queryVectors(
       queries: DataFrame, k: Int, searchK: Option[Int] = None): DataFrame = {
     val m = config.distanceMetric
-    loadModel() match {
-      case Some(model) if hasData(indexDir) =>
-        LshForest.topK(
-          queries, spark.read.parquet(indexDir), vectors, model, k,
-          metric = m, searchKOpt = searchK, vecId = "id")
+    def exact = SimSearch.exactTopK(queries, vectors, k, metric = m, vecId = "id")
+    config.indexKind match {
+      case "ivfpq" =>
+        loadIvfPqModel() match {
+          case Some(model) if hasData(indexDir) =>
+            // searchK plays its LSH role of the candidate budget: it is
+            // the rerank size, and an exhaustive budget also probes every
+            // cell — so full-budget queries degenerate to exact kNN under
+            // ANY metric (the shortlist is the whole corpus).
+            val full = searchK.exists(_ >= Int.MaxValue)
+            val nprobe =
+              if (full) model.coarse.nlist
+              else math.max(1, (model.coarse.nlist * 3) / 4)
+            IvfPq.topK(
+              queries, spark.read.parquet(indexDir), vectors, model, k,
+              nprobe = nprobe, rerank = searchK.getOrElse(32 * k),
+              metric = m, vecId = "id")
+          case _ => exact
+        }
       case _ =>
-        SimSearch.exactTopK(queries, vectors, k, metric = m, vecId = "id")
+        loadModel() match {
+          case Some(model) if hasData(indexDir) =>
+            LshForest.topK(
+              queries, spark.read.parquet(indexDir), vectors, model, k,
+              metric = m, searchKOpt = searchK, vecId = "id")
+          case _ => exact
+        }
     }
   }
 
@@ -286,12 +322,20 @@ final class ZebraEngine private (
   }
 
   /** Build (or rebuild — leaf-split compaction) the LSH forest index. */
-  def refreshIndex(): Unit = {
-    val model = LshForest.build(
-      vectors, LshForest.Options(
-        config.numTrees, config.maxNodeSize, config.seed), vecId = "id")
-    LshForest.writeIndex(vectors, model, indexDir, vecId = "id")
-    saveModel(model)
+  def refreshIndex(): Unit = config.indexKind match {
+    case "ivfpq" =>
+      // nlist ~ sqrt(n): cells stay ~sqrt(n)-sized, the classic IVF rule
+      val n = count()
+      val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+      val model = IvfPq.train(vectors, nlist = nlist, vecId = "id")
+      IvfPq.buildIndex(vectors, model, indexDir, vecId = "id")
+      saveModel(model)
+    case _ =>
+      val model = LshForest.build(
+        vectors, LshForest.Options(
+          config.numTrees, config.maxNodeSize, config.seed), vecId = "id")
+      LshForest.writeIndex(vectors, model, indexDir, vecId = "id")
+      saveModel(model)
   }
 
   /** In-process model cache, stamped with the file's (mtime, length): at a
@@ -299,9 +343,11 @@ final class ZebraEngine private (
     * objects, and deserializing it per query call dominated end-to-end
     * latency ~30x at the 1M-vector scale probe. The stamp keeps the cache
     * coherent when another process (or a saveModel here) rewrites the file. */
-  @volatile private var modelCache: Option[((Long, Long), LshForest.ForestModel)] = None
+  @volatile private var modelCache: Option[((Long, Long), AnyRef)] = None
 
-  private[engine] def loadModel(): Option[LshForest.ForestModel] = {
+  /** Stamp-cached deserialization of whatever model the configured index
+    * kind persisted (the file holds a ForestModel or an IvfPqModel). */
+  private def loadRawModel(): Option[AnyRef] = {
     val f = new File(modelFile)
     if (!f.exists()) { modelCache = None; None }
     else {
@@ -310,16 +356,22 @@ final class ZebraEngine private (
         case Some((s, m)) if s == stamp => Some(m)
         case _ =>
           val in = new ObjectInputStream(new FileInputStream(f))
-          val m =
-            try in.readObject().asInstanceOf[LshForest.ForestModel]
-            finally in.close()
+          val m = try in.readObject() finally in.close()
           modelCache = Some((stamp, m))
           Some(m)
       }
     }
   }
 
-  private def saveModel(m: LshForest.ForestModel): Unit = {
+  private[engine] def loadModel(): Option[LshForest.ForestModel] =
+    if (config.indexKind != "lsh") None
+    else loadRawModel().map(_.asInstanceOf[LshForest.ForestModel])
+
+  private[engine] def loadIvfPqModel(): Option[IvfPq.IvfPqModel] =
+    if (config.indexKind != "ivfpq") None
+    else loadRawModel().map(_.asInstanceOf[IvfPq.IvfPqModel])
+
+  private def saveModel(m: AnyRef): Unit = {
     val out = new ObjectOutputStream(new FileOutputStream(modelFile))
     try out.writeObject(m) finally out.close()
     val f = new File(modelFile)
@@ -357,9 +409,15 @@ final class ZebraEngine private (
     * maintenance op. */
   private def rewritePartitioned(dir: String, df: DataFrame): Unit = {
     val tmp = dir + ".staging"
-    df.repartitionByRange(col("tree_id"), col("leaf_id"))
-      .sortWithinPartitions("tree_id", "leaf_id")
-      .write.mode(SaveMode.Overwrite).partitionBy("tree_id").parquet(tmp)
+    config.indexKind match {
+      case "ivfpq" =>
+        df.repartition(col("cell_id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(tmp)
+      case _ =>
+        df.repartitionByRange(col("tree_id"), col("leaf_id"))
+          .sortWithinPartitions("tree_id", "leaf_id")
+          .write.mode(SaveMode.Overwrite).partitionBy("tree_id").parquet(tmp)
+    }
     swap(dir, tmp)
   }
 
@@ -418,7 +476,8 @@ object ZebraEngine {
   private def writeMeta(path: String, c: EngineConfig): Unit = {
     val json =
       s"""{"dim":${c.dim},"metric":"${c.metric}","num_trees":${c.numTrees},""" +
-        s""""max_node_size":${c.maxNodeSize},"seed":${c.seed}}"""
+        s""""max_node_size":${c.maxNodeSize},"seed":${c.seed},""" +
+        s""""index_kind":"${c.indexKind}"}"""
     Files.write(
       Paths.get(path, "zebra.json"), json.getBytes(StandardCharsets.UTF_8))
     ()
@@ -444,7 +503,10 @@ object ZebraEngine {
       metric = str("metric"),
       numTrees = num("num_trees").toInt,
       maxNodeSize = num("max_node_size").toInt,
-      seed = num("seed").toLong)
+      seed = num("seed").toLong,
+      // absent in pre-pluggability metadata files: those engines are LSH
+      indexKind = """"index_kind"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("lsh"))
   }
 
   private def deleteRecursively(f: File): Unit = {
