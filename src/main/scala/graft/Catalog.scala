@@ -22,6 +22,8 @@ object Catalog {
       catalog.TextQueries.qs ++
       catalog.DedupQueries.qs ++
       catalog.PipelineQueries.qs ++
+      catalog.RetrievalQueries.qs ++
+      catalog.CurationQueries.qs ++
       catalog.EmbedQueries.qs ++
       catalog.MultimodalQueries.qs
 

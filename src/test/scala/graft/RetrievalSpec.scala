@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.RetrievalQueries
+
+/** Semantic gates on the retrieval family beyond DuckDB parity: ranking
+  * invariants, fusion arithmetic, and determinism. */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sf0001
+
+  private lazy val bm25 = RetrievalQueries.bm25.run(spark, dir).collect()
+  private lazy val fused = RetrievalQueries.hybridRrf.run(spark, dir).collect()
+
+  test("bm25 top-k is strictly rank-ordered, scores positive and descending") {
+    assert(bm25.nonEmpty && bm25.length <= 10)
+    val ranks = bm25.map(_.getAs[Long]("rk"))
+    assert(ranks.toSeq == (1L to bm25.length).toSeq)
+    val scores = bm25.map(_.getAs[Long]("bm25_1e4"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // Ties must break ascending on doc_id.
+    bm25.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getAs[Long]("bm25_1e4") == w(1).getAs[Long]("bm25_1e4"))
+        assert(w(0).getAs[Long]("doc_id") < w(1).getAs[Long]("doc_id"))
+    }
+  }
+
+  test("rrf fusion value equals the integer formula over its leg ranks") {
+    assert(fused.nonEmpty && fused.length <= 10)
+    fused.foreach { r =>
+      val (rb, rv) = (r.getAs[Long]("r_bm25"), r.getAs[Long]("r_vec"))
+      assert(rb > 0 || rv > 0, "doc retrieved by neither leg")
+      val expect = (if (rv > 0) 1000000L / (60 + rv) else 0L) +
+        (if (rb > 0) 1000000L / (60 + rb) else 0L)
+      assert(r.getAs[Long]("rrf_1e6") == expect)
+    }
+  }
+
+  test("a doc ranked #1 by both legs would dominate: fused head beats tails") {
+    val scores = fused.map(_.getAs[Long]("rrf_1e6"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("retrieval is deterministic across executions") {
+    val again = RetrievalQueries.bm25.run(spark, dir).collect()
+    assert(bm25.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
