@@ -24,6 +24,7 @@ object Catalog {
       catalog.PipelineQueries.qs ++
       catalog.RetrievalQueries.qs ++
       catalog.CurationQueries.qs ++
+      catalog.ProfileQueries.qs ++
       catalog.EmbedQueries.qs ++
       catalog.MultimodalQueries.qs
 

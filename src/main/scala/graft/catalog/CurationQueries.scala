@@ -1,50 +1,35 @@
 package graft.catalog
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
 import graft.core.Tables
+import graft.ops.Curation
 
-/** Corpus-curation operators a large-scale training-data pipeline runs
-  * beyond dedup and lang-ID: repetition-based quality filters (the Gopher
-  * rules), benchmark decontamination, PII scrubbing, deterministic quota
-  * sampling, and sequence packing. Every entry is integer-exact (counts,
+/** Catalog twins for the curation library surface (`ops/Curation.scala`) —
+  * the operators a large-scale training-data pipeline runs beyond dedup and
+  * lang-ID: repetition-based quality filters (the Gopher rules), benchmark
+  * decontamination, PII scrubbing, deterministic quota sampling, and
+  * sequence packing. Every entry is integer-exact (counts,
   * integer-quantized ratios, md5 digests) so the DuckDB hash gate cannot
   * flake on float accumulation, and every shape is the one that survives
-  * 100 TB: explode → hash-aggregate (partial map-side), broadcast joins
-  * against tiny derived sets, and windows only where partitioned by a
-  * grouping key or over provably bounded inputs.
+  * 100 TB: zero-shuffle HOF passes or explode → hash-aggregate (partial
+  * map-side), broadcast joins against tiny derived sets, and windows only
+  * where partitioned by a grouping key or over provably bounded inputs.
   */
 object CurationQueries {
 
-  /** Gopher-style repetition stats per document: duplicate-2-gram fraction,
-    * top-2-gram fraction, top-word fraction — the "document is k lines of
-    * the same boilerplate" signals. Ratios are integer-quantized at 1e-4 by
-    * `div`, never floats. Two explode→agg branches (words, 2-grams) joined
-    * on doc_id; both aggregations partial-aggregate map-side, and the join
-    * keys are the same doc_id partitioning so AQE plans a single exchange. */
+  /** Gopher-style repetition stats per document. The op computes each
+    * doc's distinct/max-multiplicity with one run-length `aggregate` HOF
+    * over its sorted gram array — entirely map-side (the explode → two
+    * groupBys → join formulation spent 2.9 s at sf0.1 as the bench's
+    * slowest query; this form is scan → project → orderBy). The DuckDB
+    * oracle keeps the explode formulation — same result, independent
+    * derivation. */
   val repetition = Q(
     "text_repetition_stats",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val w = split(lower(col("text")), " ")
-      val grams2 = transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
-      val g2 = docs.select(col("doc_id"), explode(grams2).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum("c").as("n2"), count(lit(1)).as("d2"), max("c").as("m2"))
-      val g1 = docs.select(col("doc_id"), explode(w).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(sum("c").as("n1"), max("c").as("m1"))
-      g2.join(g1, "doc_id")
-        .select(col("doc_id"), col("n2"),
-          expr("(n2 - d2) * 10000 div n2").as("dup2_frac_1e4"),
-          expr("m2 * 10000 div n2").as("top2_frac_1e4"),
-          expr("m1 * 10000 div n1").as("top1_frac_1e4"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      Curation.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id"),
     Some("""
       WITH g2 AS (SELECT doc_id, sum(c)::BIGINT AS n2, count(*)::BIGINT AS d2,
                          max(c)::BIGINT AS m2
@@ -70,26 +55,16 @@ object CurationQueries {
       FROM g2 JOIN g1 USING (doc_id) ORDER BY doc_id"""))
 
   /** Benchmark decontamination: flag every corpus document sharing a word
-    * 5-gram with the "benchmark" subset (doc_id ≡ 0 mod 97 — a stand-in for
-    * an eval set). The benchmark gram set is tiny and broadcast; the corpus
-    * side is one explode → broadcast-hash-join → count-distinct — at 100 TB
-    * the corpus grams stream through map tasks and only matches shuffle
-    * (GPT-3-style 13-gram decontamination, scaled to the fixture's short
-    * docs). */
+    * 5-gram with the "benchmark" subset (doc_id ≡ 0 mod 97 — a stand-in
+    * for an eval set). GPT-3-style decontamination scaled to the fixture's
+    * short docs; see `Curation.decontaminate` for the broadcast shape. */
   val decontaminate = Q(
     "text_decontaminate",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val w = split(lower(col("text")), " ")
-      val grams5 = transform(sequence(lit(1), size(w) - 4),
-        i => array_join(slice(w, i, lit(5)), " "))
-      val g5 = docs.filter(size(w) >= 5)
-        .select(col("doc_id"), explode(grams5).as("g"))
-      val bench = g5.filter(col("doc_id") % 97 === 0)
-        .select(col("g")).distinct()
-      g5.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(bench), "g")
-        .groupBy("doc_id").agg(count_distinct(col("g")).as("n_shared"))
+      Curation.decontaminate(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 97 === 0))
         .orderBy("doc_id")
     },
     Some("""
@@ -104,10 +79,8 @@ object CurationQueries {
       GROUP BY doc_id ORDER BY doc_id"""))
 
   /** PII scrubbing: plant deterministic emails/phones into the crawl text,
-    * then count and redact them by regex. Pure map-side work (no shuffle at
-    * all before the final order), with the redacted text gated through its
-    * md5 digest. The regexes stay in the dialect intersection of Java and
-    * RE2 (character classes + bounded quantifiers only). */
+    * scrub via `Curation.piiScrub`, gate the redacted text through md5.
+    * Pure map-side work — no shuffle before the final order. */
   val piiScrub = Q(
     "text_pii_scrub",
     (s, dir) => {
@@ -119,17 +92,11 @@ object CurationQueries {
           concat(lit(" call 555-"),
             (lit(1000) + col("doc_id") % 9000).cast("string")))
           .otherwise(lit("")))
-      val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-      val phoneRe = "555-[0-9]{4}"
-      Tables.documents(s, dir)
-        .select(col("doc_id"), planted.as("crawl"))
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("crawl"), lit(emailRe), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("crawl"), lit(phoneRe), lit(0)))
-            .cast("long").as("n_phones"),
-          md5(regexp_replace(regexp_replace(col("crawl"), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
+      val crawl = Tables.documents(s, dir)
+        .select(col("doc_id"), planted.as("text"))
+      Curation.piiScrub(crawl)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"))
         .orderBy("doc_id")
     },
     Some("""
@@ -152,23 +119,16 @@ object CurationQueries {
       FROM crawl ORDER BY doc_id"""))
 
   /** Deterministic quota sampling: at most 30 docs per source, chosen by
-    * md5 order — the reproducible stratified downsample of a per-domain
-    * cap pass. The window partitions by source (the grouping key), so at
-    * scale each domain ranks independently; a skewed mega-domain is the
-    * one case to pre-salt, exactly as README's skew levers describe. */
+    * md5 order (`Curation.quotaSample`) — the reproducible stratified
+    * downsample of a per-domain cap pass. */
   val quotaSample = Q(
     "sample_quota_per_source",
-    (s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("h"), col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          md5(concat(lit("q"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 30)
+    (s, dir) =>
+      Curation.quotaSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        strata = "source", cap = 30)
         .select(col("doc_id"), col("source"), col("rk"))
-        .orderBy("source", "rk")
-    },
+        .orderBy("source", "rk"),
     Some("""
       SELECT doc_id, source, rk
       FROM (SELECT doc_id, source,
@@ -179,22 +139,18 @@ object CurationQueries {
       WHERE rk <= 30 ORDER BY source, rk"""))
 
   /** Sequence packing: the concat-and-chunk pass that turns curated docs
-    * into fixed-budget training sequences (2048 "tokens" here). Docs are
-    * packed in doc_id order within each source; a doc starts the sequence
-    * its running-token offset falls into. One partitioned window (running
-    * sum) + one aggregation — both keyed on source, so the plan reuses a
-    * single hash partitioning and no global ordering exists anywhere. */
+    * into fixed-budget training sequences (2048 "tokens" here), rolled up
+    * per (source, sequence). Both the packing window and the rollup key on
+    * source, so the plan reuses a single hash partitioning and no global
+    * ordering exists anywhere. */
   val packSequences = Q(
     "pack_sequences",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val dl = docs.select(col("doc_id"), col("source"),
+      val dl = Tables.documents(s, dir).select(col("doc_id"), col("source"),
         size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
           .cast("long").as("n_tok"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dl.withColumn("cum", sum("n_tok").over(w))
-        .withColumn("seq_id", expr("(cum - n_tok) div 2048"))
+      Curation.packSequences(dl, strata = "source", tokensCol = "n_tok",
+        budget = 2048)
         .groupBy("source", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
         .orderBy("source", "seq_id")

@@ -1,0 +1,93 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.core.Tables
+
+/** Data-profiling operators — the ANALYZE-style statistics pass a pipeline
+  * runs over a freshly landed table before planning anything else. Shapes
+  * are pure hash-aggregations (partial map-side, one shuffle of per-group
+  * scalars); no ordering-sensitive float accumulation is emitted: sums are
+  * over integers, extremes (min/max) are exact single values, quantiles are
+  * the deterministic linear-interpolation kind over integer inputs.
+  */
+object ProfileQueries {
+
+  /** Per-source token-count distribution: exact p50/p90/p99 (linear
+    * interpolation — Spark `percentile` and DuckDB `quantile_cont` both
+    * implement the type-7 estimator; inputs are integers so the
+    * interpolation arithmetic is the same IEEE op tree on both engines),
+    * plus min/max/count. The exact-percentile aggregate buffers each
+    * group's values — right for per-group distribution profiling where
+    * groups are bounded; corpus-wide single-group quantiles at 100 TB
+    * would switch to approx_percentile. */
+  val tokenQuantiles = Q(
+    "profile_token_quantiles",
+    (s, dir) => {
+      val dl = Tables.documents(s, dir).select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tok"))
+      dl.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        min("n_tok").as("min_tok"),
+        max("n_tok").as("max_tok"),
+        round(expr("percentile(n_tok, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_tok, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_tok, 0.99)"), 4).as("p99"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH dl AS (SELECT source,
+                         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                           AS n_tok
+                  FROM documents)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+             round(quantile_cont(n_tok, 0.5), 4) AS p50,
+             round(quantile_cont(n_tok, 0.9), 4) AS p90,
+             round(quantile_cont(n_tok, 0.99), 4) AS p99
+      FROM dl GROUP BY source ORDER BY source"""))
+
+  /** Column-level profile of `lineitem`: null counts, distinct counts and
+    * exact extremes for a representative column set — one aggregation over
+    * the scan (count_distinct rewrites to expand + two-phase agg; at 100 TB
+    * swap HLL in via approx_count_distinct, same plan shape, see
+    * q_sketch_distinct for the gated sketch). Only exact single values
+    * (min/max) and integer counts cross the shuffle — nothing
+    * accumulation-ordered. */
+  val profileLineitem = Q(
+    "profile_lineitem",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        sum(when(col("l_tax").isNull, 1L).otherwise(0L)).as("null_tax"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        min("l_shipdate").cast("date").cast("string").as("min_shipdate"),
+        max("l_shipdate").cast("date").cast("string").as("max_shipdate"),
+        count_distinct(col("l_returnflag")).as("n_flags"))
+    },
+    Some("""
+      SELECT count(*)::BIGINT AS n_rows,
+             count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+             count(DISTINCT l_partkey)::BIGINT AS n_parts,
+             count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+             sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS null_tax,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             min(l_shipdate)::DATE::VARCHAR AS min_shipdate,
+             max(l_shipdate)::DATE::VARCHAR AS max_shipdate,
+             count(DISTINCT l_returnflag)::BIGINT AS n_flags
+      FROM lineitem"""))
+
+  def qs: Seq[Q] = Seq(tokenQuantiles, profileLineitem)
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Library surface for corpus curation: repetition/quality signals,
+  * decontamination, PII scrubbing, quota sampling and sequence packing —
+  * the passes a training-data pipeline composes between dedup and
+  * tokenization. All outputs are integer-exact (div-quantized ratios,
+  * counts, digests); see the catalog twins for the DuckDB hash gates.
+  */
+object Curation {
+
+  /** Run-length pass over a SORTED array: returns struct(mx, d) = max
+    * multiplicity and distinct count — one `aggregate` HOF, entirely
+    * map-side. The zero-shuffle replacement for
+    * explode → groupBy(doc, gram) → groupBy(doc). */
+  def runStats(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("mx"), lit(0L).as("d")),
+      (a, x) => when(a.getField("prev").isNotNull && x === a.getField("prev"),
+        struct(x.as("prev"), (a.getField("run") + 1).as("run"),
+          a.getField("mx").as("mx"), a.getField("d").as("d")))
+        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+          greatest(a.getField("mx"), a.getField("run")).as("mx"),
+          (a.getField("d") + 1).as("d"))),
+      a => struct(greatest(a.getField("mx"), a.getField("run")).as("mx"),
+        a.getField("d").as("d")))
+
+  /** Word n-gram array of a text column (n >= 1), lowercased. */
+  def wordGrams(textCol: Column, n: Int): Column = {
+    val w = split(lower(textCol), " ")
+    if (n == 1) w
+    else transform(sequence(lit(1), size(w) - (n - 1)),
+      i => array_join(slice(w, i, lit(n)), " "))
+  }
+
+  /** Gopher-style per-doc repetition stats: duplicate-2-gram, top-2-gram
+    * and top-word fractions, 1e-4 integer-quantized. Zero shuffles. */
+  def repetitionStats(
+      docs: DataFrame, docId: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = split(lower(col(textCol)), " ")
+    docs
+      .select(col(docId),
+        size(w).cast("long").as("n1"),
+        (size(w) - 1).cast("long").as("n2"),
+        runStats(array_sort(wordGrams(col(textCol), 2))).as("s2"),
+        runStats(array_sort(w)).as("s1"))
+      .select(col(docId), col("n2"),
+        expr("(n2 - s2.d) * 10000 div n2").as("dup2_frac_1e4"),
+        expr("s2.mx * 10000 div n2").as("top2_frac_1e4"),
+        expr("s1.mx * 10000 div n1").as("top1_frac_1e4"))
+  }
+
+  /** Docs sharing any word n-gram with `benchmark` (both (docId, textCol)):
+    * returns (docId, n_shared) over the non-benchmark side. The benchmark
+    * gram set is distinct-ed and broadcast; corpus grams stream map-side
+    * and only matches shuffle (GPT-3-style eval-set decontamination). */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .filter(size(split(lower(col(textCol)), " ")) >= n)
+      .select(col(docId), explode(wordGrams(col(textCol), n)).as("g"))
+    val bench = grams(benchmark).select("g").distinct()
+    grams(corpus).join(broadcast(bench), "g")
+      .groupBy(docId).agg(count_distinct(col("g")).as("n_shared"))
+  }
+
+  /** Email/phone scrub: counts + redacted text. Regexes must stay in the
+    * Java∩RE2 dialect (character classes, bounded quantifiers) so catalog
+    * twins can replay them in DuckDB. */
+  def piiScrub(
+      docs: DataFrame, docId: String = "doc_id",
+      textCol: String = "text",
+      emailRe: String = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+",
+      phoneRe: String = "555-[0-9]{4}"): DataFrame =
+    docs.select(col(docId),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("redacted"))
+
+  /** Deterministic quota sample: at most `cap` rows per `strata`, chosen by
+    * md5(docId) order — reproducible stratified downsampling. The window
+    * partitions by the stratum key; pre-salt a mega-stratum if skewed. */
+  def quotaSample(
+      docs: DataFrame, strata: String, cap: Int,
+      docId: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(strata).orderBy(col("h"), col(docId))
+    docs
+      .withColumn("h", md5(concat(lit("q"), col(docId).cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .drop("h")
+  }
+
+  /** Concat-and-chunk sequence packing: assign docs (in docId order within
+    * each `strata`) to fixed-budget training sequences by running token
+    * cumsum div `budget`. Returns the input plus (seq_id, cum). */
+  def packSequences(
+      docs: DataFrame, strata: String, tokensCol: String, budget: Int,
+      docId: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(strata).orderBy(docId)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(tokensCol).over(w))
+      .withColumn("seq_id", expr(s"(cum - $tokensCol) div $budget"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Library surface for lexical and hybrid retrieval: BM25 scoring over an
+  * inverted-index shape and reciprocal-rank fusion — the text leg that
+  * complements the engine's vector ANN search (reference query surface:
+  * src/database/core.rs:267-313; zebra itself has no lexical search — this
+  * is part of the training-data-pipeline extension surface).
+  *
+  * Determinism contract (shared with the catalog's DuckDB twins): scores
+  * are integers. BM25's tf side is exactly rational — with k1 = 1.2,
+  * b = 0.75 and avgdl = S/N it multiplies out to
+  * 22·tf·S / (10·tf·S + 3·S + 9·dl·N) — and the idf is the rational
+  * surrogate (N+1)/(df+1), monotone in df like Robertson's
+  * ln((N−df+0.5)/(df+0.5)) but transcendental-free, so no libm call can
+  * diverge across engines. Per-(doc, term) scores are truncated to 1e-4
+  * integers BEFORE the per-doc sum; integer sums are accumulation-order
+  * independent.
+  *
+  * Scale shape: the query-term filter sits below the tf aggregation (only
+  * matching postings shuffle), df and corpus stats broadcast, and rankings
+  * come from the bounded TopKAgg — map-side partial top-k, never a global
+  * ranking window over the scored corpus.
+  */
+object Retrieval {
+
+  /** Per-doc integer BM25 scores (column `bm25_1e4`) for `terms` over
+    * `docs(docId, textCol)`. k1 = 1.2, b = 0.75 (fixed so the arithmetic
+    * stays in the exactly-rational form above). */
+  def bm25Scores(
+      docs: DataFrame, terms: Seq[String],
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    val dl = docs.select(col(docId),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = docs
+      .select(col(docId), explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word").isInCollection(terms))
+      .groupBy(docId, "word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "word").join(dl, docId)
+      .crossJoin(broadcast(stats))
+      .select(col(docId),
+        floor((col("n_docs") + 1).cast("double") / (col("df") + 1)
+          * (lit(22.0) * col("tf") * col("sum_dl"))
+          / (lit(10.0) * col("tf") * col("sum_dl") + lit(3.0) * col("sum_dl")
+            + lit(9.0) * col("dl") * col("n_docs"))
+          * lit(1e4)).cast("long").as("t4"))
+      .groupBy(docId).agg(sum("t4").as("bm25_1e4"))
+  }
+
+  /** Bounded top-k of (score desc, id asc) via TopKAgg: the integer score is
+    * negated into the aggregator's ascending (dist, id) order (integers of
+    * this size are exact doubles, so no rounding enters the key). Returns
+    * (docId, scoreName, rk) with rk 1-based. */
+  def topKByScore(
+      scored: DataFrame, k: Int, scoreName: String,
+      docId: String = "doc_id"): DataFrame =
+    scored
+      .groupBy()
+      .agg(TopK.topk[Long](k, -col(scoreName).cast("double"), col(docId))
+        .as("t"))
+      .select(posexplode(col("t")))
+      .select(col("col.id").as(docId),
+        (-col("col.dist")).cast("long").as(scoreName),
+        (col("pos") + 1).cast("long").as("rk"))
+
+  /** BM25 top-k search: `bm25Scores` ∘ `topKByScore`. */
+  def bm25TopK(
+      docs: DataFrame, terms: Seq[String], k: Int,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame =
+    topKByScore(bm25Scores(docs, terms, docId, textCol), k, "bm25_1e4", docId)
+
+  /** Reciprocal-rank fusion of retrieval legs. Each leg is
+    * (name, DataFrame(docId, rankCol)) with ranks 1-based over a BOUNDED
+    * retrieved set (top-k per leg — fuse what was retrieved, as a
+    * production hybrid retriever does). Output: one row per doc in the
+    * union, a 0-defaulted rank column `r_<name>` per leg, and
+    * `rrf_1e6 = Σ 1e6 div (rrfK + rank)` over present legs — integer-only.
+    * rrfK = 60 is the standard fusion constant. */
+  def rrfFuse(
+      legs: Seq[(String, DataFrame)], rrfK: Int = 60,
+      docId: String = "doc_id"): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val renamed = legs.map { case (name, df) =>
+      name -> df.select(col(docId), col("rk").as(s"r_$name"))
+    }
+    val joined = renamed.map(_._2).reduce(
+      (a, b) => a.join(b, Seq(docId), "full_outer"))
+    val contrib: Column = renamed.map { case (name, _) =>
+      when(col(s"r_$name").isNull, lit(0L))
+        .otherwise(expr(s"1000000 div ($rrfK + r_$name)"))
+    }.reduce(_ + _)
+    val zeroed = renamed.foldLeft(joined.withColumn("rrf_1e6", contrib)) {
+      case (df, (name, _)) =>
+        df.withColumn(s"r_$name", coalesce(col(s"r_$name"), lit(0L)))
+    }
+    zeroed
+  }
+}
