@@ -464,7 +464,37 @@ object DedupQueries {
       SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b, 1.0 AS cos_sim
       FROM embeddings ORDER BY vec_a"""))
 
+  /** Duplicate clusters: connected components over the EXACT n-gram
+    * near-dup pair graph (NgramPairsCache — the provably complete pair
+    * set), labeling every paired doc with the min doc_id reachable from it.
+    * Pairs alone can't drop documents consistently once duplicates chain
+    * (a~b, b~c without a~c); the component id is the canonical survivor.
+    * Spark side: O(diameter) min-label-propagation rounds
+    * (`ops/ConnectedComponents.scala`); oracle: recursive transitive
+    * closure to the same min-reachable label — independent derivations of
+    * the same fixpoint. */
+  val clusterCc = Q(
+    "dedup_cluster_cc",
+    (s, dir) => {
+      val edges = NgramPairsCache.get(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.ops.ConnectedComponents.components(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""${oracleNgramPipeline.replaceFirst("WITH", "WITH RECURSIVE")},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION SELECT doc_b, doc_a FROM vp
+              UNION SELECT doc_a, doc_a FROM vp
+              UNION SELECT doc_b, doc_b FROM vp),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+      SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashKeep, ngramJaccard, ngramKeep,
-    simhashPairs, embeddingNearDup)
+    simhashPairs, embeddingNearDup, clusterCc)
 }

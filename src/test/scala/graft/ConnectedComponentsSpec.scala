@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ConnectedComponents
+
+/** Gates on the duplicate-cluster operator: known topologies, a randomized
+  * union-find cross-check, and the catalog entry's fixture behavior. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.components(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Driver-side union-find reference. */
+  private def ufRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // normalize to min-of-component
+    val groups = nodes.groupBy(find)
+    groups.flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+  }
+
+  test("chain, clique and singleton-pair topologies") {
+    // chain 1-2-3-4-5 forces multiple propagation rounds
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(cc(chain) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // two components + reversed edge direction
+    val two = Seq((10L, 7L), (7L, 8L), (20L, 21L))
+    assert(cc(two) == Map(7L -> 7L, 8L -> 7L, 10L -> 7L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("random graphs agree with driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      assert(cc(edges) == ufRef(edges))
+    }
+  }
+
+  test("catalog clusters: every cluster id is a member and the minimum") {
+    val rows = graft.catalog.DedupQueries.clusterCc
+      .run(spark, SparkTestBase.sf0001).collect()
+    assert(rows.nonEmpty, "fixture n-gram pairs should produce clusters")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_.getAs[Long]("doc_id"))
+      assert(ids.min == cid, s"cluster $cid: min member is ${ids.min}")
+    }
+  }
+}
