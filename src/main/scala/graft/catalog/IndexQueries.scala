@@ -18,6 +18,12 @@ object IndexQueries {
   object LshCache {
     private val cache = scala.collection.concurrent.TrieMap[
       String, (String, LshForest.ForestModel)]()
+    // The loaded DataFrame is cached per session too: spark.read.parquet
+    // re-lists the partitioned index directory (numTrees dirs × slice
+    // files) on every call, which at per-query granularity costs more
+    // than the probe itself. The cached plan keeps its InMemoryFileIndex.
+    private val dfCache = scala.collection.concurrent.TrieMap[
+      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
     def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
         opts: LshForest.Options = LshForest.Options())
         : (org.apache.spark.sql.DataFrame, LshForest.ForestModel) = {
@@ -31,7 +37,7 @@ object IndexQueries {
         LshForest.writeIndex(e, m, p)
         (p, m)
       })
-      (LshForest.loadIndex(s, path), model)
+      (dfCache.getOrElseUpdate((s, path), LshForest.loadIndex(s, path)), model)
     }
   }
 

@@ -56,6 +56,20 @@ class LshForestSpec extends AnyFunSuite {
     }
   }
 
+  test("search: driver-routed small batches equal the distributed path") {
+    // 150 queries forces the distributed probe pipeline; the same batch
+    // split into <=128-query chunks takes the driver-routing latency path.
+    // Identical model + buckets must give identical results either way.
+    val batch = emb.filter(col("vec_id") < 150)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val big = LshForest.topK(batch, buckets, emb, model, k = 5)
+    val lo = batch.filter(col("query_id") < 75)
+    val hi = batch.filter(col("query_id") >= 75)
+    val small = LshForest.topK(lo, buckets, emb, model, k = 5)
+      .unionAll(LshForest.topK(hi, buckets, emb, model, k = 5))
+    assert(big.exceptAll(small).isEmpty && small.exceptAll(big).isEmpty)
+  }
+
   test("candidates: at least min(searchK, n) per query, all stored ids") {
     val cand = LshForest.candidates(queries, buckets, model, searchK = 10)
     val perQuery = cand.groupBy("query_id").count().collect()
