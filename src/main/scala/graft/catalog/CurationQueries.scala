@@ -169,6 +169,32 @@ object CurationQueries {
              sum(n_tok)::BIGINT AS sum_tokens
       FROM packed GROUP BY source, seq_id ORDER BY source, seq_id"""))
 
+  /** Deterministic train/val/test split: each doc's bucket is the first
+    * two hex chars of md5('v' || doc_id) — a pure map pass, reproducible
+    * across engines and across reruns at any scale, and stable under
+    * corpus growth (a doc's split never changes when others are added —
+    * the property random-number splits lack). String-range thresholds
+    * keep both engines in hex-lexicographic comparison: [00,cc) ≈ 79.7%
+    * train, [cc,e6) ≈ 10.2% val, [e6,ff] ≈ 10.2% test. */
+  val splitTrainVal = Q(
+    "split_train_val",
+    (s, dir) => {
+      val bucket =
+        substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(bucket < "cc", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN substr(md5('v' || doc_id), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5('v' || doc_id), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
   def qs: Seq[Q] =
-    Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences)
+    Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
+      splitTrainVal)
 }

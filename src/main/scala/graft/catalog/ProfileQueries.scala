@@ -89,5 +89,42 @@ object ProfileQueries {
              count(DISTINCT l_returnflag)::BIGINT AS n_flags
       FROM lineitem"""))
 
-  def qs: Seq[Q] = Seq(tokenQuantiles, profileLineitem)
+  /** Vocabulary heavy hitters via the mergeable Misra-Gries sketch
+    * ([[graft.ops.Sketches.MisraGries]]), gated with the same falsifiable
+    * pattern as `q_sketch_distinct`: the OUTPUT is the exact heavy-hitter
+    * set (every token above 1/64 of the stream — deterministic, DuckDB-
+    * reproducible), and `in_sketch` asserts the sketch's theoretical
+    * guarantee (capacity 512 ⇒ undercount ≤ N/513 ≪ N/64, so a FALSE
+    * anywhere is a sketch bug, not noise). Plan: the sketch aggregates
+    * map-side — 512 counters per partition cross the shuffle, never the
+    * token stream; the exact side exists only as the gate. */
+  val heavyHitters = Q(
+    "q_sketch_heavy_hitters",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir).select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("token"))
+      val skKeys = tok
+        .agg(graft.ops.Sketches.heavyHitters(512, col("token")).as("sk"))
+        .select(explode(map_keys(col("sk"))).as("token"))
+        .withColumn("in_sketch", lit(true))
+      val total = tok.agg(count(lit(1)).as("n"))
+      tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 64 > col("n"))
+        .join(broadcast(skKeys), Seq("token"), "left")
+        .select(col("token"), col("cnt"),
+          coalesce(col("in_sketch"), lit(false)).as("in_sketch"))
+        .orderBy("token")
+    },
+    Some("""
+      WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS token
+                   FROM documents),
+           tot AS (SELECT count(*) AS n FROM tok),
+           c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token)
+      SELECT token, cnt, TRUE AS in_sketch
+      FROM c, tot WHERE cnt * 64 > n ORDER BY token"""))
+
+  def qs: Seq[Q] = Seq(tokenQuantiles, profileLineitem, heavyHitters)
 }

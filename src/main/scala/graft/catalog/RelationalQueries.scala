@@ -431,9 +431,84 @@ object RelationalQueries {
              TRUE AS within_5pct
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** MERGE / CDC-apply ([[graft.ops.Merge.applyChanges]]): a deterministic
+    * change log synthesized from `orders` (updates, deletes, a
+    * delete-then-reinsert and a double-update — the last two prove
+    * last-writer-wins) folded onto the base table, then rolled up so the
+    * result is compact but sensitive to any mis-applied row. The oracle
+    * replays the same log in SQL. */
+  val mergeUpsert = Q(
+    "q_merge_upsert",
+    (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("price"))
+      val h = col("k") % 10
+      def ch(cond: org.apache.spark.sql.Column, seq: Int, op: String,
+          price: org.apache.spark.sql.Column) =
+        base.filter(cond).select(col("k"), lit(seq).as("seq"),
+          lit(op).as("op"), col("st"), price.as("price"))
+      val changes =
+        ch(h.isin(0, 1), 1, "upsert", col("price") + 1000)
+          .unionByName(ch(h.isin(2, 3), 1, "delete", lit(null).cast("double")))
+          .unionByName(ch(h === 3, 2, "upsert", lit(42.0)))
+          .unionByName(ch(h === 4, 1, "upsert", col("price") + 1))
+          .unionByName(ch(h === 4, 2, "upsert", col("price") + 2))
+      graft.ops.Merge.applyChanges(base, changes, key = "k")
+        .groupBy(col("st"), (col("k") % 97).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("sum_price"))
+        .orderBy("st", "bucket")
+    },
+    Some("""
+      WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                           o_totalprice AS price FROM orders),
+           ch AS (
+             SELECT k, 1 AS seq, 'upsert' AS op, st, price + 1000 AS price
+             FROM base WHERE k % 10 IN (0, 1)
+             UNION ALL SELECT k, 1, 'delete', st, NULL FROM base
+             WHERE k % 10 IN (2, 3)
+             UNION ALL SELECT k, 2, 'upsert', st, 42.0 FROM base WHERE k % 10 = 3
+             UNION ALL SELECT k, 1, 'upsert', st, price + 1 FROM base
+             WHERE k % 10 = 4
+             UNION ALL SELECT k, 2, 'upsert', st, price + 2 FROM base
+             WHERE k % 10 = 4),
+           win AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (PARTITION BY k
+                                ORDER BY seq DESC, op) AS rn FROM ch)
+                   WHERE rn = 1),
+           final AS (
+             SELECT b.k, b.st, b.price FROM base b
+             WHERE b.k NOT IN (SELECT k FROM win)
+             UNION ALL SELECT k, st, price FROM win WHERE op = 'upsert')
+      SELECT st, k % 97 AS bucket, count(*)::BIGINT AS n,
+             round(sum(price), 2) AS sum_price
+      FROM final GROUP BY st, bucket ORDER BY st, bucket"""))
+
+  /** Pivot: long → wide conditional aggregation (quantity by return flag
+    * across line statuses). Spark's `pivot` with explicit values plans as
+    * ONE pass of conditional aggregates — no per-value scans, no shuffle
+    * beyond the group-by's. */
+  val pivotQty = Q(
+    "q_pivot_qty",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+               AS qty_f,
+             round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+               AS qty_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
-    sketchDistinct)
+    sketchDistinct, mergeUpsert, pivotQty)
 }
