@@ -126,5 +126,52 @@ object ProfileQueries {
       SELECT token, cnt, TRUE AS in_sketch
       FROM c, tot WHERE cnt * 64 > n ORDER BY token"""))
 
-  def qs: Seq[Q] = Seq(tokenQuantiles, profileLineitem, heavyHitters)
+  /** Quantile SKETCH gate — the third sketch family beside distinct-count
+    * (`q_sketch_distinct`) and heavy hitters (`q_sketch_heavy_hitters`).
+    * `approx_percentile` (Spark's mergeable QuantileSummaries / GK sketch)
+    * promises a RANK guarantee, not a value guarantee, so the gate brackets
+    * the returned value's rank with tie-safe integer counts:
+    * count(x < ap) <= 55% of n AND count(x <= ap) >= 45% of n for p=0.5
+    * (resp. 85/95 for p=0.9). The oracle emits exact quantiles and TRUE
+    * flags — a FALSE is a sketch-contract violation, not noise. */
+  val sketchQuantiles = Q(
+    "q_sketch_quantiles",
+    (s, dir) => {
+      val dl = Tables.documents(s, dir).select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tok"))
+      val appx = dl.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(n_tok, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_tok, 0.9)"), 4).as("p90"),
+        expr("approx_percentile(n_tok, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(n_tok, 0.9, 10000)").as("ap90"))
+      dl.join(broadcast(appx), "source")
+        .groupBy("source")
+        .agg(
+          first("n").as("n"), first("p50").as("p50"), first("p90").as("p90"),
+          sum(when(col("n_tok") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("n_tok") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("n_tok") < col("ap90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("n_tok") <= col("ap90"), 1L).otherwise(0L)).as("le90"))
+        .select(col("source"), col("p50"), col("p90"),
+          (col("lt50") * 20 <= col("n") * 11 &&
+            col("le50") * 20 >= col("n") * 9).as("rank50_ok"),
+          (col("lt90") * 20 <= col("n") * 19 &&
+            col("le90") * 20 >= col("n") * 17).as("rank90_ok"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH dl AS (SELECT source,
+                         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                           AS n_tok
+                  FROM documents)
+      SELECT source,
+             round(quantile_cont(n_tok, 0.5), 4) AS p50,
+             round(quantile_cont(n_tok, 0.9), 4) AS p90,
+             TRUE AS rank50_ok, TRUE AS rank90_ok
+      FROM dl GROUP BY source ORDER BY source"""))
+
+  def qs: Seq[Q] =
+    Seq(tokenQuantiles, profileLineitem, heavyHitters, sketchQuantiles)
 }

@@ -506,9 +506,56 @@ object RelationalQueries {
                AS qty_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Snapshot diff ([[graft.ops.Diff.snapshotDiff]]) composed with the
+    * merge operator: apply a change log, then diff the result against the
+    * base — every change class (added / removed / changed / unchanged)
+    * must land exactly where the log put it. One full-outer join keyed on
+    * the table key; payload equality is exact (struct compare). */
+  val snapshotDiffQ = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("price"))
+      val h = col("k") % 7
+      val changes =
+        base.filter(h === 0).select(col("k"), lit(1L).as("seq"),
+          lit("upsert").as("op"), col("st"), (col("price") + 1000).as("price"))
+          .unionByName(base.filter(h === 1).select(col("k"), lit(1L).as("seq"),
+            lit("delete").as("op"), col("st"),
+            lit(null).cast("double").as("price")))
+          .unionByName(base.filter(h === 2).select(
+            (col("k") + 10000000L).as("k"), lit(1L).as("seq"),
+            lit("upsert").as("op"), col("st"), lit(42.0).as("price")))
+      val merged = graft.ops.Merge.applyChanges(base, changes, key = "k")
+      graft.ops.Diff.snapshotDiff(base, merged, key = Seq("k"))
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+        .orderBy("change_type")
+    },
+    Some("""
+      WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                           o_totalprice AS price FROM orders),
+           merged AS (
+             SELECT k, st,
+                    CASE WHEN k % 7 = 0 THEN price + 1000 ELSE price END
+                      AS price
+             FROM base WHERE k % 7 <> 1
+             UNION ALL
+             SELECT k + 10000000, st, 42.0 FROM base WHERE k % 7 = 2),
+           d AS (
+             SELECT CASE WHEN b.k IS NULL THEN 'added'
+                         WHEN m.k IS NULL THEN 'removed'
+                         WHEN b.st IS NOT DISTINCT FROM m.st
+                              AND b.price IS NOT DISTINCT FROM m.price
+                           THEN 'unchanged'
+                         ELSE 'changed' END AS change_type
+             FROM base b FULL OUTER JOIN merged m ON b.k = m.k)
+      SELECT change_type, count(*)::BIGINT AS n
+      FROM d GROUP BY change_type ORDER BY change_type"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
-    sketchDistinct, mergeUpsert, pivotQty)
+    sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ)
 }
