@@ -55,6 +55,33 @@ object GraftFunctions {
         VectorDistance(children(0), children(1), VectorDistance.PNorm(p))
       })
 
+  /** Composition functions (the I1–I3 vector algebra): the body is the
+    * same zip_with/transform/aggregate HOF tree the Column API builds
+    * ([[graft.functions.VectorOps]]), expressed as a parsed template with
+    * `argN` placeholders substituted by the call's children. The analyzer
+    * resolves the lambdas exactly as it would for user-written SQL, so the
+    * registered function costs nothing at execution — pure codegen'd
+    * builtins, no UDF boundary. */
+  private def mkTemplate(name: String, arity: Int, template: String)
+      : (String, ExpressionInfo, Seq[Expression] => Expression) =
+    (name,
+      new ExpressionInfo(classOf[VectorDistance].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity, s"$name expects $arity arguments")
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(template).transformUp {
+            case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n))
+                if n.startsWith("arg") && n.drop(3).forall(_.isDigit) =>
+              children(n.drop(3).toInt)
+            // inside a lambda body the parser wraps every identifier as a
+            // candidate lambda variable — placeholders included
+            case org.apache.spark.sql.catalyst.expressions
+                  .UnresolvedNamedLambdaVariable(Seq(n))
+                if n.startsWith("arg") && n.drop(3).forall(_.isDigit) =>
+              children(n.drop(3).toInt)
+          }
+      })
+
   val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     mk("vector_dot", VectorDistance.Dot),
     mk("vector_l2sq", VectorDistance.L2Sq),
@@ -64,7 +91,20 @@ object GraftFunctions {
     mk("vector_chebyshev", VectorDistance.Chebyshev),
     mk("vector_canberra", VectorDistance.Canberra),
     mk("vector_braycurtis", VectorDistance.BrayCurtis),
-    mkPNorm("vector_pnorm"))
+    mkPNorm("vector_pnorm"),
+    mkTemplate("vector_subtract", 2,
+      "zip_with(arg0, arg1, (x, y) -> x - y)"),
+    mkTemplate("vector_average", 2,
+      "zip_with(arg0, arg1, (x, y) -> (x + y) / 2.0D)"),
+    mkTemplate("vector_scale", 2,
+      "transform(arg0, x -> x * arg1)"),
+    mkTemplate("vector_normalize", 1,
+      """CASE WHEN aggregate(arg0, 0D, (acc, x) -> acc + x * x) = 0D THEN arg0
+              ELSE transform(arg0,
+                x -> x / sqrt(aggregate(arg0, 0D, (acc, x) -> acc + x * x)))
+         END"""),
+    mkTemplate("vector_point_above", 3,
+      "aggregate(zip_with(arg0, arg2, (x, y) -> x * y), 0D, (acc, x) -> acc + x) + arg1 >= 0D"))
 
   /** Register into an already-running session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -194,7 +194,38 @@ object CurationQueries {
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id"""))
 
+  /** Sliding-window chunking ([[graft.ops.Curation.chunkDocs]]) at
+    * 32-token windows, stride 24 (8-token overlap) — sized so the fixture's
+    * ~54-token docs produce multi-chunk outputs. The md5 digest gates the
+    * chunk CONTENT, not just its shape. */
+  val chunkDocuments = Q(
+    "chunk_documents",
+    (s, dir) =>
+      graft.ops.Curation.chunkDocs(Tables.documents(s, dir),
+        chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"),
+    Some("""
+      WITH tk AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                  FROM documents),
+           sized AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tk),
+           counted AS (SELECT doc_id, toks,
+                              CASE WHEN n <= 32 THEN 1
+                                   ELSE 1 + ((n - 32 + 23) // 24) END
+                                AS n_chunks
+                       FROM sized)
+      , chunks AS (SELECT doc_id, toks,
+                          unnest(range(0, n_chunks))::BIGINT AS chunk_id
+                   FROM counted)
+      SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+             len(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)])::BIGINT
+               AS n_tok,
+             md5(array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)],
+                                 ' ')) AS chunk_md5
+      FROM chunks
+      ORDER BY doc_id, chunk_id"""))
+
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
-      splitTrainVal)
+      splitTrainVal, chunkDocuments)
 }

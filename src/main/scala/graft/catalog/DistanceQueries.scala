@@ -126,5 +126,43 @@ object DistanceQueries {
       GROUP BY a.vec_id
       ORDER BY vec_id"""))
 
-  def qs: Seq[Q] = Distances.all.map(distQuery) :+ sqlFunctions
+  /** The I1–I3 vector-algebra functions through the SQL registry — same
+    * API-parity contract as `dist_sql_functions`, gated with elementwise
+    * sums (and the unit-norm invariant for vector_normalize). */
+  val vecSqlFunctions = Q(
+    "vec_sql_functions",
+    (s, dir) => {
+      graft.GraftFunctions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+      s.sql("""
+        SELECT a.vec_id AS vec_id,
+               round(aggregate(vector_subtract(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                               CAST(q.qe AS ARRAY<DOUBLE>)),
+                               0D, (acc, x) -> acc + x), 4) AS sub_sum,
+               round(aggregate(vector_average(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                              CAST(q.qe AS ARRAY<DOUBLE>)),
+                               0D, (acc, x) -> acc + x), 4) AS avg_sum,
+               round(aggregate(vector_scale(CAST(a.embedding AS ARRAY<DOUBLE>), 2.5D),
+                               0D, (acc, x) -> acc + x), 4) AS scale_sum,
+               round(sqrt(aggregate(vector_normalize(CAST(a.embedding AS ARRAY<DOUBLE>)),
+                                    0D, (acc, x) -> acc + x * x)), 4) AS unit_norm
+        FROM graft_embeddings a,
+             (SELECT embedding AS qe FROM graft_embeddings WHERE vec_id = 0) q
+        ORDER BY vec_id""")
+    },
+    Some(s"""
+      SELECT a.vec_id AS vec_id,
+             round(sum(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE), 4) AS sub_sum,
+             round(sum((a.embedding[t.i]::DOUBLE + q.qe[t.i]::DOUBLE) / 2), 4)
+               AS avg_sum,
+             round(sum(a.embedding[t.i]::DOUBLE * 2.5), 4) AS scale_sum,
+             round(CASE WHEN sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE) = 0
+                        THEN 0 ELSE 1 END, 4) AS unit_norm
+      FROM embeddings a,
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
+           generate_series(1, $dim) t(i)
+      GROUP BY a.vec_id
+      ORDER BY vec_id"""))
+
+  def qs: Seq[Q] = Distances.all.map(distQuery) :+ sqlFunctions :+ vecSqlFunctions
 }

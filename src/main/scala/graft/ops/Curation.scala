@@ -101,6 +101,37 @@ object Curation {
       .drop("h")
   }
 
+  /** Sliding-window document chunking: split each doc's token stream into
+    * `chunkSize`-token windows advancing by `stride` (overlap =
+    * chunkSize − stride) — the retrieval-pipeline pass between curation
+    * and embedding (chunk → embed → index). Pure map + generate: ZERO
+    * shuffles at any corpus size; chunk counts and offsets are integer
+    * arithmetic, the chunk digest is md5 of the joined tokens, so the
+    * whole output is cross-engine exact. Output: (docId, chunk_id,
+    * start_tok, n_tok, chunk_md5). */
+  def chunkDocs(
+      docs: DataFrame, chunkSize: Int, stride: Int,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got $stride / $chunkSize")
+    docs
+      .select(col(docId),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+          .as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"if(n <= $chunkSize, 1L, 1L + ((n - $chunkSize + ${stride - 1}) div $stride))"))
+      .select(col(docId), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col(docId), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("chunk"))
+      .select(col(docId), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+  }
+
   /** Concat-and-chunk sequence packing: assign docs (in docId order within
     * each `strata`) to fixed-budget training sequences by running token
     * cumsum div `budget`. Returns the input plus (seq_id, cum). */
