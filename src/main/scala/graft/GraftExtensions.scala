@@ -91,6 +91,7 @@ object GraftFunctions {
     mk("vector_chebyshev", VectorDistance.Chebyshev),
     mk("vector_canberra", VectorDistance.Canberra),
     mk("vector_braycurtis", VectorDistance.BrayCurtis),
+    mk("vector_hamming", VectorDistance.Hamming),
     mkPNorm("vector_pnorm"),
     mkTemplate("vector_subtract", 2,
       "zip_with(arg0, arg1, (x, y) -> x - y)"),

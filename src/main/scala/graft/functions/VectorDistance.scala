@@ -30,7 +30,8 @@ final case class VectorDistance(
     left: Expression, right: Expression, op: VectorDistance.Op)
     extends BinaryExpression with Serializable {
 
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType =
+    if (op == VectorDistance.Hamming) LongType else DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression): Boolean = e.dataType match {
@@ -57,11 +58,16 @@ final case class VectorDistance(
     var acc = 0.0
     var accB = 0.0
     var accC = 0.0
+    var accL = 0L
     var i = 0
     while (i < n) {
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       op match {
+        case VectorDistance.Hamming =>
+          accL += java.lang.Integer.bitCount(
+            java.lang.Float.floatToRawIntBits(xi.toFloat) ^
+              java.lang.Float.floatToRawIntBits(yi.toFloat))
         case VectorDistance.Dot => acc += xi * yi
         case VectorDistance.L2Sq => val d = xi - yi; acc += d * d
         case VectorDistance.Manhattan => acc += math.abs(xi - yi)
@@ -87,6 +93,7 @@ final case class VectorDistance(
         if (denom == 0.0) 0.0 else acc / denom
       case VectorDistance.BrayCurtis =>
         if (accB == 0.0) 0.0 else acc / accB
+      case VectorDistance.Hamming => accL
       case _ => acc
     }
   }
@@ -106,7 +113,12 @@ final case class VectorDistance(
         if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       val gx = get(a, i, elemIsFloat(left))
       val gy = get(b, i, elemIsFloat(right))
+      val accL = ctx.freshName("accL")
       val body = op match {
+        case VectorDistance.Hamming =>
+          s"""$accL += java.lang.Integer.bitCount(
+             |  java.lang.Float.floatToRawIntBits((float) $xi) ^
+             |  java.lang.Float.floatToRawIntBits((float) $yi));""".stripMargin
         case VectorDistance.Dot => s"$acc += $xi * $yi;"
         case VectorDistance.L2Sq => s"double $d = $xi - $yi; $acc += $d * $d;"
         case VectorDistance.Manhattan => s"$acc += java.lang.Math.abs($xi - $yi);"
@@ -131,6 +143,7 @@ final case class VectorDistance(
              |${ev.value} = ($denom == 0.0D) ? 0.0D : $acc / $denom;""".stripMargin
         case VectorDistance.BrayCurtis =>
           s"${ev.value} = ($accB == 0.0D) ? 0.0D : $acc / $accB;"
+        case VectorDistance.Hamming => s"${ev.value} = $accL;"
         case _ => s"${ev.value} = $acc;"
       }
       s"""
@@ -138,6 +151,7 @@ final case class VectorDistance(
          |double $acc = 0.0D;
          |double $accB = 0.0D;
          |double $accC = 0.0D;
+         |long $accL = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $gx;
          |  double $yi = $gy;
@@ -165,6 +179,10 @@ object VectorDistance {
   case object Chebyshev extends Op("chebyshev")
   case object Canberra extends Op("canberra")
   case object BrayCurtis extends Op("braycurtis")
+  /** M10: popcount of XOR over the components' FLOAT bit patterns (full
+    * 32 bits; LongType output). Double inputs narrow to float first —
+    * identical to the UDF it replaces. */
+  case object Hamming extends Op("hamming")
   /** Σ|xᵢ−yᵢ|^p — Minkowski composes as pow(·, 1/p) outside. */
   final case class PNorm(p: Double) extends Op(s"pnorm_$p")
 
