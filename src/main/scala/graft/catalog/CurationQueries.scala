@@ -225,7 +225,34 @@ object CurationQueries {
       FROM chunks
       ORDER BY doc_id, chunk_id"""))
 
+  /** Temperature mixing at τ = 0.5 ([[graft.ops.Curation.temperatureSample]]):
+    * strata = lang (the fixture's skewed dimension: en is ~3.4x fr, so the
+    * mix genuinely downsamples);
+    * every kept (doc_id, lang) is enumerated, so the oracle gates exact
+    * MEMBERSHIP, not just per-source counts. */
+  val temperatureMix = Q(
+    "sample_temperature_mix",
+    (s, dir) =>
+      graft.ops.Curation.temperatureSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        strata = "lang", tau = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+    Some("""
+      WITH c AS (SELECT lang, count(*)::BIGINT AS n_s
+                 FROM documents GROUP BY lang),
+           m AS (SELECT min(n_s) AS n_min FROM c),
+           t AS (SELECT lang,
+                        lpad(lower(to_hex(least(
+                          floor(sqrt(n_min::DOUBLE / n_s) * 16777216)::BIGINT,
+                          16777215))), 6, '0') AS thr
+                 FROM c, m)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN t USING (lang)
+      WHERE substr(md5('m' || doc_id), 1, 6) < thr
+      ORDER BY doc_id"""))
+
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
-      splitTrainVal, chunkDocuments)
+      splitTrainVal, chunkDocuments, temperatureMix)
 }

@@ -101,6 +101,39 @@ object Curation {
       .drop("h")
   }
 
+  /** Temperature-based source mixing: downsample each stratum at rate
+    * (n_min / n_s)^(1−τ) — the pretraining data-mix pass that flattens
+    * source imbalance (τ=1 keeps natural proportions, τ→0 equalizes).
+    * Membership is deterministic: a doc is kept iff the first 6 hex chars
+    * of md5('m' || docId) fall below the stratum's rate threshold, so the
+    * sample is reproducible, stable under reruns, and identical across
+    * engines (the threshold is a hex STRING compare; for τ = 0.5 the rate
+    * is sqrt(n_min/n_s), which is IEEE-correctly-rounded — bit-identical
+    * everywhere — where a general pow() would not be). Two passes over the
+    * strata counts (tiny, broadcast) and one map-side filter over the
+    * corpus: no shuffle of the data itself. */
+  def temperatureSample(
+      docs: DataFrame, strata: String, tau: Double,
+      docId: String = "doc_id"): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, s"tau in [0,1], got $tau")
+    val counts = docs.groupBy(strata).agg(count(lit(1)).as("n_s"))
+    val nMin = counts.agg(min("n_s").as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_s")
+    val rate =
+      if (tau == 1.0) lit(1.0)
+      else if (tau == 0.5) sqrt(ratio)
+      else pow(ratio, 1.0 - tau)
+    val thr = counts.crossJoin(broadcast(nMin))
+      .select(col(strata),
+        lpad(lower(hex(least(floor(rate * (1 << 24)).cast("long"),
+          lit((1 << 24) - 1L)))), 6, "0").as("thr"))
+    docs.join(broadcast(thr), strata)
+      .filter(
+        substring(md5(concat(lit("m"), col(docId).cast("string"))), 1, 6)
+          < col("thr"))
+      .drop("thr")
+  }
+
   /** Sliding-window document chunking: split each doc's token stream into
     * `chunkSize`-token windows advancing by `stride` (overlap =
     * chunkSize − stride) — the retrieval-pipeline pass between curation
