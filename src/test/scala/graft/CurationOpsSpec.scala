@@ -1,0 +1,69 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+/** Structural gates for the round-4 curation operators: chunking must
+  * tile the token stream exactly (coverage, overlap, ordering), and
+  * temperature mixing must obey its rate/determinism contract. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("chunkDocs tiles the token stream: coverage, stride, bounded size") {
+    import spark.implicits._
+    val rng = new Random(17)
+    val docs = (0 until 40).map { i =>
+      val n = rng.nextInt(120) // includes 0-token and sub-chunk docs
+      (i.toLong, Seq.fill(n)(s"w${rng.nextInt(50)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunkSize = 32
+    val stride = 24
+    val out = Curation.chunkDocs(docs, chunkSize, stride)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val n = r.getString(1).split(" ").count(_.nonEmpty)
+      val chunks = out(id).sortBy(_._2)
+      // chunk ids are 0..k-1; starts advance by stride
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+      chunks.foreach { case (_, cid, start, nTok) =>
+        assert(start == cid * stride)
+        assert(nTok <= chunkSize)
+        assert(nTok == math.min(chunkSize, math.max(0L, n - start)))
+      }
+      // the last chunk reaches the end of the stream; no chunk past it
+      val (_, _, lastStart, lastN) = chunks.last
+      assert(lastStart + lastN == math.max(n, 0))
+      if (chunks.length > 1)
+        assert(lastStart < n, "empty trailing chunk")
+    }
+  }
+
+  test("temperatureSample: smallest stratum intact, rates honored, deterministic") {
+    import spark.implicits._
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 450).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val kept = Curation.temperatureSample(docs, "source", tau = 0.5)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest stratum rate = 1 - <=1/16M of docs dropped; here: none
+    assert(bySrc("small") == 50)
+    // big stratum rate = sqrt(50/400) ~ 0.354; binomial(400, .354) is
+    // within +-5 sigma of the mean for any seed — md5 is effectively uniform
+    val exp = 400 * math.sqrt(50.0 / 400)
+    val sigma = math.sqrt(400 * 0.354 * (1 - 0.354))
+    assert(math.abs(bySrc("big") - exp) < 5 * sigma,
+      s"kept ${bySrc("big")} vs expected ~$exp")
+    // deterministic: second run keeps the identical set
+    val again = Curation.temperatureSample(docs, "source", tau = 0.5)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    // tau = 1 keeps everything
+    assert(Curation.temperatureSample(docs, "source", tau = 1.0).count() == 450)
+  }
+}
