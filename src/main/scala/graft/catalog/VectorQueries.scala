@@ -310,7 +310,33 @@ object VectorQueries {
     (s, dir) => Tables.embeddings(s, dir).agg(count(lit(1)).as("n")),
     Some("SELECT count(*) AS n FROM embeddings"))
 
+  /** The streaming top-k leaderboard ([[graft.ops]] analogue:
+    * `StreamOps.topKStream`) executed on a BATCH frame — Spark runs
+    * `mapGroupsWithState` on batch inputs with empty initial state, so the
+    * exact stateful code the stream runs is hash-checked against the same
+    * row_number oracle as `knn_exact_l2sq` (a fifth independent physical
+    * path to the one SQL definition; stream-vs-batch parity of the same
+    * function is gated in StreamingSpec). */
+  val topkStreamBatch = Q(
+    "q_topk_stream_batch",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          Distances.asDouble(col("embedding")).as("qe"))
+      val scored = e
+        .select(col("vec_id"), Distances.asDouble(col("embedding")).as("ve"))
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          round(Distances.L2Squared(col("qe"), col("ve")), 4).as("dist"))
+      graft.streaming.StreamOps.topKStream(scored, k = 10)
+        .select("query_id", "vec_id", "dist")
+        .orderBy("query_id", "vec_id")
+    },
+    Some(exactKnnL2Oracle))
+
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
-    knnPq, knnPqFull, pqRecall, knnIvfPq, knnIvfPqFull, countVectors)
+    knnPq, knnPqFull, pqRecall, knnIvfPq, knnIvfPqFull, countVectors,
+    topkStreamBatch)
 }

@@ -216,6 +216,55 @@ object StreamOps {
                  ts >= open_ts AND
                  ts <= open_ts + INTERVAL $window"""))
 
+  /** Streaming top-k: a running nearest-neighbor leaderboard per query
+    * over an unbounded scored stream — the continuous form of the batch
+    * `TopKAgg` rerank (monitor "the k closest corpus vectors seen so far"
+    * while a corpus streams in). State per query is the SAME bounded
+    * sorted buffer the batch aggregate keeps (≤ k (dist, id) pairs, ties
+    * on id), updated via `mapGroupsWithState` in Update mode: each
+    * micro-batch emits a query's refreshed leaderboard only when that
+    * query saw traffic. No timeout — a leaderboard outlives any horizon
+    * by design (k · |queries| rows of state, not stream-sized).
+    *
+    * Input: (query_id LONG, vec_id LONG, dist DOUBLE) — pre-scored, so
+    * stream and batch share arithmetic bit-for-bit; parity with
+    * `SimSearch.takeTopK` over the full history is gated in
+    * StreamingSpec. Output: (query_id, vec_id, dist, rk) — the current
+    * top-k, rank 1 = nearest. */
+  def topKStream(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import scored.sparkSession.implicits._
+    scored
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("dist").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[(Double, Long)], (Long, Array[(Double, Long)])](
+        GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)],
+            state: org.apache.spark.sql.streaming.GroupState[Array[(Double, Long)]]) =>
+          val buf = collection.mutable.ArrayBuffer.from(
+            state.getOption.getOrElse(Array.empty[(Double, Long)]))
+          rows.foreach { case (_, id, d) =>
+            val a = (d, id)
+            if (buf.length < k || Ordering[(Double, Long)].lt(a, buf.last)) {
+              val at = buf.indexWhere(Ordering[(Double, Long)].lt(a, _))
+              if (at < 0) buf.append(a) else buf.insert(at, a)
+              if (buf.length > k) buf.remove(buf.length - 1)
+            }
+          }
+          val arr = buf.toArray
+          state.update(arr)
+          (qid, arr)
+      }
+      .flatMap { case (qid, arr) =>
+        arr.iterator.zipWithIndex.map { case ((d, id), i) =>
+          (qid, id, d, (i + 1).toLong)
+        }
+      }
+      .toDF("query_id", "vec_id", "dist", "rk")
+  }
+
   /** Streaming vector ingest into a [[ZebraEngine]]: every micro-batch is
     * one `insert_records` call — the reference's incremental `add` (I7)
     * driven by a stream. When the engine has an index, each batch routes

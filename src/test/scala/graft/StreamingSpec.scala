@@ -282,6 +282,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k leaderboard: final state equals the batch top-k") {
+    // two queries, scored pairs arriving across three micro-batches with
+    // ties (same dist, different id) and late improvements
+    val all = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.3), (2L, 20L, 0.9),
+      (1L, 12L, 0.3), (1L, 13L, 0.8), (2L, 21L, 0.1),
+      (1L, 14L, 0.1), (2L, 22L, 0.1), (2L, 23L, 0.9))
+    val k = 3
+    val expected = all.groupBy(_._1).flatMap { case (q, rows) =>
+      rows.map(r => (r._3, r._2)).sorted.take(k).zipWithIndex
+        .map { case ((d, id), i) => (q, id, d, (i + 1).toLong) }
+    }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = StreamOps.topKStream(
+      mem.toDF().toDF("query_id", "vec_id", "dist"), k)
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode("update").start()
+    try {
+      all.grouped(3).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // Update-mode memory sink appends each refresh; the LAST batch that
+      // touched a query holds its final leaderboard. Dedup to latest rank
+      // set per query via max batch id per query.
+      val sunk = spark.table("topk_test")
+      val latest = sunk.collect()
+      // reconstruct: for each (query_id, rk) keep the LAST occurrence
+      val finalRows = latest.zipWithIndex
+        .groupBy(r => (r._1.getLong(0), r._1.getLong(3)))
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(finalRows == expected, s"got $finalRows want $expected")
+    } finally q.stop()
+  }
+
   test("foreachBatch vector ingest: stream -> engine -> query round trip") {
     val path = "/tmp/graft_test_stream_engine"
     val ckpt = "/tmp/graft_test_stream_ckpt"
