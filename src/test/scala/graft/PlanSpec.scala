@@ -66,6 +66,38 @@ class PlanSpec extends AnyFunSuite {
       s"shingle/candidate counts must partial-aggregate map-side:\n$p")
   }
 
+  test("merge-apply: winners broadcast, base side never shuffles") {
+    import spark.implicits._
+    val base = (0L until 100L).map(k => (k, s"p$k")).toDF("k", "p")
+    val log = Seq((5L, 1L, "upsert", "x"), (6L, 1L, "delete", "y"))
+      .toDF("k", "seq", "op", "p")
+    val p = plan(graft.ops.Merge.applyChanges(base, log, key = "k"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"touched keys must drop via broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"base shuffled for the anti-join:\n$p")
+    // exactly ONE exchange: the (tiny) change log's window partitioning
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n$p")
+  }
+
+  test("chunking: pure map + generate — zero exchanges") {
+    val p = plan(graft.ops.Curation.chunkDocs(
+      Tables.documents(spark, dir), chunkSize = 32, stride = 24))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"missing chunk explosion:\n$p")
+  }
+
+  test("temperature mix: corpus filtered map-side via broadcast thresholds") {
+    val p = plan(graft.ops.Curation.temperatureSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      strata = "lang", tau = 0.5))
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the threshold join:\n$p")
+  }
+
   test("relational agg: map-side partials, codegen after AQE finalizes") {
     val df = RelationalQueries.q1Agg.run(spark, dir)
     val pre = plan(df)
