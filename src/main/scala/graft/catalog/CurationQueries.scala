@@ -243,9 +243,10 @@ object CurationQueries {
                  FROM documents GROUP BY lang),
            m AS (SELECT min(n_s) AS n_min FROM c),
            t AS (SELECT lang,
-                        lpad(lower(to_hex(least(
-                          floor(sqrt(n_min::DOUBLE / n_s) * 16777216)::BIGINT,
-                          16777215))), 6, '0') AS thr
+                        CASE WHEN n_min >= n_s THEN 'g'
+                             ELSE lpad(lower(to_hex(
+                               floor(sqrt(n_min::DOUBLE / n_s) * 16777216)::BIGINT)),
+                               6, '0') END AS thr
                  FROM c, m)
       SELECT d.doc_id, d.lang
       FROM documents d JOIN t USING (lang)

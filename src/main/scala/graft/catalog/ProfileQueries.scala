@@ -108,8 +108,11 @@ object ProfileQueries {
         .agg(graft.ops.Sketches.heavyHitters(512, col("token")).as("sk"))
         .select(explode(map_keys(col("sk"))).as("token"))
         .withColumn("in_sketch", lit(true))
-      val total = tok.agg(count(lit(1)).as("n"))
-      tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      // stream total derives from the (tiny) grouped counts — the corpus
+      // is scanned twice (sketch + exact gate), not three times
+      val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = exact.agg(sum("cnt").as("n"))
+      exact
         .crossJoin(broadcast(total))
         .filter(col("cnt") * 64 > col("n"))
         .join(broadcast(skKeys), Seq("token"), "left")

@@ -474,7 +474,7 @@ object RelationalQueries {
              WHERE k % 10 = 4),
            win AS (SELECT * FROM (
                      SELECT *, row_number() OVER (PARTITION BY k
-                                ORDER BY seq DESC, op) AS rn FROM ch)
+                                ORDER BY seq DESC, op DESC) AS rn FROM ch)
                    WHERE rn = 1),
            final AS (
              SELECT b.k, b.st, b.price FROM base b
@@ -525,7 +525,7 @@ object RelationalQueries {
             lit("delete").as("op"), col("st"),
             lit(null).cast("double").as("price")))
           .unionByName(base.filter(h === 2).select(
-            (col("k") + 10000000L).as("k"), lit(1L).as("seq"),
+            (-col("k") - 1L).as("k"), lit(1L).as("seq"),
             lit("upsert").as("op"), col("st"), lit(42.0).as("price")))
       val merged = graft.ops.Merge.applyChanges(base, changes, key = "k")
       graft.ops.Diff.snapshotDiff(base, merged, key = Seq("k"))
@@ -541,7 +541,7 @@ object RelationalQueries {
                       AS price
              FROM base WHERE k % 7 <> 1
              UNION ALL
-             SELECT k + 10000000, st, 42.0 FROM base WHERE k % 7 = 2),
+             SELECT -k - 1, st, 42.0 FROM base WHERE k % 7 = 2),
            d AS (
              SELECT CASE WHEN b.k IS NULL THEN 'added'
                          WHEN m.k IS NULL THEN 'removed'

@@ -467,19 +467,19 @@ object LshForest {
       qRows: Array[org.apache.spark.sql.Row],
       buckets: DataFrame, vectors: DataFrame, model: ForestModel, k: Int,
       metric: Distances.Metric, searchK: Int,
-      queryId: String, vecId: String, roundTo: Int): DataFrame = {
+      queryId: String, vecId: String, roundTo: Int,
+      qIdType: org.apache.spark.sql.types.DataType): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val spark = buckets.sparkSession
-    val qIdType = qRows.headOption.map(_.schema(0).dataType).getOrElse(LongType)
     val qEmbs = qRows.map(r => (r.get(0), toDoubleArray(r.get(1))))
 
     // Driver-side routing: per-(query, tree) probe lists. `candEst` sums
-    // the probed leaves' build-sample occupancy — an upper bound on the
-    // DISTINCT candidates per query (trees overlap), exact-corpus-scaled
-    // when the sample was the whole corpus, an underestimate on capped
-    // samples (where the take-path below is unprofitable anyway).
+    // the probed leaves' build-sample occupancy — since this path only
+    // runs when the build sample was the WHOLE corpus (see topK's gate),
+    // it is an exact upper bound on the candidate pair count (cross-tree
+    // dedup only lowers it).
     val leafCounts = model.trees.map(t => leafIds(t).size)
     var exhaustive = qEmbs.nonEmpty
     var candEst = 0L
@@ -521,25 +521,25 @@ object LshForest {
 
     val v0 = vectors.select(
       col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
-    // Literal-IN fetch pruning only when the model-side estimate says the
-    // candidate set is small (the single-query latency case): there the
-    // one extra bounded job pays for row-group pruning on a huge vectors
-    // scan. Estimates past the cap — or exhaustive budgets, where the
-    // candidates ARE the corpus — go straight to the broadcast join and
-    // never compute the candidate pipeline twice.
+    // candEst is exact here, so each decision is taken once and the
+    // candidate pipeline never executes twice:
+    //  - <= 1024 pairs: collect them (bounded), push the ids into the
+    //    vectors scan as a literal filter (row-group pruning of the fetch);
+    //  - <= 2M pairs: broadcast the candidate plan (same bar as the
+    //    distributed path);
+    //  - beyond: plain hash join — both sides hash on vecId, nothing
+    //    collects anywhere.
     val (candSide, v) =
-      if (exhaustive || candEst > 1024) (broadcast(cand0), v0)
-      else {
-        val t = cand0.take(1025)
-        if (t.length <= 1024) {
-          val vIdType = buckets.schema(vecId).dataType
-          val candSchema = StructType(Seq(
-            StructField(queryId, qIdType), StructField(vecId, vIdType)))
-          val candRel = spark.createDataFrame(t.toSeq.asJava, candSchema)
-          val ids = t.map(_.get(1)).distinct.toSeq
-          (broadcast(candRel), v0.filter(col(vecId).isin(ids: _*)))
-        } else (broadcast(cand0), v0)
-      }
+      if (candEst <= 1024) {
+        val t = cand0.collect()
+        val vIdType = buckets.schema(vecId).dataType
+        val candSchema = StructType(Seq(
+          StructField(queryId, qIdType), StructField(vecId, vIdType)))
+        val candRel = spark.createDataFrame(t.toSeq.asJava, candSchema)
+        val ids = t.map(_.get(1)).distinct.toSeq
+        (broadcast(candRel), v0.filter(col(vecId).isin(ids: _*)))
+      } else if (candEst <= 2000000) (broadcast(cand0), v0)
+      else (cand0, v0)
     val qSchema = StructType(Seq(
       StructField(queryId, qIdType),
       StructField("q_emb", ArrayType(DoubleType))))
@@ -587,13 +587,25 @@ object LshForest {
     // Latency path: a small query batch (the reference CLI's k-NN lookups,
     // the engine's per-call batches) never needs the distributed probe
     // pipeline — one bounded take() decides, and the take's partial scan is
-    // noise for the large-batch case it falls through to.
+    // noise for the large-batch case it falls through to. The path is only
+    // taken when the build sample covered the WHOLE corpus (sampleTotal
+    // below the byte-bounded cap): then the driver-side candidate estimate
+    // is exact and every plan decision (collect / broadcast / shuffle) is
+    // provably safe. Capped samples (corpus larger than the cap) keep the
+    // distributed pipeline, whose localCheckpoint + count measures the true
+    // candidate size before choosing a join strategy.
     val qProbe = queries
       .select(col(queryId), col("embedding")).take(SmallBatchCap + 1)
-    if (qProbe.length <= SmallBatchCap)
+    val qDim = qProbe.headOption.map(_.get(1) match {
+      case s: scala.collection.Seq[_] => s.length
+      case a: Array[_] => a.length
+    }).getOrElse(64)
+    val sampleExact =
+      model.sampleTotal < byteBoundedCap(model.opts.sampleCap, qDim)
+    if (qProbe.length <= SmallBatchCap && (sampleExact || qProbe.isEmpty))
       return topKSmall(
         qProbe, buckets, vectors, model, k, metric, searchK,
-        queryId, vecId, roundTo)
+        queryId, vecId, roundTo, queries.schema(queryId).dataType)
     val cand = candidates(queries, buckets, model, searchK, queryId, vecId)
       .select(col(queryId), col(vecId))
       .localCheckpoint() // eager: materialize once, cut lineage, stay distributed

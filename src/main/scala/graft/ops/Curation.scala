@@ -123,10 +123,14 @@ object Curation {
       if (tau == 1.0) lit(1.0)
       else if (tau == 0.5) sqrt(ratio)
       else pow(ratio, 1.0 - tau)
+    // rate >= 1 strata keep EVERYTHING: 'g' sorts above every hex digit,
+    // so the strict < never drops a doc (capping at 'ffffff' would shave
+    // the 2^-24 tail off the keep-all strata).
     val thr = counts.crossJoin(broadcast(nMin))
       .select(col(strata),
-        lpad(lower(hex(least(floor(rate * (1 << 24)).cast("long"),
-          lit((1 << 24) - 1L)))), 6, "0").as("thr"))
+        when(rate >= 1.0, lit("g"))
+          .otherwise(lpad(lower(hex(
+            floor(rate * (1 << 24)).cast("long"))), 6, "0")).as("thr"))
     docs.join(broadcast(thr), strata)
       .filter(
         substring(md5(concat(lit("m"), col(docId).cast("string"))), 1, 6)

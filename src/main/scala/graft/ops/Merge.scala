@@ -32,10 +32,10 @@ object Merge {
       base: DataFrame, changes: DataFrame,
       key: String, seqCol: String = "seq", opCol: String = "op"): DataFrame = {
     val payloadCols = base.columns.filter(_ != key).toSeq
-    // Last change per key. orderBy op ASC after seq DESC: "delete" < "upsert"
-    // lexicographically, so an (impossible-in-practice) same-seq tie resolves
-    // to the upsert — deterministic either way.
-    val w = Window.partitionBy(key).orderBy(col(seqCol).desc, col(opCol))
+    // Last change per key. op DESC after seq DESC: "upsert" > "delete"
+    // lexicographically, so an (impossible-in-practice) same-seq tie
+    // resolves to the upsert — matching the documented contract.
+    val w = Window.partitionBy(key).orderBy(col(seqCol).desc, col(opCol).desc)
     val winner = changes
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

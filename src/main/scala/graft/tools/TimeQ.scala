@@ -28,7 +28,7 @@ object TimeQ {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-28s warm=${samples.head}%6.2f  " +
+      println(f"$name%-28s cold=${samples.head}%6.2f  warm: " +
         samples.tail.map(t => f"$t%5.2f").mkString(" "))
     }
     spark.stop()

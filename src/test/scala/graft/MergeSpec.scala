@@ -13,6 +13,17 @@ import graft.ops.Merge
 class MergeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
+  test("same-seq tie resolves to the upsert (documented contract)") {
+    import spark.implicits._
+    val base = Seq((1L, "old", 0)).toDF("k", "payload", "v")
+    val log = Seq(
+      (1L, 5L, "delete", "x", 0),
+      (1L, 5L, "upsert", "tie", 7)).toDF("k", "seq", "op", "payload", "v")
+    val got = graft.ops.Merge.applyChanges(base, log, key = "k")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "tie", 7)))
+  }
+
   test("random change logs match the sequential fold") {
     import spark.implicits._
     val rng = new Random(11)
