@@ -468,7 +468,8 @@ object LshForest {
       buckets: DataFrame, vectors: DataFrame, model: ForestModel, k: Int,
       metric: Distances.Metric, searchK: Int,
       queryId: String, vecId: String, roundTo: Int,
-      qIdType: org.apache.spark.sql.types.DataType): DataFrame = {
+      qIdType: org.apache.spark.sql.types.DataType,
+      sampleExact: Boolean): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
@@ -521,25 +522,33 @@ object LshForest {
 
     val v0 = vectors.select(
       col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
-    // candEst is exact here, so each decision is taken once and the
-    // candidate pipeline never executes twice:
+    // Join-strategy decision. With an exact build sample, candEst is an
+    // exact upper bound, so every decision is taken once and the candidate
+    // pipeline never executes twice. With a CAPPED sample (corpus larger
+    // than the cap) the estimate is in sample units — an unbounded
+    // underestimate — so the pair set is materialized once
+    // (localCheckpoint) and its true count decides, exactly like the
+    // distributed path; the driver routing still saved the probe job and
+    // the distinct-collect. Tiers either way:
     //  - <= 1024 pairs: collect them (bounded), push the ids into the
     //    vectors scan as a literal filter (row-group pruning of the fetch);
-    //  - <= 2M pairs: broadcast the candidate plan (same bar as the
-    //    distributed path);
+    //  - <= 2M pairs: broadcast (same bar as the distributed path);
     //  - beyond: plain hash join — both sides hash on vecId, nothing
     //    collects anywhere.
+    val (cand, candN) =
+      if (sampleExact) (cand0, candEst)
+      else { val c = cand0.localCheckpoint(); (c, c.count()) }
     val (candSide, v) =
-      if (candEst <= 1024) {
-        val t = cand0.collect()
+      if (candN <= 1024) {
+        val t = cand.collect()
         val vIdType = buckets.schema(vecId).dataType
         val candSchema = StructType(Seq(
           StructField(queryId, qIdType), StructField(vecId, vIdType)))
         val candRel = spark.createDataFrame(t.toSeq.asJava, candSchema)
         val ids = t.map(_.get(1)).distinct.toSeq
         (broadcast(candRel), v0.filter(col(vecId).isin(ids: _*)))
-      } else if (candEst <= 2000000) (broadcast(cand0), v0)
-      else (cand0, v0)
+      } else if (candN <= 2000000) (broadcast(cand), v0)
+      else (cand, v0)
     val qSchema = StructType(Seq(
       StructField(queryId, qIdType),
       StructField("q_emb", ArrayType(DoubleType))))
@@ -587,13 +596,10 @@ object LshForest {
     // Latency path: a small query batch (the reference CLI's k-NN lookups,
     // the engine's per-call batches) never needs the distributed probe
     // pipeline — one bounded take() decides, and the take's partial scan is
-    // noise for the large-batch case it falls through to. The path is only
-    // taken when the build sample covered the WHOLE corpus (sampleTotal
-    // below the byte-bounded cap): then the driver-side candidate estimate
-    // is exact and every plan decision (collect / broadcast / shuffle) is
-    // provably safe. Capped samples (corpus larger than the cap) keep the
-    // distributed pipeline, whose localCheckpoint + count measures the true
-    // candidate size before choosing a join strategy.
+    // noise for the large-batch case it falls through to. Whether the build
+    // sample covered the whole corpus decides how topKSmall sizes its
+    // joins: exact sample → driver-side estimates; capped sample → one
+    // materialize + count (see topKSmall).
     val qProbe = queries
       .select(col(queryId), col("embedding")).take(SmallBatchCap + 1)
     val qDim = qProbe.headOption.map(_.get(1) match {
@@ -602,10 +608,11 @@ object LshForest {
     }).getOrElse(64)
     val sampleExact =
       model.sampleTotal < byteBoundedCap(model.opts.sampleCap, qDim)
-    if (qProbe.length <= SmallBatchCap && (sampleExact || qProbe.isEmpty))
+    if (qProbe.length <= SmallBatchCap)
       return topKSmall(
         qProbe, buckets, vectors, model, k, metric, searchK,
-        queryId, vecId, roundTo, queries.schema(queryId).dataType)
+        queryId, vecId, roundTo, queries.schema(queryId).dataType,
+        sampleExact)
     val cand = candidates(queries, buckets, model, searchK, queryId, vecId)
       .select(col(queryId), col(vecId))
       .localCheckpoint() // eager: materialize once, cut lineage, stay distributed
