@@ -553,9 +553,81 @@ object RelationalQueries {
       SELECT change_type, count(*)::BIGINT AS n
       FROM d GROUP BY change_type ORDER BY change_type"""))
 
+  /** TPC-H Q4-shaped EXISTS semi join: orders with at least one lineitem
+    * shipped more than 60 days after the order date, counted by priority.
+    * Spark plans the left-semi with the non-equi predicate inside the hash
+    * join — one pass over lineitem, no duplicate-amplifying inner join. */
+  val semiJoinLate = Q(
+    "q_exists_semi_join",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q13-shaped outer-join distribution: how many customers placed
+    * exactly n orders (including zero — the LEFT join's reason to exist).
+    * Two aggregations, both shuffling only per-group scalars. */
+  val custOrderDist = Q(
+    "q13_cust_order_dist",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_orders"))
+    },
+    Some("""
+      SELECT n_orders, count(*)::BIGINT AS n_custs
+      FROM (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey)
+      GROUP BY n_orders ORDER BY n_orders"""))
+
+  /** GROUPING SETS — the §2.6 multi-dimensional aggregation shape beyond
+    * rollup: per-flag and per-status marginals in ONE pass (Spark expands
+    * each input row per set map-side, then one hash aggregation). */
+  val groupingSetsQ = Q(
+    "q_grouping_sets",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n,
+             grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY gid, l_returnflag, l_linestatus"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
-    sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ)
+    sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
+    custOrderDist, groupingSetsQ)
 }
