@@ -624,10 +624,65 @@ object RelationalQueries {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       ORDER BY gid, l_returnflag, l_linestatus"""))
 
+  /** TPC-H Q17-shaped correlated scalar subquery: lineitems whose quantity
+    * is below 20% of their part's average quantity. Expressed (and planned)
+    * as the decorrelated form — per-part averages once, broadcast back —
+    * which is exactly what an optimizer must rewrite the correlated
+    * subquery into; the DuckDB oracle keeps the correlated formulation, so
+    * the gate proves the decorrelation equivalence. The 0.2·avg comparison
+    * is single IEEE ops on both engines — deterministic, no rounding in
+    * the predicate. */
+  val smallQtyRevenue = Q(
+    "q17_small_qty_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val avgQ = li.groupBy(col("l_partkey").as("p_key"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(broadcast(avgQ), col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(
+          round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+             count(*)::BIGINT AS n_items
+      FROM lineitem l1
+      WHERE l1.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = l1.l_partkey)"""))
+
+  /** Stream-static enrichment (`StreamOps.enrichStream`) on the batch
+    * events table: a deterministic per-type weight dimension joined in as
+    * a broadcast, rolled up hourly — the lookup-join shape of every event
+    * pipeline, hash-gated like the other streaming twins. */
+  val eventsEnriched = Q(
+    "q_events_enriched",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val dim = e.select("event_type").distinct()
+        .withColumn("weight", length(col("event_type")).cast("long"))
+      graft.streaming.StreamOps.enrichStream(e, dim, "event_type")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("weight")).as("sum_weight"))
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"), col("sum_weight"))
+        .orderBy("bucket", "event_type")
+    },
+    Some("""
+      WITH dim AS (SELECT DISTINCT event_type,
+                          length(event_type)::BIGINT AS weight
+                   FROM events)
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             e.event_type, count(*) AS n, sum(weight)::BIGINT AS sum_weight
+      FROM events e JOIN dim USING (event_type)
+      GROUP BY 1, 2 ORDER BY bucket, e.event_type"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
-    custOrderDist, groupingSetsQ)
+    custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched)
 }

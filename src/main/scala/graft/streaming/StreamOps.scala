@@ -216,6 +216,16 @@ object StreamOps {
                  ts >= open_ts AND
                  ts <= open_ts + INTERVAL $window"""))
 
+  /** Stream-static enrichment: join a stream against a broadcast
+    * dimension table — the lookup-join every event pipeline runs (event →
+    * user profile, doc → source metadata). Stateless on the stream side:
+    * no watermark, no join state, each micro-batch hash-probes the
+    * broadcast dim. On a batch frame it is the identical broadcast join,
+    * so the same function is oracle-checked via `q_events_enriched` and
+    * stream/batch parity is gated in StreamingSpec. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Streaming top-k: a running nearest-neighbor leaderboard per query
     * over an unbounded scored stream — the continuous form of the batch
     * `TopKAgg` rerank (monitor "the k closest corpus vectors seen so far"

@@ -282,6 +282,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    val dim = Seq(("click", 10L), ("view", 20L)).toDF("event_type", "weight")
+    val batch = StreamOps.enrichStream(
+      sampleEvents.toDF("ts", "event_type", "value"), dim, "event_type")
+      .select("event_type", "value", "weight")
+      .orderBy("value").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.enrichStream(
+      mem.toDF().toDF("ts", "event_type", "value"), dim, "event_type")
+      .select("event_type", "value", "weight")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      val stream = spark.table("enrich_test").orderBy("value").collect()
+      assert(stream.toSeq == batch.toSeq)
+      assert(batch.length == sampleEvents.length)
+    } finally q.stop()
+  }
+
   test("streaming top-k leaderboard: final state equals the batch top-k") {
     // two queries, scored pairs arriving across three micro-batches with
     // ties (same dist, different id) and late improvements
