@@ -679,10 +679,35 @@ object RelationalQueries {
       FROM events e JOIN dim USING (event_type)
       GROUP BY 1, 2 ORDER BY bucket, e.event_type"""))
 
+  /** RANGE-frame window: per user, how many of their events fall in the
+    * trailing hour ending at each event — the value-based frame (RANGE
+    * BETWEEN) that rows-based frames cannot express when events cluster.
+    * One shuffle on user_id; the frame is integer micros, counts are
+    * exact. Limited to users < 50 to keep the verify dump lean. */
+  val trailingWindow = Q(
+    "q_window_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .orderBy("user_id", "us", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS n_trailing_1h
+      FROM events WHERE user_id < 50
+      ORDER BY user_id, us, event_id"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
-    custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched)
+    custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
+    trailingWindow)
 }
