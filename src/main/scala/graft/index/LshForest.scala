@@ -477,10 +477,13 @@ object LshForest {
     val qEmbs = qRows.map(r => (r.get(0), toDoubleArray(r.get(1))))
 
     // Driver-side routing: per-(query, tree) probe lists. `candEst` sums
-    // the probed leaves' build-sample occupancy — since this path only
-    // runs when the build sample was the WHOLE corpus (see topK's gate),
-    // it is an exact upper bound on the candidate pair count (cross-tree
-    // dedup only lowers it).
+    // the probed leaves' BUILD-SAMPLE occupancy: an exact upper bound on
+    // the candidate pair count when the sample was the whole corpus AND
+    // nothing was ingested since the build; an underestimate on capped
+    // samples and after incremental adds (which append bucket rows into
+    // existing leaves without touching the model). It therefore only ever
+    // NOMINATES the cheapest tier below — a bounded take() verifies it
+    // before anything trusts it.
     val leafCounts = model.trees.map(t => leafIds(t).size)
     var exhaustive = qEmbs.nonEmpty
     var candEst = 0L
@@ -522,33 +525,36 @@ object LshForest {
 
     val v0 = vectors.select(
       col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
-    // Join-strategy decision. With an exact build sample, candEst is an
-    // exact upper bound, so every decision is taken once and the candidate
-    // pipeline never executes twice. With a CAPPED sample (corpus larger
-    // than the cap) the estimate is in sample units — an unbounded
-    // underestimate — so the pair set is materialized once
-    // (localCheckpoint) and its true count decides, exactly like the
-    // distributed path; the driver routing still saved the probe job and
-    // the distinct-collect. Tiers either way:
+    // Join-strategy decision. The estimate NOMINATES the collect tier;
+    // a bounded take() verifies it (early-terminating — cheap when right,
+    // and it is only wrong after incremental ingest grew the leaves past
+    // the build snapshot). Every other case materializes the pair set
+    // once (localCheckpoint) and lets its TRUE count decide, exactly like
+    // the distributed path — an estimate that undercounts can therefore
+    // nominate a cheaper tier but never an unsafe one. Tiers:
     //  - <= 1024 pairs: collect them (bounded), push the ids into the
     //    vectors scan as a literal filter (row-group pruning of the fetch);
-    //  - <= 2M pairs: broadcast (same bar as the distributed path);
+    //  - <= 2M true pairs: broadcast (same bar as the distributed path);
     //  - beyond: plain hash join — both sides hash on vecId, nothing
     //    collects anywhere.
-    val (cand, candN) =
-      if (sampleExact) (cand0, candEst)
-      else { val c = cand0.localCheckpoint(); (c, c.count()) }
-    val (candSide, v) =
-      if (candN <= 1024) {
-        val t = cand.collect()
+    val verified: Option[Array[Row]] =
+      if (sampleExact && candEst <= 1024) {
+        val t = cand0.take(1025)
+        if (t.length <= 1024) Some(t) else None
+      } else None
+    val (candSide, v) = verified match {
+      case Some(t) =>
         val vIdType = buckets.schema(vecId).dataType
         val candSchema = StructType(Seq(
           StructField(queryId, qIdType), StructField(vecId, vIdType)))
         val candRel = spark.createDataFrame(t.toSeq.asJava, candSchema)
         val ids = t.map(_.get(1)).distinct.toSeq
         (broadcast(candRel), v0.filter(col(vecId).isin(ids: _*)))
-      } else if (candN <= 2000000) (broadcast(cand), v0)
-      else (cand, v0)
+      case None =>
+        val c = cand0.localCheckpoint()
+        val n = c.count()
+        if (n <= 2000000) (broadcast(c), v0) else (c, v0)
+    }
     val qSchema = StructType(Seq(
       StructField(queryId, qIdType),
       StructField("q_emb", ArrayType(DoubleType))))
