@@ -23,11 +23,14 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Two timed iterations per query, min reported: a single sample is at
-    // the mercy of transient box load (GC, compaction of a neighboring
-    // process) — min-of-2 measures the plan, not the machine's worst moment.
-    val results = names.map { name =>
-      val samples = (1 to 2).map { _ =>
+    // Two timed ROUNDS over the whole catalog, min per query across
+    // rounds: a single sample is at the mercy of transient box load, and
+    // back-to-back per-query repeats sit inside the same multi-second
+    // stall window (observed: one random query at 10-30x its normal time,
+    // both consecutive samples affected). Interleaving puts minutes
+    // between a query's two samples, so a stall corrupts at most one.
+    val sampled = (1 to 2).map { _ =>
+      names.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch {
@@ -35,10 +38,10 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(200)
         }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> samples.min
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    val results = names.map(n => n -> sampled.map(_(n)).min)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
