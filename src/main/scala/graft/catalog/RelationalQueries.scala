@@ -703,11 +703,41 @@ object RelationalQueries {
       FROM events WHERE user_id < 50
       ORDER BY user_id, us, event_id"""))
 
+  /** The Z-order (Morton) kernel behind [[graft.ops.Layout.zorderWrite]],
+    * hash-gated: pure integer mask-cascade arithmetic replayed identically
+    * in DuckDB (tools/ZorderProbe measures what the layout buys: 5x scan
+    * reduction on random 2-D boxes at 4M rows). */
+  val zorderValue = Q(
+    "q_zorder_value",
+    (s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id") < 5)
+      e.select(col("event_id"),
+        graft.ops.Layout.zValue(
+          col("user_id") % 4096, col("event_id") % 4096, bits = 12).as("z"))
+        .orderBy("event_id")
+    },
+    Some {
+      // the same spread cascade as Layout.spread16, inlined as SQL —
+      // masks in decimal: 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555
+      def spread(c: String): String = {
+        val s8 = s"((($c) | (($c) << 8)) & 16711935)"
+        val s4 = s"((($s8) | (($s8) << 4)) & 252645135)"
+        val s2 = s"((($s4) | (($s4) << 2)) & 858993459)"
+        s"((($s2) | (($s2) << 1)) & 1431655765)"
+      }
+      val zx = spread("user_id % 4096")
+      val zy = spread("event_id % 4096")
+      s"""
+      SELECT event_id, ($zx | ($zy << 1))::BIGINT AS z
+      FROM events WHERE user_id < 5
+      ORDER BY event_id"""
+    })
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
-    trailingWindow)
+    trailingWindow, zorderValue)
 }
