@@ -13,6 +13,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The default 100-entry codegen class cache is smaller than one
+      // catalog pass (101 queries x several codegen units each), so every
+      // timed round recompiled every plan from scratch — measured at
+      // +0.3-1.5 s of pure Janino time per query (the round-4
+      // knn_exact_* "regression" reproduces exactly by shrinking this
+      // cache). Static conf: must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,10 +56,24 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 4-decimal seconds: a full-precision Double repr nearly doubles the
+    // line length, and the round-4 artifact proved the driver's tail
+    // capture has a byte budget (BENCH_r04.json was cut mid-line, losing
+    // the total). 0.1 ms resolution is far below run-to-run noise.
+    def sec(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // Belt and braces against tail-capture truncation: persist the line to
+    // a file next to the repo artifacts, then print it exactly once as the
+    // process's very last stdout (after spark.stop(), whose shutdown noise
+    // goes to stderr) so nothing can push it over the capture budget.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }
