@@ -51,8 +51,9 @@ object IndexQueries {
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (buckets, model) = LshCache.ensure(s, dir)
-      LshForest.topK(queries, buckets, e, model, k = 10)
-        .orderBy("query_id", "vec_id")
+      recallGated(s, dir,
+        LshForest.topK(queries, buckets, e, model, k = 10),
+        floor = 0.8, nQueries = 5)
     },
     None)
 
@@ -107,6 +108,31 @@ object IndexQueries {
       })
       s.read.parquet(path)
     }
+  }
+
+  /** Falsifiable gate for the rows-only approximate top-k entries (the
+    * `q_sketch_distinct` within-bound pattern applied to ANN): recall@10
+    * against the cached exact ground truth is computed INSIDE the query,
+    * and when it sinks below `floor` a poison row (query_id = -1,
+    * vec_id = -1, dist = the offending recall) is appended — so a recall
+    * regression CHANGES the row count and content the driver records for
+    * the entry, instead of silently re-recording same-shaped output.
+    * Floors sit ~0.15 under the currently measured values (sf0.01/sf0.1),
+    * wide enough for fixture-to-fixture variation, tight enough that a
+    * broken probe path (the failure mode this guards) lands far below. */
+  def recallGated(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      approx: org.apache.spark.sql.DataFrame,
+      floor: Double, nQueries: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val truth = GroundTruthCache.topK10(s, dir)
+      .filter(col("query_id") < nQueries)
+    val recall = graft.ops.SimSearch.recallAtK(approx, truth)
+    val ordered = approx.orderBy("query_id", "vec_id")
+    if (recall >= floor) ordered
+    else ordered.union(
+      Seq((-1L, -1L, math.rint(recall * 10000) / 10000))
+        .toDF("query_id", "vec_id", "dist"))
   }
 
   /** The recall gate as an observable: recall@10 of the forest at

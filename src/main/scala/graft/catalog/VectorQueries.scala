@@ -144,8 +144,9 @@ object VectorQueries {
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (index, model) = IvfCache.ensure(s, dir, nlist = 16)
-      Ivf.topK(queries, index, model, k = 10, nprobe = 12)
-        .orderBy("query_id", "vec_id")
+      IndexQueries.recallGated(s, dir,
+        Ivf.topK(queries, index, model, k = 10, nprobe = 12),
+        floor = 0.8, nQueries = 5)
     },
     None)
 
@@ -214,8 +215,9 @@ object VectorQueries {
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (codes, model) = PqCache.ensure(s, dir)
-      Pq.topK(queries, codes, e, model, k = 10, rerank = 50)
-        .orderBy("query_id", "vec_id")
+      IndexQueries.recallGated(s, dir,
+        Pq.topK(queries, codes, e, model, k = 10, rerank = 50),
+        floor = 0.7, nQueries = 5)
     },
     None)
 
@@ -281,8 +283,11 @@ object VectorQueries {
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (index, model) = IvfPqCache.ensure(s, dir)
-      IvfPq.topK(queries, index, e, model, k = 10, nprobe = 12, rerank = 50)
-        .orderBy("query_id", "vec_id")
+      IndexQueries.recallGated(s, dir,
+        IvfPq.topK(queries, index, e, model, k = 10, nprobe = 12,
+          rerank = IvfPq.defaultRerank(
+            10, Tables.embeddings(s, dir).count(), nprobe = 12, nlist = 16)),
+        floor = 0.7, nQueries = 5)
     },
     None)
 
@@ -303,6 +308,26 @@ object VectorQueries {
         .orderBy("query_id", "vec_id")
     },
     Some(exactKnnL2Oracle))
+
+  /** IVF-PQ production-path quality as an observable (fourth member of
+    * the recall family, closing the loop on the occupancy sizing law:
+    * this is the DEFAULT-budget path the engine now serves, so a rerank
+    * mis-sizing shows up here as a dropped number every round). */
+  val ivfPqRecall = Q(
+    "ann_ivfpq_recall_at10",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (index, model) = IvfPqCache.ensure(s, dir)
+      val approx = IvfPq.topK(queries, index, e, model, k = 10, nprobe = 12,
+        rerank = IvfPq.defaultRerank(10, e.count(), nprobe = 12, nlist = 16))
+      val recall = SimSearch.recallAtK(
+        approx, IndexQueries.GroundTruthCache.topK10(s, dir))
+      Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
+    },
+    None)
 
   /** I14 emptiness probe: `is_empty`/`no_vectors` as a count. */
   val countVectors = Q(
@@ -337,6 +362,6 @@ object VectorQueries {
 
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
-    knnPq, knnPqFull, pqRecall, knnIvfPq, knnIvfPqFull, countVectors,
-    topkStreamBatch)
+    knnPq, knnPqFull, pqRecall, knnIvfPq, knnIvfPqFull, ivfPqRecall,
+    countVectors, topkStreamBatch)
 }

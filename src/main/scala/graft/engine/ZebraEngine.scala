@@ -62,7 +62,18 @@ final class ZebraEngine private (
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], recordSchema)
 
-  def count(): Long = vectors.count()
+  /** Corpus size, cached per engine instance: the IVF-PQ default rerank
+    * budget consults it on EVERY query call, and a parquet count() —
+    * though footer-metadata-only — is still a scheduler round-trip that
+    * would dominate small-batch query latency. Mutators invalidate
+    * (insertRecords advances it from the batch it just counted). */
+  @volatile private var countCache: Long = -1L
+
+  def count(): Long = {
+    val c = countCache
+    if (c >= 0L) c
+    else { val n = vectors.count(); countCache = n; n }
+  }
 
   /** I14 `is_empty` / `no_vectors` (reference: lsh.rs:389-409). */
   def isEmpty: Boolean = !hasData(vectorsDir) || vectors.isEmpty
@@ -119,11 +130,14 @@ final class ZebraEngine private (
     // query time). seq >= base selects exactly this batch, and parquet
     // min/max stats prune every older file from the read-back.
     val written = spark.read.parquet(vectorsDir).filter(col("seq") >= base)
-    // advance the seq watermark from the batch just written — the filter
-    // prunes to the new files via footer stats, so this never rescans the
-    // table the way the cold nextSeq() does
-    seqWatermark =
-      written.agg(coalesce(max("seq"), lit(base - 1L))).head().getLong(0) + 1L
+    // advance the seq watermark (and the count cache) from the batch just
+    // written — the filter prunes to the new files via footer stats, so
+    // this never rescans the table the way the cold nextSeq() does
+    val stats = written
+      .agg(coalesce(max("seq"), lit(base - 1L)),
+        org.apache.spark.sql.functions.count(lit(1))).head()
+    seqWatermark = stats.getLong(0) + 1L
+    if (countCache >= 0L) countCache += stats.getLong(1)
     config.indexKind match {
       case "ivfpq" =>
         // route the batch through the EXISTING quantizers (I7's shape):
@@ -168,9 +182,15 @@ final class ZebraEngine private (
             val nprobe =
               if (full) model.coarse.nlist
               else math.max(1, (model.coarse.nlist * 3) / 4)
+            // Default rerank follows the occupancy sizing law rather than a
+            // fixed 32·k: the scale probe showed fixed shortlists decay to
+            // recall 0.41 at 1.6M vectors (SURVEY §8.2) — the budget must
+            // track how many rows the probed cells actually hold.
             IvfPq.topK(
               queries, spark.read.parquet(indexDir), vectors, model, k,
-              nprobe = nprobe, rerank = searchK.getOrElse(32 * k),
+              nprobe = nprobe,
+              rerank = searchK.getOrElse(
+                IvfPq.defaultRerank(k, count(), nprobe, model.coarse.nlist)),
               metric = m, vecId = "id")
           case _ => exact
         }
@@ -201,6 +221,7 @@ final class ZebraEngine private (
     * index — the intended semantics, not the reference's root-leaf-only
     * prune (lsh.rs:487). */
   def remove(ids: DataFrame): Unit = {
+    countCache = -1L
     val idCol = ids.columns.head
     rewrite(vectorsDir, vectors.join(
       ids.select(col(idCol).as("id")), Seq("id"), "left_anti"))
@@ -217,6 +238,7 @@ final class ZebraEngine private (
     * patterns, lsh.rs to_bits). The row shuffled by the window already
     * carries the embedding column, so the extra key costs nothing. */
   def deduplicate(): Unit = {
+    countCache = -1L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(xxhash64(col("embedding")), col("embedding"))
       .orderBy(col("seq"))
@@ -386,6 +408,7 @@ final class ZebraEngine private (
     deleteRecursively(new File(indexDir))
     new File(modelFile).delete()
     seqWatermark = -1L
+    countCache = -1L
   }
 
   /** D4 `save_database` (core.rs:183-190): persist metadata. Parquet

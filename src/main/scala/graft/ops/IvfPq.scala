@@ -21,6 +21,21 @@ object IvfPq {
 
   final case class IvfPqModel(coarse: Ivf.IvfModel, pq: Pq.PqModel)
 
+  /** Occupancy-scaled default rerank budget — the sizing law the scale
+    * probe measured (SURVEY §8.2): a FIXED shortlist decays as cells grow
+    * (recall@10 = 0.93 at 400k but 0.41 at 1.6M with rerank=320), because
+    * ADC noise is proportional to how many rows the probe actually scans.
+    * Scaling the shortlist with the probed row count (~0.2% of scanned,
+    * twice the probe's 0.1% floor for margin) returned recall to 1.000 at
+    * 1.6M while still reranking a vanishing fraction of the corpus.
+    * `n` is the corpus size; probed rows are estimated uniformly
+    * (n·nprobe/nlist) — cell skew is bounded by the coarse quantizer's
+    * sample training, and the 2× margin absorbs it. */
+  def defaultRerank(k: Int, n: Long, nprobe: Int, nlist: Int): Int = {
+    val probedEst = n.toDouble * nprobe / math.max(nlist, 1)
+    math.max(32 * k, math.ceil(probedEst / 500.0).toInt)
+  }
+
   /** Train both quantizers on the same bounded-sample discipline. */
   def train(
       vectors: DataFrame, nlist: Int, m: Int = 8, ksub: Int = 256,

@@ -62,6 +62,27 @@ object EngineScaleProbe {
     time("query_after_adds")(eng.queryVectors(queries, 10).count())
     println(s"count: ${eng.count()}")
 
+    // IVF-PQ engine at DEFAULT budgets: validates the occupancy-scaled
+    // rerank law end to end — a fixed 32·k shortlist decayed to recall
+    // 0.41 at 1.6M (SURVEY §8.2); the law must hold ≥ 0.99 with no
+    // explicit searchK.
+    val pathQ = s"/tmp/graft_engine_scale_ivfpq_$n"
+    ZebraEngine.destroy(pathQ)
+    val engQ = ZebraEngine.create(
+      spark, pathQ, EngineConfig(dim = 64, indexKind = "ivfpq"))
+    time(s"ivfpq_ingest_$n")(engQ.insertRecords(synth(0, n)))
+    time("ivfpq_build")(engQ.refreshIndex())
+    time("ivfpq_query_warm")(engQ.queryVectors(queries, 10).count())
+    time("ivfpq_query")(engQ.queryVectors(queries, 10).count())
+    val approxQ = engQ.queryVectors(queries, 10)
+      .withColumnRenamed("id", "vec_id")
+    val exactQ = graft.ops.SimSearch
+      .exactTopK(queries, engQ.vectors, 10, vecId = "id")
+      .withColumnRenamed("id", "vec_id")
+    val recallQ = time("ivfpq_recall_eval")(
+      graft.ops.SimSearch.recallAtK(approxQ, exactQ))
+    println(f"ivfpq_recall_at10(default budgets): $recallQ%.4f (target >= 0.99)")
+
     // the same persisted tables through the raw forest path — any gap from
     // the engine timings above is engine plumbing, not the index
     val vecsP = spark.read.parquet(s"$path/vectors")
