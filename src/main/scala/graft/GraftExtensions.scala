@@ -99,11 +99,15 @@ object GraftFunctions {
       "zip_with(arg0, arg1, (x, y) -> (x + y) / 2.0D)"),
     mkTemplate("vector_scale", 2,
       "transform(arg0, x -> x * arg1)"),
+    // The squared norm is folded ONCE and lands in aggregate's finish
+    // lambda, where both the zero-guard and every element division read
+    // it as a bound scalar — O(d) total. (The first cut re-evaluated the
+    // norm aggregate inside the transform lambda per element: O(d²) per
+    // row, ~770× the needed work at 768-d.)
     mkTemplate("vector_normalize", 1,
-      """CASE WHEN aggregate(arg0, 0D, (acc, x) -> acc + x * x) = 0D THEN arg0
-              ELSE transform(arg0,
-                x -> x / sqrt(aggregate(arg0, 0D, (acc, x) -> acc + x * x)))
-         END"""),
+      """aggregate(arg0, 0D, (acc, x) -> acc + x * x,
+           acc -> CASE WHEN acc = 0D THEN arg0
+                       ELSE transform(arg0, x -> x / sqrt(acc)) END)"""),
     mkTemplate("vector_point_above", 3,
       "aggregate(zip_with(arg0, arg2, (x, y) -> x * y), 0D, (acc, x) -> acc + x) + arg1 >= 0D"))
 

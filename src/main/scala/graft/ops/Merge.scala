@@ -41,9 +41,22 @@ object Merge {
       .filter(col("rn") === 1)
     val upserts = winner.filter(col(opCol) === "upsert")
       .select(col(key) +: payloadCols.map(col): _*)
-    // Broadcast the winner keys: drops every touched key from base in one
-    // pass without shuffling the base side.
-    base.join(broadcast(winner.select(key)), Seq(key), "left_anti")
+    // Broadcast the winner keys when the log plausibly fits an executor —
+    // drops every touched key from base in one pass without shuffling the
+    // base side (the common CDC case: log ≪ base). The hint is GATED on
+    // the optimizer's size estimate of the log: a change log past the
+    // broadcast limit must degrade to a hash anti-join, not fail the job.
+    // The key projection is a fraction of the full log row, so the gate
+    // allows 32× the session's autoBroadcastJoinThreshold before falling
+    // back (well under the 8 GB hard broadcast cap at the 10 MB default).
+    val keys = winner.select(key)
+    val threshold =
+      base.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val logBytes = changes.queryExecution.optimizedPlan.stats.sizeInBytes
+    val antiSide =
+      if (threshold > 0 && logBytes <= BigInt(threshold) * 32) broadcast(keys)
+      else keys
+    base.join(antiSide, Seq(key), "left_anti")
       .unionByName(upserts)
   }
 }

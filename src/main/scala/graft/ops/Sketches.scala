@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, Encoder}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
@@ -24,6 +26,15 @@ object Sketches {
     *  - reduce is the classic decrement-on-overflow step; merge sums
     *    counter sets then subtracts the (m+1)-th largest count.
     *
+    * The buffer is a MUTABLE map (kryo-encoded; serialization only happens
+    * at partial-aggregate boundaries): the decrement sweep mutates counters
+    * in place, so the hot aggregation path allocates nothing per token.
+    * The sweep itself stays O(m) but is amortized O(1) per input — each
+    * sweep destroys m+1 units of stored mass and the stream only creates N,
+    * so at most N/(m+1) sweeps happen over the whole stream. (The first
+    * cut rebuilt an m-entry immutable Map on EVERY non-tracked token at
+    * capacity — O(m) allocation per token on high-cardinality streams.)
+    *
     * The reference engine has no frequency sketch; this extends the
     * profiling family the way a training-data pipeline needs (vocabulary
     * heavy hitters, hot-key detection before a skewed join). The output is
@@ -31,36 +42,44 @@ object Sketches {
     * the falsifiable-accuracy pattern (see `q_sketch_heavy_hitters`).
     */
   final class MisraGries(m: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
     require(m > 0, s"capacity must be positive, got $m")
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: mutable.HashMap[String, Long] = new mutable.HashMap
 
-    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+    override def reduce(
+        b: mutable.HashMap[String, Long], tok: String): mutable.HashMap[String, Long] = {
       b.get(tok) match {
-        case Some(c) => b.updated(tok, c + 1L)
-        case None if b.size < m => b.updated(tok, 1L)
+        case Some(c) => b.update(tok, c + 1L)
+        case None if b.size < m => b.update(tok, 1L)
         case None =>
-          // decrement every counter; drop the ones that hit zero
-          b.collect { case (k, v) if v > 1L => k -> (v - 1L) }
+          // classic MG step: the new token's +1 cancels against the round's
+          // -1, every stored counter decrements in place, zeros drop
+          b.mapValuesInPlace((_, v) => v - 1L)
+          b.filterInPlace((_, v) => v > 0L)
       }
-
-    override def merge(
-        a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (acc, (k, v)) =>
-        acc.updated(k, acc.getOrElse(k, 0L) + v)
-      }
-      if (sum.size <= m) sum
-      else {
-        val d = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(m)
-        sum.collect { case (k, v) if v > d => k -> (v - d) }
-      }
+      b
     }
 
-    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def merge(
+        a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      // fold the smaller summary into the larger
+      val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+      from.foreach { case (k, v) => into.update(k, into.getOrElse(k, 0L) + v) }
+      if (into.size > m) {
+        val d = into.valuesIterator.toArray.sorted(Ordering[Long].reverse)(m)
+        into.mapValuesInPlace((_, v) => v - d)
+        into.filterInPlace((_, v) => v > 0L)
+      }
+      into
+    }
 
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
+    override def finish(r: mutable.HashMap[String, Long]): Map[String, Long] =
+      r.toMap
+
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
     override def outputEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
   }

@@ -257,9 +257,16 @@ object StreamOps {
             state.getOption.getOrElse(Array.empty[(Double, Long)]))
           rows.foreach { case (_, id, d) =>
             val a = (d, id)
+            // At-least-once sources can re-deliver a (query, vec, dist)
+            // row (and corpus re-scores repeat them by design): an exact
+            // (dist, id) pair already in the buffer must be a no-op, or
+            // one vector occupies several ranks and evicts genuine
+            // neighbors. The buffer is sorted — membership falls out of
+            // the same scan that finds the insertion point.
             if (buf.length < k || Ordering[(Double, Long)].lt(a, buf.last)) {
-              val at = buf.indexWhere(Ordering[(Double, Long)].lt(a, _))
-              if (at < 0) buf.append(a) else buf.insert(at, a)
+              val at = buf.indexWhere(Ordering[(Double, Long)].lteq(a, _))
+              if (at < 0) buf.append(a)
+              else if (buf(at) != a) buf.insert(at, a)
               if (buf.length > k) buf.remove(buf.length - 1)
             }
           }
