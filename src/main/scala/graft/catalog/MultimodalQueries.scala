@@ -3,6 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
+import graft.core.Fixtures
 import graft.embed.{AudioSpectrogramEmbedder, ImageFeatureEmbedder, MultimodalFixtures, VideoFrameEmbedder, VideoFrames}
 import graft.functions.Distances
 import graft.ops.SimSearch
@@ -10,10 +11,41 @@ import graft.ops.SimSearch
 /** Multimodal surface (SURVEY.md §2.4 E3–E7, §2.5 C3/C4): images and audio
   * as opaque BINARY columns flowing through decode → feature-embed → kNN.
   * No binary fixtures ship in /root/testdata (FIXTURES.md §3), so the
-  * inputs are deterministic generated PNGs/WAVs; embedders are hash-based
-  * (not SQL-expressible) — rows-only checks here, contracts gated in
-  * MultimodalSpec. */
+  * inputs are deterministic generated PNGs/WAVs. The kNN entries stay
+  * rows-only (hash embedders aren't SQL-expressible; contracts gated in
+  * MultimodalSpec), but the decode paths are hash-checked against frozen
+  * digest fixtures (`fixtures/multimodal_*_digest.parquet`): the inputs are
+  * bit-reproducible, so the expected per-item stats are precomputed once by
+  * `graft.tools.GenOracleFixtures` and the oracle is a SELECT from the
+  * digest table — a regression anywhere in decode/resize/normalize changes
+  * the recorded values and trips the driver's hash gate. */
 object MultimodalQueries {
+
+  /** E3 digest: decoded-tensor statistics for one image after resize +
+    * ImageNet normalization. Shared by the catalog query, the fixture
+    * generator, and FixtureOracleSpec so all three are bit-identical by
+    * construction. */
+  def imageDigest(bytes: Array[Byte]): (Int, Double, Double) = {
+    val t = ImageFeatureEmbedder.loadImage224(bytes)
+    if (t == null) (0, 0.0, 0.0)
+    else {
+      val flat = t.flatten.flatten
+      (flat.length,
+        math.rint(flat.sum / flat.length * 10000) / 10000,
+        math.rint(flat.max * 10000) / 10000)
+    }
+  }
+
+  /** Per-frame variant of [[imageDigest]] (no max — frame digests
+    * track the mean drift across the clip). */
+  def frameDigest(png: Array[Byte]): (Int, Double) = {
+    val t = ImageFeatureEmbedder.loadImage224(png)
+    if (t == null) (0, 0.0)
+    else {
+      val flat = t.flatten.flatten
+      (flat.length, math.rint(flat.sum / flat.length * 10000) / 10000)
+    }
+  }
 
   private val imageEmbedder = ImageFeatureEmbedder()
   private val audioEmbedder = AudioSpectrogramEmbedder()
@@ -62,23 +94,17 @@ object MultimodalQueries {
     (s, dir) => {
       import s.implicits._
       val images = (0 until 24).map(i => (i.toLong, MultimodalFixtures.makePng(i)))
-      val statsUdf = udf { (bytes: Array[Byte]) =>
-        val t = ImageFeatureEmbedder.loadImage224(bytes)
-        if (t == null) (0, 0.0, 0.0)
-        else {
-          val flat = t.flatten.flatten
-          (flat.length,
-            math.rint(flat.sum / flat.length * 10000) / 10000,
-            math.rint(flat.max * 10000) / 10000)
-        }
-      }
+      val statsUdf = udf((b: Array[Byte]) => imageDigest(b))
       images.toDF("vec_id", "document")
         .select(col("vec_id"), statsUdf(col("document")).as("s"))
         .select(col("vec_id"), col("s._1").as("n_values"),
           col("s._2").as("mean_val"), col("s._3").as("max_val"))
         .orderBy("vec_id")
     },
-    None)
+    Some(s"""
+      SELECT vec_id, n_values, mean_val, max_val
+      FROM read_parquet('${Fixtures.path("multimodal_image_digest.parquet")}')
+      ORDER BY vec_id"""))
 
   private val videoEmbedder = VideoFrameEmbedder()
 
@@ -95,14 +121,7 @@ object MultimodalQueries {
         val sampled = VideoFrames.sampleFrames(bytes, stride = 2)
         if (sampled == null) Array.empty[(Int, Array[Byte])] else sampled
       }
-      val statsUdf = udf { (png: Array[Byte]) =>
-        val t = ImageFeatureEmbedder.loadImage224(png)
-        if (t == null) (0, 0.0)
-        else {
-          val flat = t.flatten.flatten
-          (flat.length, math.rint(flat.sum / flat.length * 10000) / 10000)
-        }
-      }
+      val statsUdf = udf((b: Array[Byte]) => frameDigest(b))
       videos.toDF("vec_id", "document")
         .select(col("vec_id"), explode(sampleUdf(col("document"))).as("f"))
         .select(col("vec_id"), col("f._1").as("frame_idx"),
@@ -111,7 +130,10 @@ object MultimodalQueries {
           col("s._1").as("n_values"), col("s._2").as("mean_val"))
         .orderBy("vec_id", "frame_idx")
     },
-    None)
+    Some(s"""
+      SELECT vec_id, frame_idx, n_values, mean_val
+      FROM read_parquet('${Fixtures.path("multimodal_video_digest.parquet")}')
+      ORDER BY vec_id, frame_idx"""))
 
   /** Video kNN: sampled frames → per-frame E4 features → temporal mean
     * pool → cosine kNN, queried with re-generated (bit-identical) videos:

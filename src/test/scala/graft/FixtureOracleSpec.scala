@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Fixtures, Tables}
+import graft.tools.GenOracleFixtures
+
+/** Staleness gate for the committed oracle-fixture parquets (fixtures/):
+  * every fixture is recomputed in-process through the same shared functions
+  * the catalog queries use and compared value-for-value against the frozen
+  * file. Goes red when the testdata embeddings are regenerated or the
+  * decode path changes — the fix is rerunning graft.tools.GenOracleFixtures
+  * and committing, never hand-editing. */
+class FixtureOracleSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("image digest fixture matches a live recompute") {
+    val frozen = spark.read.parquet(Fixtures.path("multimodal_image_digest.parquet"))
+      .as[(Long, Int, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(frozen == GenOracleFixtures.imageDigestRows)
+  }
+
+  test("video frame digest fixture matches a live recompute") {
+    val frozen = spark.read.parquet(Fixtures.path("multimodal_video_digest.parquet"))
+      .as[(Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(frozen == GenOracleFixtures.videoDigestRows)
+  }
+
+  test("embedding bit fixture matches the sf0.01 embeddings' raw float bits") {
+    val live = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, emb) => id -> GenOracleFixtures.floatBits(emb).toSeq }
+      .toMap
+    val frozen = spark.read.parquet(Fixtures.path("embedding_bits.parquet"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, bits) => id -> bits }
+      .toMap
+    assert(frozen.keySet == live.keySet)
+    // spot mismatches with a useful message rather than a giant diff
+    val bad = live.collect { case (id, bits) if frozen(id) != bits => id }
+    assert(bad.isEmpty, s"stale bit rows for vec_ids: ${bad.take(5).toList}")
+  }
+}
