@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Catalog.Q
 import graft.core.Tables
 import graft.functions.{Distances, VectorOps}
-import graft.ops.{Ivf, IvfPq, Pq, SimSearch}
+import graft.ops.{Ivf, IvfPq, KnnJoin, Pq, SimSearch}
 
 /** Vector algebra + search surface: I1–I3 (hyperplane predicate, subtract,
   * average), D11/I13 (batch exact top-k), I14 (emptiness probe), and the
@@ -329,6 +329,78 @@ object VectorQueries {
     },
     None)
 
+  /** Exact self-join kNN: EVERY corpus row is a query (top-3 neighbors,
+    * self included) — the ground-truth anchor for the bucketed kNN join
+    * below, and the largest exact surface in the catalog (n² scored
+    * pairs). The Spark side is still the one-plan broadcast form; the
+    * JOIN-shaped scale path is `knn_join_bucketed`. */
+  val knnJoinExact = Q(
+    "knn_join_exact",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.select(col("vec_id").as("query_id"), col("embedding"))
+      SimSearch.exactTopK(queries, e, k = 3)
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH d AS (SELECT q.vec_id AS query_id, a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.embedding[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, embeddings q, generate_series(1, 64) t(i)
+                 GROUP BY q.vec_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 3
+      ORDER BY query_id, vec_id"""))
+
+  /** The kNN JOIN scale path ([[graft.ops.KnnJoin]]): every corpus row as
+    * a query against the corpus through the forest's (tree, leaf) bucket
+    * equi-join — neither side broadcast, candidates bounded by leaf
+    * occupancy. Self-gating like the ANN top-k entries: top-1 must be
+    * self for every query (identical vectors route identically, the same
+    * invariant the near-dup dedup path rests on) and recall@3 against the
+    * exact self-join twin must clear the floor, else a poison row lands. */
+  val knnJoinBucketed = Q(
+    "knn_join_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.select(col("vec_id").as("query_id"), col("embedding"))
+      val (buckets, model) = IndexQueries.LshCache.ensure(s, dir)
+      val approx = KnnJoin.knnJoin(queries, e, model, k = 3,
+        corpusRoutes = Some(buckets))
+      val exact = SimSearch.exactTopK(queries, e, k = 3)
+      val recall = SimSearch.recallAtK(approx, exact)
+      val selfMisses = approx.filter(col("query_id") === col("vec_id"))
+        .filter(col("dist") =!= 0.0).count() +
+        (e.count() - approx.filter(col("query_id") === col("vec_id")).count())
+      val ordered = approx.orderBy("query_id", "vec_id")
+      if (recall >= 0.8 && selfMisses == 0) ordered
+      else ordered.union(
+        Seq((-1L, -1L, math.rint(recall * 10000) / 10000 - selfMisses))
+          .toDF("query_id", "vec_id", "dist"))
+    },
+    None)
+
+  /** The kNN-join path's quality as an observable (twin of
+    * `lsh_recall_at10` for the join-shaped scale path): recall@3 of the
+    * bucket equi-join at the default probe budget against the exact
+    * self-join, all queries. */
+  val knnJoinRecall = Q(
+    "knn_join_recall_at3",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.select(col("vec_id").as("query_id"), col("embedding"))
+      val (buckets, model) = IndexQueries.LshCache.ensure(s, dir)
+      val approx = KnnJoin.knnJoin(queries, e, model, k = 3,
+        corpusRoutes = Some(buckets))
+      val n = e.count()
+      val recall = SimSearch.recallAtK(approx, SimSearch.exactTopK(queries, e, k = 3))
+      Seq((math.rint(recall * 10000) / 10000, n)).toDF("recall_at_3", "n_queries")
+    },
+    None)
+
   /** I14 emptiness probe: `is_empty`/`no_vectors` as a count. */
   val countVectors = Q(
     "count_vectors",
@@ -363,5 +435,5 @@ object VectorQueries {
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
     knnPq, knnPqFull, pqRecall, knnIvfPq, knnIvfPqFull, ivfPqRecall,
-    countVectors, topkStreamBatch)
+    knnJoinExact, knnJoinBucketed, knnJoinRecall, countVectors, topkStreamBatch)
 }

@@ -84,17 +84,24 @@ object Pq {
       val books = bc.value
       val m = books.length
       val subdim = books(0)(0).length
+      // unbox once; per-centroid early abandonment (both exact — see
+      // Ivf.assign, the same hot-loop discipline)
+      val p = new Array[Double](emb.length)
+      var j0 = 0
+      while (j0 < p.length) { p(j0) = emb(j0); j0 += 1 }
       val out = new Array[Byte](m)
       var s = 0
       while (s < m) {
         val cents = books(s)
+        val base = s * subdim
         var best = 0; var bestD = Double.MaxValue; var i = 0
         while (i < cents.length) {
+          val c = cents(i)
           var d = 0.0; var j = 0
-          while (j < subdim) {
-            val t = emb(s * subdim + j).toDouble - cents(i)(j); d += t * t; j += 1
+          while (j < subdim && d < bestD) {
+            val t = p(base + j) - c(j); d += t * t; j += 1
           }
-          if (d < bestD) { bestD = d; best = i }
+          if (j == subdim && d < bestD) { bestD = d; best = i }
           i += 1
         }
         out(s) = best.toByte
@@ -111,15 +118,19 @@ object Pq {
     * broadcast; each corpus row then costs m table adds. Emits
     * (queryId, vecId, dist) with approximate (quantized-space) dists. */
   /** Collect the (small) query batch and build one `m × ksub` ADC lookup
-    * table per query. */
+    * table per query, keyed by the id's STRING rendering — injective for
+    * any single id type (the engine mints STRING ids like "v000000007";
+    * the first cut cast to BIGINT and threw on them), and the score
+    * emitters below re-attach the ORIGINAL id column so output types are
+    * caller-transparent. */
   private def queryLuts(
       queries: DataFrame, model: PqModel, queryId: String)
-      : Array[(Long, Array[Array[Double]])] = {
+      : Array[(String, Array[Array[Double]])] = {
     val books = model.codebooks
     val m = model.m
     val subdim = model.subdim
     queries
-      .select(col(queryId).cast("long"), Distances.asDouble(col("embedding")))
+      .select(col(queryId).cast("string"), Distances.asDouble(col("embedding")))
       .collect()
       .map { r =>
         val q = r.getSeq[Double](1).toArray
@@ -130,7 +141,7 @@ object Pq {
             d
           }
         }
-        (r.getLong(0), lut)
+        (r.getString(0), lut)
       }
   }
 
@@ -147,9 +158,15 @@ object Pq {
         (qid, d)
       }.toSeq
     }
+    // the scores carry the string LUT key; a broadcast join against the
+    // (tiny) query batch restores the original-typed id column
+    val mapping = queries.select(
+      col(queryId), col(queryId).cast("string").as("_qkey"))
     codes
       .select(col(vecId), explode(score(col("codes"))).as("qd"))
-      .select(col("qd._1").as(queryId), col(vecId), col("qd._2").as("dist"))
+      .select(col("qd._1").as("_qkey"), col(vecId), col("qd._2").as("dist"))
+      .join(broadcast(mapping), Seq("_qkey"))
+      .select(col(queryId), col(vecId), col("dist"))
   }
 
   /** ADC scores where each input row already names its query —
@@ -162,7 +179,7 @@ object Pq {
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(
       queryLuts(queries, model, queryId).toMap)
-    val score = udf { (qid: Long, codes: Array[Byte]) =>
+    val score = udf { (qid: String, codes: Array[Byte]) =>
       val lut = bc.value(qid)
       var d = 0.0
       var s = 0
@@ -170,7 +187,7 @@ object Pq {
       d
     }
     rows.select(col(queryId), col(vecId),
-      score(col(queryId).cast("long"), col("codes")).as("dist"))
+      score(col(queryId).cast("string"), col("codes")).as("dist"))
   }
 
   /** PQ top-k: ADC shortlist of `rerank` candidates per query, then exact

@@ -62,6 +62,23 @@ class EngineIvfPqSpec extends AnyFunSuite {
     assert(after == (0 until 3).map(i => f"v$i%06d").toSet)
   }
 
+  test("STRING query ids flow through the ADC path at default budgets") {
+    // The engine mints string ids itself ("v%012d"), so a user querying by
+    // stored records hits this immediately — the first cut cast the query
+    // id to BIGINT inside the ADC lookup-table keying and threw
+    // CAST_INVALID_INPUT on any non-numeric id (found by the 1.6M scale
+    // probe, whose synthetic ids are "v0", "v1", ...).
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 3)
+      .select(format_string("v%06d", col("vec_id")).as("query_id"),
+        col("embedding"))
+    val top1 = eng.queryVectors(q, k = 1).collect()
+    assert(top1.length == 3)
+    top1.foreach { r =>
+      assert(r.getString(0) == r.getString(1), r) // self at top-1
+      assert(r.getDouble(2) == 0.0)
+    }
+  }
+
   test("metadata round-trips the index kind; legacy metadata reads as lsh") {
     val reopened = ZebraEngine.open(spark, path)
     assert(reopened.config.indexKind == "ivfpq")
