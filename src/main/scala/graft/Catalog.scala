@@ -26,7 +26,8 @@ object Catalog {
       catalog.CurationQueries.qs ++
       catalog.ProfileQueries.qs ++
       catalog.EmbedQueries.qs ++
-      catalog.MultimodalQueries.qs
+      catalog.MultimodalQueries.qs ++
+      catalog.TextMatchQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

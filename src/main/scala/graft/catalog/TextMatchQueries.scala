@@ -1,0 +1,140 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.core.Tables
+import graft.ops.{FuzzyJoin, TextMatch}
+
+/** Catalog twins for the exact substring/line-level text operators
+  * (`ops/TextMatch.scala`) and the edit-distance similarity join
+  * (`ops/FuzzyJoin.scala`) — the remaining dedup/matching passes of a
+  * training-data pipeline beyond document-level near-dup: substring-span
+  * dedup (Lee et al.-style), line-level global dedup (RefinedWeb/C4),
+  * positional phrase search, and fuzzy entity matching. Every entry is
+  * integer/digest-exact; every oracle derives the answer a DIFFERENT way
+  * than the Spark plan (array indexing vs posting joins, brute-force
+  * product vs PassJoin) so the hash gate checks semantics, not a shared
+  * implementation.
+  */
+object TextMatchQueries {
+
+  /** Cross-doc repeated 8-token spans: per-doc duplicated-window count and
+    * covered-token fraction. The Spark side shuffles 32-byte gram hashes
+    * and count-filters before the join-back; the oracle recomputes from
+    * raw arrays. */
+  val spanDedup = Q(
+    "dedup_span_exact",
+    (s, dir) =>
+      TextMatch.spanDedupStats(Tables.documents(s, dir), k = 8)
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      wins AS (SELECT doc_id, len(toks)::BIGINT AS n_tok, i AS pos,
+                      md5(array_to_string(toks[i:i+7], ' ')) AS h
+               FROM w, unnest(range(1, len(toks) - 6)) t(i)),
+      dupg AS (SELECT h FROM wins GROUP BY h
+               HAVING count(DISTINCT doc_id) > 1),
+      hit AS (SELECT doc_id, n_tok, pos FROM wins JOIN dupg USING (h)),
+      cov AS (SELECT doc_id, any_value(n_tok) AS n_tok,
+                     count(DISTINCT pos)::BIGINT AS n_dup_wins,
+                     count(DISTINCT ti)::BIGINT AS n_cov_tok
+              FROM hit, unnest(range(pos, pos + 8)) u(ti)
+              GROUP BY doc_id)
+      SELECT doc_id, n_dup_wins, n_cov_tok,
+             n_cov_tok * 10000 // n_tok AS dup_frac_1e4
+      FROM cov ORDER BY doc_id"""))
+
+  /** Line-level global first-wins dedup over 10-token lines, docs
+    * reassembled and digest-gated. The fixture's prefix-aligned near-dups
+    * make 127 of 2,949 lines genuine cross-doc duplicates at sf0.01 — no
+    * planting needed. */
+  val paragraphs = Q(
+    "dedup_paragraphs",
+    (s, dir) =>
+      TextMatch.paragraphDedup(Tables.documents(s, dir), lineTokens = 10)
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, toks, ((len(toks) + 9) // 10)::BIGINT AS n_lines
+            FROM w),
+      lines AS (SELECT doc_id, j AS line_no,
+                       array_to_string(toks[(j*10+1):(j*10+10)], ' ') AS line
+                FROM b, unnest(range(0, n_lines)) t(j)),
+      keep AS (SELECT doc_id, line_no, line,
+                      row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, line_no) AS rk
+               FROM lines),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY line_no))
+                       AS kept_md5
+              FROM keep WHERE rk = 1 GROUP BY doc_id)
+      SELECT b.doc_id, b.n_lines, coalesce(agg.n_kept, 0) AS n_kept,
+             coalesce(agg.kept_md5, md5('')) AS kept_md5
+      FROM b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
+  /** Exact phrase search for "table value": positional-index adjacency
+    * joins on the Spark side (only the two terms' postings shuffle); the
+    * oracle checks token arrays by direct indexing. first_pos is 0-based
+    * on both sides. */
+  val phrase = Q(
+    "phrase_search",
+    (s, dir) =>
+      TextMatch.phraseSearch(Tables.documents(s, dir),
+        phrase = Seq("table", "value"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      pos AS (SELECT doc_id, i - 1 AS pos
+              FROM w, unnest(range(1, len(toks))) t(i)
+              WHERE toks[i] = 'table' AND toks[i+1] = 'value')
+      SELECT doc_id, count(*)::BIGINT AS n_occ, min(pos)::BIGINT AS first_pos
+      FROM pos GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Edit-distance <= 2 self-join over 24-char document title prefixes with
+    * planted typo copies (substitution at a doc_id-derived position; every
+    * 10th also drops a char — ed 2). Spark runs PassJoin (constant-fanout
+    * segment index, never all-pairs); the oracle brute-forces the full
+    * product with DuckDB's levenshtein — the hash gate proves the filtered
+    * join LOSSLESS, the falsifiable property that matters at 100 TB where
+    * brute force is impossible. The 25 ed-0 pairs are the corpus's natural
+    * prefix-aligned near-dups. */
+  val fuzzyJoin = Q(
+    "fuzzy_join_edit",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val orig = docs.select(col("doc_id").as("id"),
+        substring(col("text"), 1, 24).as("s"))
+      val mut = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s0"),
+          (col("doc_id") % 20 + 2).cast("int").as("p"))
+        .select(col("doc_id"), col("p"),
+          expr("concat(substr(s0, 1, p-1), 'z', substr(s0, p+1, 100))").as("m"))
+        .select((col("doc_id") + 100000).as("id"),
+          when(col("doc_id") % 10 === 0,
+            expr("concat(substr(m, 1, p+2), substr(m, p+4, 100))"))
+            .otherwise(col("m")).as("s"))
+      FuzzyJoin.selfJoin(orig.unionAll(mut), d = 2)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id AS id, substr(text, 1, 24) AS s FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               CASE WHEN doc_id % 10 = 0
+                    THEN concat(substr(concat(substr(s0,1,p-1),'z',substr(s0,p+1,100)),1,p+2),
+                                substr(concat(substr(s0,1,p-1),'z',substr(s0,p+1,100)),p+4,100))
+                    ELSE concat(substr(s0,1,p-1),'z',substr(s0,p+1,100)) END
+        FROM (SELECT doc_id, substr(text,1,24) AS s0, doc_id % 20 + 2 AS p
+              FROM documents WHERE doc_id % 5 = 0))
+      SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s)::BIGINT AS ed
+      FROM t a JOIN t b ON a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 2
+      ORDER BY id_a, id_b"""))
+
+  def qs: Seq[Q] = Seq(spanDedup, paragraphs, phrase, fuzzyJoin)
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-level text operators: repeated-span detection (the
+  * Lee-et-al.-style "dedup at the substring level, not the document level"
+  * pass), paragraph/line-level global dedup (the RefinedWeb/C4 pass), and
+  * positional phrase search over an inverted-index shape. The reference
+  * engine has no text surface (its documents are opaque embedded blobs,
+  * src/database/core.rs:267-313) — these are training-data-pipeline
+  * extensions, and every output is integer/digest-exact so the DuckDB
+  * catalog twins hash-match.
+  *
+  * Scale shapes: span and paragraph dedup shuffle HASH-SIZED rows keyed on
+  * gram/line content — the one unavoidable exchange of any global dedup —
+  * and count-filter duplicated keys before joining back, so the join-back
+  * traffic is proportional to the corpus's duplication, not its size.
+  * Phrase search filters to the query terms' postings BELOW the joins, so
+  * only those postings ever shuffle (the inverted-index access path, not a
+  * corpus scan per term).
+  */
+object TextMatch {
+
+  /** Per-document repeated-span coverage: a doc's k-token windows that also
+    * appear in ANOTHER doc, and the distinct token positions those windows
+    * cover. `dup_frac_1e4` is the integer-quantized fraction of the doc's
+    * tokens sitting inside some cross-doc duplicated span — the signal a
+    * substring-level dedup pass thresholds on (boilerplate headers, licence
+    * blocks, templated spam score high even when the whole doc is unique).
+    * Only docs with at least one duplicated window are returned.
+    *
+    * Plan: windows explode map-side; the duplicated-gram set is a
+    * count-filtered aggregate on the gram hash (never the corpus); the
+    * join-back fans out only on duplicated grams; coverage is one
+    * sequence-explode bounded by k per hit. */
+  def spanDedupStats(
+      docs: DataFrame, k: Int = 8,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val wins = docs
+      .filter(size(toks) >= k)
+      .select(col(docId), size(toks).cast("long").as("n_tok"),
+        posexplode(Curation.wordGrams(col(textCol), k)).as(Seq("pos", "g")))
+    // md5 the gram before the exchange: 32 bytes shuffle instead of the
+    // k-token string (the gram text never leaves the map side).
+    val hashed = wins.select(col(docId), col("n_tok"), col("pos"),
+      md5(col("g").cast("binary")).as("h"))
+    val dup = hashed.groupBy("h")
+      .agg(count_distinct(col(docId)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    hashed.join(dup, "h")
+      .select(col(docId), col("n_tok"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"),
+        col("pos"))
+      .groupBy(docId)
+      .agg(count_distinct(col("pos")).as("n_dup_wins"),
+        count_distinct(col("ti")).as("n_cov_tok"),
+        first("n_tok").as("n_tok"))
+      .select(col(docId), col("n_dup_wins"), col("n_cov_tok"),
+        expr("n_cov_tok * 10000 div n_tok").as("dup_frac_1e4"))
+  }
+
+  /** Global line-level dedup with first-wins semantics (RefinedWeb's
+    * "remove any line already seen anywhere in the corpus", C4's boilerplate
+    * pass): documents are segmented into `lineTokens`-token lines, every
+    * line occurrence after the globally first (lowest (docId, line_no)) is
+    * dropped, and each doc is reassembled from its surviving lines.
+    * Returns (docId, n_lines, n_kept, kept_md5) for every input doc —
+    * kept_md5 digests the reassembled text, so the gate checks CONTENT.
+    *
+    * The fixture's planted near-dups are prefix-aligned, so fixed
+    * segmentation yields genuine cross-doc duplicate lines without any
+    * synthetic planting. One exchange keyed on line content (the global
+    * dedup shuffle), one on docId for reassembly. */
+  def paragraphDedup(
+      docs: DataFrame, lineTokens: Int = 10,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val base = docs.select(col(docId), toks.as("toks"))
+      .withColumn("n_lines",
+        expr(s"((size(toks) + ${lineTokens - 1}) div $lineTokens)").cast("long"))
+    val lines = base
+      .select(col(docId), col("n_lines"),
+        posexplode(transform(sequence(lit(0L), col("n_lines") - 1),
+          j => array_join(
+            slice(col("toks"), (j * lineTokens + 1).cast("int"), lit(lineTokens)),
+            " "))).as(Seq("line_no", "line")))
+    val firstWins = Window.partitionBy("line").orderBy(docId, "line_no")
+    val kept = lines
+      .withColumn("rk", row_number().over(firstWins))
+      .filter(col("rk") === 1)
+    val reassembled = kept.groupBy(docId)
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line"))).cast("binary")).as("kept_md5"))
+    base.select(col(docId), col("n_lines"))
+      .join(reassembled, Seq(docId), "left")
+      .select(col(docId), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit("").cast("binary"))).as("kept_md5"))
+  }
+
+  /** Exact phrase search over a positional inverted index: docs containing
+    * `phrase` as consecutive tokens, with occurrence count and first match
+    * position (0-based). The postings list is term-filtered BEFORE any
+    * join — only the phrase's terms shuffle — and each adjacency is an
+    * equi-join on (docId, pos + i), the standard positional-index
+    * intersection. Returns (docId, n_occ, first_pos). */
+  def phraseSearch(
+      docs: DataFrame, phrase: Seq[String],
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val post = docs
+      .select(col(docId),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isInCollection(phrase.distinct))
+    val start = post.filter(col("w") === phrase.head)
+      .select(col(docId), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(start) {
+      case (acc, (term, i)) =>
+        acc.join(
+          post.filter(col("w") === term)
+            .select(col(docId).as("d_i"), (col("pos") - i).as("p_i")),
+          acc(docId) === col("d_i") && acc("pos") === col("p_i"))
+          .select(acc(docId), acc("pos"))
+    }
+    matched.groupBy(docId)
+      .agg(count(lit(1)).as("n_occ"), min("pos").cast("long").as("first_pos"))
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{FuzzyJoin, TextMatch}
+
+/** Gates for the substring/line-level text operators and the PassJoin
+  * edit-distance join. The load-bearing test is PassJoin exactness: the
+  * segment-index candidate scheme must equal the brute-force all-pairs
+  * join on every input (that is the property that lets it replace brute
+  * force at scale).
+  */
+class TextMatchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // --- spanDedupStats -----------------------------------------------------
+
+  test("spanDedupStats: hand-computed coverage on a planted repeated span") {
+    // docs 1 and 2 share the 8-token run "a b c d e f g h"; doc 3 is clean.
+    val docs = Seq(
+      (1L, "a b c d e f g h x1 y1 z1 w1 v1 u1 t1 s1"),
+      (2L, "p2 q2 a b c d e f g h r2 s2 t2 u2 v2 w2"),
+      (3L, "m3 n3 o3 p3 q3 r3 s3 t3 u3 v3 w3 x3 y3 z3 k3 l3"))
+      .toDF("doc_id", "text")
+    val out = TextMatch.spanDedupStats(docs, k = 8).orderBy("doc_id").collect()
+    // exactly one shared window per doc, covering 8 of 16 tokens = 5000/1e4
+    assert(out.toSeq == Seq(Row(1L, 1L, 8L, 5000L), Row(2L, 1L, 8L, 5000L)))
+  }
+
+  test("spanDedupStats: overlapping windows count tokens once") {
+    // a 10-token shared run yields 3 overlapping 8-windows but covers
+    // exactly 10 distinct tokens.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared x1 x2 x3 x4 x5 x6"),
+      (2L, s"y1 y2 y3 y4 y5 y6 $shared"))
+      .toDF("doc_id", "text")
+    val out = TextMatch.spanDedupStats(docs, k = 8).orderBy("doc_id").collect()
+    assert(out.toSeq == Seq(Row(1L, 3L, 10L, 6250L), Row(2L, 3L, 10L, 6250L)))
+  }
+
+  // --- paragraphDedup -----------------------------------------------------
+
+  test("paragraphDedup: first occurrence survives, later copies drop") {
+    val lineA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val lineB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val lineC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$lineA $lineB"), // keeps both
+      (2L, s"$lineA $lineC"), // loses lineA (doc 1 owns it), keeps lineC
+      (3L, s"$lineA $lineB")) // exact dup doc: loses everything
+      .toDF("doc_id", "text")
+    val out = TextMatch.paragraphDedup(docs, lineTokens = 10)
+      .orderBy("doc_id").collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.toSeq == Seq(
+      Row(1L, 2L, 2L, md5hex(s"$lineA\n$lineB")),
+      Row(2L, 2L, 1L, md5hex(lineC)),
+      Row(3L, 2L, 0L, md5hex(""))))
+  }
+
+  test("paragraphDedup: kept lines across the corpus = distinct lines") {
+    val docs = graft.core.Tables.documents(spark, SparkTestBase.sf0001)
+    val out = TextMatch.paragraphDedup(docs, lineTokens = 10)
+    val kept = out.agg(sum("n_kept")).head.getLong(0)
+    val distinctLines = docs
+      .selectExpr("""explode(transform(
+        sequence(0, (size(split(lower(text), ' ')) + 9) div 10 - 1),
+        j -> array_join(slice(split(lower(text), ' '), j*10+1, 10), ' '))) AS l""")
+      .select("l").distinct().count()
+    assert(kept == distinctLines)
+  }
+
+  // --- phraseSearch -------------------------------------------------------
+
+  test("phraseSearch: counts overlapping occurrences and 0-based positions") {
+    val docs = Seq(
+      (1L, "w a a a x"),   // "a a" at pos 1 and 2 (overlap counts twice)
+      (2L, "a b a a c"),   // at pos 2
+      (3L, "b c d e f"))   // no match
+      .toDF("doc_id", "text")
+    val out = TextMatch.phraseSearch(docs, Seq("a", "a"))
+      .orderBy("doc_id").collect()
+    assert(out.toSeq == Seq(Row(1L, 2L, 1L), Row(2L, 1L, 2L)))
+  }
+
+  test("phraseSearch: three-term phrase") {
+    val docs = Seq(
+      (1L, "x table value fast y"),
+      (2L, "table value slow fast"))
+      .toDF("doc_id", "text")
+    val out = TextMatch.phraseSearch(docs, Seq("table", "value", "fast"))
+      .orderBy("doc_id").collect()
+    assert(out.toSeq == Seq(Row(1L, 1L, 1L)))
+  }
+
+  // --- FuzzyJoin ----------------------------------------------------------
+
+  /** Brute-force Levenshtein (unit costs, the same metric Spark's
+    * `levenshtein` implements) for the exactness oracle. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("PassJoin is EXACT: equals brute force on randomized strings (d=1,2)") {
+    // Deterministic pseudo-random corpus of short strings over a tiny
+    // alphabet (dense edit-distance neighborhoods — the adversarial case
+    // for a lossy filter).
+    val rng = new scala.util.Random(42)
+    val strs = (0 until 120).map { i =>
+      val len = 6 + rng.nextInt(8)
+      i.toLong -> (0 until len).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    }
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.selfJoin(df, d = d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        i <- strs.indices.iterator
+        j <- (i + 1) until strs.length
+        e = lev(strs(i)._2, strs(j)._2)
+        if e <= d
+      } yield (strs(i)._1, strs(j)._1, e.toLong)).toSet
+      assert(got == want, s"PassJoin(d=$d) diverged from brute force")
+    }
+  }
+
+  test("PassJoin finds planted edits at varying lengths") {
+    val base = Seq(
+      10L -> "the quick brown fox jumps",
+      20L -> "pack my box with five dozen",
+      30L -> "sphinx of black quartz")
+    val edited = Seq(
+      11L -> "the quick browm fox jumps",   // substitution, ed 1
+      21L -> "pack my bx with five dozen",  // deletion, ed 1
+      31L -> "sphinx of bllack quartz")     // insertion, ed 1
+    val df = (base ++ edited).toDF("id", "s")
+    val got = FuzzyJoin.selfJoin(df, d = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((10L, 11L), (20L, 21L), (30L, 31L)).subsetOf(got))
+  }
+}
