@@ -27,7 +27,9 @@ object Catalog {
       catalog.ProfileQueries.qs ++
       catalog.EmbedQueries.qs ++
       catalog.MultimodalQueries.qs ++
-      catalog.TextMatchQueries.qs
+      catalog.TextMatchQueries.qs ++
+      catalog.MaintenanceQueries.qs ++
+      catalog.GraphQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

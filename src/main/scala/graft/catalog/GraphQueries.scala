@@ -1,0 +1,54 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.Catalog.Q
+import graft.core.Tables
+import graft.ops.Graph
+
+/** Catalog twin for the exact-integer PageRank (`ops/Graph.scala`). The
+  * graph is a deterministic synthetic topology over the documents table
+  * (three affine out-edges per doc id modulo the corpus size — a dense
+  * functional digraph with genuine in-degree skew), so both engines build
+  * the identical edge set from the same scan; the oracle replays the
+  * fixed-point recurrence as 10 unrolled CTEs and must hash-match
+  * bit-for-bit. Same gate family as `dedup_cluster_cc` (the other
+  * iterative-graph entry).
+  */
+object GraphQueries {
+
+  private val Iters = 10
+
+  val pagerank = Q(
+    "graph_pagerank",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 31 + 7) % n,
+          (col("doc_id") * 17 + 3) % n,
+          (col("doc_id") * 13 + 11) % n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Graph.pagerankInt(edges, iters = Iters).orderBy("id")
+    },
+    Some(s"""
+      WITH e0 AS (
+        SELECT doc_id AS src,
+               (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 13 + 11) % (SELECT count(*) FROM documents)
+        FROM documents),
+      edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      ${Graph.pagerankOracleSql(Iters)}
+      SELECT id, pr FROM it$Iters ORDER BY id"""))
+
+  def qs: Seq[Q] = Seq(pagerank)
+}

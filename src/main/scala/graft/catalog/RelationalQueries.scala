@@ -733,11 +733,35 @@ object RelationalQueries {
       ORDER BY event_id"""
     })
 
+  /** Semi-structured extraction: parse the events table's JSON `props`
+    * column with a typed `from_json` schema (the Catalyst-native path —
+    * the parse is one codegen'd expression, pushed inside the scan
+    * projection; no UDF, no regex) and aggregate the extracted field. The
+    * oracle uses DuckDB's json_extract — an independent JSON parser. */
+  val eventsJson = Q(
+    "q_events_json",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+             min(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+             max(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
-    trailingWindow, zorderValue)
+    trailingWindow, zorderValue, eventsJson)
 }

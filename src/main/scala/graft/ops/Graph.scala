@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the second member of
+  * the graph family next to `ops/ConnectedComponents.scala` (min-label
+  * propagation). PageRank here is EXACT-INTEGER: ranks are scaled fixed-
+  * point BIGINTs and every step is integer division, so the fixpoint
+  * after N rounds is bit-identical on any engine and any summation order —
+  * the catalog oracle replays the identical recurrence as N unrolled SQL
+  * CTEs in DuckDB and the hash gate must agree. (Floating-point PageRank
+  * cannot be hash-gated: Spark's aggregation order is nondeterministic and
+  * double addition does not associate.)
+  *
+  * Scale shape: each round is one shuffle keyed on dst (the contribution
+  * aggregation) plus a broadcast-sized join with the out-degree table;
+  * lineage is cut with localCheckpoint every round (the ConnectedComponents
+  * policy — without it the plan doubles per iteration and the optimizer
+  * dies at round ~15). Rounds are a fixed constant: the operator is
+  * O(rounds) full-graph passes, embarrassingly partition-parallel within a
+  * round.
+  */
+object Graph {
+
+  /** `iters` rounds of damping-0.85 PageRank over `edges(src, dst)`
+    * (parallel edges should be pre-deduplicated; self-loops allowed but
+    * conventionally removed by the caller). Ranks are fixed-point integers
+    * scaled by `scale`; the recurrence, with n = |nodes| and
+    * S(v) = Σ_{(u,v) ∈ E} pr(u) div outdeg(u):
+    *
+    *   pr_0(v)   = scale div n
+    *   pr_t+1(v) = (15·scale) div (100·n) + (85·S(v)) div 100
+    *
+    * Dangling mass and division remainders are deliberately dropped (the
+    * usual renormalization is float-valued); ranking ORDER matches float
+    * PageRank to within the fixed-point quantum. Returns (id, pr). */
+  def pagerankInt(
+      edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"need >= 1 iteration, got $iters")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint(eager = true)
+    val n = nodes.count()
+    var pr = nodes.select(col("id"), lit(scale / n).as("pr"))
+      .localCheckpoint(eager = true)
+    val base = (15L * scale) / (100L * n)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), expr("pr div od").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      pr = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    pr
+  }
+
+  /** The unrolled-CTE DuckDB oracle for [[pagerankInt]] over an edge
+    * relation named `edges(src, dst)` (callers prepend the WITH chain that
+    * defines it). Kept next to the operator so the two recurrences can be
+    * reviewed side by side. */
+  def pagerankOracleSql(iters: Int, scale: Long = 1000000000L): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""it$t AS (
+           SELECT nd.id,
+                  ${15L * scale} // (100 * (SELECT nn FROM cnt))
+                    + (85 * coalesce(s.s, 0)) // 100 AS pr
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, sum(p.pr // o.od) AS s
+             FROM edges e
+             JOIN it${t - 1} p ON p.id = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst) s ON s.id = nd.id)"""
+    }.mkString(",\n")
+    s"""
+      nodes AS (SELECT DISTINCT id FROM (
+                  SELECT src AS id FROM edges
+                  UNION SELECT dst FROM edges)),
+      outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      cnt AS (SELECT count(*) AS nn FROM nodes),
+      it0 AS (SELECT id, $scale // (SELECT nn FROM cnt) AS pr FROM nodes),
+      $rounds"""
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Gates for exact-integer PageRank: structural correctness on a
+  * hand-analyzable topology, mass accounting under integer-division
+  * leakage, and run-to-run determinism (the property the hash oracle
+  * depends on). */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("star graph: the hub out-ranks every spoke") {
+    // 5 spokes -> hub; hub -> spoke 1. Hub collects 5 contributions. The
+    // hub <-> spoke-1 2-cycle oscillates with amplitude 0.85^k, and the
+    // fixpoint gap (hub 0.473 vs spoke-1 0.427) only dominates once that
+    // decays — hence 40 rounds, not the catalog's 10.
+    val edges = (1L to 5L).map(i => (i, 0L)) :+ (0L, 1L)
+    val pr = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(0L) > pr(1L), "hub must out-rank the spoke it feeds")
+    assert((2L to 5L).forall(i => pr(0L) > pr(i)))
+    // spoke 1 receives the hub's whole rank: above the unfed spokes
+    assert((2L to 5L).forall(i => pr(1L) > pr(i)))
+  }
+
+  test("two-node cycle converges to equal ranks") {
+    val pr = Graph.pagerankInt(Seq((0L, 1L), (1L, 0L)).toDF("src", "dst"),
+      iters = 12).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(0L) == pr(1L))
+  }
+
+  test("mass is conserved up to integer-division leakage") {
+    val scale = 1000000000L
+    val rng = new scala.util.Random(7)
+    val edges = (0 until 400)
+      .map(_ => (rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val pr = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 10,
+      scale = scale)
+    val total = pr.agg(sum("pr")).head.getLong(0)
+    // dangling nodes (no out-edges) and div remainders leak mass DOWN;
+    // nothing can create mass above scale.
+    assert(total <= scale, s"total $total exceeds scale")
+    assert(total > scale / 10, s"total $total collapsed — leakage too large")
+  }
+
+  test("bit-identical across independent executions") {
+    val edges = (0L until 50L).flatMap(i =>
+      Seq((i, (i * 31 + 7) % 50), (i, (i * 17 + 3) % 50)))
+      .filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("src", "dst")
+    val a = Graph.pagerankInt(df, iters = 8).orderBy("id").collect().toSeq
+    val b = Graph.pagerankInt(df, iters = 8).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}
