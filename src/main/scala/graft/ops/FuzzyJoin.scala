@@ -31,10 +31,10 @@ object FuzzyJoin {
     * segments take the extra char). Emitted as SQL text so index and probe
     * sides derive the IDENTICAL partition with pure integer arithmetic
     * inside one codegen'd projection. */
-  private def segStartSql(len: String, parts: Int, j: Int): String =
-    s"($j * (($len) div $parts) + least($j, ($len) % $parts) + 1)"
-  private def segLenSql(len: String, parts: Int, j: Int): String =
-    s"((($len) div $parts) + if ($j < ($len) % $parts, 1, 0))"
+  private def segStartSql(len: String, parts: Int, j: String): String =
+    s"(($j) * (($len) div $parts) + least(($j), ($len) % $parts) + 1)"
+  private def segLenSql(len: String, parts: Int, j: String): String =
+    s"((($len) div $parts) + if (($j) < ($len) % $parts, 1, 0))"
 
   /** All pairs (id_a < id_b) from `strs(id, s)` with
     * levenshtein(s_a, s_b) <= d. Returns (id_a, id_b, ed). */
@@ -47,34 +47,39 @@ object FuzzyJoin {
       length(col(strCol)).cast("int").as("len"))
 
     // Index side: each string's d+1 segments, keyed (len, seg_j, seg_text).
-    val segs = (0 until parts).map { j =>
-      base.select(col("id"), col("s"), col("len"), lit(j).as("seg_j"),
-        expr(s"substr(s, ${segStartSql("len", parts, j)}, ${segLenSql("len", parts, j)})")
-          .as("seg"))
-    }.reduce(_ unionAll _)
+    // Explode a tiny literal j-array, then derive (start, len) with ONE
+    // parametric integer expression — everything stays in whole-stage
+    // codegen (a per-j CASE/union form, or any higher-order `filter`/
+    // `transform` lambda, drops the projection to interpreted evaluation:
+    // measured 4-6 s of pure fixed overhead per stage at 6,000 rows).
+    val segs = base
+      .select(col("id"), col("s"), col("len"),
+        explode(array((0 until parts).map(lit): _*)).as("seg_j"))
+      .select(col("id"), col("s"), col("len"), col("seg_j"),
+        expr(s"substr(s, ${segStartSql("len", parts, "seg_j")}, " +
+          s"${segLenSql("len", parts, "seg_j")})").as("seg"))
 
     // Probe side: for each string b, each candidate indexed length
     // la = len + dl (dl in [-d, d]), each segment j of la, each shift in
-    // [-d, d]: b's substring at (start_j(la) + shift, len_j(la)). One
-    // array literal of CASE-guarded structs, null-filtered and exploded —
-    // constant blow-up, no join to a lengths table.
-    val keySql = (for {
+    // [-d, d]: b's substring at (start_j(la) + shift, len_j(la)). The
+    // (dl, j, sh) triple space is a (2d+1)(d+1)(2d+1) literal array —
+    // explode it and compute the key arithmetic per row (codegen), then
+    // drop out-of-range probes with a plain filter.
+    val trips = for {
       dl <- -d to d
       j <- 0 until parts
       sh <- -d to d
-    } yield {
-      val la = s"(len + ($dl))"
-      val st = s"(${segStartSql(la, parts, j)} + ($sh))"
-      val ln = segLenSql(la, parts, j)
-      s"""CASE WHEN $la >= $parts AND $st >= 1 AND $ln >= 1
-              AND $st + $ln - 1 <= len
-         THEN named_struct('la', $la, 'seg_j', $j, 'seg', substr(s, $st, $ln))
-         END"""
-    }).mkString("filter(array(", ", ", "), x -> x IS NOT NULL)")
+    } yield struct(lit(dl).as("dl"), lit(j).as("seg_j"), lit(sh).as("sh"))
+    val la = "(len + t.dl)"
+    val st = s"(${segStartSql(la, parts, "t.seg_j")} + t.sh)"
+    val ln = segLenSql(la, parts, "t.seg_j")
     val probes = base
-      .select(col("id"), col("s"), explode(expr(keySql)).as("p"))
-      .select(col("id"), col("s"),
-        col("p.la").as("la"), col("p.seg_j").as("seg_j"), col("p.seg").as("seg"))
+      .select(col("id"), col("s"), col("len"),
+        explode(array(trips: _*)).as("t"))
+      .filter(expr(s"$la >= $parts AND $st >= 1 AND $ln >= 1" +
+        s" AND $st + $ln - 1 <= len"))
+      .select(col("id"), col("s"), expr(la).as("la"),
+        col("t.seg_j").as("seg_j"), expr(s"substr(s, $st, $ln)").as("seg"))
 
     val cand = segs.as("a")
       .join(probes.as("b"),

@@ -39,14 +39,21 @@ object TextMatch {
       docs: DataFrame, k: Int = 8,
       docId: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
+    // Explode window START positions and build each gram with plain
+    // slice/array_join expressions — one codegen projection. (Exploding a
+    // `transform`-built gram ARRAY evaluates the lambda interpreted: the
+    // HOF form cost ~4 s of fixed overhead at 5k docs.)
     val wins = docs
       .filter(size(toks) >= k)
-      .select(col(docId), size(toks).cast("long").as("n_tok"),
-        posexplode(Curation.wordGrams(col(textCol), k)).as(Seq("pos", "g")))
+      .select(col(docId), size(toks).cast("long").as("n_tok"), toks.as("toks"))
+      .select(col(docId), col("n_tok"), col("toks"),
+        posexplode(sequence(lit(1), col("n_tok").cast("int") - (k - 1)))
+          .as(Seq("pos", "start")))
     // md5 the gram before the exchange: 32 bytes shuffle instead of the
     // k-token string (the gram text never leaves the map side).
     val hashed = wins.select(col(docId), col("n_tok"), col("pos"),
-      md5(col("g").cast("binary")).as("h"))
+      md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
+        .cast("binary")).as("h"))
     val dup = hashed.groupBy("h")
       .agg(count_distinct(col(docId)).as("nd"))
       .filter(col("nd") > 1)
@@ -82,12 +89,15 @@ object TextMatch {
     val base = docs.select(col(docId), toks.as("toks"))
       .withColumn("n_lines",
         expr(s"((size(toks) + ${lineTokens - 1}) div $lineTokens)").cast("long"))
+    // explode line ordinals, then slice/join per row — same
+    // codegen-over-HOF rationale as spanDedupStats
     val lines = base
-      .select(col(docId), col("n_lines"),
-        posexplode(transform(sequence(lit(0L), col("n_lines") - 1),
-          j => array_join(
-            slice(col("toks"), (j * lineTokens + 1).cast("int"), lit(lineTokens)),
-            " "))).as(Seq("line_no", "line")))
+      .select(col(docId), col("n_lines"), col("toks"),
+        explode(sequence(lit(0L), col("n_lines") - 1)).as("line_no"))
+      .select(col(docId), col("n_lines"), col("line_no"),
+        array_join(slice(col("toks"),
+          (col("line_no") * lineTokens + 1).cast("int"), lit(lineTokens)),
+          " ").as("line"))
     val firstWins = Window.partitionBy("line").orderBy(docId, "line_no")
     val kept = lines
       .withColumn("rk", row_number().over(firstWins))
