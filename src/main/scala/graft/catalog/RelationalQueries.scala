@@ -129,6 +129,40 @@ object RelationalQueries {
       ORDER BY price DESC, l_orderkey, l_linenumber
       LIMIT 25"""))
 
+  /** Per-GROUP bounded top-k via the TopKAgg aggregator — the scale-safe
+    * replacement for the ranking-window form when groups are large: the
+    * buffer runs map-side (each partition ships <= k rows per group to the
+    * shuffle) where `row_number() OVER (PARTITION BY ...)` sorts every
+    * group's full row set. The oracle IS the window form, so the hash gate
+    * proves the two equivalent; ties break on id in both. */
+  val topkPerGroup = Q(
+    "q_topk_per_group",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("rf"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+      l.groupBy("rf")
+        .agg(graft.ops.TopK.topk[Long](3,
+          -col("price_c").cast("double"), col("id")).as("t"))
+        .select(col("rf"), posexplode(col("t")))
+        .select(col("rf"), col("col.id").as("id"),
+          (-col("col.dist")).cast("long").as("price_c"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("rf", "rk")
+    },
+    Some("""
+      WITH l AS (SELECT l_returnflag AS rf,
+                        l_orderkey * 10 + l_linenumber AS id,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+                 FROM lineitem)
+      SELECT rf, id, price_c, rk FROM (
+        SELECT rf, id, price_c,
+               row_number() OVER (PARTITION BY rf
+                                  ORDER BY price_c DESC, id)::BIGINT AS rk
+        FROM l)
+      WHERE rk <= 3 ORDER BY rf, rk"""))
+
   /** The Structured Streaming transform (graft.streaming.StreamOps
     * .hourlyEventStats) executed on the batch events table — the unified
     * DataFrame API means the STREAMING plan itself is what gets
@@ -763,5 +797,5 @@ object RelationalQueries {
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
-    trailingWindow, zorderValue, eventsJson)
+    trailingWindow, zorderValue, eventsJson, topkPerGroup)
 }

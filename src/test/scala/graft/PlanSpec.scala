@@ -98,6 +98,42 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled for the threshold join:\n$p")
   }
 
+  test("PassJoin: equi-joins only — no cartesian/nested-loop candidate expansion") {
+    val strs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("s"))
+    val p = plan(graft.ops.FuzzyJoin.selfJoin(strs, d = 2))
+    assert(!p.contains("CartesianProduct"),
+      s"PassJoin degenerated to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"PassJoin degenerated to a nested loop:\n$p")
+  }
+
+  test("span dedup: join-back keyed on the md5 gram hash, not gram text") {
+    val p = plan(graft.ops.TextMatch.spanDedupStats(
+      Tables.documents(spark, dir), k = 8))
+    assert(p.contains("md5"), s"gram hash missing — text would shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay an equi-join:\n$p")
+  }
+
+  test("phrase search: postings term-filtered below the adjacency joins") {
+    val df = graft.ops.TextMatch.phraseSearch(
+      Tables.documents(spark, dir), Seq("table", "value"))
+    val p = plan(df)
+    assert(p.contains("IN (table,value)") || p.contains("IN (value,table)"),
+      s"term filter missing from the postings scan side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"adjacency must be an equi-join:\n$p")
+  }
+
+  test("per-group top-k: bounded aggregate, no ranking window") {
+    val p = plan(RelationalQueries.topkPerGroup.run(spark, dir))
+    assert(p.contains("partial_topkagg"),
+      s"missing map-side bounded top-k:\n$p")
+    assert(!p.contains("Window"), s"ranking window crept back in:\n$p")
+  }
+
   test("relational agg: map-side partials, codegen after AQE finalizes") {
     val df = RelationalQueries.q1Agg.run(spark, dir)
     val pre = plan(df)
