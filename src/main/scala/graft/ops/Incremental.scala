@@ -27,17 +27,22 @@ object Incremental {
     * two partial sets re-aggregate — valid because count/sum are
     * commutative monoids, the same algebra Spark's own partial aggregation
     * relies on. Returns the refreshed rollup with identical schema. */
-  def refreshRollup(
-      baseAgg: DataFrame, delta: DataFrame, keys: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
-    val deltaAgg = delta.groupBy(keys.map(col): _*)
+  /** Per-group partial states of `rows`: (keys..., n, sum_<c>...) — the
+    * stored shape of a maintained rollup, and the delta-side half of
+    * [[refreshRollup]]. */
+  def partials(
+      rows: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
+    rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
-    baseAgg.unionByName(deltaAgg)
+
+  def refreshRollup(
+      baseAgg: DataFrame, delta: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    baseAgg.unionByName(partials(delta, keys, sumCols))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"),
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
-  }
 
   /** SCD2 historization of an upsert log `(key, seq, payload...)`: collapse
     * consecutive versions with an UNCHANGED payload (null-safe struct

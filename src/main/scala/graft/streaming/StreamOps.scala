@@ -296,4 +296,52 @@ object StreamOps {
         if (!batch.isEmpty) engine.insertRecords(batch)
       }
       .start()
+
+  /** Apply one micro-batch of delta rows to the rollup stored at
+    * `storePath` (the [[graft.ops.Incremental.refreshRollup]] algebra) —
+    * IDEMPOTENTLY: the store carries the last applied epoch in a sidecar,
+    * and a replayed batch id (foreachBatch re-runs its last epoch after a
+    * failure recovery) is a no-op instead of a double-count. The refreshed
+    * aggregate is localCheckpoint-materialized before the overwrite so the
+    * write never reads its own output files. Exposed separately from
+    * [[maintainRollup]] so the replay path is unit-testable. */
+  def applyRollupBatch(
+      batch: DataFrame, batchId: Long, storePath: String,
+      keys: Seq[String], sumCols: Seq[String]): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val aggPath = s"$storePath/agg"
+    val epochPath = s"$storePath/epoch"
+    val applied =
+      try s.read.parquet(epochPath).head.getLong(0)
+      catch { case _: Exception => -1L }
+    if (batchId > applied) {
+      val refreshed =
+        (try Some(s.read.parquet(aggPath))
+        catch { case _: Exception => None }) match {
+          case Some(cur) =>
+            graft.ops.Incremental.refreshRollup(cur, batch, keys, sumCols)
+          case None => graft.ops.Incremental.partials(batch, keys, sumCols)
+        }
+      refreshed.localCheckpoint(eager = true)
+        .write.mode("overwrite").parquet(aggPath)
+      Seq(batchId).toDF("epoch").write.mode("overwrite").parquet(epochPath)
+    }
+  }
+
+  /** Streaming materialized-view maintenance: each micro-batch's rows are
+    * absorbed into the parquet-stored rollup via the partial-aggregate
+    * merge — the base data is never re-read, so the per-epoch cost tracks
+    * the DELTA size (the incremental-view-maintenance shape; contrast a
+    * complete-mode streaming aggregate, whose state must hold every group
+    * in memory and whose sink rewrites every group every epoch). */
+  def maintainRollup(
+      stream: DataFrame, storePath: String, checkpoint: String,
+      keys: Seq[String], sumCols: Seq[String]): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) applyRollupBatch(batch, id, storePath, keys, sumCols)
+      }
+      .start()
 }

@@ -371,4 +371,44 @@ class StreamingSpec extends AnyFunSuite {
       ZebraEngine.destroy(ckpt)
     }
   }
+
+  test("maintained rollup: streamed deltas converge to the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("rollup_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rollup_ckpt").toString
+    val wave1 = Seq(("a", 10L), ("a", 5L), ("b", 1L))
+    val wave2 = Seq(("a", 2L), ("c", 7L))
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamOps.maintainRollup(mem.toDF().toDF("k", "v"),
+      store, ckpt, keys = Seq("k"), sumCols = Seq("v"))
+    try {
+      mem.addData(wave1: _*)
+      q.processAllAvailable()
+      mem.addData(wave2: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$store/agg").orderBy("k").collect()
+      val want = graft.ops.Incremental.partials(
+        (wave1 ++ wave2).toDF("k", "v"), Seq("k"), Seq("v"))
+        .orderBy("k").collect()
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
+  test("maintained rollup: a replayed epoch is a no-op (no double count)") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("rollup_replay").toString
+    val batch = Seq(("a", 10L), ("b", 1L)).toDF("k", "v")
+    StreamOps.applyRollupBatch(batch, 0L, store, Seq("k"), Seq("v"))
+    val once = spark.read.parquet(s"$store/agg").orderBy("k").collect().toSeq
+    // failure recovery re-delivers the SAME epoch id — must not re-apply
+    StreamOps.applyRollupBatch(batch, 0L, store, Seq("k"), Seq("v"))
+    val twice = spark.read.parquet(s"$store/agg").orderBy("k").collect().toSeq
+    assert(twice == once, "replayed epoch double-counted")
+    // the next epoch DOES apply
+    StreamOps.applyRollupBatch(Seq(("a", 1L)).toDF("k", "v"), 1L, store,
+      Seq("k"), Seq("v"))
+    val after = spark.read.parquet(s"$store/agg").orderBy("k").collect()
+    assert(after.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 2L, 11L), ("b", 1L, 1L)))
+  }
 }
