@@ -29,7 +29,8 @@ object Catalog {
       catalog.MultimodalQueries.qs ++
       catalog.TextMatchQueries.qs ++
       catalog.MaintenanceQueries.qs ++
-      catalog.GraphQueries.qs
+      catalog.GraphQueries.qs ++
+      catalog.SourceQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

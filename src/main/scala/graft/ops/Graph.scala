@@ -37,30 +37,43 @@ object Graph {
     * PageRank to within the fixed-point quantum. Returns (id, pr). */
   def pagerankInt(
       edges: DataFrame, iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, ckptEvery: Int = 5): DataFrame = {
     require(iters >= 1, s"need >= 1 iteration, got $iters")
-    val spark = edges.sparkSession
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // Static per-round inputs, partitioned ONCE on their join keys and
+    // checkpointed (LogicalRDD keeps the partitioning): the per-round
+    // e2 ⋈ pr and nodes ⋈ contrib joins then co-partition with their
+    // aggregate-shaped other side, leaving the dst-keyed contribution
+    // aggregation as the round's ONLY exchange (3 exchanges/round in the
+    // naive form — at fixed-overhead-dominated sizes that is the round's
+    // whole cost).
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id"))
       .localCheckpoint(eager = true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .repartition(col("src"))
       .localCheckpoint(eager = true)
     val n = nodes.count()
     var pr = nodes.select(col("id"), lit(scale / n).as("pr"))
-      .localCheckpoint(eager = true)
     val base = (15L * scale) / (100L * n)
-    for (_ <- 1 to iters) {
-      val contrib = e
+    for (t <- 1 to iters) {
+      val contrib = e2
         .join(pr.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("id"), expr("pr div od").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
       pr = nodes
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
-        .localCheckpoint(eager = true)
+      // Lineage is LINEAR in rounds (each round reads the previous pr
+      // exactly once), so the cut is about plan SIZE and scheduler sync,
+      // not exponential blow-up — every `ckptEvery` rounds amortizes the
+      // per-round eager-checkpoint job (measured 3.7 s/round of fixed
+      // overhead at 100k nodes with a cut every round) while still
+      // bounding optimizer time on long runs.
+      if (t % ckptEvery == 0 && t < iters) pr = pr.localCheckpoint(eager = true)
     }
     pr
   }
