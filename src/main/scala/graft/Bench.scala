@@ -60,7 +60,10 @@ object Bench {
     // line length, and the round-4 artifact proved the driver's tail
     // capture has a byte budget (BENCH_r04.json was cut mid-line, losing
     // the total). 0.1 ms resolution is far below run-to-run noise.
-    def sec(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on a comma-decimal host would emit "1,2345" and corrupt the JSON.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -102,24 +102,34 @@ object TextMatchQueries {
     * join LOSSLESS, the falsifiable property that matters at 100 TB where
     * brute force is impossible. The 25 ed-0 pairs are the corpus's natural
     * prefix-aligned near-dups. */
+  /** The fuzzy-join input: 24-char title prefixes plus planted typo copies
+    * (substitution at a doc_id-derived position; every 10th also drops a
+    * char). Shared with `tools/FuzzyProbe` so the probe times EXACTLY the
+    * catalog entry's workload — a drifted copy would silently measure a
+    * different query. */
+  private[graft] def fuzzyCorpus(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val orig = docs.select(col("doc_id").as("id"),
+      substring(col("text"), 1, 24).as("s"))
+    val mut = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("s0"),
+        (col("doc_id") % 20 + 2).cast("int").as("p"))
+      .select(col("doc_id"), col("p"),
+        expr("concat(substr(s0, 1, p-1), 'z', substr(s0, p+1, 100))").as("m"))
+      .select((col("doc_id") + 100000).as("id"),
+        when(col("doc_id") % 10 === 0,
+          expr("concat(substr(m, 1, p+2), substr(m, p+4, 100))"))
+          .otherwise(col("m")).as("s"))
+    orig.unionAll(mut)
+  }
+
   val fuzzyJoin = Q(
     "fuzzy_join_edit",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val orig = docs.select(col("doc_id").as("id"),
-        substring(col("text"), 1, 24).as("s"))
-      val mut = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), substring(col("text"), 1, 24).as("s0"),
-          (col("doc_id") % 20 + 2).cast("int").as("p"))
-        .select(col("doc_id"), col("p"),
-          expr("concat(substr(s0, 1, p-1), 'z', substr(s0, p+1, 100))").as("m"))
-        .select((col("doc_id") + 100000).as("id"),
-          when(col("doc_id") % 10 === 0,
-            expr("concat(substr(m, 1, p+2), substr(m, p+4, 100))"))
-            .otherwise(col("m")).as("s"))
-      FuzzyJoin.selfJoin(orig.unionAll(mut), d = 2)
-        .orderBy("id_a", "id_b")
-    },
+    (s, dir) =>
+      FuzzyJoin.selfJoin(fuzzyCorpus(s, dir), d = 2)
+        .orderBy("id_a", "id_b"),
     Some("""
       WITH t AS (
         SELECT doc_id AS id, substr(text, 1, 24) AS s FROM documents

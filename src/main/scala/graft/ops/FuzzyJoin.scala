@@ -81,6 +81,21 @@ object FuzzyJoin {
       .select(col("id"), col("s"), expr(la).as("la"),
         col("t.seg_j").as("seg_j"), expr(s"substr(s, $st, $ln)").as("seg"))
 
+    // Tiny-string pool: a string shorter than d+1 cannot be cut into d+1
+    // non-empty segments, so the pigeonhole argument (and the la >= parts
+    // probe guard) never fires with it as the INDEX side. Pairs with the
+    // LONGER side >= d+1 are still caught (the long side indexes, the tiny
+    // side probes), which leaves exactly the both-tiny pairs — and any two
+    // strings of length <= d are automatically within distance d
+    // (ed <= max(len)), so the pool join is both exact and total. The pool
+    // is bounded by the alphabet (|Σ|^d strings exist at all), so the
+    // quadratic join is a constant at any corpus size.
+    val tiny = base.filter(col("len") < parts)
+    val tinyPairs = tiny.as("x")
+      .join(tiny.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.s").as("s_a"), col("y.s").as("s_b"))
+
     val cand = segs.as("a")
       .join(probes.as("b"),
         col("a.len") === col("b.la") && col("a.seg_j") === col("b.seg_j") &&
@@ -90,6 +105,7 @@ object FuzzyJoin {
         greatest(col("a.id"), col("b.id")).as("id_b"),
         when(col("a.id") < col("b.id"), col("a.s")).otherwise(col("b.s")).as("s_a"),
         when(col("a.id") < col("b.id"), col("b.s")).otherwise(col("a.s")).as("s_b"))
+      .unionByName(tinyPairs)
       .distinct()
 
     cand

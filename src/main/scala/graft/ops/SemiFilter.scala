@@ -18,19 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object SemiFilter {
 
-  /** Inner-join `fact ⋈ dim` on `factKey == dimKey`, with the fact side
-    * pre-filtered by a Bloom filter built from the dim side's keys
-    * (`expectedKeys`/`fpp` size it — see `BloomFilter.create`). The dim
-    * side is assumed broadcast-sized (that is what makes its key set
-    * collectable); the fact side streams map-side through the filter and
-    * only survivors shuffle. */
-  def bloomPrefilterJoin(
+  /** `fact` reduced to the rows whose `factKey` MIGHT be in `dim`'s
+    * `dimKey` set (Bloom membership; `expectedKeys`/`fpp` size the filter —
+    * see `BloomFilter.create`). A superset of the true semi-join: false
+    * positives pass (bounded by fpp), nothing true is dropped. Compose it
+    * ahead of whatever consumes the fact side — a shuffle join, an
+    * aggregation, a window, a sink — the regimes the planner's own
+    * runtime-filter rewrite does not reach. */
+  def bloomPrefilter(
       fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
     fact.filter(might(col(factKey)))
-      .join(broadcast(dim), col(factKey) === col(dimKey))
   }
+
+  /** Inner-join `fact ⋈ dim` on `factKey == dimKey` over the pre-filtered
+    * fact side. The join strategy is left to the planner: when dim is
+    * broadcast-sized the pre-filter buys nothing the broadcast join's own
+    * map-side lookup doesn't (it is then pure belt-and-braces, and the
+    * correctness gate exercises exactly that equivalence); the payoff
+    * regime is a shuffle-shaped join or a non-join consumer — use
+    * [[bloomPrefilter]] directly there. */
+  def bloomPrefilterJoin(
+      fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    bloomPrefilter(fact, dim, factKey, dimKey, expectedKeys, fpp)
+      .join(dim, col(factKey) === col(dimKey))
 }

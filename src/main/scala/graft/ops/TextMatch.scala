@@ -124,13 +124,16 @@ object TextMatch {
       docs: DataFrame, phrase: Seq[String],
       docId: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    // postings are lowercased, so normalize the query terms the same way —
+    // an uppercase query term would otherwise silently match nothing
+    val terms = phrase.map(_.toLowerCase)
     val post = docs
       .select(col(docId),
         posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
-      .filter(col("w").isInCollection(phrase.distinct))
-    val start = post.filter(col("w") === phrase.head)
+      .filter(col("w").isInCollection(terms.distinct))
+    val start = post.filter(col("w") === terms.head)
       .select(col(docId), col("pos"))
-    val matched = phrase.zipWithIndex.tail.foldLeft(start) {
+    val matched = terms.zipWithIndex.tail.foldLeft(start) {
       case (acc, (term, i)) =>
         acc.join(
           post.filter(col("w") === term)

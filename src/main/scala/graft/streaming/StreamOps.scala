@@ -297,36 +297,56 @@ object StreamOps {
       }
       .start()
 
+  /** Committed rollup versions under `storePath`: epoch-numbered `v=<id>`
+    * directories whose parquet job COMPLETED (the `_SUCCESS` marker — the
+    * same job-commit atomicity the engine's index writes rely on). A
+    * half-written version has no marker and is invisible. */
+  private def committedVersions(
+      s: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  /** The current maintained rollup at `storePath` (latest committed
+    * version), if any batch has ever committed. */
+  def currentRollup(
+      s: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[DataFrame] =
+    committedVersions(s, storePath).maxOption
+      .map(v => s.read.parquet(s"$storePath/v=$v"))
+
   /** Apply one micro-batch of delta rows to the rollup stored at
     * `storePath` (the [[graft.ops.Incremental.refreshRollup]] algebra) —
-    * IDEMPOTENTLY: the store carries the last applied epoch in a sidecar,
-    * and a replayed batch id (foreachBatch re-runs its last epoch after a
-    * failure recovery) is a no-op instead of a double-count. The refreshed
-    * aggregate is localCheckpoint-materialized before the overwrite so the
-    * write never reads its own output files. Exposed separately from
-    * [[maintainRollup]] so the replay path is unit-testable. */
+    * IDEMPOTENTLY AND ATOMICALLY: each epoch writes a fresh `v=<batchId>`
+    * directory whose `_SUCCESS` marker is the single commit point, so a
+    * crash mid-write leaves an invisible partial that the replay simply
+    * overwrites, a replayed batch id (what foreachBatch re-delivers after
+    * failure recovery) finds its version already committed and no-ops,
+    * and the previous version stays readable until the new one commits
+    * (then it is garbage-collected best-effort). Exposed separately from
+    * [[maintainRollup]] so the replay and crash paths are unit-testable. */
   def applyRollupBatch(
       batch: DataFrame, batchId: Long, storePath: String,
       keys: Seq[String], sumCols: Seq[String]): Unit = {
     val s = batch.sparkSession
-    import s.implicits._
-    val aggPath = s"$storePath/agg"
-    val epochPath = s"$storePath/epoch"
-    val applied =
-      try s.read.parquet(epochPath).head.getLong(0)
-      catch { case _: Exception => -1L }
-    if (batchId > applied) {
-      val refreshed =
-        (try Some(s.read.parquet(aggPath))
-        catch { case _: Exception => None }) match {
-          case Some(cur) =>
-            graft.ops.Incremental.refreshRollup(cur, batch, keys, sumCols)
-          case None => graft.ops.Incremental.partials(batch, keys, sumCols)
-        }
-      refreshed.localCheckpoint(eager = true)
-        .write.mode("overwrite").parquet(aggPath)
-      Seq(batchId).toDF("epoch").write.mode("overwrite").parquet(epochPath)
+    val versions = committedVersions(s, storePath)
+    if (versions.exists(_ >= batchId)) return // replayed or stale epoch
+    val refreshed = versions.maxOption match {
+      case Some(v) =>
+        graft.ops.Incremental.refreshRollup(
+          s.read.parquet(s"$storePath/v=$v"), batch, keys, sumCols)
+      case None => graft.ops.Incremental.partials(batch, keys, sumCols)
     }
+    refreshed.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    versions.foreach(v => // best-effort GC; readers resolve max committed
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"v=$v"), true))
   }
 
   /** Streaming materialized-view maintenance: each micro-batch's rows are

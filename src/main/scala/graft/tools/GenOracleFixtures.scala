@@ -70,10 +70,15 @@ object GenOracleFixtures {
     writeOne(videoDigestRows.toDF("vec_id", "frame_idx", "n_values", "mean_val"),
       s"$outDir/multimodal_video_digest.parquet")
 
+    // Both the floats AND their bit patterns: the dist_hamming catalog
+    // entry reads the floats from THIS file (not the live sfDir) so the
+    // entry is scale-factor-independent — Spark side and DuckDB oracle
+    // are pinned to the same frozen rows at every SF.
     val bitsUdf = udf(floatBits _)
     writeOne(
       Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), bitsUdf(col("embedding")).as("bits")),
+        .select(col("vec_id"), col("embedding"),
+          bitsUdf(col("embedding")).as("bits")),
       s"$outDir/embedding_bits.parquet")
 
     println(s"[fixtures] wrote 3 fixture parquets to $outDir (bits from $sfDir)")

@@ -32,15 +32,19 @@ class FixtureOracleSpec extends AnyFunSuite {
     val live = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
-      .map { case (id, emb) => id -> GenOracleFixtures.floatBits(emb).toSeq }
+      .map { case (id, emb) =>
+        id -> (emb, GenOracleFixtures.floatBits(emb).toSeq)
+      }
       .toMap
     val frozen = spark.read.parquet(Fixtures.path("embedding_bits.parquet"))
-      .as[(Long, Seq[Long])].collect()
-      .map { case (id, bits) => id -> bits }
+      .select(col("vec_id"), col("embedding"), col("bits"))
+      .as[(Long, Seq[Float], Seq[Long])].collect()
+      .map { case (id, emb, bits) => id -> (emb, bits) }
       .toMap
     assert(frozen.keySet == live.keySet)
-    // spot mismatches with a useful message rather than a giant diff
-    val bad = live.collect { case (id, bits) if frozen(id) != bits => id }
-    assert(bad.isEmpty, s"stale bit rows for vec_ids: ${bad.take(5).toList}")
+    // spot mismatches with a useful message rather than a giant diff; the
+    // float column matters too — dist_hamming's SPARK side reads it
+    val bad = live.collect { case (id, v) if frozen(id) != v => id }
+    assert(bad.isEmpty, s"stale fixture rows for vec_ids: ${bad.take(5).toList}")
   }
 }

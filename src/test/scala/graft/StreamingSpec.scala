@@ -386,7 +386,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       mem.addData(wave2: _*)
       q.processAllAvailable()
-      val got = spark.read.parquet(s"$store/agg").orderBy("k").collect()
+      val got = StreamOps.currentRollup(spark, store).get.orderBy("k").collect()
       val want = graft.ops.Incremental.partials(
         (wave1 ++ wave2).toDF("k", "v"), Seq("k"), Seq("v"))
         .orderBy("k").collect()
@@ -397,17 +397,23 @@ class StreamingSpec extends AnyFunSuite {
   test("maintained rollup: a replayed epoch is a no-op (no double count)") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("rollup_replay").toString
+    def current() = StreamOps.currentRollup(spark, store).get.orderBy("k")
     val batch = Seq(("a", 10L), ("b", 1L)).toDF("k", "v")
     StreamOps.applyRollupBatch(batch, 0L, store, Seq("k"), Seq("v"))
-    val once = spark.read.parquet(s"$store/agg").orderBy("k").collect().toSeq
+    val once = current().collect().toSeq
     // failure recovery re-delivers the SAME epoch id — must not re-apply
     StreamOps.applyRollupBatch(batch, 0L, store, Seq("k"), Seq("v"))
-    val twice = spark.read.parquet(s"$store/agg").orderBy("k").collect().toSeq
+    val twice = current().collect().toSeq
     assert(twice == once, "replayed epoch double-counted")
-    // the next epoch DOES apply
+    // a crash mid-write leaves a version dir WITHOUT _SUCCESS: invisible
+    // to readers, and the replayed epoch overwrites it cleanly
+    Seq(("z", 99L)).toDF("k", "sum_v").write.parquet(s"$store/v=1")
+    new java.io.File(s"$store/v=1/_SUCCESS").delete()
+    assert(current().collect().toSeq == once, "partial version became visible")
+    // the next epoch DOES apply (over the partial's dir)
     StreamOps.applyRollupBatch(Seq(("a", 1L)).toDF("k", "v"), 1L, store,
       Seq("k"), Seq("v"))
-    val after = spark.read.parquet(s"$store/agg").orderBy("k").collect()
+    val after = current().collect()
     assert(after.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("a", 2L, 11L), ("b", 1L, 1L)))
   }

@@ -122,9 +122,12 @@ class TextMatchSpec extends AnyFunSuite {
     // Deterministic pseudo-random corpus of short strings over a tiny
     // alphabet (dense edit-distance neighborhoods — the adversarial case
     // for a lossy filter).
+    // Lengths start at 1 so the tiny-string pool (len <= d, below the
+    // segment scheme's reach) is exercised against brute force too — the
+    // original 6..13 range let a short-string hole ship unseen.
     val rng = new scala.util.Random(42)
     val strs = (0 until 120).map { i =>
-      val len = 6 + rng.nextInt(8)
+      val len = 1 + rng.nextInt(13)
       i.toLong -> (0 until len).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
     }
     val df = strs.toDF("id", "s")
@@ -139,6 +142,18 @@ class TextMatchSpec extends AnyFunSuite {
       } yield (strs(i)._1, strs(j)._1, e.toLong)).toSet
       assert(got == want, s"PassJoin(d=$d) diverged from brute force")
     }
+  }
+
+  test("tiny strings (shorter than d+1) pair exhaustively") {
+    // both-tiny pairs bypass the segment index entirely; every such pair
+    // is within distance d by length alone and must be reported.
+    val df = Seq(1L -> "a", 2L -> "b", 3L -> "xy", 4L -> "ab",
+      5L -> "abcdefgh").toDF("id", "s")
+    val got = FuzzyJoin.selfJoin(df, d = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 1L),
+      (2L, 3L, 2L), (2L, 4L, 1L), (3L, 4L, 2L))
+    assert(got == want)
   }
 
   test("PassJoin finds planted edits at varying lengths") {
