@@ -494,7 +494,56 @@ object DedupQueries {
       SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
       FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  /** Deterministic random-negative sampling for contrastive training: per
+    * anchor doc, 3 negatives drawn from 5 affine-derived candidate slots,
+    * excluding self and every verified near-duplicate (a near-dup used as
+    * a "negative" poisons a contrastive objective — the exclusion join is
+    * the point of the operator; the kNN join covers the HARD-negative
+    * side). All map-side except the duplication-proportional anti-join;
+    * the slot window partitions by anchor over <= 5 rows. The oracle
+    * re-derives the near-dup set through the prefix-filter pipeline. */
+  val sampleNegatives = Q(
+    "sample_negatives",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val n = docs.count()
+      val slots = Seq((1, 31L, 7L), (2, 17L, 3L), (3, 13L, 11L),
+        (4, 37L, 19L), (5, 41L, 23L))
+      val cands = docs.select(col("doc_id"),
+        explode(array(slots.map { case (j, p, q) =>
+          struct(lit(j).as("j"), ((col("doc_id") * p + q) % n).as("c"))
+        }: _*)).as("t"))
+        .select(col("doc_id"), col("t.j").as("j"), col("t.c").as("c"))
+      val pairs = NgramPairsCache.get(s, dir).select("doc_a", "doc_b")
+      val excl = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("c"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("c")))
+      val w = Window.partitionBy("doc_id").orderBy("j")
+      cands.filter(col("c") =!= col("doc_id"))
+        .join(excl, Seq("doc_id", "c"), "left_anti")
+        .withColumn("slot", row_number().over(w).cast("long"))
+        .filter(col("slot") <= 3)
+        .select(col("doc_id"), col("c").as("neg_id"), col("slot"))
+        .orderBy("doc_id", "slot")
+    },
+    Some(s"""$oracleNgramPipeline,
+      nn AS (SELECT count(*) AS n FROM documents),
+      negcand AS (SELECT d.doc_id, t.j, (d.doc_id * t.p + t.q) % (SELECT n FROM nn) AS c
+               FROM documents d,
+                    (VALUES (1, 31, 7), (2, 17, 3), (3, 13, 11),
+                            (4, 37, 19), (5, 41, 23)) t(j, p, q)),
+      ok AS (SELECT doc_id, j, c FROM negcand
+             WHERE c <> doc_id
+               AND NOT EXISTS (SELECT 1 FROM vp
+                               WHERE (vp.doc_a = negcand.doc_id AND vp.doc_b = negcand.c)
+                                  OR (vp.doc_a = negcand.c AND vp.doc_b = negcand.doc_id)))
+      SELECT doc_id, neg_id, slot FROM (
+        SELECT doc_id, c AS neg_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY j)::BIGINT AS slot
+        FROM ok)
+      WHERE slot <= 3 ORDER BY doc_id, slot"""))
+
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashKeep, ngramJaccard, ngramKeep,
-    simhashPairs, embeddingNearDup, clusterCc)
+    simhashPairs, embeddingNearDup, clusterCc, sampleNegatives)
 }
