@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Catalog.Q
 import graft.core.Tables
 import graft.functions.{Distances, VectorOps}
-import graft.ops.{Ivf, IvfPq, KnnJoin, Pq, SimSearch}
+import graft.ops.{Ivf, IvfPq, KnnJoin, Pq, SimSearch, Sq}
 
 /** Vector algebra + search surface: I1–I3 (hyperplane predicate, subtract,
   * average), D11/I13 (batch exact top-k), I14 (emptiness probe), and the
@@ -454,8 +454,65 @@ object VectorQueries {
     },
     Some(exactKnnL2Oracle))
 
+  /** SQ8 compressed scan, FULLY hash-checked — unique among the ANN
+    * families: the quantization bounds are exact per-dimension extremes
+    * (no RNG, no Lloyd), so the oracle replays encode → reconstruct →
+    * score → rank with operation-for-operation identical arithmetic and
+    * the whole approximate path must hash-match, not just an
+    * exhaustive-budget twin. */
+  val knnSq = Q(
+    "ann_sq_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (codes, model) = Sq.Cache.ensure(s, dir)
+      Sq.topK(queries, codes, model, k = 10)
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT t.i, min(a.embedding[t.i]::DOUBLE) AS mn,
+               max(a.embedding[t.i]::DOUBLE) AS mx
+        FROM embeddings a, generate_series(1, 64) t(i) GROUP BY t.i),
+      rec AS (
+        SELECT a.vec_id, d.i,
+               d.mn + (CASE WHEN d.mx = d.mn THEN 0
+                       ELSE floor((a.embedding[d.i]::DOUBLE - d.mn) * 255
+                                  / (d.mx - d.mn)) END)
+                     * (d.mx - d.mn) / 255 AS xr
+        FROM embeddings a CROSS JOIN dims d),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id < 5),
+      d2 AS (SELECT q.query_id, r.vec_id,
+                    round(sum(power(q.qe[r.i]::DOUBLE - r.xr, 2)
+                              ORDER BY r.i), 4) AS dist
+             FROM rec r CROSS JOIN q GROUP BY q.query_id, r.vec_id)
+      SELECT query_id, vec_id, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, vec_id) AS rn FROM d2)
+      WHERE rn <= 10 ORDER BY query_id, vec_id"""))
+
+  /** SQ8 quality observable (fourth member of the recall family): what a
+    * 4×-compressed scan recovers of exact top-10 with no rerank. */
+  val sqRecall = Q(
+    "ann_sq_recall_at10",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (codes, model) = Sq.Cache.ensure(s, dir)
+      val approx = Sq.topK(queries, codes, model, k = 10)
+      val recall = SimSearch.recallAtK(
+        approx, IndexQueries.GroundTruthCache.topK10(s, dir))
+      Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
+    },
+    None)
+
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
     knnPq, knnPqFull, pqRecall, knnIvfPq, knnIvfPqFull, ivfPqRecall,
+    knnSq, sqRecall,
     knnJoinExact, knnJoinBucketed, knnJoinRecall, countVectors, topkStreamBatch)
 }

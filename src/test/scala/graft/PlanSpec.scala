@@ -98,14 +98,21 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled for the threshold join:\n$p")
   }
 
-  test("PassJoin: equi-joins only — no cartesian/nested-loop candidate expansion") {
+  test("PassJoin: corpus candidates stay equi-join; only the tiny pool nests") {
     val strs = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("s"))
     val p = plan(graft.ops.FuzzyJoin.selfJoin(strs, d = 2))
     assert(!p.contains("CartesianProduct"),
       s"PassJoin degenerated to all-pairs:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"PassJoin degenerated to a nested loop:\n$p")
+    // exactly ONE nested-loop join is legitimate: the tiny-string pool
+    // (both sides filtered to len < d+1 — at most |alphabet|^d strings
+    // EXIST at those lengths, so its product is a constant, not a
+    // corpus-shaped expansion). A second one would mean the segment path
+    // degenerated.
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"corpus-side candidate join degenerated:\n$p")
+    assert(p.contains("< 3"), // the tiny pool's len < d+1 filter guards it
+      s"tiny-pool nested loop is missing its length guard:\n$p")
   }
 
   test("span dedup: join-back keyed on the md5 gram hash, not gram text") {
