@@ -236,6 +236,107 @@ object EmbedQueries {
       QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, id) <= 3
       ORDER BY query_id, id"""))
 
+  /** The composed RAG retrieval pipeline — chunk → embed → retrieve →
+    * parent-doc rank — as ONE hash-checked entry: documents are split
+    * into 32-token/stride-24 windows ([[graft.ops.Curation.chunkDocs]]),
+    * each chunk embedded with the md5 integer-count twin, the top-5
+    * chunks per query retrieved by exact kNN, and the hit list rolled up
+    * to ranked parent documents (min chunk distance, top-3). The DuckDB
+    * oracle replays chunking in the array domain and retrieval in the
+    * SPARSE domain (‖q‖² + ‖c‖² − 2·q·c bucket join) — every stage of the
+    * composition must agree for the hash to land. Scale shape: chunking
+    * and embedding are zero-shuffle maps, retrieval is the broadcast-
+    * queries exact plan, the rollup groups ≤ 5 rows per query. */
+  val ragPipeline = Q(
+    "doc_pipeline_rag",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .filter(hasTokens).select(col("doc_id"), col("text"))
+      val chunks = graft.ops.Curation
+        .chunkDocs(docs, chunkSize = 32, stride = 24, keepText = true)
+        .filter(col("n_tok") >= 1)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
+          col("chunk_text"))
+      val cvecs = graft.embed.Md5CountEmbedder()
+        .embed(chunks, "chunk_text", "embedding")
+        .select(col("vec_id"), col("embedding"))
+      val queries = graft.embed.Md5CountEmbedder()
+        .embed(docs.filter(col("doc_id") < 3), "text", "embedding")
+        .select(col("doc_id").as("query_id"), col("embedding"))
+      val hits = SimSearch.exactTopK(queries, cvecs, k = 5)
+        .withColumn("dist", col("dist").cast("long"))
+      hits
+        .withColumn("doc_id", expr("vec_id div 1000"))
+        .groupBy("query_id", "doc_id")
+        .agg(min("dist").as("best_dist"), count(lit(1)).as("n_chunks"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy("best_dist", "doc_id"))
+          .cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    },
+    Some("""
+      WITH qt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents WHERE doc_id < 3),
+      qh AS (SELECT doc_id, md5(tok) AS h FROM qt WHERE tok <> ''),
+      qf AS (SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+               +(strpos('0123456789abcdef', substr(h,2,1))-1)*256
+               +(strpos('0123456789abcdef', substr(h,3,1))-1)*16
+               +(strpos('0123456789abcdef', substr(h,4,1))-1)) % 32 AS bucket,
+               CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1))-1) & 1) = 1
+                    THEN -1 ELSE 1 END AS s
+             FROM qh),
+      qsp AS (SELECT doc_id, bucket, sum(s) AS w FROM qf GROUP BY doc_id, bucket),
+      qn2 AS (SELECT doc_id, sum(w*w) AS n2 FROM qsp GROUP BY doc_id),
+      tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+      sized AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tk),
+      counted AS (SELECT doc_id, toks,
+                         CASE WHEN n <= 32 THEN 1
+                              ELSE 1 + ((n - 32 + 23) // 24) END AS n_chunks
+                  FROM sized),
+      chunks AS (SELECT doc_id, toks, unnest(range(0, n_chunks))::BIGINT AS chunk_id
+                 FROM counted),
+      ct AS (SELECT doc_id * 1000 + chunk_id AS vec_id,
+                    unnest(toks[(chunk_id*24+1):(chunk_id*24+32)]) AS tok
+             FROM chunks
+             WHERE len(toks[(chunk_id*24+1):(chunk_id*24+32)]) >= 1),
+      ch AS (SELECT vec_id, md5(tok) AS h FROM ct WHERE tok <> ''),
+      cf AS (SELECT vec_id,
+               ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+               +(strpos('0123456789abcdef', substr(h,2,1))-1)*256
+               +(strpos('0123456789abcdef', substr(h,3,1))-1)*16
+               +(strpos('0123456789abcdef', substr(h,4,1))-1)) % 32 AS bucket,
+               CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1))-1) & 1) = 1
+                    THEN -1 ELSE 1 END AS s
+             FROM ch),
+      csp AS (SELECT vec_id, bucket, sum(s) AS w FROM cf GROUP BY vec_id, bucket),
+      cn2 AS (SELECT vec_id, sum(w*w) AS n2 FROM csp GROUP BY vec_id),
+      dots AS (SELECT q.doc_id AS query_id, c.vec_id, sum(q.w * c.w) AS dot
+               FROM qsp q JOIN csp c ON q.bucket = c.bucket
+               GROUP BY q.doc_id, c.vec_id),
+      pairs AS (SELECT qq.doc_id AS query_id, cc.vec_id,
+                       qq.n2 + cc.n2 - 2*coalesce(d.dot, 0) AS dist
+                FROM qn2 qq
+                CROSS JOIN cn2 cc
+                LEFT JOIN dots d ON d.query_id = qq.doc_id
+                                AND d.vec_id = cc.vec_id),
+      top5 AS (SELECT query_id, vec_id, dist FROM pairs
+               QUALIFY row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, vec_id) <= 5),
+      agg AS (SELECT query_id, vec_id // 1000 AS doc_id,
+                     min(dist)::BIGINT AS best_dist,
+                     count(*)::BIGINT AS n_chunks
+              FROM top5 GROUP BY query_id, vec_id // 1000)
+      SELECT query_id, doc_id, best_dist, n_chunks, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY best_dist, doc_id)::BIGINT AS rk
+        FROM agg)
+      WHERE rk <= 3 ORDER BY query_id, rk"""))
+
   def qs: Seq[Q] = Seq(
-    textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip, docKnnExact)
+    textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip,
+    docKnnExact, ragPipeline)
 }

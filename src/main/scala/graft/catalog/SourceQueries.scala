@@ -45,5 +45,14 @@ object SourceQueries {
       fidelity(TextSources.readCsv(s, TextSources.csvFixture(s, dir))),
     Some(fidelityOracle))
 
-  def qs: Seq[Q] = Seq(jsonlRoundtrip, csvRoundtrip)
+  /** ORC is Spark-native (predicate pushdown, column pruning, the same
+    * vectorized reader contract as parquet) — the columnar alternative a
+    * lakehouse migration meets. Same fidelity gate. */
+  val orcRoundtrip = Q(
+    "q_source_orc",
+    (s: SparkSession, dir: String) =>
+      fidelity(TextSources.readOrc(s, TextSources.orcFixture(s, dir))),
+    Some(fidelityOracle))
+
+  def qs: Seq[Q] = Seq(jsonlRoundtrip, csvRoundtrip, orcRoundtrip)
 }

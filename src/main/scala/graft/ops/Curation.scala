@@ -148,10 +148,11 @@ object Curation {
     * start_tok, n_tok, chunk_md5). */
   def chunkDocs(
       docs: DataFrame, chunkSize: Int, stride: Int,
-      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+      docId: String = "doc_id", textCol: String = "text",
+      keepText: Boolean = false): DataFrame = {
     require(stride > 0 && chunkSize >= stride,
       s"need 0 < stride <= chunkSize, got $stride / $chunkSize")
-    docs
+    val base = docs
       .select(col(docId),
         regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
           .as("toks"))
@@ -164,9 +165,11 @@ object Curation {
         (col("chunk_id") * stride).as("start_tok"),
         slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
           lit(chunkSize)).as("chunk"))
-      .select(col(docId), col("chunk_id"), col("start_tok"),
-        size(col("chunk")).cast("long").as("n_tok"),
-        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+    val out = base.select(col(docId), col("chunk_id"), col("start_tok"),
+      size(col("chunk")).cast("long").as("n_tok"),
+      md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"),
+      array_join(col("chunk"), " ").as("chunk_text"))
+    if (keepText) out else out.drop("chunk_text")
   }
 
   /** Concat-and-chunk sequence packing: assign docs (in docId order within

@@ -47,4 +47,14 @@ object TextSources {
         .option("header", "true").csv(p)
       p
     })
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.schema(documentsSchema).orc(path)
+
+  def orcFixture(s: SparkSession, dir: String): String =
+    cache.getOrElseUpdate(s"orc|$dir", {
+      val p = "/tmp/graft_sources/orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.documents(s, dir).write.mode("overwrite").orc(p)
+      p
+    })
 }
