@@ -54,7 +54,9 @@ object EmbedQueries {
     * the sparse domain, ending in per-doc squared norms `n2(doc_id, n2)`
     * and query-to-doc dot products `dots(query_id, vec_id, dot)` for the
     * `doc_id < 3` query set. */
-  private val sparseDistances = """
+  /** The toks → md5 → signed-bucket → sparse-weights prefix shared by
+    * every md5-twin oracle: ends in `sp(doc_id, bucket, w)`. */
+  private[catalog] val sparseSp = """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents),
@@ -67,7 +69,9 @@ object EmbedQueries {
               CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1))-1) & 1) = 1
                    THEN -1 ELSE 1 END AS s
             FROM th),
-      sp AS (SELECT doc_id, bucket, sum(s) AS w FROM f GROUP BY doc_id, bucket),
+      sp AS (SELECT doc_id, bucket, sum(s) AS w FROM f GROUP BY doc_id, bucket)"""
+
+  private val sparseDistances = s"""$sparseSp,
       n2 AS (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
       dots AS (SELECT qs.doc_id AS query_id, vs.doc_id AS vec_id,
                       sum(qs.w * vs.w) AS dot
@@ -336,7 +340,28 @@ object EmbedQueries {
         FROM agg)
       WHERE rk <= 3 ORDER BY query_id, rk"""))
 
+  /** Distributed exact-integer k-means over the md5-count embeddings
+    * ([[graft.ops.KMeansInt]]): k = 4, 3 Lloyd rounds, corpus-scale
+    * assignment. Integer distances + floor-div centroid updates +
+    * smallest-id tie-breaks make the fixpoint bit-identical, so the
+    * oracle replays all three rounds as unrolled CTEs generated by the
+    * same code — the clustering analogue of graph_pagerank's gate. */
+  val kmeansCluster = Q(
+    "cluster_kmeans_int",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(hasTokens).select(col("doc_id"), col("text"))
+      val vecs = graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
+        .select(col("doc_id"), col("embedding"))
+      graft.ops.KMeansInt.fitAssign(vecs, k = 4, iters = 3)
+        .orderBy("doc_id")
+    },
+    Some(s"""$sparseSp,
+      ${graft.ops.KMeansInt.oracleSql(k = 4, iters = 3, dim = 32)}
+      SELECT doc_id, cluster::BIGINT AS cluster, dist2::BIGINT AS dist2
+      FROM fin ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(
     textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip,
-    docKnnExact, ragPipeline)
+    docKnnExact, ragPipeline, kmeansCluster)
 }
