@@ -170,5 +170,64 @@ object IndexQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(lshKnn, lshKnnFull, lshRecall, lshStats)
+  /** FILTERED vector search — predicate + kNN, the most-requested
+    * vector-store composition (beyond the reference, whose search has no
+    * metadata filter): the predicate-filtered corpus frame is passed to
+    * the SAME topK, so the filter lands inside the rerank join's scan
+    * (Catalyst pushes it to parquet) and candidates failing it die before
+    * scoring. At exhaustive budget the result is algebraically the exact
+    * kNN of the filtered corpus — hash-checked against the SQL WHERE. */
+  val lshKnnFilteredFull = Q(
+    "lsh_knn_filtered_full_budget",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (buckets, model) = LshCache.ensure(s, dir)
+      LshForest.topK(queries, buckets, e.filter(col("vec_id") % 3 === 0),
+        model, k = 10, searchKOpt = Some(Int.MaxValue))
+        .orderBy("query_id", "vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 2),
+           d AS (SELECT q.query_id, a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 WHERE a.vec_id % 3 = 0
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, vec_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, vec_id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, vec_id"""))
+
+  /** Filtered search at the DEFAULT budget, self-gating: recall against
+    * the exact filtered twin must clear the floor or a poison row lands
+    * (the ann_*_topk pattern). The budget is scaled by the filter's
+    * selectivity (1/3 here → 3x searchK): candidates are drawn BEFORE the
+    * filter, so an unscaled budget samples ~k/3 survivors. */
+  val lshKnnFiltered = Q(
+    "lsh_knn_filtered_topk",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val filtered = e.filter(col("vec_id") % 3 === 0)
+      val (buckets, model) = LshCache.ensure(s, dir)
+      val approx = LshForest.topK(queries, buckets, filtered, model, k = 10,
+        searchKOpt = Some(3 * math.max(4 * 10, model.opts.maxNodeSize)))
+      val exact = graft.ops.SimSearch.exactTopK(queries, filtered, k = 10)
+      val recall = graft.ops.SimSearch.recallAtK(approx, exact)
+      val ordered = approx.orderBy("query_id", "vec_id")
+      if (recall >= 0.8) ordered
+      else ordered.union(
+        Seq((-1L, -1L, math.rint(recall * 10000) / 10000))
+          .toDF("query_id", "vec_id", "dist"))
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(lshKnn, lshKnnFull, lshRecall, lshStats,
+    lshKnnFilteredFull, lshKnnFiltered)
 }

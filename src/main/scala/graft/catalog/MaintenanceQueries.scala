@@ -97,6 +97,63 @@ object MaintenanceQueries {
              st, CAST(round(price * 100) AS BIGINT) AS price_c
       FROM scd ORDER BY k, ver"""))
 
+  /** Point-in-time (time-travel) lookup against the SCD2 history: each
+    * probe (k, at = k % 3) resolves to the version valid at `at`. Key
+    * equi-join + interval residual — fan-out bounded by history depth.
+    * Probes at seq 0 hit version 1; probes after a change hit the newer
+    * version; k%10=5 keys (whose wave-1 upsert collapsed) resolve to
+    * their single version at every probe time. */
+  val scd2AsofLookup = Q(
+    "q_scd2_asof_lookup",
+    (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("price"))
+      val h = col("k") % 10
+      val log = base.select(col("k"), lit(0).as("seq"), col("st"), col("price"))
+        .unionByName(base.filter(h.isin(0, 1)).select(col("k"),
+          lit(1).as("seq"), col("st"), (col("price") + 1000).as("price")))
+        .unionByName(base.filter(h === 5).select(col("k"),
+          lit(1).as("seq"), col("st"), col("price")))
+        .unionByName(base.filter(h.isin(1, 3)).select(col("k"),
+          lit(2).as("seq"), col("st"), lit(42.0).as("price")))
+      val history = Incremental.scd2(log, key = "k", seq = "seq",
+        payloadCols = Seq("st", "price"))
+      val probes = base.select(col("k"), (col("k") % 3).cast("int").as("at"))
+      Incremental.asOfLookup(history, probes, key = "k", atCol = "at")
+        .select(col("k"), col("at").cast("long").as("at"), col("ver"),
+          col("st"), expr("cast(round(price * 100) as bigint)").as("price_c"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                           o_totalprice AS price
+                    FROM orders WHERE o_orderkey % 4 = 0),
+      log AS (SELECT k, 0 AS seq, st, price FROM base
+              UNION ALL SELECT k, 1, st, price + 1000 FROM base
+              WHERE k % 10 IN (0, 1)
+              UNION ALL SELECT k, 1, st, price FROM base WHERE k % 10 = 5
+              UNION ALL SELECT k, 2, st, 42.0 FROM base
+              WHERE k % 10 IN (1, 3)),
+      ch AS (SELECT *, lag(st) OVER w AS pst, lag(price) OVER w AS pprice,
+                    row_number() OVER w AS rn
+             FROM log WINDOW w AS (PARTITION BY k ORDER BY seq)),
+      kept AS (SELECT k, seq, st, price FROM ch
+               WHERE rn = 1
+                  OR NOT (st IS NOT DISTINCT FROM pst
+                          AND price IS NOT DISTINCT FROM pprice)),
+      scd AS (SELECT k, row_number() OVER w AS ver, seq AS valid_from,
+                     lead(seq) OVER w AS valid_to, st, price
+              FROM kept WINDOW w AS (PARTITION BY k ORDER BY seq)),
+      probes AS (SELECT k, k % 3 AS at FROM base)
+      SELECT p.k, p.at::BIGINT AS at, s.ver::BIGINT AS ver, s.st,
+             CAST(round(s.price * 100) AS BIGINT) AS price_c
+      FROM probes p JOIN scd s
+        ON s.k = p.k AND s.valid_from <= p.at
+       AND (s.valid_to IS NULL OR p.at < s.valid_to)
+      ORDER BY p.k"""))
+
   /** Bloom-prefiltered dimension join: high-balance suppliers' lineitem
     * revenue. The oracle runs the plain join — the gate proves the Bloom
     * pre-filter drops nothing true (false positives die in the real
@@ -123,5 +180,6 @@ object MaintenanceQueries {
       WHERE s_acctbal > 4500
       GROUP BY s_name ORDER BY s_name"""))
 
-  def qs: Seq[Q] = Seq(rollupIncremental, scd2History, bloomPrefilter)
+  def qs: Seq[Q] = Seq(rollupIncremental, scd2History, scd2AsofLookup,
+    bloomPrefilter)
 }

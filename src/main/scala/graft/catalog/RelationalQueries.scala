@@ -163,6 +163,35 @@ object RelationalQueries {
         FROM l)
       WHERE rk <= 3 ORDER BY rf, rk"""))
 
+  /** Set operations (the reference has none — §2.6): customers appearing
+    * in BOTH the BUILDING segment and the high-balance set (INTERSECT),
+    * and high-balance customers NOT in BUILDING (EXCEPT), tagged and
+    * unioned into one deterministic relation. Both planned as hash
+    * left-semi/anti joins — no sort-based set operator, no full-table
+    * distinct-sort. */
+  val setOps = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val rich = c.filter(col("c_acctbal") > 7000).select("c_custkey")
+      building.intersect(rich).withColumn("tag", lit("both"))
+        .unionByName(rich.except(building).withColumn("tag", lit("rich_only")))
+        .orderBy("tag", "c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, 'both' AS tag FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+      UNION ALL
+      SELECT c_custkey, 'rich_only' FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      ORDER BY tag, c_custkey"""))
+
   /** The Structured Streaming transform (graft.streaming.StreamOps
     * .hourlyEventStats) executed on the batch events table — the unified
     * DataFrame API means the STREAMING plan itself is what gets
@@ -797,5 +826,5 @@ object RelationalQueries {
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
-    trailingWindow, zorderValue, eventsJson, topkPerGroup)
+    trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps)
 }

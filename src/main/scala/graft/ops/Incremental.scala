@@ -51,6 +51,24 @@ object Incremental {
     * `valid_to` null marks the current version. Output: key, ver (1-based
     * change ordinal), valid_from, valid_to, is_current, payload columns.
     * Two windows, both partitioned by the log key. */
+  /** Point-in-time lookup against an [[scd2]] history: each probe row
+    * (key, at) joins to the single version whose
+    * [valid_from, valid_to) interval contains `at` (open current versions
+    * have null valid_to). The join is an EQUI-join on the key with the
+    * interval check as a residual filter — per-key fan-out is bounded by
+    * that key's version count (history depth, typically tiny), never a
+    * range-join explosion. Probes earlier than the key's first version
+    * get no row (inner semantics — the entity did not exist yet). */
+  def asOfLookup(
+      history: DataFrame, probes: DataFrame, key: String,
+      atCol: String): DataFrame =
+    probes.as("p")
+      .join(history.as("h"),
+        col(s"p.$key") === col(s"h.$key") &&
+          col("h.valid_from") <= col(s"p.$atCol") &&
+          (col("h.valid_to").isNull || col(s"p.$atCol") < col("h.valid_to")))
+      .drop(col(s"h.$key"))
+
   def scd2(
       log: DataFrame, key: String, seq: String,
       payloadCols: Seq[String]): DataFrame = {

@@ -297,6 +297,49 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming SCD2 historization ([[graft.ops.Incremental.scd2]]'s
+    * semantics on an upsert stream): per-key state holds the OPEN version
+    * (ordinal, valid_from, payload); a row whose payload differs
+    * (null-safe) closes it — the closed interval is APPENDED — and opens
+    * the next; a no-op payload is absorbed (the batch operator's
+    * consecutive-dedup). Append mode can never retract, so the open
+    * version lives only in state: the stream's output is exactly the
+    * batch history's is_current = false rows, which StreamingSpec gates.
+    * Delivery contract: batches must arrive in non-decreasing seq order
+    * per key (the CDC-log contract; out-of-order seqs would need an
+    * event-time buffer like asofStream's). Payload shape specialized to
+    * (st STRING, price DOUBLE) like the other stateful ops. */
+  def scd2Stream(log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import log.sparkSession.implicits._
+    log.select(col("k"), col("seq"), col("st"), col("price"))
+      .as[(Long, Int, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Int, String, Double),
+        (Long, Long, Int, Int, String, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Int, String, Double)],
+            state: GroupState[(Long, Int, String, Double)]) =>
+          var cur = state.getOption // (ver, valid_from, st, price)
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(Long, Long, Int, Int, String, Double)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, seq, st, price) =>
+            cur match {
+              case None => cur = Some((1L, seq, st, price))
+              case Some((ver, from, pst, pprice))
+                  if pst != st || pprice != price =>
+                out += ((key, ver, from, seq, pst, pprice))
+                cur = Some((ver + 1, seq, st, price))
+              case _ => // unchanged payload: absorbed
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF("k", "ver", "valid_from", "valid_to", "st", "price")
+  }
+
   /** Committed rollup versions under `storePath`: epoch-numbered `v=<id>`
     * directories whose parquet job COMPLETED (the `_SUCCESS` marker — the
     * same job-commit atomicity the engine's index writes rely on). A

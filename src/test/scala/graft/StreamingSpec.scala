@@ -372,6 +372,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD2: closed intervals equal the batch history") {
+    implicit val sqlCtx = spark.sqlContext
+    // key 1: A@0 -> A@1 (no-op) -> B@2; key 2: X@0 only; key 3: A -> B -> A
+    val wave1 = Seq((1L, 0, "A", 10.0), (2L, 0, "X", 1.0), (3L, 0, "A", 1.0))
+    val wave2 = Seq((1L, 1, "A", 10.0), (3L, 1, "B", 1.0))
+    val wave3 = Seq((1L, 2, "B", 20.0), (3L, 2, "A", 1.0))
+    val mem = MemoryStream[(Long, Int, String, Double)]
+    val q = StreamOps.scd2Stream(mem.toDF().toDF("k", "seq", "st", "price"))
+      .writeStream.format("memory").queryName("scd2_test")
+      .outputMode("append").start()
+    try {
+      Seq(wave1, wave2, wave3).foreach { w =>
+        mem.addData(w: _*); q.processAllAvailable()
+      }
+      val stream = spark.table("scd2_test")
+        .orderBy("k", "ver")
+        .select("k", "ver", "valid_from", "valid_to", "st", "price")
+        .collect().toSeq
+      val batch = graft.ops.Incremental.scd2(
+        (wave1 ++ wave2 ++ wave3).toDF("k", "seq", "st", "price"),
+        "k", "seq", Seq("st", "price"))
+        .filter(!col("is_current"))
+        .select(col("k"), col("ver"), col("valid_from").cast("long"),
+          col("valid_to").cast("long"), col("st"), col("price"))
+        .orderBy("k", "ver")
+        .collect().toSeq
+      assert(stream.map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+        r.getInt(3).toLong, r.getString(4), r.getDouble(5))).toSeq ==
+        batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getDouble(5))).toSeq)
+      // key 2 never closed a version: absent from the stream output
+      assert(!stream.exists(_.getLong(0) == 2L))
+    } finally q.stop()
+  }
+
   test("maintained rollup: streamed deltas converge to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("rollup_store").toString
