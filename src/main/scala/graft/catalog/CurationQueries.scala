@@ -253,7 +253,47 @@ object CurationQueries {
       WHERE substr(md5('m' || doc_id), 1, 6) < thr
       ORDER BY doc_id"""))
 
+  /** Adaptive quality cutoff: drop each source's bottom decile by quality
+    * score — the data-driven variant of a fixed quality threshold (a
+    * fixed cutoff miscalibrates across sources; percentile-per-source
+    * self-calibrates). The score is floor-quantized to an integer so the
+    * type-7 percentile interpolates integers (the proven cross-engine
+    * pattern, profile_token_quantiles) and the >= comparison is int vs
+    * that deterministic double. Thresholds are a tiny broadcast; the
+    * corpus is filtered map-side. */
+  val qualityPercentileFilter = Q(
+    "doc_quality_percentile_filter",
+    (s, dir) => {
+      val nChars = length(col("text"))
+      val nTokens = size(split(col("text"), " "))
+      val alphaChars = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      val q = floor(alphaChars.cast("double") / nChars
+        * least(nTokens, lit(100)).cast("double") / 100.0 * 1e6).cast("long")
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), q.as("q_1e6"))
+      val thr = scored.groupBy("source")
+        .agg(expr("percentile(q_1e6, 0.1)").as("thr"))
+      scored.join(broadcast(thr), "source")
+        .filter(col("q_1e6") >= col("thr"))
+        .select("doc_id", "source", "q_1e6")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source,
+               CAST(floor(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                    / length(text)
+                    * least(len(string_split(text, ' ')), 100)::DOUBLE / 100.0
+                    * 1000000) AS BIGINT) AS q_1e6
+        FROM documents),
+      thr AS (SELECT source, quantile_cont(q_1e6, 0.1) AS thr
+              FROM scored GROUP BY source)
+      SELECT doc_id, s.source, q_1e6
+      FROM scored s JOIN thr t ON t.source = s.source
+      WHERE q_1e6 >= t.thr
+      ORDER BY doc_id"""))
+
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
-      splitTrainVal, chunkDocuments, temperatureMix)
+      splitTrainVal, chunkDocuments, temperatureMix, qualityPercentileFilter)
 }

@@ -167,9 +167,17 @@ final class ZebraEngine private (
     * `searchK` overrides the per-tree candidate budget (recall/latency
     * dial; an exhaustive budget degenerates to exact kNN). */
   def queryVectors(
-      queries: DataFrame, k: Int, searchK: Option[Int] = None): DataFrame = {
+      queries: DataFrame, k: Int, searchK: Option[Int] = None,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = config.distanceMetric
-    def exact = SimSearch.exactTopK(queries, vectors, k, metric = m, vecId = "id")
+    // Filtered search: the predicate narrows the stored-records frame
+    // BEFORE the rerank/scoring joins, so it reaches the parquet scan and
+    // non-matching candidates die unfetched. With an index, callers
+    // should scale `searchK` by ~1/selectivity (candidates route before
+    // the filter); at exhaustive budget the result is algebraically the
+    // exact kNN of the filtered records under any predicate.
+    val recs = where.map(vectors.filter).getOrElse(vectors)
+    def exact = SimSearch.exactTopK(queries, recs, k, metric = m, vecId = "id")
     config.indexKind match {
       case "ivfpq" =>
         loadIvfPqModel() match {
@@ -187,7 +195,7 @@ final class ZebraEngine private (
             // recall 0.41 at 1.6M vectors (SURVEY §8.2) — the budget must
             // track how many rows the probed cells actually hold.
             IvfPq.topK(
-              queries, spark.read.parquet(indexDir), vectors, model, k,
+              queries, spark.read.parquet(indexDir), recs, model, k,
               nprobe = nprobe,
               rerank = searchK.getOrElse(
                 IvfPq.defaultRerank(k, count(), nprobe, model.coarse.nlist)),
@@ -198,7 +206,7 @@ final class ZebraEngine private (
         loadModel() match {
           case Some(model) if hasData(indexDir) =>
             LshForest.topK(
-              queries, spark.read.parquet(indexDir), vectors, model, k,
+              queries, spark.read.parquet(indexDir), recs, model, k,
               metric = m, searchKOpt = searchK, vecId = "id")
           case _ => exact
         }

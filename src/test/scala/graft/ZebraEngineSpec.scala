@@ -134,4 +134,24 @@ class ZebraEngineSpec extends AnyFunSuite {
       assert(r.getAs[Double]("dist") == 0.0)
     }
   }
+
+  test("filtered query: predicate + kNN equals exact kNN of the filtered set") {
+    val eng = freshEngine()
+    eng.insertRecords(emb)
+    eng.refreshIndex()
+    val queries = emb.limit(4)
+      .select(col("id").as("query_id"), col("embedding"))
+    val pred = col("id") > "v000250" // string ids sort lexicographically
+    // exhaustive budget: the indexed filtered path must equal exact
+    // filtered kNN under ANY predicate
+    val got = eng.queryVectors(queries, k = 5,
+      searchK = Some(Int.MaxValue), where = Some(pred))
+      .orderBy("query_id", "id").collect().toSeq
+    val want = graft.ops.SimSearch.exactTopK(
+      queries, emb.filter(pred), k = 5, vecId = "id")
+      .orderBy("query_id", "id").collect().toSeq
+    assert(got == want)
+    // every hit satisfies the predicate
+    got.foreach(r => assert(r.getAs[String]("id") > "v000250"))
+  }
 }
