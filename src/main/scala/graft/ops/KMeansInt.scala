@@ -131,7 +131,7 @@ object KMeansInt {
               LEFT JOIN sp s ON s.doc_id = i.doc_id AND s.bucket = g.bucket)"""
     val rounds = (1 to iters).map { t =>
       s"""${assign(t - 1, s"c_${t - 1}")},
-         upd_$t AS (SELECT a.cl, s.bucket, sum(s.w) AS sw, count(DISTINCT a.doc_id) AS cnt
+         upd_$t AS (SELECT a.cl, s.bucket, sum(s.w) AS sw
                     FROM a_${t - 1} a JOIN sp s ON s.doc_id = a.doc_id
                     GROUP BY a.cl, s.bucket),
          siz_$t AS (SELECT cl, count(*) AS n FROM a_${t - 1} GROUP BY cl),

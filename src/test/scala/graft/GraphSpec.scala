@@ -42,7 +42,7 @@ class GraphSpec extends AnyFunSuite {
       .filter(e => e._1 != e._2).distinct
     val pr = Graph.pagerankInt(edges.toDF("src", "dst"), iters = 10,
       scale = scale)
-    val total = pr.agg(sum("pr")).head.getLong(0)
+    val total = pr.agg(sum("pr")).head().getLong(0)
     // dangling nodes (no out-edges) and div remainders leak mass DOWN;
     // nothing can create mass above scale.
     assert(total <= scale, s"total $total exceeds scale")

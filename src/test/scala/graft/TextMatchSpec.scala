@@ -68,7 +68,7 @@ class TextMatchSpec extends AnyFunSuite {
   test("paragraphDedup: kept lines across the corpus = distinct lines") {
     val docs = graft.core.Tables.documents(spark, SparkTestBase.sf0001)
     val out = TextMatch.paragraphDedup(docs, lineTokens = 10)
-    val kept = out.agg(sum("n_kept")).head.getLong(0)
+    val kept = out.agg(sum("n_kept")).head().getLong(0)
     val distinctLines = docs
       .selectExpr("""explode(transform(
         sequence(0, (size(split(lower(text), ' ')) + 9) div 10 - 1),
