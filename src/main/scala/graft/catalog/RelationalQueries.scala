@@ -494,6 +494,40 @@ object RelationalQueries {
              TRUE AS within_5pct
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Sketch RE-AGGREGATION — the mergeability property that makes sketches
+    * the 100 TB pre-aggregation lever: per-(type, hour) HLL sketches
+    * (DataSketches binary buffers) are UNIONED into per-type estimates
+    * without touching raw data again — the pattern of a materialized
+    * sketch table serving coarser rollups. Gated like q_sketch_distinct:
+    * the merged estimate must land within 5% of exact or `within_5pct`
+    * flips false and the hash breaks. n_parts witnesses that a real
+    * multi-sketch merge happened (hundreds of hourly sketches per type). */
+  val sketchRollup = Q(
+    "q_sketch_rollup",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val fine = e
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val merged = fine.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("approx_users"),
+          count(lit(1)).as("n_parts"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_parts"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * lit(20L) <=
+            col("exact_users")).as("within_5pct"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+             count(DISTINCT date_trunc('hour', ts))::BIGINT AS n_parts,
+             count(DISTINCT user_id)::BIGINT AS exact_users,
+             TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** MERGE / CDC-apply ([[graft.ops.Merge.applyChanges]]): a deterministic
     * change log synthesized from `orders` (updates, deletes, a
     * delete-then-reinsert and a double-update — the last two prove
@@ -826,5 +860,6 @@ object RelationalQueries {
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
-    trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps)
+    trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
+    sketchRollup)
 }
