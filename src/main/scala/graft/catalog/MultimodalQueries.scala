@@ -153,5 +153,63 @@ object MultimodalQueries {
     },
     None)
 
-  def qs: Seq[Q] = Seq(imageKnn, audioKnn, imageDecodeStats, videoFrames, videoKnn)
+  /** Image near-dup dedup via perceptual hashing
+    * ([[graft.embed.ImagePhash]]): the multimodal member of the dedup
+    * family. Corpus = the 24 fixture PNGs plus 6 planted jittered
+    * near-duplicates (ids 100+i); hashes band into 4×16-bit chunks, only
+    * bucket-collisions become candidate pairs (the SimHash shape —
+    * never all-pairs image comparison), popcount verifies at radius 6.
+    * The oracle replays banding + Hamming over the FROZEN hash fixture
+    * (regenerated by GenOracleFixtures through the same aHash64 code and
+    * staleness-gated in FixtureOracleSpec), so a decode or hash
+    * regression breaks the gate while the cascade is checked
+    * independently in SQL. */
+  val imagePhashDedup = Q(
+    "multimodal_image_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val phashUdf = udf((b: Array[Byte]) => graft.embed.ImagePhash.aHash64(b))
+      val imgs = ((0 until 24).map(i => (i.toLong, MultimodalFixtures.makePng(i))) ++
+        (0 until 24).filter(_ % 4 == 0)
+          .map(i => (100L + i, MultimodalFixtures.makePngJittered(i))))
+        .toDF("vec_id", "document")
+      val hashed = imgs.select(col("vec_id"), phashUdf(col("document")).as("ph"))
+      val bands = hashed.select(col("vec_id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            expr(s"shiftright(ph, ${16 * j}) & 65535").as("chunk"))): _*))
+          .as("b"))
+        .select(col("vec_id"), col("b.band").as("band"), col("b.chunk").as("chunk"))
+      val cand = bands.as("a")
+        .join(bands.as("b2"),
+          col("a.band") === col("b2.band") && col("a.chunk") === col("b2.chunk") &&
+            col("a.vec_id") < col("b2.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b2.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(hashed.select(col("vec_id").as("id_a"), col("ph").as("ph_a")), "id_a")
+        .join(hashed.select(col("vec_id").as("id_b"), col("ph").as("ph_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("bit_count(ph_a ^ ph_b)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH h AS (SELECT vec_id, phash
+                 FROM read_parquet('${Fixtures.path("multimodal_phash.parquet")}')),
+      b AS (SELECT vec_id, j.j AS band, (phash >> (16 * j.j)) & 65535 AS chunk
+            FROM h, (VALUES (0), (1), (2), (3)) j(j)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+               FROM b a JOIN b b2 ON a.band = b2.band AND a.chunk = b2.chunk
+                                 AND a.vec_id < b2.vec_id)
+      SELECT id_a, id_b,
+             bit_count(xor(ha.phash, hb.phash))::BIGINT AS hamming
+      FROM cand
+      JOIN h ha ON ha.vec_id = cand.id_a
+      JOIN h hb ON hb.vec_id = cand.id_b
+      WHERE bit_count(xor(ha.phash, hb.phash)) <= 6
+      ORDER BY id_a, id_b"""))
+
+  def qs: Seq[Q] = Seq(imageKnn, audioKnn, imageDecodeStats, videoFrames,
+    videoKnn, imagePhashDedup)
 }

@@ -38,6 +38,31 @@ object MultimodalFixtures {
     out.toByteArray
   }
 
+  /** [[makePng]] with a tiny deterministic perturbation (+2 on the blue
+    * channel of every 16th pixel) — a planted NEAR-duplicate: the change
+    * is invisible to an 8×8 block-mean perceptual hash (a few bits at
+    * most), while remaining a distinct byte stream. */
+  def makePngJittered(idx: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(makePng(idx)))
+    var y = 0
+    while (y < 64) {
+      var x = y % 4
+      while (x < 64) {
+        if ((x + y * 64) % 16 == 0) {
+          val rgb = img.getRGB(x, y)
+          val b = math.min(255, (rgb & 0xff) + 2)
+          img.setRGB(x, y, (rgb & 0xffffff00) | b)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** GVID "video" idx: `nFrames` PNG frames whose content drifts with the
     * frame index — deterministic, distinct per idx, re-generable
     * bit-identically (the self-retrieval property video kNN needs). */

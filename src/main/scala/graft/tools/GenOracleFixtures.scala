@@ -16,10 +16,13 @@ import graft.embed.{MultimodalFixtures, VideoFrames}
   *    oracle).
   *  - `multimodal_video_digest.parquet` — per-sampled-frame stats for the
   *    12 GVID fixtures (`multimodal_video_frames` oracle).
+  *  - `multimodal_phash.parquet` — frozen aHash64 perceptual hashes of
+  *    the 24 base PNGs + 6 jittered near-duplicates
+  *    (`multimodal_image_phash_dedup` oracle).
   *  - `embedding_bits.parquet` — the sf0.01 embeddings' per-component
-  *    IEEE-754 bit patterns zero-extended to BIGINT (`dist_hamming`
-  *    oracle: DuckDB can popcount-XOR integers, it just can't reinterpret
-  *    a float's bits).
+  *    IEEE-754 bit patterns zero-extended to BIGINT, plus the float
+  *    column the Spark side reads (`dist_hamming` oracle: DuckDB can
+  *    popcount-XOR integers, it just can't reinterpret a float's bits).
   *
   * The digests are computed through the SAME functions the catalog queries
   * call (`MultimodalQueries.imageDigest`/`frameDigest`), so the
@@ -70,6 +73,18 @@ object GenOracleFixtures {
     writeOne(videoDigestRows.toDF("vec_id", "frame_idx", "n_values", "mean_val"),
       s"$outDir/multimodal_video_digest.parquet")
 
+    // Frozen perceptual hashes for the image near-dup gate: all 24 base
+    // PNGs plus the 6 planted jittered near-duplicates, hashed through
+    // the SAME aHash64 the catalog entry runs.
+    writeOne(
+      ((0 until 24).map(i =>
+        (i.toLong, graft.embed.ImagePhash.aHash64(MultimodalFixtures.makePng(i)))) ++
+        (0 until 24).filter(_ % 4 == 0).map(i =>
+          (100L + i,
+            graft.embed.ImagePhash.aHash64(MultimodalFixtures.makePngJittered(i)))))
+        .toDF("vec_id", "phash"),
+      s"$outDir/multimodal_phash.parquet")
+
     // Both the floats AND their bit patterns: the dist_hamming catalog
     // entry reads the floats from THIS file (not the live sfDir) so the
     // entry is scale-factor-independent — Spark side and DuckDB oracle
@@ -81,7 +96,7 @@ object GenOracleFixtures {
           bitsUdf(col("embedding")).as("bits")),
       s"$outDir/embedding_bits.parquet")
 
-    println(s"[fixtures] wrote 3 fixture parquets to $outDir (bits from $sfDir)")
+    println(s"[fixtures] wrote 4 fixture parquets to $outDir (bits from $sfDir)")
     spark.stop()
   }
 

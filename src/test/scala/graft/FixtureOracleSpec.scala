@@ -28,6 +28,18 @@ class FixtureOracleSpec extends AnyFunSuite {
     assert(frozen == GenOracleFixtures.videoDigestRows)
   }
 
+  test("phash fixture matches a live aHash recompute") {
+    val live = ((0 until 24).map(i =>
+      i.toLong -> graft.embed.ImagePhash.aHash64(
+        graft.embed.MultimodalFixtures.makePng(i))) ++
+      (0 until 24).filter(_ % 4 == 0).map(i =>
+        (100L + i) -> graft.embed.ImagePhash.aHash64(
+          graft.embed.MultimodalFixtures.makePngJittered(i)))).toMap
+    val frozen = spark.read.parquet(Fixtures.path("multimodal_phash.parquet"))
+      .as[(Long, Long)].collect().toMap
+    assert(frozen == live, "stale multimodal_phash.parquet — rerun GenOracleFixtures")
+  }
+
   test("embedding bit fixture matches the sf0.01 embeddings' raw float bits") {
     val live = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("vec_id"), col("embedding"))
