@@ -11,9 +11,12 @@ import graft.ops.SimSearch
 /** Multimodal surface (SURVEY.md §2.4 E3–E7, §2.5 C3/C4): images and audio
   * as opaque BINARY columns flowing through decode → feature-embed → kNN.
   * No binary fixtures ship in /root/testdata (FIXTURES.md §3), so the
-  * inputs are deterministic generated PNGs/WAVs. The kNN entries stay
-  * rows-only (hash embedders aren't SQL-expressible; contracts gated in
-  * MultimodalSpec), but the decode paths are hash-checked against frozen
+  * inputs are deterministic generated PNGs/WAVs. The kNN entries and
+  * the decode paths are hash-checked against frozen fixtures (the kNN
+  * results themselves are frozen through the SAME pipeline by
+  * GenOracleFixtures — a regression anywhere in decode/embed/kNN moves
+  * the live result off the recorded one; contracts additionally gated in
+  * MultimodalSpec), the decode digests against frozen
   * digest fixtures (`fixtures/multimodal_*_digest.parquet`): the inputs are
   * bit-reproducible, so the expected per-item stats are precomputed once by
   * `graft.tools.GenOracleFixtures` and the oracle is a SELECT from the
@@ -66,7 +69,11 @@ object MultimodalQueries {
       SimSearch.exactTopK(queries, vecs, k = 3, metric = Distances.Cosine)
         .orderBy("query_id", "vec_id")
     },
-    None)
+    Some(s"""
+      SELECT query_id, vec_id, dist
+      FROM read_parquet('${Fixtures.path("multimodal_knn_expected.parquet")}')
+      WHERE modality = 'image'
+      ORDER BY query_id, vec_id"""))
 
   /** C4 audio insert+query: sine sweeps + noise clips → spectrogram-as-
     * image (the reference's core audio trick) → 768-d → cosine kNN. */
@@ -85,7 +92,11 @@ object MultimodalQueries {
       SimSearch.exactTopK(queries, vecs, k = 3, metric = Distances.Cosine)
         .orderBy("query_id", "vec_id")
     },
-    None)
+    Some(s"""
+      SELECT query_id, vec_id, dist
+      FROM read_parquet('${Fixtures.path("multimodal_knn_expected.parquet")}')
+      WHERE modality = 'audio'
+      ORDER BY query_id, vec_id"""))
 
   /** E3 decode-path probe: per-image tensor statistics after resize +
     * ImageNet normalization (the plumbing a real ViT would consume). */
@@ -151,7 +162,11 @@ object MultimodalQueries {
       SimSearch.exactTopK(queries, vecs, k = 3, metric = Distances.Cosine)
         .orderBy("query_id", "vec_id")
     },
-    None)
+    Some(s"""
+      SELECT query_id, vec_id, dist
+      FROM read_parquet('${Fixtures.path("multimodal_knn_expected.parquet")}')
+      WHERE modality = 'video'
+      ORDER BY query_id, vec_id"""))
 
   /** Image near-dup dedup via perceptual hashing
     * ([[graft.embed.ImagePhash]]): the multimodal member of the dedup

@@ -73,6 +73,21 @@ object GenOracleFixtures {
     writeOne(videoDigestRows.toDF("vec_id", "frame_idx", "n_values", "mean_val"),
       s"$outDir/multimodal_video_digest.parquet")
 
+    // Frozen kNN results for the three multimodal retrieval entries,
+    // computed through the CATALOG QUERIES THEMSELVES — any regression in
+    // decode, embed, or the kNN kernel moves the live result off the
+    // recorded one and trips the driver's hash gate.
+    writeOne(
+      Seq("image" -> MultimodalQueries.imageKnn,
+        "audio" -> MultimodalQueries.audioKnn,
+        "video" -> MultimodalQueries.videoKnn)
+        .map { case (m, q) =>
+          q.run(spark, sfDir).select(lit(m).as("modality"),
+            col("query_id"), col("vec_id"), col("dist"))
+        }
+        .reduce(_ unionAll _),
+      s"$outDir/multimodal_knn_expected.parquet")
+
     // Frozen perceptual hashes for the image near-dup gate: all 24 base
     // PNGs plus the 6 planted jittered near-duplicates, hashed through
     // the SAME aHash64 the catalog entry runs.
@@ -96,7 +111,7 @@ object GenOracleFixtures {
           bitsUdf(col("embedding")).as("bits")),
       s"$outDir/embedding_bits.parquet")
 
-    println(s"[fixtures] wrote 4 fixture parquets to $outDir (bits from $sfDir)")
+    println(s"[fixtures] wrote 5 fixture parquets to $outDir (bits from $sfDir)")
     spark.stop()
   }
 

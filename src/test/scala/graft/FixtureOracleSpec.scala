@@ -28,6 +28,23 @@ class FixtureOracleSpec extends AnyFunSuite {
     assert(frozen == GenOracleFixtures.videoDigestRows)
   }
 
+  test("multimodal kNN expected-result fixture matches live pipeline runs") {
+    for ((m, q) <- Seq(
+        "image" -> graft.catalog.MultimodalQueries.imageKnn,
+        "audio" -> graft.catalog.MultimodalQueries.audioKnn,
+        "video" -> graft.catalog.MultimodalQueries.videoKnn)) {
+      val live = q.run(spark, "unused")
+        .orderBy("query_id", "vec_id").collect().toSeq
+      val frozen = spark.read
+        .parquet(Fixtures.path("multimodal_knn_expected.parquet"))
+        .filter(col("modality") === m)
+        .select("query_id", "vec_id", "dist")
+        .orderBy("query_id", "vec_id").collect().toSeq
+      assert(live == frozen,
+        s"stale multimodal_knn_expected ($m) — rerun GenOracleFixtures")
+    }
+  }
+
   test("phash fixture matches a live aHash recompute") {
     val live = ((0 until 24).map(i =>
       i.toLong -> graft.embed.ImagePhash.aHash64(
