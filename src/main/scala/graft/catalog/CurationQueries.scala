@@ -161,9 +161,9 @@ object CurationQueries {
                            AS n_tok
                   FROM documents),
       packed AS (SELECT source, n_tok,
-                        (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                                          ROWS UNBOUNDED PRECEDING)
-                         - n_tok) // 2048 AS seq_id
+                        ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          - n_tok) // 2048)::BIGINT AS seq_id
                  FROM dl)
       SELECT source, seq_id, count(*)::BIGINT AS n_docs,
              sum(n_tok)::BIGINT AS sum_tokens

@@ -142,10 +142,10 @@ object PipelineQueries {
                WHERE rn = 1)
       SELECT f.source, p.pred_lang,
              count(*) AS n_docs,
-             sum(CASE WHEN p.pred_lang = f.lang THEN 1 ELSE 0 END)
+             sum(CASE WHEN p.pred_lang = f.lang THEN 1 ELSE 0 END)::BIGINT
                AS n_lang_match,
-             sum(f.word_tokens) AS sum_word_tokens,
-             sum(f.quality_1e4) AS sum_quality_1e4
+             sum(f.word_tokens)::BIGINT AS sum_word_tokens,
+             sum(f.quality_1e4)::BIGINT AS sum_quality_1e4
       FROM filt f JOIN pred p USING (doc_id)
       GROUP BY f.source, p.pred_lang
       ORDER BY f.source, p.pred_lang"""

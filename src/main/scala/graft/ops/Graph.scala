@@ -86,8 +86,8 @@ object Graph {
     val rounds = (1 to iters).map { t =>
       s"""it$t AS (
            SELECT nd.id,
-                  ${15L * scale} // (100 * (SELECT nn FROM cnt))
-                    + (85 * coalesce(s.s, 0)) // 100 AS pr
+                  (${15L * scale} // (100 * (SELECT nn FROM cnt))
+                    + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS pr
            FROM nodes nd LEFT JOIN (
              SELECT e.dst AS id, sum(p.pr // o.od) AS s
              FROM edges e
@@ -101,7 +101,8 @@ object Graph {
                   UNION SELECT dst FROM edges)),
       outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
       cnt AS (SELECT count(*) AS nn FROM nodes),
-      it0 AS (SELECT id, $scale // (SELECT nn FROM cnt) AS pr FROM nodes),
+      it0 AS (SELECT id, ($scale // (SELECT nn FROM cnt))::BIGINT AS pr
+              FROM nodes),
       $rounds"""
   }
 }

@@ -37,8 +37,19 @@ for name in sorted(os.listdir(out_dir)):
                 df[c] = df[c].map(lambda b: b.hex())
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
     g, w = canon(got), canon(want)
+    # Driver parity: its hash is TYPED, so an uncast DuckDB HUGEINT (pandas
+    # float64/object) vs Spark BIGINT (int64) must fail here too, even when
+    # values match. Compare dtype KIND per column (int vs float vs other).
+    def kind(d):
+        return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(d.kind, "other")
+    kind_diffs = [
+        f"{c}: got {g[c].dtype}({kind(g[c].dtype)}) want {w[c].dtype}({kind(w[c].dtype)})"
+        for c in g.columns if c in w.columns and kind(g[c].dtype) != kind(w[c].dtype)
+    ] if list(g.columns) == list(w.columns) else []
     if list(g.columns) != list(w.columns):
         bad.append((name, f"columns differ: got {list(g.columns)} want {list(w.columns)}"))
+    elif kind_diffs:
+        bad.append((name, "dtype kind differs (driver typed-hash would fail): " + "; ".join(kind_diffs)))
     elif len(g) != len(w):
         bad.append((name, f"row count differs: got {len(g)} want {len(w)}"))
     else:
