@@ -67,16 +67,35 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
+    // The FULL per-query map goes to BENCH_LOCAL.json (committed at round
+    // close) — at 130 queries it is ~3.6 KB and the driver's artifact is a
+    // 2000-byte stdout tail with sbt's "[success] ..." line (~80 bytes)
+    // captured AFTER ours, so a full-map line can never parse there
+    // (BENCH_r04/r05 both ended up `parsed: null`, cut mid-line).
+    val fullLine =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    // Belt and braces against tail-capture truncation: persist the line to
-    // a file next to the repo artifacts, then print it exactly once as the
-    // process's very last stdout (after spark.stop(), whose shutdown noise
-    // goes to stderr) so nothing can push it over the capture budget.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     catch { case _: Throwable => () }
+    // stdout gets a line CAPPED at 1800 bytes so it always survives the
+    // tail capture and parses: total + errors + as many per-query entries
+    // as fit, most expensive first (the perf-relevant tail of the
+    // distribution), plus a pointer to the complete map.
+    val MaxLine = 1800
+    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","errors":$errJson,"sf":"$sfDir","queries":{"""
+    val tailPart = "}}"
+    val entries = results.sortBy(-_._2).map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+    val sb = new StringBuilder(head)
+    var first = true
+    entries.foreach { e =>
+      val add = (if (first) 0 else 1) + e.length
+      if (sb.length + add + tailPart.length <= MaxLine) {
+        if (!first) sb.append(',')
+        sb.append(e); first = false
+      }
+    }
+    sb.append(tailPart)
     spark.stop()
-    println(line)
+    println(sb.toString)
   }
 }
