@@ -204,9 +204,10 @@ object IndexQueries {
 
   /** Filtered search at the DEFAULT budget, self-gating: recall against
     * the exact filtered twin must clear the floor or a poison row lands
-    * (the ann_*_topk pattern). The budget is scaled by the filter's
-    * selectivity (1/3 here → 3x searchK): candidates are drawn BEFORE the
-    * filter, so an unscaled budget samples ~k/3 survivors. */
+    * (the ann_*_topk pattern). The budget is NOT hand-picked: topKFiltered
+    * measures the predicate's selectivity (1/3 here) and scales the
+    * candidate budget by 1/selectivity internally — candidates are drawn
+    * BEFORE the filter, so an unscaled budget samples ~k/3 survivors. */
   val lshKnnFiltered = Q(
     "lsh_knn_filtered_topk",
     (s, dir) => {
@@ -214,14 +215,14 @@ object IndexQueries {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val filtered = e.filter(col("vec_id") % 3 === 0)
+      val pred = col("vec_id") % 3 === 0
       val (buckets, model) = LshCache.ensure(s, dir)
-      val approx = LshForest.topK(queries, buckets, filtered, model, k = 10,
-        searchKOpt = Some(3 * math.max(4 * 10, model.opts.maxNodeSize)))
-      val exact = graft.ops.SimSearch.exactTopK(queries, filtered, k = 10)
+      val approx = LshForest.topKFiltered(queries, buckets, e, pred,
+        model, k = 10)
+      val exact = graft.ops.SimSearch.exactTopK(queries, e.filter(pred), k = 10)
       val recall = graft.ops.SimSearch.recallAtK(approx, exact)
       val ordered = approx.orderBy("query_id", "vec_id")
-      if (recall >= 0.8) ordered
+      if (recall >= 0.9) ordered
       else ordered.union(
         Seq((-1L, -1L, math.rint(recall * 10000) / 10000))
           .toDF("query_id", "vec_id", "dist"))

@@ -172,11 +172,17 @@ final class ZebraEngine private (
     val m = config.distanceMetric
     // Filtered search: the predicate narrows the stored-records frame
     // BEFORE the rerank/scoring joins, so it reaches the parquet scan and
-    // non-matching candidates die unfetched. With an index, callers
-    // should scale `searchK` by ~1/selectivity (candidates route before
-    // the filter); at exhaustive budget the result is algebraically the
-    // exact kNN of the filtered records under any predicate.
+    // non-matching candidates die unfetched. With an index, the candidate
+    // budget is scaled by the MEASURED 1/selectivity internally (one
+    // count() on the filtered frame, column-pruned to the predicate;
+    // the corpus total comes from the cached count()) — `searchK` is the
+    // pre-filter budget and needs no caller-side scaling. At exhaustive
+    // budget the result is algebraically the exact kNN of the filtered
+    // records under any predicate.
     val recs = where.map(vectors.filter).getOrElse(vectors)
+    // Selectivity of the predicate, 1.0 when unfiltered; lazy so the
+    // extra count job only runs on indexed filtered paths.
+    lazy val keptCount = where.map(_ => recs.count()).getOrElse(count())
     def exact = SimSearch.exactTopK(queries, recs, k, metric = m, vecId = "id")
     config.indexKind match {
       case "ivfpq" =>
@@ -188,26 +194,39 @@ final class ZebraEngine private (
             // ANY metric (the shortlist is the whole corpus).
             val full = searchK.exists(_ >= Int.MaxValue)
             val nprobe =
-              if (full) model.coarse.nlist
+              if (full || where.isDefined) model.coarse.nlist
               else math.max(1, (model.coarse.nlist * 3) / 4)
             // Default rerank follows the occupancy sizing law rather than a
             // fixed 32·k: the scale probe showed fixed shortlists decay to
             // recall 0.41 at 1.6M vectors (SURVEY §8.2) — the budget must
-            // track how many rows the probed cells actually hold.
+            // track how many rows the probed cells actually hold. Filtered
+            // search probes every cell (survivors may live anywhere) and
+            // scales the rerank shortlist by 1/selectivity.
+            val baseRerank = searchK.getOrElse(
+              IvfPq.defaultRerank(k, count(), nprobe, model.coarse.nlist))
+            val rerank =
+              if (where.isDefined)
+                LshForest.scaledBudget(baseRerank, keptCount, count())
+              else baseRerank
             IvfPq.topK(
               queries, spark.read.parquet(indexDir), recs, model, k,
-              nprobe = nprobe,
-              rerank = searchK.getOrElse(
-                IvfPq.defaultRerank(k, count(), nprobe, model.coarse.nlist)),
+              nprobe = nprobe, rerank = rerank,
               metric = m, vecId = "id")
           case _ => exact
         }
       case _ =>
         loadModel() match {
           case Some(model) if hasData(indexDir) =>
+            val sk = where match {
+              case Some(_) =>
+                val base = searchK.getOrElse(
+                  math.max(4 * k, model.opts.maxNodeSize))
+                Some(LshForest.scaledBudget(base, keptCount, count()))
+              case None => searchK
+            }
             LshForest.topK(
               queries, spark.read.parquet(indexDir), recs, model, k,
-              metric = m, searchKOpt = searchK, vecId = "id")
+              metric = m, searchKOpt = sk, vecId = "id")
           case _ => exact
         }
     }

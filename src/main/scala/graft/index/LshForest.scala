@@ -649,4 +649,41 @@ object LshForest {
         SimSearch.quantize(metric, metric(col("q_emb"), col("v_emb")), roundTo))
     SimSearch.takeTopK(scored, k, queryId, vecId)
   }
+
+  /** Candidate budget for a FILTERED search: candidates route through the
+    * index BEFORE the predicate applies, so only ~selectivity of them
+    * survive — the pre-filter budget must grow by 1/selectivity to keep
+    * the post-filter shortlist at its unfiltered size. Exhaustive stays
+    * exhaustive; a sub-0.01% filter saturates to exhaustive too (at that
+    * selectivity scanning the few survivors exactly IS the cheap plan). */
+  def scaledBudget(base: Int, kept: Long, total: Long): Int = {
+    if (base >= Int.MaxValue) return Int.MaxValue
+    val sel =
+      if (total <= 0L || kept <= 0L) 1.0
+      else math.max(kept.toDouble / total, 1e-4)
+    math.min(math.ceil(base / sel).toLong, Int.MaxValue.toLong).toInt
+  }
+
+  /** Filtered ANN over an index built on the UNFILTERED corpus: narrows
+    * `vectors` with `pred` (the predicate reaches the parquet scan of the
+    * rerank join) and scales the candidate budget by the measured
+    * 1/selectivity via [[scaledBudget]], so callers no longer hand-pick
+    * budgets per filter. Selectivity costs one count() on the filtered
+    * frame (column-pruned to the predicate's columns); engines with a
+    * cached corpus count pass it as `totalOpt` to avoid the second job. */
+  def topKFiltered(
+      queries: DataFrame, buckets: DataFrame, vectors: DataFrame,
+      pred: Column, model: ForestModel, k: Int,
+      metric: Distances.Metric = Distances.L2Squared,
+      searchKOpt: Option[Int] = None,
+      totalOpt: Option[Long] = None,
+      queryId: String = "query_id", vecId: String = "vec_id",
+      roundTo: Int = 4): DataFrame = {
+    val filtered = vectors.filter(pred)
+    val total = totalOpt.getOrElse(vectors.count())
+    val kept = filtered.count()
+    val base = searchKOpt.getOrElse(math.max(4 * k, model.opts.maxNodeSize))
+    topK(queries, buckets, filtered, model, k, metric,
+      Some(scaledBudget(base, kept, total)), queryId, vecId, roundTo)
+  }
 }

@@ -70,6 +70,30 @@ class LshForestSpec extends AnyFunSuite {
     assert(big.exceptAll(small).isEmpty && small.exceptAll(big).isEmpty)
   }
 
+  test("scaledBudget: 1/selectivity growth, exhaustive and degenerate clamps") {
+    assert(LshForest.scaledBudget(100, 1000, 3000) == 300) // sel 1/3 -> 3x
+    assert(LshForest.scaledBudget(100, 3000, 3000) == 100) // unfiltered
+    assert(LshForest.scaledBudget(Int.MaxValue, 1, 1000) == Int.MaxValue)
+    assert(LshForest.scaledBudget(100, 0, 1000) == 100)    // empty filter
+    // sub-1e-4 selectivity saturates at the floor instead of overflowing
+    assert(LshForest.scaledBudget(100, 1, 10000000) == 100 * 10000)
+  }
+
+  test("topKFiltered: auto-scaled budget matches exact filtered kNN here") {
+    // 1/3-selectivity predicate at default budget: the internal
+    // 1/selectivity scaling must hold recall vs the exact filtered twin
+    // without any caller-picked searchK (the pre-fix failure mode was
+    // ~k/3 survivors per query).
+    val pred = col("vec_id") % 3 === 0
+    val approx = LshForest.topKFiltered(queries, buckets, emb, pred,
+      model, k = 10)
+    approx.select("vec_id").collect()
+      .foreach(r => assert(r.getLong(0) % 3 == 0, "filter leaked"))
+    val exact = SimSearch.exactTopK(queries, emb.filter(pred), k = 10)
+    val r = SimSearch.recallAtK(approx, exact)
+    assert(r >= 0.9, s"filtered recall@10 = $r with auto-scaled budget")
+  }
+
   test("candidates: at least min(searchK, n) per query, all stored ids") {
     val cand = LshForest.candidates(queries, buckets, model, searchK = 10)
     val perQuery = cand.groupBy("query_id").count().collect()
