@@ -205,7 +205,8 @@ object VectorQueries {
     }
   }
 
-  /** PQ production path: ADC over the codes, small exact rerank. Rows-only
+  /** PQ production path: ADC over the codes, occupancy-scaled exact rerank
+    * (Pq.defaultRerank — shortlist tracks corpus size). Rows-only
     * (Lloyd-trained codebooks are engine-specific); quality is the recall
     * observable below plus the exhaustive twin's hash gate. */
   val knnPq = Q(
@@ -216,8 +217,9 @@ object VectorQueries {
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (codes, model) = PqCache.ensure(s, dir)
       IndexQueries.recallGated(s, dir,
-        Pq.topK(queries, codes, e, model, k = 10, rerank = 50),
-        floor = 0.7, nQueries = 5)
+        Pq.topK(queries, codes, e, model, k = 10,
+          rerank = Pq.defaultRerank(10, e.count())),
+        floor = 0.9, nQueries = 5)
     },
     None)
 
@@ -240,9 +242,11 @@ object VectorQueries {
 
   /** Codes-only ADC quality as an observable (third member of the recall
     * family): how much of exact top-10 an 8-byte-per-vector scan recovers
-    * with NO access to the raw floats. */
+    * with NO access to the raw floats. DELIBERATELY below the serving
+    * numbers — the name and column say adc_only so the artifact is
+    * self-describing (the serving path is the reranked observable below). */
   val pqRecall = Q(
-    "ann_pq_recall_at10",
+    "ann_pq_adc_only_recall_at10",
     (s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
@@ -252,7 +256,27 @@ object VectorQueries {
       val approx = Pq.adcTopK(queries, codes, model, k = 10)
       val recall = SimSearch.recallAtK(
         approx, IndexQueries.GroundTruthCache.topK10(s, dir))
-      Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
+      Seq((math.rint(recall * 10000) / 10000, 20L))
+        .toDF("recall_at_10_adc_only", "n_queries")
+    },
+    None)
+
+  /** Serving-path PQ recall at the occupancy-scaled default rerank — the
+    * number a user of ann_pq_topk actually gets. */
+  val pqRerankRecall = Q(
+    "ann_pq_rerank_recall_at10",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (codes, model) = PqCache.ensure(s, dir)
+      val approx = Pq.topK(queries, codes, e, model, k = 10,
+        rerank = Pq.defaultRerank(10, e.count()))
+      val recall = SimSearch.recallAtK(
+        approx, IndexQueries.GroundTruthCache.topK10(s, dir))
+      Seq((math.rint(recall * 10000) / 10000, 20L))
+        .toDF("recall_at_10", "n_queries")
     },
     None)
 
@@ -512,7 +536,8 @@ object VectorQueries {
 
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
-    knnPq, knnPqFull, pqRecall, knnIvfPq, knnIvfPqFull, ivfPqRecall,
+    knnPq, knnPqFull, pqRecall, pqRerankRecall, knnIvfPq, knnIvfPqFull,
+    ivfPqRecall,
     knnSq, sqRecall,
     knnJoinExact, knnJoinBucketed, knnJoinRecall, countVectors, topkStreamBatch)
 }

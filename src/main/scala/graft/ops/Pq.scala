@@ -190,6 +190,14 @@ object Pq {
       score(col(queryId).cast("string"), col("codes")).as("dist"))
   }
 
+  /** Occupancy-scaled default rerank for FLAT PQ (the IvfPq.defaultRerank
+    * sizing law with every "cell" probed — the ADC scan covers the whole
+    * corpus, so the shortlist must track corpus size, not a fixed 32·k:
+    * fixed shortlists decay exactly like the IVF-PQ probe showed at 1.6M
+    * vectors, SURVEY §8.2). */
+  def defaultRerank(k: Int, n: Long): Int =
+    math.max(32 * k, math.ceil(n / 500.0).toInt)
+
   /** PQ top-k: ADC shortlist of `rerank` candidates per query, then exact
     * rerank against the raw vectors (broadcast shortlist join — only the
     * shortlist's vectors are rescored). `rerank` ≥ corpus size makes the
