@@ -72,8 +72,11 @@ object Bench {
     // 2000-byte stdout tail with sbt's "[success] ..." line (~80 bytes)
     // captured AFTER ours, so a full-map line can never parse there
     // (BENCH_r04/r05 both ended up `parsed: null`, cut mid-line).
+    // dist_hamming reads a frozen sf0.01 bit fixture on BOTH sides (its
+    // oracle is only expressible over that table), so its time does not
+    // scale with SF — flagged here so cross-SF comparisons skip it.
     val fullLine =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"fixture_pinned":["dist_hamming"],"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     catch { case _: Throwable => () }

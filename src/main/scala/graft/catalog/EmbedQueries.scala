@@ -260,7 +260,7 @@ object EmbedQueries {
       val chunks = graft.ops.Curation
         .chunkDocs(docs, chunkSize = 32, stride = 24, keepText = true)
         .filter(col("n_tok") >= 1)
-        .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
+        .select((col("doc_id") * 1000000 + col("chunk_id")).as("vec_id"),
           col("chunk_text"))
       val cvecs = graft.embed.Md5CountEmbedder()
         .embed(chunks, "chunk_text", "embedding")
@@ -271,7 +271,7 @@ object EmbedQueries {
       val hits = SimSearch.exactTopK(queries, cvecs, k = 5)
         .withColumn("dist", col("dist").cast("long"))
       hits
-        .withColumn("doc_id", expr("vec_id div 1000"))
+        .withColumn("doc_id", expr("vec_id div 1000000"))
         .groupBy("query_id", "doc_id")
         .agg(min("dist").as("best_dist"), count(lit(1)).as("n_chunks"))
         .withColumn("rk", row_number().over(
@@ -303,7 +303,7 @@ object EmbedQueries {
                   FROM sized),
       chunks AS (SELECT doc_id, toks, unnest(range(0, n_chunks))::BIGINT AS chunk_id
                  FROM counted),
-      ct AS (SELECT doc_id * 1000 + chunk_id AS vec_id,
+      ct AS (SELECT doc_id * 1000000 + chunk_id AS vec_id,
                     unnest(toks[(chunk_id*24+1):(chunk_id*24+32)]) AS tok
              FROM chunks
              WHERE len(toks[(chunk_id*24+1):(chunk_id*24+32)]) >= 1),
@@ -330,10 +330,10 @@ object EmbedQueries {
       top5 AS (SELECT query_id, vec_id, dist FROM pairs
                QUALIFY row_number() OVER (PARTITION BY query_id
                                           ORDER BY dist, vec_id) <= 5),
-      agg AS (SELECT query_id, vec_id // 1000 AS doc_id,
+      agg AS (SELECT query_id, vec_id // 1000000 AS doc_id,
                      min(dist)::BIGINT AS best_dist,
                      count(*)::BIGINT AS n_chunks
-              FROM top5 GROUP BY query_id, vec_id // 1000)
+              FROM top5 GROUP BY query_id, vec_id // 1000000)
       SELECT query_id, doc_id, best_dist, n_chunks, rk FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY best_dist, doc_id)::BIGINT AS rk

@@ -388,7 +388,11 @@ object StreamOps {
     refreshed.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    versions.foreach(v => // best-effort GC; readers resolve max committed
+    // Best-effort GC with a retention window: a reader that resolved
+    // currentRollup just before this commit is still scanning the
+    // previous version and has no retry path, so the newest 2 prior
+    // versions survive this epoch and age out two commits later.
+    versions.sorted.dropRight(2).foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"v=$v"), true))
   }
 
