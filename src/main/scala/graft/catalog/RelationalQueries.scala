@@ -213,6 +213,59 @@ object RelationalQueries {
       GROUP BY 1, 2
       ORDER BY hour_start, event_type"""))
 
+  /** A REAL micro-batch streaming execution in the correctness gate: the
+    * events table is replayed through a MemoryStream in 4 chunks, each
+    * chunk a separate micro-batch incrementally updating the windowed-agg
+    * state, and the complete-mode memory sink's final table is
+    * hash-checked against the same DuckDB oracle as the batch twin
+    * (q_events_hourly_stream checks the PLAN, this checks the streaming
+    * RUNTIME — state store, micro-batch scheduling, sink commit). The
+    * driver-side collect/replay is the test harness, not the production
+    * path (that is readStream on files/queues); state is bounded by
+    * hours x event types regardless of input size. */
+  val eventsHourlyStreamExec = Q(
+    "stream_hourly_exec",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, String, Double)]
+        .collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val sink = s"stream_hourly_exec_sink_${StreamSinkIds.next()}"
+      val q = graft.streaming.StreamOps
+        .hourlyEventStats(mem.toDF().toDF("ts", "event_type", "value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable() // force a micro-batch boundary per chunk
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("value_sum"))
+        .orderBy("hour_start", "event_type")
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, count(*) AS n_events, round(sum(value), 4) AS value_sum
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type"""))
+
+  /** Monotonic sink ids for [[eventsHourlyStreamExec]]: a fresh memory
+    * sink per execution (Bench runs the same entry three times in one
+    * JVM; complete-mode re-use of a stopped query's sink name fails). */
+  private object StreamSinkIds {
+    private val n = new java.util.concurrent.atomic.AtomicLong(0)
+    def next(): Long = n.incrementAndGet()
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag + running sum —
     * the classic event-pipeline shape (shuffles once by user_id, exactly
     * what a 100 TB sessionize does). Arithmetic on epoch micros keeps the
@@ -856,7 +909,8 @@ object RelationalQueries {
 
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
-    eventsHourlyStream, eventsSessions, eventsSessionsNative, eventsAsof,
+    eventsHourlyStream, eventsHourlyStreamExec, eventsSessions,
+    eventsSessionsNative, eventsAsof,
     eventsAsofBucketed, eventsRangeJoin, q3Shipping, rollupRevenue, distinctAgg,
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
