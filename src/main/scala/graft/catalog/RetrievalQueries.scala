@@ -42,7 +42,7 @@ object RetrievalQueries {
   val bm25 = Q(
     "text_bm25_topk",
     (s, dir) =>
-      Retrieval.bm25TopK(Tables.documents(s, dir), terms, 10).orderBy("rk"),
+      Retrieval.bm25TopK[Long](Tables.documents(s, dir), terms, 10).orderBy("rk"),
     Some(s"""
       WITH $bm25ScoresSql
       SELECT doc_id, bm25_1e4, rk
@@ -74,7 +74,7 @@ object RetrievalQueries {
         .select(posexplode(col("t")))
         .select(col("col.id").as("doc_id"),
           (col("pos") + 1).cast("long").as("rk"))
-      val lexTop = Retrieval.bm25TopK(Tables.documents(s, dir), terms, 100)
+      val lexTop = Retrieval.bm25TopK[Long](Tables.documents(s, dir), terms, 100)
         .select(col("doc_id"), col("rk"))
       val fused = Retrieval.rrfFuse(Seq("bm25" -> lexTop, "vec" -> vecTop))
       // ≤ 200 fused rows by construction — a window here is bounded.
@@ -124,5 +124,100 @@ object RetrievalQueries {
             FROM fused)
       WHERE rk <= 10 ORDER BY rk"""))
 
-  def qs: Seq[Q] = Seq(bm25, hybridRrf)
+  /** ENGINE-level hybrid retrieval (ZebraEngine.queryHybrid) under the
+    * md5-count twin embedder at exhaustive budget, so every stage is
+    * deterministic and the WHOLE engine composition — stored binary docs →
+    * BM25 leg over the decoded text → exact vector leg over the twin
+    * embeddings → integer RRF fusion — lands on one DuckDB hash. The
+    * oracle rebuilds both legs from scratch: bm25 over the engine corpus
+    * (docs with ≥1 token), the sparse md5 chain with the query phrase
+    * injected as doc_id −1, and the same 1e6 div (60+rank) fusion. */
+  val engineHybrid = Q(
+    "engine_hybrid_exact",
+    (s, dir) => {
+      val eng = EmbedQueries.DocEngineMd5Cache.ensure(s, dir)
+      val twin = graft.embed.Md5CountEmbedder()
+      eng.queryHybrid(terms.mkString(" "), twin, k = 10, legK = 100,
+          searchK = Some(Int.MaxValue))
+        .orderBy(col("rrf_1e6").desc, col("id"))
+    },
+    Some(s"""
+      WITH corp AS (SELECT doc_id, text FROM documents
+                    WHERE len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) > 0),
+      dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+             FROM corp),
+      stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+                FROM dl),
+      tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+             FROM (SELECT doc_id,
+                          unnest(string_split(lower(text), ' ')) AS word
+                   FROM corp)
+             WHERE word IN ($termsSql) GROUP BY doc_id, word),
+      df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+      term AS (SELECT tf.doc_id,
+                      floor((s.n_docs + 1)::DOUBLE / (df.df + 1)
+                            * (22.0 * tf.tf * s.sum_dl)
+                            / (10.0 * tf.tf * s.sum_dl + 3.0 * s.sum_dl
+                               + 9.0 * dl.dl * s.n_docs)
+                            * 1e4)::BIGINT AS t4
+               FROM tf JOIN df USING (word) JOIN dl USING (doc_id), stats s),
+      sc AS (SELECT doc_id, sum(t4)::BIGINT AS bm25_1e4
+             FROM term GROUP BY doc_id),
+      lex AS (SELECT doc_id, r_lex
+              FROM (SELECT doc_id,
+                           row_number() OVER (ORDER BY bm25_1e4 DESC, doc_id)::BIGINT
+                             AS r_lex
+                    FROM sc)
+              WHERE r_lex <= 100),
+      src AS (SELECT doc_id, text FROM corp
+              UNION ALL SELECT -1, '${terms.mkString(" ")}'),
+      toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+               FROM src),
+      th AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+      f AS (SELECT doc_id,
+              ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+              +(strpos('0123456789abcdef', substr(h,2,1))-1)*256
+              +(strpos('0123456789abcdef', substr(h,3,1))-1)*16
+              +(strpos('0123456789abcdef', substr(h,4,1))-1)) % 32 AS bucket,
+              CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1))-1) & 1) = 1
+                   THEN -1 ELSE 1 END AS s
+            FROM th),
+      sp AS (SELECT doc_id, bucket, sum(s) AS w FROM f GROUP BY doc_id, bucket),
+      n2 AS (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
+      dots AS (SELECT vs.doc_id AS vec_id, sum(qs.w * vs.w) AS dot
+               FROM sp qs JOIN sp vs ON qs.bucket = vs.bucket
+               WHERE qs.doc_id = -1 AND vs.doc_id <> -1
+               GROUP BY vs.doc_id),
+      vdist AS (SELECT c.doc_id,
+                       qn.n2 + dn.n2 - 2*coalesce(t.dot, 0) AS dist
+                FROM corp c
+                JOIN n2 dn ON dn.doc_id = c.doc_id
+                CROSS JOIN (SELECT n2 FROM n2 WHERE doc_id = -1) qn(n2)
+                LEFT JOIN dots t ON t.vec_id = c.doc_id),
+      vec AS (SELECT doc_id, r_vec
+              FROM (SELECT doc_id,
+                           row_number() OVER (ORDER BY dist, doc_id)::BIGINT
+                             AS r_vec
+                    FROM vdist)
+              WHERE r_vec <= 100),
+      ids AS (SELECT doc_id FROM lex UNION SELECT doc_id FROM vec),
+      fused AS (SELECT i.doc_id,
+                       coalesce(v.r_vec, 0)::BIGINT AS r_vec,
+                       coalesce(l.r_lex, 0)::BIGINT AS r_lex,
+                       (CASE WHEN v.r_vec IS NULL THEN 0
+                             ELSE 1000000 // (60 + v.r_vec) END
+                        + CASE WHEN l.r_lex IS NULL THEN 0
+                               ELSE 1000000 // (60 + l.r_lex) END)::BIGINT
+                         AS rrf_1e6
+                FROM ids i
+                LEFT JOIN vec v USING (doc_id)
+                LEFT JOIN lex l USING (doc_id))
+      SELECT printf('d%06d', doc_id) AS id, r_vec, r_lex, rrf_1e6
+      FROM (SELECT *, row_number() OVER (ORDER BY rrf_1e6 DESC, doc_id) AS rn
+            FROM fused)
+      WHERE rn <= 10
+      ORDER BY rrf_1e6 DESC, id"""))
+
+  def qs: Seq[Q] = Seq(bm25, hybridRrf, engineHybrid)
 }

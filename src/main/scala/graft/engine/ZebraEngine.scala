@@ -244,6 +244,44 @@ final class ZebraEngine private (
       .select(col("query_id"), col("id"), col("dist"), col("document"))
   }
 
+  /** HYBRID retrieval over the engine's own tables (beyond the reference,
+    * which has no lexical search): a BM25 leg over the stored documents
+    * (decoded UTF-8) and a vector ANN leg (the D10 embed → D11 search
+    * path), fused by reciprocal-rank fusion. Each leg retrieves a BOUNDED
+    * top-`legK`, so the fusion join and final ordering touch at most
+    * 2·legK rows — the global sort is over a constant-size set regardless
+    * of corpus size, and each leg keeps its own 100 TB shape (term-filtered
+    * postings / index-routed candidates). Returns the fused top-`k` as
+    * (id, r_vec, r_lex, rrf_1e6) ordered by fused score desc, id asc. */
+  def queryHybrid(
+      queryText: String, embedder: Embedder, k: Int = 10,
+      legK: Int = 100, searchK: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val terms = queryText.toLowerCase.split("[^\\p{L}\\p{Nd}]+")
+      .filter(_.nonEmpty).distinct.toSeq
+    val docs = vectors.select(
+      col("id").as("doc_id"), col("document").cast("string").as("text"))
+    val lex = graft.ops.Retrieval
+      .bm25TopK[String](docs, terms, legK)
+      .select(col("doc_id"), col("rk"))
+    val q = embedder.embed(
+      Seq((0L, queryText)).toDF("query_id", "document"),
+      "document", "embedding")
+    // One query × legK hits: the rank window is over a bounded frame.
+    val vec = queryVectors(q.select(col("query_id"), col("embedding")), legK,
+        searchK)
+      .select(col("id").as("doc_id"), col("dist"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rk"))
+    graft.ops.Retrieval.rrfFuse(Seq("vec" -> vec, "lex" -> lex))
+      .orderBy(col("rrf_1e6").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id").as("id"), col("r_vec"), col("r_lex"),
+        col("rrf_1e6"))
+  }
+
   /** D6/I9 `remove` (core.rs:205-213): left-anti rewrite of vectors and
     * index — the intended semantics, not the reference's root-leaf-only
     * prune (lsh.rs:487). */

@@ -54,14 +54,15 @@ object Retrieval {
 
   /** Bounded top-k of (score desc, id asc) via TopKAgg: the integer score is
     * negated into the aggregator's ascending (dist, id) order (integers of
-    * this size are exact doubles, so no rounding enters the key). Returns
-    * (docId, scoreName, rk) with rk 1-based. */
-  def topKByScore(
+    * this size are exact doubles, so no rounding enters the key). `I` is
+    * the doc-id type (Long for the catalog tables, String for engine ids).
+    * Returns (docId, scoreName, rk) with rk 1-based. */
+  def topKByScore[I: scala.reflect.runtime.universe.TypeTag: Ordering](
       scored: DataFrame, k: Int, scoreName: String,
       docId: String = "doc_id"): DataFrame =
     scored
       .groupBy()
-      .agg(TopK.topk[Long](k, -col(scoreName).cast("double"), col(docId))
+      .agg(TopK.topk[I](k, -col(scoreName).cast("double"), col(docId))
         .as("t"))
       .select(posexplode(col("t")))
       .select(col("col.id").as(docId),
@@ -69,10 +70,10 @@ object Retrieval {
         (col("pos") + 1).cast("long").as("rk"))
 
   /** BM25 top-k search: `bm25Scores` ∘ `topKByScore`. */
-  def bm25TopK(
+  def bm25TopK[I: scala.reflect.runtime.universe.TypeTag: Ordering](
       docs: DataFrame, terms: Seq[String], k: Int,
       docId: String = "doc_id", textCol: String = "text"): DataFrame =
-    topKByScore(bm25Scores(docs, terms, docId, textCol), k, "bm25_1e4", docId)
+    topKByScore[I](bm25Scores(docs, terms, docId, textCol), k, "bm25_1e4", docId)
 
   /** Reciprocal-rank fusion of retrieval legs. Each leg is
     * (name, DataFrame(docId, rankCol)) with ranks 1-based over a BOUNDED
