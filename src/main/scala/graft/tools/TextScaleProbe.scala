@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text/retrieval operators at corpus scale — the probe backing SURVEY
+  * §8.2's 100 TB claims for the retrieval family, with the same rigor the
+  * join/graph/k-means/dedup probes give theirs. Synthetic corpus: docs of
+  * ~40 words drawn from a 10k-word zipf-ish vocabulary, 250k and 1M rows
+  * (4× step), so per-op scaling is measured, not argued:
+  *
+  * - BM25 (`Retrieval.bm25TopK`): the query-term filter sits BELOW the tf
+  *   aggregation, so only postings matching the 3 query terms shuffle —
+  *   the probe reports that postings row count next to the total token
+  *   count (the ratio is the shuffle saving) and checks wall time scales
+  *   ~linearly in corpus size.
+  * - Decontamination (`Curation.decontaminate`): the benchmark gram set
+  *   broadcasts (fixed ~2k grams regardless of corpus size); only
+  *   corpus-side matches reach the aggregation.
+  * - Repetition stats (`Curation.repetitionStats`): zero-shuffle map pass
+  *   — wall time is the scan.
+  */
+object TextScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+
+    // ~40 words/doc over a 10k vocabulary with a skewed (id%97-driven)
+    // draw so term document-frequencies vary like real text. w0..w9 are
+    // planted query/benchmark terms with mid frequencies.
+    def corpus(n: Long) = spark.range(n).toDF("doc_id")
+      .withColumn("text",
+        expr("""array_join(transform(sequence(0, 39), j ->
+          concat('w', cast((doc_id * 31 + j * j * 7 + doc_id % 97) % 10000
+                           as string))), ' ')"""))
+      .select(col("doc_id"), col("text"))
+
+    val terms = Seq("w10", "w500", "w4000")
+
+    for (n <- Seq(250000L, 1000000L)) {
+      val data = corpus(n).localCheckpoint(eager = true)
+
+      // BM25: measure the postings that actually shuffle vs total tokens.
+      val postings = data
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w").isInCollection(terms)).count()
+      var t0 = System.nanoTime()
+      val top = graft.ops.Retrieval.bm25TopK[Long](data, terms, 10)
+      val topN = top.count()
+      val bm25Sec = (System.nanoTime() - t0) / 1e9
+      println(f"bm25 n=$n: $bm25Sec%.2f s, " +
+        f"shuffled_postings=$postings (${postings * 100.0 / (n * 40)}%.2f%% " +
+        f"of ${n * 40} tokens), top=$topN")
+
+      // Decontamination vs a fixed 500-doc benchmark (constant broadcast).
+      val bench = corpus(500L).withColumn("doc_id", col("doc_id") + 5000000L)
+      t0 = System.nanoTime()
+      val contaminated =
+        graft.ops.Curation.decontaminate(data, bench, n = 5).count()
+      println(f"decontaminate n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"flagged=$contaminated (benchmark grams broadcast, fixed size)")
+
+      // Repetition stats: pure map pass. Aggregate the REAL output columns
+      // so Catalyst cannot prune the gram/run-length computation away
+      // (a count(1) here measures only the scan).
+      t0 = System.nanoTime()
+      val rep = graft.ops.Curation.repetitionStats(data)
+        .agg(sum("dup2_frac_1e4"), sum("top1_frac_1e4"), count(lit(1)))
+        .head().getLong(2)
+      println(f"repetition n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"rows=$rep (zero-shuffle map)")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}
