@@ -543,7 +543,124 @@ object DedupQueries {
         FROM ok)
       WHERE slot <= 3 ORDER BY doc_id, slot"""))
 
+  /** SemDeDup (Abbas et al. 2023): k-means-partition the md5-count
+    * embedding space, then near-dup scan WITHIN clusters only —
+    * O(n²/k) instead of all-pairs, every step integer-exact so the
+    * DuckDB oracle replays clustering AND pair decisions bit-for-bit
+    * ([[graft.ops.SemDedup]]). τ = 9/10; k = 4 keeps the unrolled-CTE
+    * oracle tractable (production sizing: k grows with n — scaladoc). */
+  private val semTau = (9L, 10L)
+
+  private def md5Vectors(s: SparkSession, dir: String): DataFrame =
+    EmbedQueries.md5Vectors(s, dir)
+
+  /** Per-JVM cache of the within-cluster pair scan (same pattern as
+    * NearDupCache): the k-means fit + pair verify runs once per fixture
+    * dir; both the pairs and keep entries read the cached parquet. */
+  private object SemPairsCache {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def pairs(s: SparkSession, dir: String): DataFrame = {
+      val path = cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_sempairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.ops.SemDedup.dupPairsAssigned(md5Vectors(s, dir),
+          EmbedQueries.KmAssignCache.assign(s, dir),
+          tauNum = semTau._1, tauDen = semTau._2)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
+  }
+
+  private def semOracle(select: String) = s"""${EmbedQueries.sparseSp},
+      ${graft.ops.KMeansInt.oracleSql(k = 4, iters = 3, dim = 32)},
+      ${graft.ops.SemDedup.pairsOracleSql(semTau._1, semTau._2)}
+      $select"""
+
+  val semanticPairs = Q(
+    "dedup_semantic_pairs",
+    (s, dir) => SemPairsCache.pairs(s, dir).orderBy("doc_a", "doc_b"),
+    Some(semOracle("""
+      SELECT doc_a, doc_b, cluster::BIGINT AS cluster, dot::BIGINT AS dot,
+             n2_a::BIGINT AS n2_a, n2_b::BIGINT AS n2_b
+      FROM sem_pairs ORDER BY doc_a, doc_b""")))
+
+  val semanticKeep = Q(
+    "dedup_semantic_keep",
+    (s, dir) => {
+      val pruned = SemPairsCache.pairs(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      md5Vectors(s, dir).select(col("doc_id"))
+        .join(pruned, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some(semOracle("""
+      SELECT doc_id FROM (SELECT DISTINCT doc_id FROM sp)
+      WHERE doc_id NOT IN (SELECT doc_b FROM sem_pairs)
+      ORDER BY doc_id""")))
+
+  /** A REAL micro-batch streaming dedup in the correctness gate (the
+    * dedup analogue of stream_hourly_exec): the documents table is
+    * planted with full-corpus duplicates under shifted ids, replayed
+    * through a MemoryStream in 4 doc_id-ordered chunks — so every planted
+    * copy arrives in a LATER micro-batch than its original and must be
+    * dropped by cross-batch state, not intra-batch distinct. The append
+    * sink's surviving rows are projected to content-functional columns
+    * (digest, length) because which doc_id survives an intra-batch
+    * organic duplicate race is not deterministic — the batch
+    * dedup_exact_docs entry gates min-id attribution. Event times are
+    * derived from the original doc_id so original and copy share a
+    * timestamp and the 7-day watermark horizon spans the whole replay
+    * (nothing expires mid-run; expiry semantics are gated in
+    * StreamingSpec). */
+  val streamDedupExec = Q(
+    "stream_dedup_exec",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val rows = planted
+        .select(
+          // +1e6 s: a row stamped exactly at epoch 0 is "late" against
+          // Spark's initial watermark (also 0) and silently dropped
+          timestamp_micros((col("doc_id") % 100000 + 1000000L) * 1000000L)
+            .as("ts"),
+          col("doc_id"), col("text"))
+        .as[(java.sql.Timestamp, Long, String)]
+        .collect().sortBy(_._2)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String)]
+      val sink = s"stream_dedup_exec_sink_${DedupSinkIds.next()}"
+      val q = graft.streaming.StreamOps
+        .dedupByContentStream(
+          mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days")
+        .select(col("content_md5"), length(col("text")).as("n_chars"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable() // micro-batch boundary per chunk
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("content_md5"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("content_md5")
+    },
+    Some("""
+      SELECT DISTINCT md5(text) AS content_md5,
+             length(text)::BIGINT AS n_chars
+      FROM documents ORDER BY content_md5"""))
+
+  private object DedupSinkIds {
+    private val n = new java.util.concurrent.atomic.AtomicLong(0)
+    def next(): Long = n.incrementAndGet()
+  }
+
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashKeep, ngramJaccard, ngramKeep,
-    simhashPairs, embeddingNearDup, clusterCc, sampleNegatives)
+    simhashPairs, embeddingNearDup, clusterCc, sampleNegatives,
+    semanticPairs, semanticKeep, streamDedupExec)
 }

@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
@@ -24,7 +25,7 @@ object EmbedQueries {
     * excluding them on BOTH sides keeps the relations identical even if
     * the fixture ever grows an empty document (same guard as
     * dedup_simhash_pairs). */
-  private def hasTokens: org.apache.spark.sql.Column =
+  private[catalog] def hasTokens: org.apache.spark.sql.Column =
     size(filter(split(lower(col("text")), " "), t => t =!= lit(""))) > 0
 
   /** E2 + D11: embed the documents fixture, then batch kNN over the
@@ -346,22 +347,95 @@ object EmbedQueries {
     * smallest-id tie-breaks make the fixpoint bit-identical, so the
     * oracle replays all three rounds as unrolled CTEs generated by the
     * same code — the clustering analogue of graph_pagerank's gate. */
+  /** The md5-count embedding of the token-bearing documents — the input
+    * every integer-exact clustering/dedup/cartography entry shares. */
+  private[catalog] def md5Vectors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(hasTokens).select(col("doc_id"), col("text"))
+    graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
+      .select(col("doc_id"), col("embedding"))
+  }
+
+  /** Per-JVM cache of the k=4/iters=3 [[graft.ops.KMeansInt]] fit over
+    * [[md5Vectors]]: cluster_kmeans_int, the SemDeDup pair scan and the
+    * cluster-cartography report all consume the SAME assignment, so the
+    * three-collect Lloyd loop runs once per fixture dir (the
+    * NearDupCache/KnnJoinCache pattern). */
+  private[catalog] object KmAssignCache {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def assign(s: SparkSession, dir: String): DataFrame = {
+      val path = cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_kmassign/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.ops.KMeansInt.fitAssign(md5Vectors(s, dir), k = 4, iters = 3)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
+  }
+
   val kmeansCluster = Q(
     "cluster_kmeans_int",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .filter(hasTokens).select(col("doc_id"), col("text"))
-      val vecs = graft.embed.Md5CountEmbedder().embed(docs, "text", "embedding")
-        .select(col("doc_id"), col("embedding"))
-      graft.ops.KMeansInt.fitAssign(vecs, k = 4, iters = 3)
-        .orderBy("doc_id")
-    },
+    (s, dir) => KmAssignCache.assign(s, dir).orderBy("doc_id"),
     Some(s"""$sparseSp,
       ${graft.ops.KMeansInt.oracleSql(k = 4, iters = 3, dim = 32)}
       SELECT doc_id, cluster::BIGINT AS cluster, dist2::BIGINT AS dist2
       FROM fin ORDER BY doc_id"""))
 
+  /** Dataset cartography: per-cluster top terms — "what is each region of
+    * the corpus about". Tokens of each cluster's documents ranked by an
+    * integer tf·rarity score (cluster_tf·10⁶ // corpus_df — truncating
+    * integer division, exact on both engines), top 3 per cluster with an
+    * alphabetical tie-break. The composition k-means → token stats →
+    * windowed top-k is the cluster-inspection pass a data-mixing pipeline
+    * runs before choosing sampling weights; every step shuffles on
+    * (cluster, token) or token — linear in corpus token count, never
+    * per-pair. */
+  val clusterTopTerms = Q(
+    "cluster_top_terms",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "), t => t =!= lit("")))
+            .as("tok"))
+      val df = toks.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val ctf = toks
+        .join(KmAssignCache.assign(s, dir).select(col("doc_id"), col("cluster")),
+          "doc_id")
+        .groupBy("cluster", "tok").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+        .orderBy(col("score").desc, col("tok"))
+      ctf.join(df, "tok")
+        // `div`, not `/`: Spark `/` on integers yields DOUBLE; `div` is
+        // the truncating integer division that matches DuckDB `//` here
+        // (both operands positive)
+        .withColumn("score", expr("tf * 1000000L div df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("cluster"), col("rk"), col("tok"), col("tf"),
+          col("df"), col("score"))
+        .orderBy("cluster", "rk")
+    },
+    Some(s"""$sparseSp,
+      ${graft.ops.KMeansInt.oracleSql(k = 4, iters = 3, dim = 32)},
+      tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      dfr AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+      ctf AS (SELECT f.cluster, t.tok, count(*) AS tf
+              FROM tk t JOIN fin f ON f.doc_id = t.doc_id
+              GROUP BY f.cluster, t.tok),
+      scored AS (SELECT c.cluster, c.tok, c.tf, d.df,
+                        c.tf * 1000000 // d.df AS score
+                 FROM ctf c JOIN dfr d ON d.tok = c.tok)
+      SELECT cluster::BIGINT AS cluster, rk, tok, tf::BIGINT AS tf,
+             df::BIGINT AS df, score::BIGINT AS score
+      FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                        ORDER BY score DESC, tok)::BIGINT AS rk
+            FROM scored)
+      WHERE rk <= 3 ORDER BY cluster, rk"""))
+
   def qs: Seq[Q] = Seq(
     textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip,
-    docKnnExact, ragPipeline, kmeansCluster)
+    docKnnExact, ragPipeline, kmeansCluster, clusterTopTerms)
 }
