@@ -85,7 +85,16 @@ object Bench {
     // as fit, most expensive first (the perf-relevant tail of the
     // distribution), plus a pointer to the complete map.
     val MaxLine = 1800
-    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","errors":$errJson,"sf":"$sfDir","queries":{"""
+    // The head counts against MaxLine too: a run with many/long errors
+    // would otherwise blow the budget through the uncapped errJson and
+    // reproduce the very truncation this cap exists to prevent — exactly
+    // the runs where the artifact matters most. Stdout gets at most 5
+    // errors at 100 chars each plus the full count; the complete messages
+    // are in BENCH_LOCAL.json.
+    val errStdout = errors.take(5)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(100))}" }
+      .mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","n_errors":${errors.size},"errors":$errStdout,"sf":"$sfDir","queries":{"""
     val tailPart = "}}"
     val entries = results.sortBy(-_._2).map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
     val sb = new StringBuilder(head)

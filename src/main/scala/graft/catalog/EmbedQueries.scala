@@ -261,7 +261,14 @@ object EmbedQueries {
       val chunks = graft.ops.Curation
         .chunkDocs(docs, chunkSize = 32, stride = 24, keepText = true)
         .filter(col("n_tok") >= 1)
-        .select((col("doc_id") * 1000000 + col("chunk_id")).as("vec_id"),
+        // vec_id = doc_id*1e6 + chunk_id assumes chunk_id < 1e6 (a doc of
+        // ~24M tokens at stride 24); enforce it in-plan so a violation
+        // fails loudly instead of silently colliding with the next doc.
+        .select((col("doc_id") * 1000000 +
+          when(col("chunk_id") < 1000000, col("chunk_id"))
+            .otherwise(raise_error(
+              lit("chunk_id >= 1e6 breaks the vec_id encoding"))))
+          .as("vec_id"),
           col("chunk_text"))
       val cvecs = graft.embed.Md5CountEmbedder()
         .embed(chunks, "chunk_text", "embedding")

@@ -252,7 +252,14 @@ final class ZebraEngine private (
     * 2·legK rows — the global sort is over a constant-size set regardless
     * of corpus size, and each leg keeps its own 100 TB shape (term-filtered
     * postings / index-routed candidates). Returns the fused top-`k` as
-    * (id, r_vec, r_lex, rrf_1e6) ordered by fused score desc, id asc. */
+    * (id, r_vec, r_lex, rrf_1e6) ordered by fused score desc, id asc.
+    *
+    * Id-ordering note: ties break on the STRING id, so a numeric oracle
+    * agrees only while the id format keeps lexicographic = numeric order
+    * (the engine's zero-padded `d%06d` ids do, for doc_id < 1e6 — same
+    * envelope as the rag_chunk `vec_id = doc_id*1e6 + chunk_id` encoding,
+    * which now raises in-plan on overflow). Wider corpora need a wider
+    * pad or a numeric tie-break column. */
   def queryHybrid(
       queryText: String, embedder: Embedder, k: Int = 10,
       legK: Int = 100, searchK: Option[Int] = None): DataFrame = {

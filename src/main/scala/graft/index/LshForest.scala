@@ -660,7 +660,12 @@ object LshForest {
     if (base >= Int.MaxValue) return Int.MaxValue
     val sel =
       if (total <= 0L || kept <= 0L) 1.0
-      else math.max(kept.toDouble / total, 1e-4)
+      else kept.toDouble / total
+    // Below 1e-4 selectivity the scaled budget would exceed base*1e4 and
+    // the expected post-filter survivors drop below k anyway — saturate to
+    // exhaustive, as the contract above promises. Scanning the few
+    // survivors exactly IS the cheap plan there.
+    if (sel < 1e-4) return Int.MaxValue
     math.min(math.ceil(base / sel).toLong, Int.MaxValue.toLong).toInt
   }
 

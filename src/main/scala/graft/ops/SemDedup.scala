@@ -59,10 +59,15 @@ object SemDedup {
       col("emb").as("eb"), col("n2").as("n2_b"))
     a.join(b, Seq("cluster"))
       .filter(col("doc_a") < col("doc_b"))
+      // The numerator 2·(a·b) is always even, so shiftright-by-1 is exact
+      // (also for negative dots) and keeps the pipeline Long end-to-end —
+      // Spark's `/` on integer columns is DOUBLE division, exact only while
+      // the numerator ≤ 2^53. The dot² comparison below stays within Long
+      // while |dot|·tauDen < ~3e9 (n2 ≲ 3e9 per vector at tauDen ≤ 100);
+      // our integer embeddings (|dim|≤64, |coord|≤~1e3) sit far below it.
       .withColumn("dot",
-        ((col("n2_a") + col("n2_b")
-          - Distances.l2sq(col("ea"), col("eb")).cast("long")) / 2)
-          .cast("long"))
+        shiftright(col("n2_a") + col("n2_b")
+          - Distances.l2sq(col("ea"), col("eb")).cast("long"), 1))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(tauDen * tauDen) >=
           lit(tauNum * tauNum) * col("n2_a") * col("n2_b"))

@@ -75,8 +75,12 @@ class LshForestSpec extends AnyFunSuite {
     assert(LshForest.scaledBudget(100, 3000, 3000) == 100) // unfiltered
     assert(LshForest.scaledBudget(Int.MaxValue, 1, 1000) == Int.MaxValue)
     assert(LshForest.scaledBudget(100, 0, 1000) == 100)    // empty filter
-    // sub-1e-4 selectivity saturates at the floor instead of overflowing
-    assert(LshForest.scaledBudget(100, 1, 10000000) == 100 * 10000)
+    // sub-1e-4 selectivity saturates to EXHAUSTIVE: the expected
+    // post-filter survivors at a capped budget would drop below k, and
+    // scanning the few survivors exactly is the cheap plan there.
+    assert(LshForest.scaledBudget(100, 1, 10000000) == Int.MaxValue)
+    // exactly at the 1e-4 boundary the 1/selectivity scaling still applies
+    assert(LshForest.scaledBudget(100, 1, 10000) == 100 * 10000)
   }
 
   test("topKFiltered: auto-scaled budget matches exact filtered kNN here") {
