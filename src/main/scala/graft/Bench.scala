@@ -13,6 +13,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // The default 100-entry codegen class cache is smaller than one
       // catalog pass (101 queries x several codegen units each), so every
       // timed round recompiled every plan from scratch — measured at

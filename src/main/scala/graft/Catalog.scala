@@ -20,6 +20,7 @@ object Catalog {
       catalog.EngineQueries.qs ++
       catalog.IndexQueries.qs ++
       catalog.TextQueries.qs ++
+      catalog.BpeQueries.qs ++
       catalog.DedupQueries.qs ++
       catalog.PipelineQueries.qs ++
       catalog.RetrievalQueries.qs ++

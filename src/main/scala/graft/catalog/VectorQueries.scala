@@ -136,7 +136,12 @@ object VectorQueries {
 
   /** IVF-Flat approximate top-k (scale path; recall-gated in ScalaTest
     * against knn_exact — centroid choice uses xxhash64, not SQL-expressible,
-    * so the driver records a rows-only check). */
+    * so the driver records a rows-only check). Serving default nprobe=14:
+    * recall is probe-limited (the rerank/ADC budgets have zero effect, the
+    * loss is a true neighbor in an unprobed cell), measured
+    * recall@10 = 0.98 at sf0.01 / 0.975 at sf0.1 (20 queries) vs
+    * 0.92 / 0.935 at nprobe=12 — nprobe=12 sat below the 0.9 floor at the
+    * bench SF. */
   val knnIvf = Q(
     "ann_ivf_topk",
     (s, dir) => {
@@ -145,8 +150,8 @@ object VectorQueries {
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (index, model) = IvfCache.ensure(s, dir, nlist = 16)
       IndexQueries.recallGated(s, dir,
-        Ivf.topK(queries, index, model, k = 10, nprobe = 12),
-        floor = 0.8, nQueries = 5)
+        Ivf.topK(queries, index, model, k = 10, nprobe = 14),
+        floor = 0.9, nQueries = 5)
     },
     None)
 
@@ -180,7 +185,7 @@ object VectorQueries {
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (index, model) = IvfCache.ensure(s, dir, nlist = 16)
-      val approx = Ivf.topK(queries, index, model, k = 10, nprobe = 12)
+      val approx = Ivf.topK(queries, index, model, k = 10, nprobe = 14)
       val recall = SimSearch.recallAtK(
         approx, IndexQueries.GroundTruthCache.topK10(s, dir))
       Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")
@@ -299,7 +304,10 @@ object VectorQueries {
 
   /** IVF-PQ production path: partition-pruned probe + ADC over 8-byte
     * codes + small exact rerank (rows-only: both quantizers are
-    * engine-specific). */
+    * engine-specific). Same probe-limited recall profile as ann_ivf_topk
+    * (the occupancy-scaled rerank already recovers everything the probe
+    * reaches — recall is identical at 1×/2×/4× the default rerank), so the
+    * serving default moves with it: nprobe=14, floor 0.9. */
   val knnIvfPq = Q(
     "ann_ivfpq_topk",
     (s, dir) => {
@@ -308,10 +316,10 @@ object VectorQueries {
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (index, model) = IvfPqCache.ensure(s, dir)
       IndexQueries.recallGated(s, dir,
-        IvfPq.topK(queries, index, e, model, k = 10, nprobe = 12,
+        IvfPq.topK(queries, index, e, model, k = 10, nprobe = 14,
           rerank = IvfPq.defaultRerank(
-            10, Tables.embeddings(s, dir).count(), nprobe = 12, nlist = 16)),
-        floor = 0.7, nQueries = 5)
+            10, Tables.embeddings(s, dir).count(), nprobe = 14, nlist = 16)),
+        floor = 0.9, nQueries = 5)
     },
     None)
 
@@ -345,8 +353,8 @@ object VectorQueries {
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (index, model) = IvfPqCache.ensure(s, dir)
-      val approx = IvfPq.topK(queries, index, e, model, k = 10, nprobe = 12,
-        rerank = IvfPq.defaultRerank(10, e.count(), nprobe = 12, nlist = 16))
+      val approx = IvfPq.topK(queries, index, e, model, k = 10, nprobe = 14,
+        rerank = IvfPq.defaultRerank(10, e.count(), nprobe = 14, nlist = 16))
       val recall = SimSearch.recallAtK(
         approx, IndexQueries.GroundTruthCache.topK10(s, dir))
       Seq((math.rint(recall * 10000) / 10000, 20L)).toDF("recall_at_10", "n_queries")

@@ -23,18 +23,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects; read the nanos as LONG and convert to a
-    * microsecond timestamp (event-time semantics are unaffected — all ops
-    * bucket at >= second granularity). */
+  /** `events.parquet` has shipped `ts` as either TIMESTAMP(NANOS) (older
+    * testdata generations — Spark's vectorized reader rejects it, so we read
+    * the nanos as LONG and convert) or a plain microsecond timestamp (current
+    * generation). Branch on the scanned dtype so both generations load to the
+    * same canonical TIMESTAMP_NTZ-free `timestamp` column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Exact integer division: `/` on longs is double division, and epoch
-    // nanos (~1.7e18) exceed double's 53-bit mantissa — `div` stays lossless.
-    load(spark, dir, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Exact integer division: `/` on longs is double division, and epoch
+        // nanos (~1.7e18) exceed double's 53-bit mantissa — `div` is lossless.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -4,7 +4,7 @@ import java.io.{File, FileInputStream, FileOutputStream, ObjectInputStream, Obje
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -262,31 +262,64 @@ final class ZebraEngine private (
     * pad or a numeric tie-break column. */
   def queryHybrid(
       queryText: String, embedder: Embedder, k: Int = 10,
-      legK: Int = 100, searchK: Option[Int] = None): DataFrame = {
+      legK: Int = 100, searchK: Option[Int] = None,
+      where: Option[Column] = None): DataFrame = {
     import spark.implicits._
-    val terms = queryText.toLowerCase.split("[^\\p{L}\\p{Nd}]+")
-      .filter(_.nonEmpty).distinct.toSeq
-    val docs = vectors.select(
+    queryHybridBatch(Seq((0L, queryText)).toDF("query_id", "query_text"),
+      embedder, k, legK, searchK, where)
+      .orderBy(col("rrf_1e6").desc, col("id"))
+      .select(col("id"), col("r_vec"), col("r_lex"), col("rrf_1e6"))
+  }
+
+  /** BATCH hybrid retrieval: `queries` is (query_id, query_text); the
+    * whole batch runs as ONE plan — the BM25 postings shuffle, the
+    * document-frequency aggregation and the ANN candidate join are shared
+    * across queries, with per-query work appearing only in bounded frames
+    * (per-query term sets broadcast; rank windows partitioned by query_id
+    * over ≤ legK rows; fusion keyed on (query_id, doc_id)). `where`
+    * composes into BOTH legs: it narrows the stored-records frame before
+    * the BM25 postings explode AND before the vector leg's scoring joins
+    * (where [[queryVectors]] scales the candidate budget by measured
+    * 1/selectivity) — so corpus statistics (dl, df, N) and rankings are
+    * those of the FILTERED corpus, and at exhaustive budget the result is
+    * algebraically the hybrid search of the filtered corpus. Returns
+    * (query_id, id, r_vec, r_lex, rrf_1e6), top-`k` per query. */
+  def queryHybridBatch(
+      queries: DataFrame, embedder: Embedder, k: Int = 10,
+      legK: Int = 100, searchK: Option[Int] = None,
+      where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{array_distinct, filter => afilter, row_number, split => fsplit}
+    val recs = where.map(vectors.filter).getOrElse(vectors)
+    val docs = recs.select(
       col("id").as("doc_id"), col("document").cast("string").as("text"))
-    val lex = graft.ops.Retrieval
-      .bm25TopK[String](docs, terms, legK)
-      .select(col("doc_id"), col("rk"))
+    // Per-query DISTINCT term sets, derived in-plan (no driver round-trip
+    // on the query table): same tokenizer as the single-query form.
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(afilter(
+        fsplit(lower(col("query_text")), "[^\\p{L}\\p{Nd}]+"),
+        t => t =!= ""))).as("word"))
+    val lex = graft.ops.Retrieval.bm25TopKBatch[String](docs, qterms, legK)
+      .select(col("query_id"), col("doc_id"), col("rk"))
     val q = embedder.embed(
-      Seq((0L, queryText)).toDF("query_id", "document"),
+      queries.select(col("query_id"), col("query_text").as("document")),
       "document", "embedding")
-    // One query × legK hits: the rank window is over a bounded frame.
+    // legK hits per query: the rank window is over a bounded frame.
     val vec = queryVectors(q.select(col("query_id"), col("embedding")), legK,
-        searchK)
-      .select(col("id").as("doc_id"), col("dist"))
-      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
+        searchK, where)
+      .select(col("query_id"), col("id").as("doc_id"), col("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
           .orderBy(col("dist"), col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("rk"))
-    graft.ops.Retrieval.rrfFuse(Seq("vec" -> vec, "lex" -> lex))
-      .orderBy(col("rrf_1e6").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id").as("id"), col("r_vec"), col("r_lex"),
-        col("rrf_1e6"))
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    graft.ops.Retrieval
+      .rrfFuse(Seq("vec" -> vec, "lex" -> lex), groupCols = Seq("query_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_1e6").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id").as("id"),
+        col("r_vec"), col("r_lex"), col("rrf_1e6"))
   }
 
   /** D6/I9 `remove` (core.rs:205-213): left-anti rewrite of vectors and

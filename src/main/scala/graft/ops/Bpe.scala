@@ -53,12 +53,32 @@ object Bpe {
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Initial symbol state: characters double-space-joined + `</w>`. */
+  /** Initial symbol state for one word: characters double-space-joined +
+    * `</w>`, wrapped in single outer spaces (see object doc). */
+  private def stateExpr(word: Column): Column =
+    concat(lit(" "),
+      array_join(regexp_extract_all(word, lit("."), lit(0)), "  "),
+      lit("  </w> "))
+
+  /** Initial symbol states for a word-frequency table. */
   def initStates(wf: DataFrame): DataFrame =
-    wf.withColumn("state",
-      concat(lit(" "),
-        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
-        lit("  </w> ")))
+    wf.withColumn("state", stateExpr(col("word")))
+
+  /** Replay a learned merge list over an arbitrary DISTINCT word table
+    * (column `word`) — the BPE "apply" step. Works for any corpus, not just
+    * the training one: a word the training corpus never saw simply matches
+    * fewer (possibly zero) merges and stays closer to character-tokenized,
+    * which is exactly greedy BPE's behavior on unseen text. Lineage is cut
+    * every 8 replaces (the `train` policy). */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var st = words.withColumn("state", stateExpr(col("word")))
+    merges.foreach { m =>
+      st = st.withColumn("state",
+        replaceLit(col("state"), s" ${m.left}  ${m.right} ", s" ${m.left}${m.right} "))
+      if (m.rank % 8 == 0) st = st.localCheckpoint()
+    }
+    st
+  }
 
   /** Adjacent-pair counts weighted by word frequency: one explode of the
     * zipped neighbor slices, one aggregation — vocabulary-sized. */
@@ -67,7 +87,7 @@ object Bpe {
     states
       .select(col("freq"),
         explode(zip_with(
-          slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
       .select(col("pr")("l").as("l"), col("pr")("r").as("r"), col("freq"))
       .groupBy("l", "r").agg(sum("freq").as("cnt"))
@@ -105,16 +125,21 @@ object Bpe {
     finalStates.select(col("word"),
       size(split(trim(col("state")), "  ")).cast("long").as("n_tok"))
 
-  /** Per-doc BPE token counts: explode words, equi-join the
-    * vocabulary-sized word → n_tok map (auto-broadcast when it fits),
-    * sum per doc; wordless docs kept at 0 via the left join. */
+  /** Per-doc BPE token counts: explode words, replay the merge list over
+    * the corpus's OWN distinct-word table (vocabulary-sized, so the
+    * word → n_tok map auto-broadcasts when it fits), sum per doc. Because
+    * the map is derived from this corpus's words — not the training
+    * corpus's — the equi-join is lossless by construction (no OOV drops),
+    * and unseen words get true greedy-BPE tokenizations. Wordless docs are
+    * kept at 0 via the final left join. */
   def tokenizeCounts(
-      docs: DataFrame, finalStates: DataFrame,
+      docs: DataFrame, merges: Seq[Merge],
       docId: String = "doc_id", textCol: String = "text"): DataFrame = {
     val dw = docs.select(col(docId), explode(
       regexp_extract_all(lower(col(textCol)), lit(WordPattern), lit(0)))
       .as("word"))
-    val agg = dw.join(tokenCounts(finalStates), Seq("word"))
+    val wt = tokenCounts(applyMerges(dw.select("word").distinct(), merges))
+    val agg = dw.join(wt, Seq("word"))
       .groupBy(docId)
       .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
     docs.select(col(docId)).join(agg, Seq(docId), "left")
@@ -130,27 +155,32 @@ object Bpe {
   // proves every merge decision AND every resulting token count.
   // ---------------------------------------------------------------------
 
-  /** CTE chain `wf, s0, b1, s1, ..., b<n>, s<n>` over `documents`. */
+  /** CTE chain `wf, s0, b1, s1, ..., b<n>, s<n>` over `documents`. Every
+    * stage is MATERIALIZED: each `s(i-1)` is referenced twice (by `b i`
+    * and `s i`), so DuckDB's default inlining would expand the chain into
+    * 2^n scans of `documents` — at 24 merges that exhausts file handles
+    * long before it exhausts time. Materialization makes the oracle replay
+    * linear, exactly like the Spark loop it mirrors. */
   def oracleStages(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""
-      wf AS (SELECT w AS word, count(*)::BIGINT AS freq
+      wf AS MATERIALIZED (SELECT w AS word, count(*)::BIGINT AS freq
              FROM (SELECT unnest(regexp_extract_all(lower(text),
                      '$WordPattern')) AS w FROM documents)
              GROUP BY 1),
-      s0 AS (SELECT word, freq,
+      s0 AS MATERIALIZED (SELECT word, freq,
                     ' ' || array_to_string(regexp_extract_all(word, '.'),
                       '  ') || '  </w> ' AS state
              FROM wf)"""
     for (i <- 1 to nMerges) {
       sb ++= s""",
-      b$i AS (SELECT pr[1] AS l, pr[2] AS r, sum(freq)::BIGINT AS cnt
+      b$i AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, sum(freq)::BIGINT AS cnt
              FROM (SELECT freq,
                      unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
                    FROM (SELECT freq, string_split(trim(state), '  ') AS t
                          FROM s${i - 1}))
              GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
-      s$i AS (SELECT word, freq,
+      s$i AS MATERIALIZED (SELECT word, freq,
                     replace(state, ' ' || b$i.l || '  ' || b$i.r || ' ',
                             ' ' || b$i.l || b$i.r || ' ') AS state
              FROM s${i - 1}, b$i)"""
@@ -166,7 +196,10 @@ object Bpe {
     s"WITH ${oracleStages(nMerges)}\n      $union ORDER BY rank"
   }
 
-  /** CTE for per-doc BPE token counts over the final states `s<n>`. */
+  /** CTEs for per-doc BPE token counts over the final states `s<n>`.
+    * `bpe_doc` is the consumable result — it left-joins back to
+    * `documents` so wordless docs appear at 0, matching `tokenizeCounts`
+    * (`bpe_agg` alone omits them). */
   def tokenizeOracleCtes(nMerges: Int): String = s"""${oracleStages(nMerges)},
       dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
                '$WordPattern')) AS word FROM documents),
@@ -174,5 +207,9 @@ object Bpe {
                AS n_tok FROM s$nMerges),
       bpe_agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,
                          sum(n_tok)::BIGINT AS n_bpe_tokens
-                  FROM dw JOIN wt USING (word) GROUP BY doc_id)"""
+                  FROM dw JOIN wt USING (word) GROUP BY doc_id),
+      bpe_doc AS (SELECT d.doc_id,
+                         coalesce(a.n_words, 0)::BIGINT AS n_words,
+                         coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+                  FROM documents d LEFT JOIN bpe_agg a USING (doc_id))"""
 }

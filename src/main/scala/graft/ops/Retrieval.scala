@@ -52,22 +52,58 @@ object Retrieval {
       .groupBy(docId).agg(sum("t4").as("bm25_1e4"))
   }
 
+  /** Per-query BM25 scores for a BATCH of queries: `qterms` is
+    * (queryId, word) with per-query DISTINCT terms. Document frequency and
+    * corpus stats are query-independent, so they are computed once and
+    * broadcast; attaching queryId is one more broadcast join against the
+    * (bounded, queries × terms-per-query) term table — the postings
+    * shuffle is shared across the whole batch, not repeated per query.
+    * With a single query this reduces term-for-term to [[bm25Scores]]. */
+  def bm25ScoresBatch(
+      docs: DataFrame, qterms: DataFrame,
+      docId: String = "doc_id", textCol: String = "text",
+      queryId: String = "query_id"): DataFrame = {
+    val dl = docs.select(col(docId),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val anyTerm = qterms.select("word").distinct()
+    val tf = docs
+      .select(col(docId), explode(split(lower(col(textCol)), " ")).as("word"))
+      .join(broadcast(anyTerm), "word")
+      .groupBy(docId, "word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "word")
+      .join(broadcast(qterms), "word")
+      .join(dl, docId)
+      .crossJoin(broadcast(stats))
+      .select(col(queryId), col(docId),
+        floor((col("n_docs") + 1).cast("double") / (col("df") + 1)
+          * (lit(22.0) * col("tf") * col("sum_dl"))
+          / (lit(10.0) * col("tf") * col("sum_dl") + lit(3.0) * col("sum_dl")
+            + lit(9.0) * col("dl") * col("n_docs"))
+          * lit(1e4)).cast("long").as("t4"))
+      .groupBy(queryId, docId).agg(sum("t4").as("bm25_1e4"))
+  }
+
   /** Bounded top-k of (score desc, id asc) via TopKAgg: the integer score is
     * negated into the aggregator's ascending (dist, id) order (integers of
     * this size are exact doubles, so no rounding enters the key). `I` is
     * the doc-id type (Long for the catalog tables, String for engine ids).
-    * Returns (docId, scoreName, rk) with rk 1-based. */
+    * Returns (docId, scoreName, rk) with rk 1-based. `groupCols` ranks
+    * within each group instead of globally (the batch form — map-side
+    * partial top-k per group, never a ranking window over the scored
+    * corpus). */
   def topKByScore[I: scala.reflect.runtime.universe.TypeTag: Ordering](
       scored: DataFrame, k: Int, scoreName: String,
-      docId: String = "doc_id"): DataFrame =
+      docId: String = "doc_id", groupCols: Seq[String] = Nil): DataFrame =
     scored
-      .groupBy()
+      .groupBy(groupCols.map(col): _*)
       .agg(TopK.topk[I](k, -col(scoreName).cast("double"), col(docId))
         .as("t"))
-      .select(posexplode(col("t")))
-      .select(col("col.id").as(docId),
+      .select(groupCols.map(col) :+ posexplode(col("t")): _*)
+      .select(groupCols.map(col) ++ Seq(col("col.id").as(docId),
         (-col("col.dist")).cast("long").as(scoreName),
-        (col("pos") + 1).cast("long").as("rk"))
+        (col("pos") + 1).cast("long").as("rk")): _*)
 
   /** BM25 top-k search: `bm25Scores` ∘ `topKByScore`. */
   def bm25TopK[I: scala.reflect.runtime.universe.TypeTag: Ordering](
@@ -75,22 +111,34 @@ object Retrieval {
       docId: String = "doc_id", textCol: String = "text"): DataFrame =
     topKByScore[I](bm25Scores(docs, terms, docId, textCol), k, "bm25_1e4", docId)
 
+  /** BM25 top-k per query over a batch: [[bm25ScoresBatch]] ∘ grouped
+    * [[topKByScore]]. Returns (queryId, docId, bm25_1e4, rk). */
+  def bm25TopKBatch[I: scala.reflect.runtime.universe.TypeTag: Ordering](
+      docs: DataFrame, qterms: DataFrame, k: Int,
+      docId: String = "doc_id", textCol: String = "text",
+      queryId: String = "query_id"): DataFrame =
+    topKByScore[I](bm25ScoresBatch(docs, qterms, docId, textCol, queryId),
+      k, "bm25_1e4", docId, Seq(queryId))
+
   /** Reciprocal-rank fusion of retrieval legs. Each leg is
     * (name, DataFrame(docId, rankCol)) with ranks 1-based over a BOUNDED
     * retrieved set (top-k per leg — fuse what was retrieved, as a
     * production hybrid retriever does). Output: one row per doc in the
     * union, a 0-defaulted rank column `r_<name>` per leg, and
     * `rrf_1e6 = Σ 1e6 div (rrfK + rank)` over present legs — integer-only.
-    * rrfK = 60 is the standard fusion constant. */
+    * rrfK = 60 is the standard fusion constant. `groupCols` fuses within
+    * each group (the batch form: legs carry a queryId column and the
+    * full-outer join keys on (queryId, docId)). */
   def rrfFuse(
       legs: Seq[(String, DataFrame)], rrfK: Int = 60,
-      docId: String = "doc_id"): DataFrame = {
+      docId: String = "doc_id", groupCols: Seq[String] = Nil): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val keys = groupCols :+ docId
     val renamed = legs.map { case (name, df) =>
-      name -> df.select(col(docId), col("rk").as(s"r_$name"))
+      name -> df.select(keys.map(col) :+ col("rk").as(s"r_$name"): _*)
     }
     val joined = renamed.map(_._2).reduce(
-      (a, b) => a.join(b, Seq(docId), "full_outer"))
+      (a, b) => a.join(b, keys, "full_outer"))
     val contrib: Column = renamed.map { case (name, _) =>
       when(col(s"r_$name").isNull, lit(0L))
         .otherwise(expr(s"1000000 div ($rrfK + r_$name)"))

@@ -1,0 +1,52 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Emits the round's QUALITY artifact: every recall/accuracy self-gate
+  * observable in the catalog, run at the given SF, as one JSON object
+  * `{"sf": ..., "observables": {name: {column: value, ...}, ...}}`.
+  * The driver's correctness artifact records only row/schema/hash state
+  * for these (they are rows-only entries), so regressions in the VALUES
+  * were invisible between rounds — this file makes them diffable.
+  * Usage: tools/run.sh graft.tools.QualityReport <sfDir> <outFile>
+  */
+object QualityReport {
+
+  /** Single-row quality observables in the catalog (name → columns). */
+  val observables: Seq[String] = Seq(
+    "lsh_recall_at10",
+    "ann_ivf_recall_at10",
+    "ann_pq_adc_only_recall_at10",
+    "ann_pq_rerank_recall_at10",
+    "ann_ivfpq_recall_at10",
+    "ann_sq_recall_at10",
+    "knn_join_recall_at3")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "/root/repo/QUALITY_r8.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val entries = observables.map { name =>
+      val row = graft.SparkEntry.queries(name)(spark, sfDir).collect().head
+      val cols = row.schema.fields.zipWithIndex.map { case (f, i) =>
+        s""""${f.name}": ${row.get(i)}"""
+      }.mkString("{", ", ", "}")
+      s""""$name": $cols"""
+    }
+    val json =
+      s"""{"sf": "$sfDir", "observables": ${
+        entries.mkString("{", ", ", "}")}}"""
+    Files.writeString(Paths.get(out), json)
+    println(json)
+    spark.stop()
+  }
+}
