@@ -11,12 +11,11 @@ import graft.functions.Distances
   * decimals for cross-engine float determinism. The DuckDB oracle computes
   * the same fold with `generate_series` over the 64 components (fixture dim,
   * TESTDATA.md), accumulating in DOUBLE exactly as the Spark side does.
-  * Hamming (M10) operates on float bit patterns — the f32→bits
-  * reinterpretation is not SQL-expressible from the float parquet, but
-  * popcount-of-XOR is, so its oracle runs over the frozen bit-array fixture
-  * `fixtures/embedding_bits.parquet` (the sf0.01 embeddings' raw IEEE-754
-  * bits, zero-extended to BIGINT; generated by
-  * `graft.tools.GenOracleFixtures`, staleness-gated by FixtureOracleSpec).
+  * Hamming (M10) operates on float bit patterns — its oracle replays the
+  * f32→bits reinterpretation LIVE in pure DuckDB SQL at the current SF via
+  * exact IEEE-754 decomposition ([[hammingOracle]]); the frozen bit-array
+  * fixture `fixtures/embedding_bits.parquet` survives only as
+  * FixtureOracleSpec's independent cross-check of that decomposition.
   */
 object DistanceQueries {
 
@@ -66,10 +65,22 @@ object DistanceQueries {
     * the subnormal branch scales by 2^149 instead). Validated
     * component-for-component against numpy's `.view(uint32)` on the
     * fixture corpus. The sum of 64 popcounts is order-free integer
-    * arithmetic; the cast to DOUBLE matches the Spark side. */
+    * arithmetic; the cast to DOUBLE matches the Spark side.
+    *
+    * PRECONDITION: finite components only. log2/floor on NaN/Inf would
+    * produce garbage bits that silently diverge from Spark's
+    * floatToRawIntBits, so the first CTE raises a loud `error()` on any
+    * non-finite value instead — if the generated corpus ever grows one,
+    * the entry fails red rather than hash-mismatching mysteriously
+    * (Spark's side handles every bit pattern; only the oracle is
+    * restricted). */
   private def hammingOracle: String = s"""
       WITH comp AS MATERIALIZED (
-        SELECT a.vec_id, t.i, a.embedding[t.i]::FLOAT AS f
+        SELECT a.vec_id, t.i,
+               CASE WHEN isfinite(a.embedding[t.i]::FLOAT)
+                    THEN a.embedding[t.i]::FLOAT
+                    ELSE error('hamming oracle: non-finite f32 component')
+               END AS f
         FROM embeddings a, generate_series(1, $dim) t(i)),
       ex AS MATERIALIZED (
         SELECT vec_id, i, f, abs(f::DOUBLE) AS af,

@@ -58,11 +58,11 @@ object EmbedQueries {
   /** The toks → md5 → signed-bucket → sparse-weights prefix shared by
     * every md5-twin oracle: ends in `sp(doc_id, bucket, w)`. */
   private[catalog] val sparseSp = """
-      WITH toks AS (
+      WITH toks AS MATERIALIZED (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents),
-      th AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
-      f AS (SELECT doc_id,
+      th AS MATERIALIZED (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+      f AS MATERIALIZED (SELECT doc_id,
               ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
               +(strpos('0123456789abcdef', substr(h,2,1))-1)*256
               +(strpos('0123456789abcdef', substr(h,3,1))-1)*16
@@ -70,11 +70,11 @@ object EmbedQueries {
               CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1))-1) & 1) = 1
                    THEN -1 ELSE 1 END AS s
             FROM th),
-      sp AS (SELECT doc_id, bucket, sum(s) AS w FROM f GROUP BY doc_id, bucket)"""
+      sp AS MATERIALIZED (SELECT doc_id, bucket, sum(s) AS w FROM f GROUP BY doc_id, bucket)"""
 
   private val sparseDistances = s"""$sparseSp,
-      n2 AS (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
-      dots AS (SELECT qs.doc_id AS query_id, vs.doc_id AS vec_id,
+      n2 AS MATERIALIZED (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
+      dots AS MATERIALIZED (SELECT qs.doc_id AS query_id, vs.doc_id AS vec_id,
                       sum(qs.w * vs.w) AS dot
                FROM sp qs JOIN sp vs ON qs.bucket = vs.bucket
                WHERE qs.doc_id < 3 GROUP BY qs.doc_id, vs.doc_id)"""
@@ -427,12 +427,12 @@ object EmbedQueries {
     },
     Some(s"""$sparseSp,
       ${graft.ops.KMeansInt.oracleSql(k = 4, iters = 3, dim = 32)},
-      tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-      dfr AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
-      ctf AS (SELECT f.cluster, t.tok, count(*) AS tf
+      tk AS MATERIALIZED (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      dfr AS MATERIALIZED (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+      ctf AS MATERIALIZED (SELECT f.cluster, t.tok, count(*) AS tf
               FROM tk t JOIN fin f ON f.doc_id = t.doc_id
               GROUP BY f.cluster, t.tok),
-      scored AS (SELECT c.cluster, c.tok, c.tf, d.df,
+      scored AS MATERIALIZED (SELECT c.cluster, c.tok, c.tf, d.df,
                         c.tf * 1000000 // d.df AS score
                  FROM ctf c JOIN dfr d ON d.tok = c.tok)
       SELECT cluster::BIGINT AS cluster, rk, tok, tf::BIGINT AS tf,

@@ -160,7 +160,16 @@ object Bpe {
     * and `s i`), so DuckDB's default inlining would expand the chain into
     * 2^n scans of `documents` — at 24 merges that exhausts file handles
     * long before it exhausts time. Materialization makes the oracle replay
-    * linear, exactly like the Spark loop it mirrors. */
+    * linear, exactly like the Spark loop it mirrors.
+    *
+    * PRECONDITION (the asymmetric failure shape): if the vocabulary
+    * saturates before `nMerges` — some `b_i` has no pair rows — the
+    * `s_i` cross join silently EMPTIES the rest of the chain, while the
+    * Spark side's [[train]] throws `require(best.nonEmpty)`. Both end
+    * red at the gate (empty oracle vs failed query), but for different
+    * reported reasons; callers size nMerges far below corpus merge
+    * capacity so neither trips (BpeQueries uses 24 on a corpus with
+    * hundreds of distinct pairs). */
   def oracleStages(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""

@@ -100,14 +100,21 @@ object KMeansInt {
   /** Unrolled-CTE oracle fragments replaying [[fitAssign]] over a sparse
     * relation `sp(doc_id, bucket, w)` of `dim`-bucket integer vectors
     * (absent buckets are zero). Callers prepend the WITH chain defining
-    * `sp` and append a SELECT over `fin(doc_id, cluster, dist2)`. */
+    * `sp` and append a SELECT over `fin(doc_id, cluster, dist2)`.
+    *
+    * Every CTE is MATERIALIZED: DuckDB's default inlines a CTE at each
+    * reference, and this chain references each round's `c_t` and `a_t`
+    * several times — inlined, the replay re-evaluates earlier rounds
+    * exponentially often (measured 53 s for k=4/iters=3 at sf0.01;
+    * 0.5 s materialized, identical rows). Materialization is the same
+    * evaluate-once semantics [[fitAssign]] has on the Spark side. */
   def oracleSql(k: Int, iters: Int, dim: Int): String = {
     def assign(t: Int, cSrc: String) =
-      s"""cn2_$t AS (SELECT cl, sum(v*v) AS n2 FROM $cSrc GROUP BY cl),
-         dots_$t AS (SELECT s.doc_id, c.cl, sum(s.w * c.v) AS dot
+      s"""cn2_$t AS MATERIALIZED (SELECT cl, sum(v*v) AS n2 FROM $cSrc GROUP BY cl),
+         dots_$t AS MATERIALIZED (SELECT s.doc_id, c.cl, sum(s.w * c.v) AS dot
                      FROM sp s JOIN $cSrc c ON c.bucket = s.bucket
                      GROUP BY s.doc_id, c.cl),
-         a_$t AS (
+         a_$t AS MATERIALIZED (
            SELECT doc_id, cl, dist FROM (
              SELECT d.doc_id, c.cl,
                     dn2.n2 + c.n2 - 2 * coalesce(t.dot, 0) AS dist,
@@ -121,21 +128,21 @@ object KMeansInt {
              LEFT JOIN dots_$t t ON t.doc_id = d.doc_id AND t.cl = c.cl)
            WHERE rn = 1)"""
     val init = s"""
-      dn2 AS (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
-      ids AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS cl
+      dn2 AS MATERIALIZED (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
+      ids AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS cl
               FROM (SELECT DISTINCT doc_id FROM sp)
               QUALIFY row_number() OVER (ORDER BY doc_id) <= $k),
-      grid AS (SELECT unnest(range(0, $dim)) AS bucket),
-      c_0 AS (SELECT i.cl, g.bucket, coalesce(s.w, 0) AS v
+      grid AS MATERIALIZED (SELECT unnest(range(0, $dim)) AS bucket),
+      c_0 AS MATERIALIZED (SELECT i.cl, g.bucket, coalesce(s.w, 0) AS v
               FROM ids i CROSS JOIN grid g
               LEFT JOIN sp s ON s.doc_id = i.doc_id AND s.bucket = g.bucket)"""
     val rounds = (1 to iters).map { t =>
       s"""${assign(t - 1, s"c_${t - 1}")},
-         upd_$t AS (SELECT a.cl, s.bucket, sum(s.w) AS sw
+         upd_$t AS MATERIALIZED (SELECT a.cl, s.bucket, sum(s.w) AS sw
                     FROM a_${t - 1} a JOIN sp s ON s.doc_id = a.doc_id
                     GROUP BY a.cl, s.bucket),
-         siz_$t AS (SELECT cl, count(*) AS n FROM a_${t - 1} GROUP BY cl),
-         c_$t AS (SELECT c.cl, c.bucket,
+         siz_$t AS MATERIALIZED (SELECT cl, count(*) AS n FROM a_${t - 1} GROUP BY cl),
+         c_$t AS MATERIALIZED (SELECT c.cl, c.bucket,
                          CASE WHEN z.n IS NULL THEN c.v
                               ELSE coalesce(u.sw, 0) // z.n END AS v
                   FROM c_${t - 1} c
@@ -143,7 +150,7 @@ object KMeansInt {
                   LEFT JOIN upd_$t u ON u.cl = c.cl AND u.bucket = c.bucket)"""
     }.mkString(",\n")
     val fin = s"""${assign(iters, s"c_$iters")},
-      fin AS (SELECT doc_id, cl AS cluster, dist AS dist2 FROM a_$iters)"""
+      fin AS MATERIALIZED (SELECT doc_id, cl AS cluster, dist AS dist2 FROM a_$iters)"""
     s"$init,\n$rounds,\n$fin"
   }
 }

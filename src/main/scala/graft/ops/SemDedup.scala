@@ -92,13 +92,13 @@ object SemDedup {
     * `sp(doc_id, bucket, w)`, emits `sem_pairs(doc_a, doc_b, cluster,
     * dot, n2_a, n2_b)` replaying [[dupPairs]]. Callers append a SELECT. */
   def pairsOracleSql(tauNum: Long, tauDen: Long): String = s"""
-      sn2 AS (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
-      sdots AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+      sn2 AS MATERIALIZED (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
+      sdots AS MATERIALIZED (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
                        sum(sa.w * sb.w) AS dot
                 FROM sp sa JOIN sp sb ON sa.bucket = sb.bucket
                 WHERE sa.doc_id < sb.doc_id
                 GROUP BY sa.doc_id, sb.doc_id),
-      sem_pairs AS (
+      sem_pairs AS MATERIALIZED (
         SELECT d.doc_a, d.doc_b, fa.cluster, d.dot, na.n2 AS n2_a,
                nb.n2 AS n2_b
         FROM sdots d
