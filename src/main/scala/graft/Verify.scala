@@ -10,7 +10,11 @@ object Verify {
     // fast single-query iteration. The driver always calls with two args.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the box's cores: an unset env var used to mean local[4],
+    // which alone pushed the sweep past the driver's round window (the
+    // same 140 entries run in ~140 s at local[32] vs ~30 min at local[4]).
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

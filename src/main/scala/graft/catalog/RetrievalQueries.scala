@@ -219,5 +219,162 @@ object RetrievalQueries {
       WHERE rn <= 10
       ORDER BY rrf_1e6 DESC, id"""))
 
-  def qs: Seq[Q] = Seq(bm25, hybridRrf, engineHybrid)
+  /** Shared oracle generator for the engine hybrid entries: rebuilds the
+    * ENTIRE hybrid path in DuckDB for a batch of queries — BM25 over the
+    * engine corpus (docs with ≥1 token, optionally narrowed by
+    * `corpExtra`, the SQL twin of the engine's `where=` predicate), the
+    * md5 sparse-count vector leg, and integer RRF fusion — partitioned by
+    * query_id. Corpus statistics (dl, df, N) are those of the FILTERED
+    * corpus, mirroring queryHybridBatch's algebra (the predicate narrows
+    * the stored-records frame before BOTH legs). */
+  private def engineHybridOracle(
+      queries: Seq[(Int, String)], corpExtra: String,
+      selectQueryId: Boolean): String = {
+    val valuesSql = queries
+      .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    val head = if (selectQueryId) "query_id::BIGINT AS query_id, " else ""
+    s"""
+      WITH corp AS (SELECT doc_id, text FROM documents
+                    WHERE len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) > 0 $corpExtra),
+      qs(query_id, query_text) AS (VALUES $valuesSql),
+      qt AS (SELECT DISTINCT query_id,
+                    unnest(string_split(lower(query_text), ' ')) AS word
+             FROM qs),
+      dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+             FROM corp),
+      stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+                FROM dl),
+      tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+             FROM (SELECT doc_id,
+                          unnest(string_split(lower(text), ' ')) AS word
+                   FROM corp)
+             WHERE word IN (SELECT word FROM qt) GROUP BY doc_id, word),
+      df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+      term AS (SELECT qt.query_id, tf.doc_id,
+                      floor((s.n_docs + 1)::DOUBLE / (df.df + 1)
+                            * (22.0 * tf.tf * s.sum_dl)
+                            / (10.0 * tf.tf * s.sum_dl + 3.0 * s.sum_dl
+                               + 9.0 * dl.dl * s.n_docs)
+                            * 1e4)::BIGINT AS t4
+               FROM tf JOIN df USING (word) JOIN qt USING (word)
+                       JOIN dl USING (doc_id), stats s),
+      sc AS (SELECT query_id, doc_id, sum(t4)::BIGINT AS bm25_1e4
+             FROM term GROUP BY query_id, doc_id),
+      lex AS (SELECT query_id, doc_id, r_lex
+              FROM (SELECT query_id, doc_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY bm25_1e4 DESC, doc_id)::BIGINT AS r_lex
+                    FROM sc)
+              WHERE r_lex <= 100),
+      toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+               FROM corp),
+      th AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+      f AS (SELECT doc_id,
+              ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+              +(strpos('0123456789abcdef', substr(h,2,1))-1)*256
+              +(strpos('0123456789abcdef', substr(h,3,1))-1)*16
+              +(strpos('0123456789abcdef', substr(h,4,1))-1)) % 32 AS bucket,
+              CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1))-1) & 1) = 1
+                   THEN -1 ELSE 1 END AS s
+            FROM th),
+      sp AS (SELECT doc_id, bucket, sum(s) AS w FROM f GROUP BY doc_id, bucket),
+      n2 AS (SELECT doc_id, sum(w*w) AS n2 FROM sp GROUP BY doc_id),
+      qtoks AS (SELECT query_id,
+                       unnest(string_split(lower(query_text), ' ')) AS tok
+                FROM qs),
+      qth AS (SELECT query_id, md5(tok) AS h FROM qtoks WHERE tok <> ''),
+      qf AS (SELECT query_id,
+               ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+               +(strpos('0123456789abcdef', substr(h,2,1))-1)*256
+               +(strpos('0123456789abcdef', substr(h,3,1))-1)*16
+               +(strpos('0123456789abcdef', substr(h,4,1))-1)) % 32 AS bucket,
+               CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1))-1) & 1) = 1
+                    THEN -1 ELSE 1 END AS s
+             FROM qth),
+      qsp AS (SELECT query_id, bucket, sum(s) AS w
+              FROM qf GROUP BY query_id, bucket),
+      qn2 AS (SELECT query_id, sum(w*w) AS n2 FROM qsp GROUP BY query_id),
+      dots AS (SELECT q.query_id, v.doc_id, sum(q.w * v.w) AS dot
+               FROM qsp q JOIN sp v USING (bucket)
+               GROUP BY q.query_id, v.doc_id),
+      vdist AS (SELECT q.query_id, c.doc_id,
+                       qn.n2 + dn.n2 - 2*coalesce(t.dot, 0) AS dist
+                FROM qs q CROSS JOIN corp c
+                JOIN n2 dn ON dn.doc_id = c.doc_id
+                JOIN qn2 qn ON qn.query_id = q.query_id
+                LEFT JOIN dots t ON t.query_id = q.query_id
+                                AND t.doc_id = c.doc_id),
+      vec AS (SELECT query_id, doc_id, r_vec
+              FROM (SELECT query_id, doc_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY dist, doc_id)::BIGINT AS r_vec
+                    FROM vdist)
+              WHERE r_vec <= 100),
+      ids AS (SELECT query_id, doc_id FROM lex
+              UNION SELECT query_id, doc_id FROM vec),
+      fused AS (SELECT i.query_id, i.doc_id,
+                       coalesce(v.r_vec, 0)::BIGINT AS r_vec,
+                       coalesce(l.r_lex, 0)::BIGINT AS r_lex,
+                       (CASE WHEN v.r_vec IS NULL THEN 0
+                             ELSE 1000000 // (60 + v.r_vec) END
+                        + CASE WHEN l.r_lex IS NULL THEN 0
+                               ELSE 1000000 // (60 + l.r_lex) END)::BIGINT
+                         AS rrf_1e6
+                FROM ids i
+                LEFT JOIN vec v USING (query_id, doc_id)
+                LEFT JOIN lex l USING (query_id, doc_id))
+      SELECT ${head}printf('d%06d', doc_id) AS id, r_vec, r_lex, rrf_1e6
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf_1e6 DESC, doc_id) AS rn
+            FROM fused)
+      WHERE rn <= 10
+      ORDER BY query_id, rrf_1e6 DESC, id"""
+  }
+
+  private val batchQueries = Seq(
+    0 -> "spark join window",
+    1 -> "hash merge sort",
+    2 -> "vector stream filter")
+
+  /** BATCH engine hybrid (ZebraEngine.queryHybridBatch): three query
+    * phrases through ONE plan at exhaustive budget under the md5-count
+    * twin — the postings shuffle, df aggregation and candidate join are
+    * shared across the batch, and every per-query ranking and the fusion
+    * land on one DuckDB hash with a query_id dimension. */
+  val engineHybridBatch = Q(
+    "engine_hybrid_batch_exact",
+    (s, dir) => {
+      val eng = EmbedQueries.DocEngineMd5Cache.ensure(s, dir)
+      val twin = graft.embed.Md5CountEmbedder()
+      import s.implicits._
+      val queries = batchQueries
+        .map { case (i, t) => (i.toLong, t) }
+        .toDF("query_id", "query_text")
+      eng.queryHybridBatch(queries, twin, k = 10, legK = 100,
+          searchK = Some(Int.MaxValue))
+        .orderBy(col("query_id"), col("rrf_1e6").desc, col("id"))
+    },
+    Some(engineHybridOracle(batchQueries, "", selectQueryId = true)))
+
+  /** FILTERED engine hybrid (`where = id < 'd000200'`, ~40% selectivity at
+    * sf0.01): the predicate composes into BOTH legs, so corpus statistics
+    * and rankings are those of the filtered corpus — at exhaustive budget
+    * this is algebraically the hybrid search of the pre-filtered corpus,
+    * which is exactly what the oracle computes (corp narrowed to
+    * doc_id < 200). Gates the `where=` surface end-to-end. */
+  val engineHybridFiltered = Q(
+    "engine_hybrid_filtered_exact",
+    (s, dir) => {
+      val eng = EmbedQueries.DocEngineMd5Cache.ensure(s, dir)
+      val twin = graft.embed.Md5CountEmbedder()
+      eng.queryHybrid(terms.mkString(" "), twin, k = 10, legK = 100,
+          searchK = Some(Int.MaxValue), where = Some(col("id") < "d000200"))
+        .orderBy(col("rrf_1e6").desc, col("id"))
+    },
+    Some(engineHybridOracle(Seq(0 -> terms.mkString(" ")),
+      "AND doc_id < 200", selectQueryId = false)))
+
+  def qs: Seq[Q] = Seq(bm25, hybridRrf, engineHybrid,
+    engineHybridBatch, engineHybridFiltered)
 }

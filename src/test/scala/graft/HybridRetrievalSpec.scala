@@ -72,4 +72,61 @@ class HybridRetrievalSpec extends AnyFunSuite {
     val res = eng.queryHybrid(probe, embedder, k = 10, legK = 50).collect()
     assert(res.exists(_.getAs[String]("id") == "d000001"))
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long)] =
+    df.select("id", "r_vec", "r_lex", "rrf_1e6").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (-t._4, t._1))
+
+  test("queryHybridBatch: a multi-query batch equals per-query queryHybrid") {
+    val spark0 = spark
+    import spark0.implicits._
+    val texts = Seq("spark join window", "hash merge sort", "value table row")
+    val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "query_text")
+    // Exhaustive budget so both forms are deterministic exact search and
+    // the equality is algebraic, not probabilistic.
+    val batch = eng.queryHybridBatch(queries, embedder, k = 10, legK = 50,
+        searchK = Some(Int.MaxValue))
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val single = rows(eng.queryHybrid(t, embedder, k = 10, legK = 50,
+        searchK = Some(Int.MaxValue)))
+      val fromBatch = batch(i.toLong).toSeq
+        .map(r => (r.getAs[String]("id"), r.getAs[Long]("r_vec"),
+          r.getAs[Long]("r_lex"), r.getAs[Long]("rrf_1e6")))
+        .sortBy(x => (-x._4, x._1))
+      assert(fromBatch == single, s"batch/per-query divergence for '$t'")
+    }
+  }
+
+  test("filtered hybrid at exhaustive budget equals hybrid over the pre-filtered corpus") {
+    val cut = "d000020"
+    val probe = "spark join window"
+    val filtered = rows(eng.queryHybrid(probe, embedder, k = 10, legK = 50,
+      searchK = Some(Int.MaxValue),
+      where = Some(col("id") < cut)))
+
+    // A second engine built from ONLY the surviving documents: the where=
+    // contract says corpus statistics (dl, df, N) and both rankings are
+    // those of the filtered corpus, so the two engines must agree exactly.
+    val path2 = "/tmp/graft_test_hybrid_engine_prefiltered"
+    ZebraEngine.destroy(path2)
+    val e2 = ZebraEngine.create(
+      spark, path2, EngineConfig(dim = 384, metric = "cosine"))
+    e2.insertDocuments(
+      Tables.documents(spark, SparkTestBase.sf0001)
+        .select(
+          format_string("d%06d", col("doc_id")).as("id"),
+          col("text").cast("binary").as("document"))
+        .filter(col("id") < cut),
+      embedder)
+    val prefiltered = rows(e2.queryHybrid(probe, embedder, k = 10, legK = 50,
+      searchK = Some(Int.MaxValue)))
+    assert(filtered == prefiltered,
+      "where= hybrid diverged from the pre-filtered-corpus engine")
+    assert(filtered.forall(_._1 < cut), "filtered hybrid leaked an excluded id")
+  }
 }
