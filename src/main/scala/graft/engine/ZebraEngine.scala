@@ -448,13 +448,46 @@ final class ZebraEngine private (
     true
   }
 
+  /** IVF-PQ staleness maintenance — the quantizer-family sibling of
+    * [[compactIndexIfNeeded]]. Incremental ingest ([[insertRecords]])
+    * routes new vectors through the FROZEN coarse centroids and PQ
+    * codebooks, which stay exactly correct (every vector is assigned and
+    * encoded) but drift in QUALITY as the corpus outgrows the fit:
+    * cells fill past the ~sqrt(n) sizing rule (so a fixed nprobe scans
+    * ever-fatter cells) and codebooks quantize a distribution they were
+    * never fit on (so ADC ordering noise grows and the occupancy-scaled
+    * rerank pays for it). Neither rots correctness the way LSH leaf
+    * overflow does — there is no incremental half-measure worth taking
+    * (re-fitting codebooks re-encodes every stored code anyway), so the
+    * trigger goes straight to the full [[refreshIndex]] retrain, which
+    * re-chooses nlist for today's corpus, refits both quantizers, and
+    * rewrites the cell partitions in one pass.
+    *
+    * Fires when the corpus has grown past `growthFactor`× the size the
+    * model was fit on (models from before staleness tracking, trainedOn=0,
+    * read as always-stale). growthFactor=4 matches the LSH compaction
+    * factor and keeps the amortized retrain cost logarithmic: each retrain
+    * processes ≤ 4/3 of all rows ever ingested since the last one.
+    * Returns true when a retrain happened. */
+  def maintainIvfPqIfNeeded(growthFactor: Double = 4.0): Boolean = {
+    if (config.indexKind != "ivfpq" || !hasData(indexDir)) return false
+    loadIvfPqModel() match {
+      case Some(m) =>
+        val n = count()
+        if (m.trainedOn > 0L && n < growthFactor * m.trainedOn) false
+        else { refreshIndex(); true }
+      case None => false
+    }
+  }
+
   /** Build (or rebuild — leaf-split compaction) the LSH forest index. */
   def refreshIndex(): Unit = config.indexKind match {
     case "ivfpq" =>
       // nlist ~ sqrt(n): cells stay ~sqrt(n)-sized, the classic IVF rule
       val n = count()
       val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
-      val model = IvfPq.train(vectors, nlist = nlist, vecId = "id")
+      val model = IvfPq.train(vectors, nlist = nlist, vecId = "id",
+        trainedOn = n)
       IvfPq.buildIndex(vectors, model, indexDir, vecId = "id")
       saveModel(model)
     case _ =>
@@ -493,6 +526,11 @@ final class ZebraEngine private (
   private[engine] def loadModel(): Option[LshForest.ForestModel] =
     if (config.indexKind != "lsh") None
     else loadRawModel().map(_.asInstanceOf[LshForest.ForestModel])
+
+  /** Read-only view of the persisted IVF-PQ model (None for LSH engines):
+    * maintenance introspection — the staleness probe and specs check
+    * `trainedOn` / `coarse.nlist` against the live corpus through this. */
+  def ivfPqModel: Option[IvfPq.IvfPqModel] = loadIvfPqModel()
 
   private[engine] def loadIvfPqModel(): Option[IvfPq.IvfPqModel] =
     if (config.indexKind != "ivfpq") None

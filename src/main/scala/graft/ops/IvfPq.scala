@@ -19,7 +19,14 @@ import graft.functions.Distances
   * exact kNN, which is what the catalog twin hash-checks. */
 object IvfPq {
 
-  final case class IvfPqModel(coarse: Ivf.IvfModel, pq: Pq.PqModel)
+  /** `trainedOn` records the corpus size the quantizers were fit on
+    * (0 = unknown, pre-staleness-tracking builds): incremental ingest
+    * routes new vectors through these FROZEN quantizers, and the engine's
+    * retrain trigger ([[graft.engine.ZebraEngine.maintainIvfPqIfNeeded]])
+    * compares the live corpus against this to decide when the fit has
+    * gone stale. */
+  final case class IvfPqModel(
+      coarse: Ivf.IvfModel, pq: Pq.PqModel, trainedOn: Long = 0L)
 
   /** Occupancy-scaled default rerank budget — the sizing law the scale
     * probe measured (SURVEY §8.2): a FIXED shortlist decays as cells grow
@@ -36,13 +43,16 @@ object IvfPq {
     math.max(32 * k, math.ceil(probedEst / 500.0).toInt)
   }
 
-  /** Train both quantizers on the same bounded-sample discipline. */
+  /** Train both quantizers on the same bounded-sample discipline.
+    * `trainedOn`: corpus size at fit time, stamped into the model for the
+    * staleness trigger (callers that already counted pass it; 0 = untracked). */
   def train(
       vectors: DataFrame, nlist: Int, m: Int = 8, ksub: Int = 256,
-      vecId: String = "vec_id"): IvfPqModel =
+      vecId: String = "vec_id", trainedOn: Long = 0L): IvfPqModel =
     IvfPqModel(
       Ivf.chooseCentroids(vectors, nlist, vecId = vecId),
-      Pq.train(vectors, m = m, ksub = ksub, vecId = vecId))
+      Pq.train(vectors, m = m, ksub = ksub, vecId = vecId),
+      trainedOn)
 
   /** Build + persist (cell_id, vecId, codes), partitioned by cell — the
     * compressed, partition-pruned layout. One narrow map per quantizer,
