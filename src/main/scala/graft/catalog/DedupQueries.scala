@@ -432,22 +432,132 @@ object DedupQueries {
     }
   }
 
+  /** Target in-bucket occupancy for near-dup candidate generation and the
+    * bit budget for splitting over-full buckets (2^12 = 4096-way worst
+    * case — enough to re-bound a leaf that outgrew the forest's
+    * sample-resolution by three orders of magnitude). */
+  private[graft] val NearDupLeafCap = 16
+  private[graft] val NearDupMaxExtraBits = 12
+
+  /** splitmix64 finalizer — deterministic hash to 64 well-mixed bits. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Occupancy-cap the bucket table before a pair join. The forest's leaf
+    * resolution is bounded by its BUILD SAMPLE (LshForest.Options.sampleCap
+    * = 64k): once the corpus outgrows the sample, true leaf occupancy
+    * grows linearly with n (≈ maxNodeSize · n / sampleTotal) and an
+    * in-bucket pair join turns quadratic in that occupancy — the round-8
+    * verdict's watch item on dedup_embedding_cosine. This refinement
+    * re-bounds it without touching the forest: count per-leaf occupancy
+    * (an agg over the bounded leaf set — ≤ numTrees · sampleLeaves rows,
+    * broadcastable), and for leaves above `cap` extend the bucket key with
+    * ceil(log2(count/cap)) MEDIAN-SPLIT random-projection bits: bit b is
+    * the side of the (tree, leaf, b)-local median of a deterministic
+    * random projection, seeded per (tree, bit) so a pair split by bit b
+    * in one tree can still co-locate in another. The median offset is the
+    * load-bearing choice: leaf members already sit in a narrow cone (they
+    * agree on ~log2(leaves) forest hyperplanes), so a random hyperplane
+    * through the ORIGIN often leaves the whole cone on one side — measured
+    * on the uniform probe corpus it left sub-buckets 2× over cap, and on
+    * clustered real embeddings it degenerates entirely. Splitting at the
+    * bucket's own median guarantees ~half the members per side no matter
+    * how tight the cone. Candidates then stay O(n · cap · numTrees) —
+    * linear in n.
+    *
+    * Correctness of the downstream oracle is untouched: IDENTICAL vectors
+    * (the planted exact duplicates the entry is gated on) have identical
+    * projections and so land on the same side of ANY median — even though
+    * the approx-percentile cut value itself may vary run to run, the
+    * planted pairs always co-locate, and the cos >= 0.999 verify filter
+    * makes the emitted output independent of which extra candidates a
+    * particular cut admitted. The irreducible case — a bucket over-full
+    * because of a mass of bit-identical vectors — cannot be split by any
+    * hyperplane (the median collapses onto the duplicated projection and
+    * ties route together), but there the PAIR OUTPUT itself is quadratic
+    * in the group size, which callers wanting survivors (not pairs)
+    * should handle with a group-by on the full-vector key (dedup_exact)
+    * instead. */
+  private[graft] def refineBuckets(
+      buckets: DataFrame, vectors: DataFrame,
+      cap: Int = NearDupLeafCap, maxExtraBits: Int = NearDupMaxExtraBits,
+      vecId: String = "vec_id"): DataFrame = {
+    val counts = buckets.groupBy("tree_id", "leaf_id").count()
+      .withColumn("extra_bits",
+        least(lit(maxExtraBits),
+          greatest(lit(0), ceil(log2(col("count") / lit(cap.toDouble))).cast("int"))))
+      .select("tree_id", "leaf_id", "extra_bits")
+    // extra_bits deterministic random projections of the embedding,
+    // seeded per (tree, bit); null for under-cap leaves (no work there).
+    val projUdf = udf { (emb: Seq[Float], treeId: Int, bits: Int) =>
+      if (bits <= 0) null
+      else {
+        val out = new Array[Double](bits)
+        var b = 0
+        while (b < bits) {
+          var s = 0.0
+          var i = 0
+          while (i < emb.length) {
+            val h = mix64(treeId.toLong * 0x100000001b3L + b.toLong * 1000003L + i)
+            // uniform in [-1, 1): top 53 hash bits as a double's mantissa
+            s += emb(i) * ((h >>> 11).toDouble / (1L << 52).toDouble - 1.0)
+            i += 1
+          }
+          out(b) = s
+          b += 1
+        }
+        out
+      }
+    }
+    val withProj = buckets
+      .join(vectors.select(col(vecId), col("embedding")), vecId)
+      .join(broadcast(counts), Seq("tree_id", "leaf_id"))
+      .withColumn("proj", projUdf(col("embedding"), col("tree_id"), col("extra_bits")))
+    // Per-(tree, leaf, bit) median cuts — only over-full leaves' rows
+    // reach this agg, and its output is one row per over-full leaf
+    // (bounded by the forest's leaf set), so the join back broadcasts.
+    val meds = withProj.filter(col("extra_bits") > 0)
+      .select(col("tree_id"), col("leaf_id"),
+        posexplode(col("proj")).as(Seq("b", "p")))
+      .groupBy("tree_id", "leaf_id", "b")
+      .agg(percentile_approx(col("p"), lit(0.5), lit(1000)).as("med"))
+      .groupBy("tree_id", "leaf_id")
+      .agg(sort_array(collect_list(struct(col("b"), col("med")))).as("bm"))
+      .select(col("tree_id"), col("leaf_id"),
+        transform(col("bm"), x => x.getField("med")).as("meds"))
+    withProj.join(broadcast(meds), Seq("tree_id", "leaf_id"), "left")
+      .select(col(vecId), col("tree_id"), col("leaf_id"),
+        when(col("extra_bits") <= 0 || col("meds").isNull, lit(0))
+          .otherwise(expr("""aggregate(
+              transform(sequence(0, extra_bits - 1),
+                b -> IF(element_at(proj, b + 1) >= element_at(meds, b + 1),
+                        shiftleft(1, b), 0)),
+              0, (acc, x) -> acc + x)"""))
+          .as("sub_key"))
+  }
+
   /** Embedding-space near-dup via the LSH forest: pairs co-located in a
-    * bucket (bounded leaves), verified by cosine. Exact duplicates are
-    * planted (shifted-id union), and identical vectors route identically,
-    * so the expected output is exactly the planted pairs — which makes
-    * this RNG-built path ORACLE-checkable. */
+    * bucket (occupancy-capped via [[refineBuckets]]), verified by cosine.
+    * Exact duplicates are planted (shifted-id union), and identical
+    * vectors route AND refine identically, so the expected output is
+    * exactly the planted pairs — which makes this RNG-built path
+    * ORACLE-checkable. */
   val embeddingNearDup = Q(
     "dedup_embedding_cosine",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val planted = e.unionAll(
         e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      val buckets = NearDupCache.buckets(s, dir, planted)
+      val buckets = refineBuckets(NearDupCache.buckets(s, dir, planted), planted)
       val pairs = buckets.as("a")
         .join(buckets.as("b"),
           col("a.tree_id") === col("b.tree_id") &&
             col("a.leaf_id") === col("b.leaf_id") &&
+            col("a.sub_key") === col("b.sub_key") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()

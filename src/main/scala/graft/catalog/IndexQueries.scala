@@ -48,12 +48,12 @@ object IndexQueries {
     "lsh_knn_topk",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val queries = e.filter(col("vec_id") < 5)
+      val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (buckets, model) = LshCache.ensure(s, dir)
       recallGated(s, dir,
         LshForest.topK(queries, buckets, e, model, k = 10),
-        floor = 0.8, nQueries = 5)
+        floor = 0.8, nQueries = 20)
     },
     None)
 

@@ -22,6 +22,16 @@ import graft.catalog.DedupQueries
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "embedding") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      embeddingLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 50000,
+        dim = if (args.length > 2) args(2).toInt else 64)
+      spark.stop()
+      return
+    }
     val n = if (args.nonEmpty) args(0).toInt else 50000
     val vocab = if (args.length > 1) args(1).toInt else 2000
     val spark = SparkSession.builder().master("local[8]")
@@ -61,5 +71,69 @@ object DedupScaleProbe {
       s""""planted_found":$plantedFound,""" +
       s""""t_candidates_sec":$tCand,"t_end_to_end_sec":${tCand + tVerify}}""")
     spark.stop()
+  }
+
+  /** Embedding-cosine leg (`embedding <n> [dim]`): the growth curve behind
+    * dedup_embedding_cosine at corpora BEYOND the forest's 64k build
+    * sample, where un-refined leaf occupancy grows linearly with n and the
+    * in-bucket pair join would be quadratic in it. Synthesizes n
+    * deterministic pseudo-random vectors (near-orthogonal at dim 64 — no
+    * organic cos >= 0.999 pairs), plants an exact duplicate for every 20th,
+    * and measures the routed + occupancy-refined pipeline: candidate
+    * pairs (the scale-deciding number), realized max sub-bucket size vs
+    * the cap, planted-pair recall (must be 1.0 — identical vectors share
+    * every sub-key), and wall time. Run at 50k / 200k / 800k to see the
+    * curve cross the sample cap. */
+  def embeddingLeg(spark: SparkSession, n: Int, dim: Int): Unit = {
+    import graft.catalog.DedupQueries
+    import graft.functions.Distances
+    import graft.index.LshForest
+
+    val base = spark.range(n).select(
+      col("id").cast("int").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(xxhash64(col("id"), j), lit(2001)) - 1000) / 1000.0)
+          .cast("float")).as("embedding"))
+    val twins = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+    val planted = base.unionAll(twins).cache()
+    val total = planted.count()
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (model, tBuild) = time(LshForest.build(planted))
+    val raw = LshForest.bucketTable(planted, model).cache()
+    raw.count()
+    val refined = DedupQueries.refineBuckets(raw, planted).cache()
+    val maxBucket = refined.groupBy("tree_id", "leaf_id", "sub_key").count()
+      .agg(max("count")).first().getLong(0)
+    val joinKeys = Seq("tree_id", "leaf_id", "sub_key")
+    val pairCand = refined.as("a")
+      .join(refined.as("b"),
+        joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct().cache()
+    val (nCand, tCand) = time(pairCand.count())
+    val v = planted.select(col("vec_id"), Distances.asDouble(col("embedding")).as("emb"))
+    val (nVerified, tVerify) = time(
+      pairCand
+        .join(v.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+        .join(v.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+        .filter(Distances.cosineSim(col("ea"), col("eb")) >= 0.999)
+        .count())
+    val planted0 = (n + 19) / 20
+    val plantedFound = pairCand
+      .filter(col("vec_b") === col("vec_a") + n && col("vec_a") % 20 === 0)
+      .count()
+
+    println(s"""{"probe":"dedup_embedding","n_vectors":$total,"dim":$dim,""" +
+      s""""candidates":$nCand,"cand_per_vec":${nCand.toDouble / total},""" +
+      s""""max_sub_bucket":$maxBucket,"cap":${DedupQueries.NearDupLeafCap},""" +
+      s""""verified_pairs":$nVerified,"planted":$planted0,""" +
+      s""""planted_found":$plantedFound,"t_build_sec":$tBuild,""" +
+      s""""t_candidates_sec":$tCand,"t_verify_sec":$tVerify}""")
   }
 }

@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
   * The driver's correctness artifact records only row/schema/hash state
   * for these (they are rows-only entries), so regressions in the VALUES
   * were invisible between rounds — this file makes them diffable.
-  * Usage: tools/run.sh graft.tools.QualityReport <sfDir> <outFile>
+  * Usage: tools/run.sh graft.tools.QualityReport <sfDir>[,<sfDir2>...] <outFile>
+  * (with several SF dirs the artifact is {"reports": [one object per SF]},
+  * so one round file carries the whole recall picture across scales).
   */
 object QualityReport {
 
@@ -25,8 +27,9 @@ object QualityReport {
     "knn_join_recall_at3")
 
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val out = if (args.length > 1) args(1) else "/root/repo/QUALITY_r8.json"
+    val sfDirs = (if (args.length > 0) args(0) else "/root/testdata/sf0.01")
+      .split(",").toSeq
+    val out = if (args.length > 1) args(1) else "/root/repo/QUALITY_r9.json"
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -36,16 +39,19 @@ object QualityReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val entries = observables.map { name =>
-      val row = graft.SparkEntry.queries(name)(spark, sfDir).collect().head
-      val cols = row.schema.fields.zipWithIndex.map { case (f, i) =>
-        s""""${f.name}": ${row.get(i)}"""
-      }.mkString("{", ", ", "}")
-      s""""$name": $cols"""
+    def report(sfDir: String): String = {
+      val entries = observables.map { name =>
+        val row = graft.SparkEntry.queries(name)(spark, sfDir).collect().head
+        val cols = row.schema.fields.zipWithIndex.map { case (f, i) =>
+          s""""${f.name}": ${row.get(i)}"""
+        }.mkString("{", ", ", "}")
+        s""""$name": $cols"""
+      }
+      s"""{"sf": "$sfDir", "observables": ${entries.mkString("{", ", ", "}")}}"""
     }
     val json =
-      s"""{"sf": "$sfDir", "observables": ${
-        entries.mkString("{", ", ", "}")}}"""
+      if (sfDirs.size == 1) report(sfDirs.head)
+      else s"""{"reports": ${sfDirs.map(report).mkString("[", ", ", "]")}}"""
     Files.writeString(Paths.get(out), json)
     println(json)
     spark.stop()

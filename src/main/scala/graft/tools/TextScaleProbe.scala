@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *   corpus-side matches reach the aggregation.
   * - Repetition stats (`Curation.repetitionStats`): zero-shuffle map pass
   *   — wall time is the scan.
+  * - BPE (`Bpe.wordFreq`/`train`/`tokenizeCounts`): word-frequency agg is
+  *   the only corpus-scale job; the 24-merge greedy loop runs over the
+  *   vocabulary-sized distinct-word table, so its wall time must stay
+  *   FLAT from 250k to 1M docs while wordFreq/tokenize grow ~linearly.
   */
 object TextScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -72,6 +76,26 @@ object TextScaleProbe {
         .head().getLong(2)
       println(f"repetition n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
         s"rows=$rep (zero-shuffle map)")
+
+      // BPE: the merge loop runs over the DISTINCT-WORD table (bounded by
+      // the 10k vocabulary no matter the corpus size), so train time after
+      // the one-shuffle word-frequency agg should be FLAT in n while
+      // wordFreq and tokenize scale with the corpus. The probe reports the
+      // three phases separately so the claim is measured, not argued.
+      t0 = System.nanoTime()
+      val wf = graft.ops.Bpe.wordFreq(data).localCheckpoint(eager = true)
+      val nWords = wf.count()
+      val wfSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val (merges, _) = graft.ops.Bpe.train(wf, nMerges = 24)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val totTok = graft.ops.Bpe.tokenizeCounts(data, merges)
+        .agg(sum("n_bpe_tokens")).head().getLong(0)
+      val tokSec = (System.nanoTime() - t0) / 1e9
+      println(f"bpe n=$n: word_freq $wfSec%.2f s (distinct_words=$nWords), " +
+        f"train(24 merges over the vocab table) $trainSec%.2f s, " +
+        f"tokenize $tokSec%.2f s (total_bpe_tokens=$totTok)")
       System.out.flush()
     }
     spark.stop()

@@ -106,4 +106,55 @@ class DedupSpec extends AnyFunSuite {
     assert(DedupQueries.simhash64("a b c") == DedupQueries.simhash64("a b c"))
     assert(DedupQueries.simhash64("x") != DedupQueries.simhash64("y"))
   }
+
+  /** Occupancy-cap refinement (refineBuckets): the scale guard behind
+    * dedup_embedding_cosine. A hand-built bucket table with one over-full
+    * leaf (266 vectors, cap 16 -> 5 extra sign bits / 32 sub-buckets) and
+    * one under-cap leaf proves the three contracts: under-cap leaves are
+    * untouched (sub_key 0, so behavior identical to pre-refinement),
+    * identical vectors always share sub_keys (the planted-pair oracle's
+    * precondition), and the over-full leaf actually splits. */
+  test("refineBuckets: caps over-full leaves, keeps exact dups co-bucketed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def randVec(): Array[Float] = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    // 246 distinct vectors + 10 planted duplicates of ids 0..9 -> leaf 0
+    val dense = (0 until 246).map(i => (i, randVec())) ++
+      (0 until 10).map(i => (1000 + i, randVec()))
+    val vecs = dense.map { case (id, v) => (id, v.toSeq) } ++
+      (0 until 10).map(i => (2000 + i, dense(i)._2.toSeq)) ++ // dups of 0..9
+      (0 until 8).map(i => (3000 + i, randVec().toSeq)) // leaf 1, under cap
+    val vectors = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val buckets = vecs.map { case (id, _) =>
+      (id, 0, if (id >= 3000) 1 else 0)
+    }.toDF("vec_id", "tree_id", "leaf_id")
+
+    val refined = DedupQueries.refineBuckets(buckets, vectors, cap = 16)
+      .collect().map(r => (r.getInt(0), r.getInt(2), r.getInt(3))).toSeq
+
+    val leaf1 = refined.filter(_._2 == 1)
+    assert(leaf1.size == 8 && leaf1.forall(_._3 == 0),
+      "under-cap leaf must keep sub_key 0")
+
+    val leaf0 = refined.filter(_._2 == 0)
+    val byId = leaf0.map(t => t._1 -> t._3).toMap
+    for (i <- 0 until 10)
+      assert(byId(i) == byId(2000 + i),
+        s"identical vectors $i / ${2000 + i} must share sub_key")
+    // 266 vectors, cap 16 -> extra_bits = ceil(log2(266/16)) = 5
+    assert(leaf0.forall(t => t._3 >= 0 && t._3 < 32))
+    val occ = leaf0.groupBy(_._3).map(_._2.size)
+    assert(occ.size > 1, "over-full leaf must actually split")
+    assert(occ.max < 266, "refinement must reduce the max bucket")
+  }
+
+  test("dedup_embedding_cosine returns exactly the planted pairs") {
+    val rows = DedupQueries.embeddingNearDup.run(spark, dir).collect()
+    val ids = Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      ids.map(id => (id, id + 100000)).toSeq)
+  }
 }
