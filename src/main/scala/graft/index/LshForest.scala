@@ -594,11 +594,19 @@ object LshForest {
       searchKOpt: Option[Int] = None,
       queryId: String = "query_id", vecId: String = "vec_id",
       roundTo: Int = 4): DataFrame = {
-    // Default candidate budget: 4·k sample points per tree — empirically the
-    // knee of the recall curve on the 64-d fixture (recall@10 ≥ 0.9 at 15
-    // trees; see LshForestSpec gate). Callers trade recall for latency by
-    // passing searchKOpt explicitly.
-    val searchK = searchKOpt.getOrElse(math.max(4 * k, model.opts.maxNodeSize))
+    // Default candidate budget: k·numTrees sample points per tree — Annoy's
+    // documented serving default (search_k = n·n_trees), floored by the old
+    // 4·k knee. The 4·k default was measured on CLUSTERED corpora (where
+    // neighbors concentrate in few leaves and the probes saturate early —
+    // endurance probes hold recall 1.0 with it at 1M vectors); on a UNIFORM
+    // corpus the same budget decays with corpus size (LshTune at the 2,000-
+    // vector sf0.1 fixture: 0.765 at searchK=40 vs 0.975 at k·numTrees=150,
+    // the QUALITY_r9 finding). k·numTrees keeps the budget corpus-
+    // independent — the probe walk is still O(k·numTrees·depth) per query —
+    // while covering the geometry-adversarial case. Callers trade recall
+    // for latency by passing searchKOpt explicitly.
+    val searchK = searchKOpt.getOrElse(
+      math.max(k * model.numTrees, math.max(4 * k, model.opts.maxNodeSize)))
     // Latency path: a small query batch (the reference CLI's k-NN lookups,
     // the engine's per-call batches) never needs the distributed probe
     // pipeline — one bounded take() decides, and the take's partial scan is
