@@ -743,18 +743,20 @@ object DedupQueries {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
       val sink = s"stream_dedup_exec_sink_${DedupSinkIds.next()}"
-      val q = graft.streaming.StreamOps
-        .dedupByContentStream(
-          mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days")
-        .select(col("content_md5"), length(col("text")).as("n_chars"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable() // micro-batch boundary per chunk
-        }
-      } finally q.stop()
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .dedupByContentStream(
+            mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days")
+          .select(col("content_md5"), length(col("text")).as("n_chars"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
       s.table(sink)
         .select(col("content_md5"), col("n_chars").cast("long").as("n_chars"))
         .orderBy("content_md5")

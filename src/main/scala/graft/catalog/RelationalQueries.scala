@@ -235,16 +235,18 @@ object RelationalQueries {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
       val sink = s"stream_hourly_exec_sink_${StreamSinkIds.next()}"
-      val q = graft.streaming.StreamOps
-        .hourlyEventStats(mem.toDF().toDF("ts", "event_type", "value"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable() // force a micro-batch boundary per chunk
-        }
-      } finally q.stop()
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .hourlyEventStats(mem.toDF().toDF("ts", "event_type", "value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // force a micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
       s.table(sink)
         .select(
           date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),

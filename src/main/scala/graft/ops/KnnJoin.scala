@@ -53,11 +53,12 @@ object KnnJoin {
       searchKOpt: Option[Int] = None,
       corpusRoutes: Option[DataFrame] = None): DataFrame = {
     // Default budget: 4·k sample units per tree like LshForest.topK, but
-    // floored at 64 — at small k the 4·k probe set is too few leaves for
-    // join-shaped recall (k=3 on the 2000-vector fixture measured
-    // recall@3 = 0.69 at 12 units, 0.85 at 32, 0.94 at 64; cost stays
-    // linear in the budget).
-    val searchK = searchKOpt.getOrElse(math.max(4 * k, 64))
+    // floored at 128 — at small k the 4·k probe set is too few leaves for
+    // join-shaped recall (k=3 on the 2000-vector uniform fixture measured
+    // recall@3 = 0.69 at 12 units, 0.85 at 32, 0.94 at 64, 0.986 at 128;
+    // cost stays linear in the budget, and at 128 the warm bucketed-join
+    // entry holds ~0.8 s at the bench SF).
+    val searchK = searchKOpt.getOrElse(math.max(4 * k, 128))
     // routeQueries' q_emb payload is pruned by Catalyst — this projection
     // keeps the route table at 3 narrow columns however wide the probes fan
     val qRoutes = LshForest

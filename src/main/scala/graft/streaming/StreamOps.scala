@@ -17,6 +17,23 @@ import graft.engine.ZebraEngine
   */
 object StreamOps {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n`, restoring
+    * the previous value after. A streaming query pins its state-store
+    * partition count to this conf at START, so the gate's replay
+    * executions (thousands of rows through 4 micro-batches) paid
+    * 4 batches × 32 partitions of state commit + incremental-planning
+    * overhead for state that fits in a handful of partitions — measured
+    * ~40% of stream_*_exec wall at sf0.1. Production streams size this
+    * to their key cardinality instead; the semantics are
+    * partition-count-independent (gated by the same oracle either way). */
+  def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Event-time windowed aggregation with a watermark: events per hour per
     * type (count + value sum). On a stream this is incremental state with
     * late-data tolerance `lateness`; on a batch frame the watermark is a
