@@ -29,7 +29,7 @@ object DedupQueries {
   /** Word shingles of `text`: n-grams of the single-space tokenization;
     * documents shorter than n words contribute one whole-text shingle.
     * (Split on the literal space to match the oracle's string_split.) */
-  private def shingleCol: Column = {
+  private[graft] def shingleCol: Column = {
     val words = split(lower(col("text")), " ")
     when(size(words) >= ShingleN,
       transform(sequence(lit(0), size(words) - ShingleN),
@@ -771,8 +771,97 @@ object DedupQueries {
     def next(): Long = n.incrementAndGet()
   }
 
+  /** Streaming NEAR-dup in the correctness gate (the minhash sibling of
+    * stream_dedup_exec, which only catches byte-identical text): every
+    * 7th document gets a one-word-appended twin under a +100000 id —
+    * later event time, later micro-batch — so the banded-signature state
+    * must pair each twin with an original from an EARLIER batch. The
+    * replay is doc_id-ordered and event times increase with doc_id, so
+    * the stream's (earlier, later) pair orientation equals the oracle's
+    * doc_a < doc_b, and the whole md5-minhash estimate cascade
+    * (signature -> bands -> bucket candidates -> agreement count) is
+    * replayed verbatim in DuckDB — the streaming RUNTIME lands on the
+    * same hash as the declarative pipeline. n_agree >= 13 of 16 perms is
+    * the est-Jaccard ~0.81 threshold (the stream holds signatures, never
+    * text — the true-Jaccard verify is the batch entry's job, the
+    * documented hand-off in StreamOps.nearDupPairsStream). */
+  val streamNearDupExec = Q(
+    "stream_neardup_exec",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zzztwin")).as("text")))
+      val rows = planted
+        .select(
+          // +1e6 s base: epoch-0 rows are "late" vs the initial watermark
+          timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
+          col("doc_id"), col("text"))
+        .as[(java.sql.Timestamp, Long, String)]
+        .collect().sortBy(_._2)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String)]
+      val sink = s"stream_neardup_exec_sink_${DedupSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .nearDupPairsStream(
+            mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
+      s.table(sink)
+        .select(col("doc_a"), col("doc_b"), col("n_agree").cast("long").as("n_agree"))
+        .distinct().orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' zzztwin'
+        FROM documents WHERE doc_id % 7 = 0),
+      words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM docs),
+      sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) >= $ShingleN
+                    THEN array_to_string(w[i+1:i+$ShingleN], ' ')
+                    ELSE array_to_string(w, ' ') END AS shingle
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, greatest(len(w) - $ShingleN, 0) + 1)) AS i
+              FROM words)),
+      mh AS MATERIALIZED (
+        SELECT doc_id, p.j, min(md5(p.j::VARCHAR || '|' || shingle)) AS mh
+        FROM sh, generate_series(1, $Perms) p(j)
+        GROUP BY doc_id, p.j),
+      bands AS MATERIALIZED (
+        SELECT doc_id, CAST((j-1) // $BandRows AS INT) AS band_id,
+               md5(string_agg(mh, '' ORDER BY j)) AS band_hash
+        FROM mh GROUP BY doc_id, CAST((j-1) // $BandRows AS INT)),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id
+                    AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id),
+      agree AS (
+        SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_agree
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.doc_a
+        JOIN mh b ON b.doc_id = c.doc_b AND b.j = a.j AND b.mh = a.mh
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_agree FROM agree WHERE n_agree >= 13
+      ORDER BY doc_a, doc_b"""))
+
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashKeep, ngramJaccard, ngramKeep,
     simhashPairs, embeddingNearDup, clusterCc, sampleNegatives,
-    semanticPairs, semanticKeep, streamDedupExec)
+    semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec)
 }

@@ -97,6 +97,128 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming NEAR-dup detection — the MinHash-banded sibling of
+    * [[dedupByContentStream]] (which only catches byte-identical text):
+    * a lightly-edited re-crawl arriving within the watermark horizon is
+    * paired against the original it resembles. Emits one row per detected
+    * pair (doc_a = the earlier arrival, doc_b = the later, n_agree = how
+    * many of the `nPerms` minhash signature entries match; n_agree/nPerms
+    * is the Jaccard estimate, so `minAgree` = ceil(threshold · nPerms)).
+    *
+    * Shape (the batch `dedup_minhash_pairs` cascade made continuous):
+    *  - signature + band hashes are computed PER ROW with narrow
+    *    higher-order expressions (no shuffle — the batch side's
+    *    explode + groupBy re-expressed as transform/array_min over the
+    *    shingle array), permutation j of a shingle = md5(j || '|' ||
+    *    shingle), identical to the batch pipeline and its DuckDB oracle;
+    *  - each doc fans out to its `nPerms / bandRows` band buckets; state
+    *    keys on (band_id, band_hash) — the SAME candidate structure that
+    *    bounds the batch join, so only near-colliding docs ever meet;
+    *  - per bucket the state holds (doc_id, signature, event-time) for
+    *    docs inside the watermark horizon — signatures only (512 B/doc at
+    *    16 perms), never text; entries expire via event-time timeout plus
+    *    an in-call prune, so state is bucket-occupancy within `lateness`;
+    *  - a later arrival is compared against every live prior in the
+    *    bucket; agreement >= minAgree emits the pair. Duplicate emissions
+    *    from a pair sharing several bands are for the caller's
+    *    `.distinct()` (batch-side, tiny).
+    *
+    * Semantics hand-off (documented like capPerKey's): the batch entry
+    * verifies candidates with TRUE n-gram Jaccard; the stream uses the
+    * signature ESTIMATE (holding texts in state would be unbounded), and
+    * pairs farther apart than `lateness` are left to the batch pass.
+    * Within a micro-batch, rows process in (ts, doc_id) order, so doc_a
+    * is always the earlier (ties: smaller id) — deterministic output for
+    * a deterministic replay.
+    *
+    * Input: (ts TIMESTAMP, doc_id LONG, text STRING). Output:
+    * (doc_a, doc_b, n_agree LONG). */
+  def nearDupPairsStream(
+      docs: DataFrame, nPerms: Int = 16, bandRows: Int = 4,
+      minAgree: Int = 13, lateness: String = "7 days"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    require(nPerms % bandRows == 0, "bands must tile the signature")
+    // sig[j-1] = min over 3-word shingles of md5(j || '|' || shingle) —
+    // byte-identical to the batch pipeline (DedupQueries.shingleCol +
+    // md5 column) and its DuckDB oracle, but computed in ONE tight JVM
+    // loop per row: the same logic as nested transform/array_min HOFs
+    // evaluates INTERPRETED (the known non-codegen tax, SURVEY §8.2) and
+    // measured 5× slower at the bench SF (34 s vs ~6 s warm). The gate's
+    // oracle hash-match IS the parity proof for this hand-rolled twin.
+    val sigUdf = udf { (text: String) =>
+      val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
+      val shingles: Iterator[String] =
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
+        else Iterator(w.mkString(" "))
+      val mins = new Array[String](nPerms)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexd = "0123456789abcdef".toCharArray
+      shingles.foreach { sh =>
+        var j = 1
+        while (j <= nPerms) {
+          md.reset()
+          val d = md.digest((j.toString + "|" + sh).getBytes("UTF-8"))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexd((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexd(d(i) & 0xf)
+            i += 1
+          }
+          val hex = new String(out)
+          if (mins(j - 1) == null || hex < mins(j - 1)) mins(j - 1) = hex
+          j += 1
+        }
+      }
+      mins.toSeq
+    }
+    val sig = sigUdf(col("text"))
+    val bands = transform(sequence(lit(0), lit(nPerms / bandRows - 1)),
+      b => md5(array_join(
+        slice(col("sig"), b * lit(bandRows) + lit(1), lit(bandRows)), "")
+        .cast("binary")))
+    val fanned = docs
+      .withColumn("sig", sig)
+      .select(col("ts"), col("doc_id"), col("sig"),
+        posexplode(bands).as(Seq("band_id", "band_hash")))
+      .withColumn("bucket",
+        concat(col("band_id").cast("string"), lit("|"), col("band_hash")))
+      .withWatermark("ts", lateness)
+      .select(col("bucket"), col("ts"), col("doc_id"), col("sig"))
+      .as[(String, java.sql.Timestamp, Long, Seq[String])]
+    fanned
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Seq[String], Long)], (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, java.sql.Timestamp, Long, Seq[String])],
+            state: GroupState[Seq[(Long, Seq[String], Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = math.max(state.getCurrentWatermarkMs(), 0L)
+            var live = state.getOption.getOrElse(Seq.empty)
+              .filter(_._3 >= wm - 1) // in-call prune of expired priors
+            val out = Seq.newBuilder[(Long, Long, Long)]
+            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
+              case (_, ts, id, s) =>
+                live.foreach { case (pid, psig, _) =>
+                  val agree = psig.iterator.zip(s.iterator).count {
+                    case (a, b) => a == b
+                  }
+                  if (agree >= minAgree && pid != id)
+                    out += ((pid, id, agree.toLong))
+                }
+                live :+= ((id, s, ts.getTime))
+            }
+            state.update(live)
+            state.setTimeoutTimestamp(
+              live.map(_._3).max + 1L, lateness)
+            out.result().iterator
+          }
+      }
+      .toDF("doc_a", "doc_b", "n_agree")
+  }
+
   /** Per-key cap sampling over a stream: pass through at most `cap` records
     * per key — "keep at most N documents per domain/user" during training
     * data ingest. This is the one streaming op here that genuinely needs

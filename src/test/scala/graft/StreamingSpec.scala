@@ -452,4 +452,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("a", 2L, 11L), ("b", 1L, 1L)))
   }
+
+  /** nearDupPairsStream parity: the streaming banded-minhash estimate must
+    * equal an INDEPENDENT derivation of the same formula — signatures via
+    * the Catalyst HOF columns (the batch pipeline's shape), banding +
+    * agreement counted driver-side. This cross-checks the op's hand-rolled
+    * JVM signature UDF against the declarative md5 column semantics the
+    * DuckDB oracle replays, and proves cross-batch state pairing (every
+    * planted twin arrives in a later micro-batch than its original). */
+  test("nearDupPairsStream equals the batch banded-estimate pair set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = SparkTestBase.sf0001
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zzztwin")).as("text")))
+
+    // Independent expected set: HOF-column signatures, driver-side bands.
+    val sigCol = transform(sequence(lit(1), lit(16)),
+      j => array_min(transform(graft.catalog.DedupQueries.shingleCol,
+        sh => md5(concat(j.cast("string"), lit("|"), sh).cast("binary")))))
+    val sigs = planted.withColumn("sig", sigCol)
+      .select(col("doc_id"), col("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val buckets = scala.collection.mutable.Map
+      .empty[(Int, String), List[Long]]
+    val sigById = sigs.toMap
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    sigs.foreach { case (id, sig) =>
+      (0 until 4).foreach { b =>
+        val key = (b, md5hex(sig.slice(4 * b, 4 * b + 4).mkString("")))
+        buckets.getOrElse(key, Nil).foreach { pid =>
+          val agree = sigById(pid).zip(sig).count { case (x, y) => x == y }
+          if (agree >= 13) expected += ((pid, id, agree.toLong))
+        }
+        buckets(key) = id :: buckets.getOrElse(key, Nil)
+      }
+    }
+
+    // Stream the planted corpus in 4 doc_id-ordered micro-batches.
+    val rows = planted
+      .select(timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
+        col("doc_id"), col("text"))
+      .as[(java.sql.Timestamp, Long, String)].collect().sortBy(_._2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamOps
+      .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_spec_sink")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("neardup_spec_sink")
+      .select("doc_a", "doc_b", "n_agree").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(got == expected.toSet)
+    // Cross-batch coverage: at least one pair's original arrived in the
+    // first micro-batch while its twin arrived in the last.
+    val chunkSize = math.max(1, rows.length / 4 + 1)
+    assert(got.exists { case (a, b, _) =>
+      a < rows(chunkSize - 1)._2 && b >= 100000
+    }, "no pair spans first and last micro-batch")
+  }
 }
