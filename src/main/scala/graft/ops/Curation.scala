@@ -63,9 +63,22 @@ object Curation {
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
       docId: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame) = df
-      .filter(size(split(lower(col(textCol)), " ")) >= n)
-      .select(col(docId), explode(wordGrams(col(textCol), n)).as("g"))
+    // Exploded-gram rows via posexplode + n plain element_at calls — NOT
+    // `explode(wordGrams(...))`: the transform/slice HOF evaluates
+    // interpreted (the fuzzy_join/span-dedup lesson, SURVEY §8.2), and
+    // this per-token projection is decontamination's corpus-scale hot
+    // path. posexplode enumerates gram start positions; the gram itself
+    // is a fixed chain of element_at/concat_ws, all inside codegen.
+    def grams(df: DataFrame) = {
+      val w = split(lower(col(textCol)), " ")
+      df.filter(size(w) >= n)
+        .select(col(docId), w.as("w_arr"))
+        .select(col(docId), col("w_arr"),
+          posexplode(slice(col("w_arr"), lit(1), size(col("w_arr")) - (n - 1))))
+        .select(col(docId),
+          concat_ws(" ", (0 until n).map(j =>
+            element_at(col("w_arr"), col("pos") + j + 1)): _*).as("g"))
+    }
     val bench = grams(benchmark).select("g").distinct()
     grams(corpus).join(broadcast(bench), "g")
       .groupBy(docId).agg(count_distinct(col("g")).as("n_shared"))
