@@ -22,6 +22,14 @@ import graft.catalog.DedupQueries
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "streamneardup") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      streamNearDupLeg(spark, if (args.length > 1) args(1).toInt else 50000)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "embedding") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -135,5 +143,64 @@ object DedupScaleProbe {
       s""""verified_pairs":$nVerified,"planted":$planted0,""" +
       s""""planted_found":$plantedFound,"t_build_sec":$tBuild,""" +
       s""""t_candidates_sec":$tCand,"t_verify_sec":$tVerify}""")
+  }
+
+  /** Streaming near-dup leg (`streamneardup <n>`): sustained-ingest shape
+    * for `StreamOps.nearDupPairsStream` — the same synthetic corpus as
+    * the ngram leg (planted one-word-edited twin for every 20th doc,
+    * J ≈ 0.93) replayed through 8 doc_id-ordered micro-batches, so state
+    * grows batch over batch. Reports per-batch wall (a flat tail means
+    * state growth does NOT slow ingest — lookups are per-bucket, not
+    * per-corpus), final state rows from the progress metrics (must be
+    * ≈ 4 bands × docs seen: signatures only, nothing quadratic), total
+    * emitted pairs, and planted-twin recall at the 13/16 signature-
+    * agreement estimate (expected a bit under 1.0 — binomial estimate
+    * of J ≈ 0.93, deterministic for a fixed corpus; the true-Jaccard
+    * batch pass is the documented backstop). */
+  def streamNearDupLeg(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => format_string("w%04d", pmod(xxhash64(col("id"), j), lit(2000)))))
+        .as("text"))
+    val twins = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + n).as("doc_id"),
+        concat(col("text"), lit(" w_dup")).as("text"))
+    val rows = base.unionAll(twins)
+      .select(timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
+        col("doc_id"), col("text"))
+      .as[(java.sql.Timestamp, Long, String)].collect().sortBy(_._2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamOps
+      .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
+        lateness = "365 days")
+      .writeStream.format("memory").queryName("probe_neardup_sink")
+      .outputMode("append").start()
+    val batchWalls = Seq.newBuilder[Double]
+    try {
+      rows.grouped(math.max(1, rows.length / 8 + 1)).foreach { chunk =>
+        val t0 = System.nanoTime()
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+        batchWalls += (System.nanoTime() - t0) / 1e9
+      }
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      val out = spark.table("probe_neardup_sink")
+        .select("doc_a", "doc_b", "n_agree").distinct().cache()
+      val nPairs = out.count()
+      val planted = (n + 19) / 20
+      val found = out
+        .filter(col("doc_b") === col("doc_a") + n && col("doc_a") % 20 === 0)
+        .count()
+      val walls = batchWalls.result()
+      println(s"""{"probe":"stream_neardup","n_docs":${rows.length},""" +
+        s""""batch_walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""state_rows":$stateRows,"pairs":$nPairs,""" +
+        s""""planted":$planted,"planted_found":$found}""")
+    } finally q.stop()
   }
 }
