@@ -293,7 +293,61 @@ object CurationQueries {
       WHERE q_1e6 >= t.thr
       ORDER BY doc_id"""))
 
+  /** The per-key ingest cap under REAL micro-batch execution (the
+    * runtime gate for `StreamOps.capPerKey`, previously only
+    * MemoryStream-spec'd): documents replayed source-keyed in 4
+    * doc_id-ordered chunks; the stateful counter must keep exactly the
+    * FIRST 50 arrivals per source ACROSS batches — a later batch's doc
+    * is dropped because of budget consumed in earlier batches. Event
+    * times increase with doc_id and capPerKey processes each batch in
+    * (ts, id) order, so the kept set is deterministic and the oracle is
+    * plain row_number over doc_id. */
+  val streamCapExec = Q(
+    "stream_cap_exec",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.documents(s, dir)
+        .select(col("source"),
+          timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
+          col("doc_id").cast("string").as("id"))
+        .as[(String, java.sql.Timestamp, String)]
+        .collect().sortBy(_._3.toLong)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, String)]
+      val sink = s"stream_cap_exec_sink_${CapSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .capPerKey(mem.toDF().toDF("key", "ts", "id"),
+            cap = 50, lateness = "7 days")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(sink)
+        .select(col("key").as("source"), col("id").cast("long").as("doc_id"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""
+      SELECT source, doc_id
+      FROM (SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                     AS rn
+            FROM documents)
+      WHERE rn <= 50 ORDER BY source, doc_id"""))
+
+  private object CapSinkIds {
+    private val n = new java.util.concurrent.atomic.AtomicLong(0)
+    def next(): Long = n.incrementAndGet()
+  }
+
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
-      splitTrainVal, chunkDocuments, temperatureMix, qualityPercentileFilter)
+      splitTrainVal, chunkDocuments, temperatureMix, qualityPercentileFilter,
+      streamCapExec)
 }
