@@ -28,10 +28,24 @@ object StreamOps {
     * partition-count-independent (gated by the same oracle either way). */
   def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)
       (body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    // noDataMicroBatches: after every data batch the engine schedules an
+    // extra empty batch to advance the watermark and flush state whose
+    // emission WAITS on it. The gate entries here emit eagerly (content
+    // dedup, fMGWS pair/cap output) — their results never wait on the
+    // watermark, so the empty batches are pure per-batch overhead
+    // (measured ~30% of exec-entry wall). Ops whose output does ride the
+    // watermark (asofStream's ripe-on-watermark emission, session
+    // windows) must NOT run under this helper with that setting — their
+    // spec harnesses drive the default engine behavior.
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   /** Event-time windowed aggregation with a watermark: events per hour per
