@@ -25,15 +25,30 @@ object PipelineQueries {
 
   private def curatePlan(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      nearDedup: Boolean): org.apache.spark.sql.DataFrame = {
+      nearDedup: Boolean): org.apache.spark.sql.DataFrame =
+    curateFrom(s,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")),
+      if (!nearDedup) None
+      else Some(DedupQueries.NgramPairsCache.get(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()),
+      recrawlShift = 100000L)
+
+  /** The pipeline parameterized by its input frame (PipelineScaleProbe
+    * runs it on synthetic million-doc corpora; the catalog entries bind
+    * it to the fixture + cached near-dup pair table). `nearDupDrop`, when
+    * present, is the doc_id drop-list the near-dup stage anti-joins. */
+  private[graft] def curateFrom(
+      s: org.apache.spark.sql.SparkSession,
+      d: org.apache.spark.sql.DataFrame,
+      nearDupDrop: Option[org.apache.spark.sql.DataFrame],
+      recrawlShift: Long): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
       // Simulated re-crawl: every doc fetched twice under distinct ids —
       // the dedup stage must provably halve the corpus (same construction
       // as dedup_exact_docs).
       val crawl = d.unionAll(
-        d.select((col("doc_id") + 100000).as("doc_id"), col("text"),
+        d.select((col("doc_id") + recrawlShift).as("doc_id"), col("text"),
           col("lang"), col("source")))
       // Exact dedup: md5 of the text, first-crawled id wins. Group members
       // share identical text/lang/source, so min() reconstructs the row
@@ -48,12 +63,10 @@ object PipelineQueries {
       // set of dedup_ngram_keep, computed on the exact-deduped corpus
       // (which the planted re-crawl provably reduces back to `documents`,
       // so the cached pair table applies verbatim).
-      val kept =
-        if (!nearDedup) deduped
-        else deduped.join(
-          DedupQueries.NgramPairsCache.get(s, dir)
-            .select(col("doc_b").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+      val kept = nearDupDrop match {
+        case None => deduped
+        case Some(drop) => deduped.join(drop, Seq("doc_id"), "left_anti")
+      }
       // Quality + length gate (the text_quality_score composite and the
       // BPE-ish word-token count of text_token_count). quality is the
       // rational alpha_len·min(n_tok,100) / (text_len·100); both the gate

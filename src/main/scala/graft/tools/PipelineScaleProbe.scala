@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the COMPOSED curation pipeline (doc_pipeline_curate's
+  * plan — exact dedup → quality/length gate → lang-ID → per-(source, lang)
+  * rollup as ONE Catalyst plan), complementing the per-op probes in
+  * TextScaleProbe: operators that each scale can still compose into a plan
+  * that doesn't (a bad join order, a lost broadcast, an extra exchange).
+  * Synthesizes n docs with a deterministic language prefix (4 stopwords of
+  * en/de/fr by id%3 — lang-ID must recover it exactly) over an alphabetic
+  * 40-word body (the quality gate must pass everything), 4 sources, plus
+  * the pipeline's own simulated re-crawl doubling; asserts the rollup
+  * accounts for EVERY doc with 100% language agreement, and reports
+  * end-to-end wall at two sizes for the growth ratio.
+  *
+  * Run: tools/run.sh graft.tools.PipelineScaleProbe 250000 1000000
+  */
+object PipelineScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes =
+      if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(250000L, 1000000L)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val langNames = array(lit("en"), lit("de"), lit("fr"))
+    val langPrefix = array(
+      lit("the and of it"), lit("der und ist nicht"), lit("le la les pour"))
+
+    for (n <- sizes) {
+      val idx = (pmod(col("id"), lit(3)) + 1).cast("int")
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        element_at(langNames, idx).as("lang"),
+        concat(lit("s"), pmod(col("id"), lit(4))).as("source"),
+        concat(
+          element_at(langPrefix, idx), lit(" "),
+          concat_ws(" ", transform(sequence(lit(0), lit(39)),
+            j => translate(
+              format_string("w%04d", pmod(xxhash64(col("id"), j), lit(2000))),
+              "0123456789", "abcdefghij")))).as("text"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .localCheckpoint(eager = true)
+
+      val t0 = System.nanoTime()
+      val rollup = graft.catalog.PipelineQueries
+        .curateFrom(spark, docs, nearDupDrop = None, recrawlShift = n * 10)
+        .collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nDocs = rollup.map(_.getAs[Long]("n_docs")).sum
+      val nMatch = rollup.map(_.getAs[Long]("n_lang_match")).sum
+      println(s"""{"probe":"pipeline_curate","n_docs_in":$n,""" +
+        s""""crawl_rows":${2 * n},"rollup_rows":${rollup.length},""" +
+        s""""n_docs_out":$nDocs,"n_lang_match":$nMatch,""" +
+        f""""wall_sec":$wall%.2f}""")
+      assert(nDocs == n, s"rollup lost docs: $nDocs != $n")
+      assert(nMatch == nDocs, s"lang-ID disagreement: $nMatch != $nDocs")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}
