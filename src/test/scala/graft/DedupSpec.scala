@@ -150,6 +150,32 @@ class DedupSpec extends AnyFunSuite {
     assert(occ.max < 266, "refinement must reduce the max bucket")
   }
 
+  /** The design claim behind the median offset: a TIGHT CLUSTER (all
+    * members inside a narrow cone far from the origin — exactly what a
+    * forest leaf holds) still splits, because the cut sits at the
+    * bucket's own median projection. An origin-through hyperplane leaves
+    * such a cone entirely on one side and the bucket never splits. */
+  test("refineBuckets: median cut splits a tight off-origin cluster") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val center = Array.fill(16)(5f + rng.nextFloat())
+    val vecs = (0 until 200).map { i =>
+      (i, center.map(c => c + (rng.nextFloat() - 0.5f) * 0.01f).toSeq)
+    }
+    val vectors = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val buckets = vecs.map { case (id, _) => (id, 0, 0) }
+      .toDF("vec_id", "tree_id", "leaf_id")
+    val refined = DedupQueries.refineBuckets(buckets, vectors, cap = 16)
+      .collect().map(_.getInt(3))
+    val occ = refined.groupBy(identity).map(_._2.size)
+    // 200 members, cap 16 -> 4 bits / 16 sub-buckets; median cuts must
+    // keep the largest sub-bucket far below the unsplit 200.
+    assert(occ.size >= 8, s"cone did not split: ${occ.size} sub-buckets")
+    assert(occ.max <= 64, s"max sub-bucket ${occ.max} — cuts missed the cone")
+  }
+
   test("dedup_embedding_cosine returns exactly the planted pairs") {
     val rows = DedupQueries.embeddingNearDup.run(spark, dir).collect()
     val ids = Tables.embeddings(spark, dir)
