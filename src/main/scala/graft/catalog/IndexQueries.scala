@@ -117,9 +117,13 @@ object IndexQueries {
     * vec_id = -1, dist = the offending recall) is appended — so a recall
     * regression CHANGES the row count and content the driver records for
     * the entry, instead of silently re-recording same-shaped output.
-    * Floors sit ~0.15 under the currently measured values (sf0.01/sf0.1),
-    * wide enough for fixture-to-fixture variation, tight enough that a
-    * broken probe path (the failure mode this guards) lands far below. */
+    * Floors sit 0.075–0.175 under the measured 20-query values
+    * (QUALITY_r9: lsh 0.975+, ivf/pq/ivfpq 0.97+ across SFs) — wide
+    * enough for fixture-to-fixture variation at 0.005/miss granularity,
+    * tight enough that a broken probe path (the failure mode this
+    * guards) lands far below. Gates run on the SAME 20-query set
+    * AnnCalibrate measures; the old 5-query gate had 0.02/miss
+    * granularity and sat exactly ON the floor at sf0.1. */
   def recallGated(
       s: org.apache.spark.sql.SparkSession, dir: String,
       approx: org.apache.spark.sql.DataFrame,
