@@ -49,9 +49,9 @@ object DedupQueries {
     * of a shingle is md5(j || '|' || shingle); the signature entry is the
     * minimum over shingles; a band hashes BandRows consecutive entries.
     * Explode-then-min runs entirely map-side before one partial agg. */
-  private def bandTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
     val perms = array((1 to Perms).map(lit): _*)
-    shingleTable(s, dir)
+    shingles(docs)
       .select(col("doc_id"), col("shingle"), explode(perms).as("j"))
       .select(col("doc_id"), col("j"),
         md5(concat(col("j").cast("string"), lit("|"), col("shingle")).cast("binary")).as("h"))
@@ -61,6 +61,28 @@ object DedupQueries {
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct(col("j"), col("mh")))),
           s => s.getField("mh")), "").cast("binary")).as("band_hash"))
+  }
+
+  private def bandTable(s: SparkSession, dir: String): DataFrame =
+    bandsOf(Tables.documents(s, dir))
+
+  /** True n-gram Jaccard over a CANDIDATE pair set alone (never all
+    * pairs), thresholded and 1e-4 rounded — the verify stage shared by
+    * the full self-join and the delta-increment form. */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("doc_a"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("doc_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Candidate pairs = docs sharing any band bucket (the ONLY pair
@@ -75,20 +97,30 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingleTable(s, dir)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sh.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.as("ca"), col("ca.doc_id") === col("doc_a"))
-      .join(cnt.as("cb"), col("cb.doc_id") === col("doc_b"))
-      .withColumn("jaccard",
-        col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(pairs, shingleTable(s, dir))
+  }
+
+  /** Delta-increment near-dup: every verified pair INVOLVING the delta,
+    * computed by joining only the DELTA's band signatures against the
+    * full band table (in production the base side is the PERSISTED band
+    * table from the previous increment — the daily-crawl pattern), then
+    * true-Jaccard-verifying just the delta-involving candidates. Work is
+    * O(|delta| · bucket occupancy) for candidates plus the verify join —
+    * never a full-corpus pair recompute; equals the full self-join
+    * restricted to pairs with an endpoint in the delta (spec-gated, and
+    * the catalog oracle replays the full pipeline with that filter). */
+  private[graft] def minhashPairsDelta(
+      allDocs: DataFrame, allBands: DataFrame, deltaBands: DataFrame): DataFrame = {
+    val pairs = deltaBands.as("d")
+      .join(allBands.as("a"),
+        col("d.band_id") === col("a.band_id") &&
+          col("d.band_hash") === col("a.band_hash") &&
+          col("a.doc_id") =!= col("d.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("d.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("d.doc_id")).as("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, shingles(allDocs))
   }
 
   /** Shared oracle shingle CTEs (the `sh` table both the MinHash and the
@@ -182,6 +214,30 @@ object DedupQueries {
     Some(s"""$oraclePipeline
       SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
       FROM vp ORDER BY doc_a, doc_b"""))
+
+  /** The increment pattern as a gated entry: documents split at the id
+    * midpoint into base + delta; only the delta's bands join the full
+    * band table, and the oracle replays the FULL pipeline filtered to
+    * delta-involving pairs (doc_b past the split implies an endpoint in
+    * the delta, since ids order the halves) — proving the delta
+    * computation finds exactly the pairs a full recompute would. */
+  val minhashIncremental = Q(
+    "dedup_minhash_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val split = (docs.agg(max("doc_id")).first().getLong(0) + 1) / 2
+      val base = docs.filter(col("doc_id") < split)
+      val delta = docs.filter(col("doc_id") >= split)
+      // production: baseBands is the persisted output of the last increment
+      val deltaBands = bandsOf(delta)
+      minhashPairsDelta(docs, bandsOf(base).unionAll(deltaBands), deltaBands)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""$oraclePipeline
+      SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+      FROM vp
+      WHERE doc_b >= (SELECT (max(doc_id) + 1) // 2 FROM documents)
+      ORDER BY doc_a, doc_b"""))
 
   /** Keep-list under first-wins semantics: drop every doc that near-dups a
     * lower id (greedy, matches I10's first-inserted-wins). */
@@ -861,7 +917,8 @@ object DedupQueries {
       ORDER BY doc_a, doc_b"""))
 
   def qs: Seq[Q] = Seq(
-    dedupExactDocs, minhashPairs, minhashKeep, ngramJaccard, ngramKeep,
+    dedupExactDocs, minhashPairs, minhashIncremental, minhashKeep,
+    ngramJaccard, ngramKeep,
     simhashPairs, embeddingNearDup, clusterCc, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec)
 }

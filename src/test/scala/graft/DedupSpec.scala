@@ -102,6 +102,27 @@ class DedupSpec extends AnyFunSuite {
       s"simhash precision@J0.5 = ${jacs.count(_ >= 0.5)}/${jacs.length}")
   }
 
+  /** The delta-increment contract: pairs found by joining ONLY the
+    * delta's bands against the full band table equal the full self-join's
+    * verified pairs restricted to delta-involving endpoints — an
+    * independent Spark-side derivation of the same filter the catalog
+    * oracle applies in SQL. */
+  test("minhash delta-increment equals the full pair set filtered to delta") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val split = (docs.agg(max("doc_id")).head().getLong(0) + 1) / 2
+    val deltaBands = DedupQueries.bandsOf(docs.filter(col("doc_id") >= split))
+    val allBands = DedupQueries.bandsOf(docs.filter(col("doc_id") < split))
+      .unionAll(deltaBands)
+    val delta = DedupQueries.minhashPairsDelta(docs, allBands, deltaBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = DedupQueries.minhashPairs.run(spark, dir)
+      .filter(col("doc_b") >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(delta == full)
+    assert(delta.nonEmpty, "fixture should contain delta-involving near-dups")
+  }
+
   test("simhash is deterministic and order-insensitive to tokens' hash") {
     assert(DedupQueries.simhash64("a b c") == DedupQueries.simhash64("a b c"))
     assert(DedupQueries.simhash64("x") != DedupQueries.simhash64("y"))
