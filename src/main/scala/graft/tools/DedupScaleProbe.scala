@@ -22,6 +22,14 @@ import graft.catalog.DedupQueries
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "minhashdelta") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      minhashDeltaLeg(spark, if (args.length > 1) args(1).toInt else 100000)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "streamneardup") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -143,6 +151,64 @@ object DedupScaleProbe {
       s""""verified_pairs":$nVerified,"planted":$planted0,""" +
       s""""planted_found":$plantedFound,"t_build_sec":$tBuild,""" +
       s""""t_candidates_sec":$tCand,"t_verify_sec":$tVerify}""")
+  }
+
+  /** Delta-increment leg (`minhashdelta <n>`): the scale claim behind
+    * dedup_minhash_incremental — a 10% delta against a 90% base whose
+    * band table is already persisted (the previous increment's output,
+    * NOT timed) must cost a small fraction of the full-corpus pair
+    * recompute, and find exactly the full set's delta-involving pairs.
+    * Twins planted base→delta (every 20th base doc gets a near-dup twin
+    * in the delta) so the increment must pair across the split. */
+  def minhashDeltaLeg(spark: SparkSession, n: Int): Unit = {
+    import graft.catalog.DedupQueries
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => format_string("w%04d", pmod(xxhash64(col("id"), j), lit(2000)))))
+        .as("text"))
+    // delta = 10% fresh docs + twins of every 20th base doc
+    val fresh = spark.range(n, n + n / 10).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => format_string("w%04d", pmod(xxhash64(col("id"), j), lit(2000)))))
+        .as("text"))
+    val twins = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10 * n.toLong).as("doc_id"),
+        concat(col("text"), lit(" w_dup")).as("text"))
+    val delta = fresh.unionAll(twins)
+    val docs = base.unionAll(delta).cache()
+    docs.count()
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // previous increment's persisted output — not part of the delta cost
+    val baseBands = DedupQueries.bandsOf(base).cache()
+    baseBands.count()
+
+    val (deltaPairs, tDelta) = time {
+      val db = DedupQueries.bandsOf(delta)
+      DedupQueries.minhashPairsDelta(docs, baseBands.unionAll(db), db)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val (fullPairs, tFull) = time {
+      val all = DedupQueries.bandsOf(docs)
+      val cand = all.as("a").join(all.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      DedupQueries.verifyJaccardProbe(cand, docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val fullDeltaInvolving = fullPairs.filter { case (_, b) => b >= n }
+    println(s"""{"probe":"minhash_delta","n_base":$n,"n_delta":${n / 10 + n / 20},""" +
+      s""""t_delta_sec":${f"$tDelta%.2f"},"t_full_sec":${f"$tFull%.2f"},""" +
+      s""""delta_pairs":${deltaPairs.size},""" +
+      s""""full_delta_involving":${fullDeltaInvolving.size},""" +
+      s""""equal":${deltaPairs == fullDeltaInvolving}}""")
   }
 
   /** Streaming near-dup leg (`streamneardup <n>`): sustained-ingest shape
