@@ -909,6 +909,161 @@ object RelationalQueries {
              max(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Ordered window funnel (view → click → purchase within 24 h of the
+    * user's FIRST view) via [[graft.ops.Funnel.funnelCounts]] — see the
+    * operator scaladoc for the per-step-aggregate plan shape and the
+    * boundary semantics (strict step order, inclusive window, min
+    * anchor), both replayed exactly by this oracle and edge-gated with
+    * planted events in FunnelSpec. */
+  val windowFunnel = Q(
+    "q_window_funnel",
+    (s, dir) =>
+      graft.ops.Funnel.funnelCounts(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type")),
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 86400000000L) // 24 h
+        .select(col("n_step_1").as("n_view"),
+          col("n_step_2").as("n_click_24h"),
+          col("n_step_3").as("n_purchase_24h")),
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+      v AS (SELECT user_id, min(us) AS v_us FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.us) AS c_us, min(v.v_us) AS v_us
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND e.us > v.v_us AND e.us <= v.v_us + 86400000000
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.us) AS p_us
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.us > c.c_us AND e.us <= c.v_us + 86400000000
+            GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+             (SELECT count(*) FROM c)::BIGINT AS n_click_24h,
+             (SELECT count(*) FROM p)::BIGINT AS n_purchase_24h"""))
+
+  /** Theta-sketch SET-INTERSECTION — the sketch family's answer to
+    * "how many (user, day) pairs did BOTH click and purchase?" at 100 TB:
+    * HLL can only union, theta sketches support intersection/difference,
+    * so per-(type, hour) sketches roll up to per-type sketches
+    * (mergeable, like q_sketch_rollup) and the overlap is estimated from
+    * the two 4 KB buffers — never a distinct-pair shuffle of the raw
+    * corpus. Gated like q_sketch_distinct: the exact intersection (small
+    * here) rides next to a within-5% flag the oracle asserts TRUE; the
+    * composite key is exact integer arithmetic (user_id·100000 +
+    * epoch-day) on both engines. n_parts witnesses a real multi-sketch
+    * merge (hundreds of hourly sketches per type). */
+  val sketchThetaOverlap = Q(
+    "q_sketch_theta_overlap",
+    (s, dir) => {
+      val k = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          (col("user_id") * 100000L +
+            expr("unix_micros(ts) div 86400000000")).as("uk"))
+      val fine = k.groupBy("event_type", "h")
+        .agg(expr("theta_sketch_agg(uk)").as("sk"))
+      val per = fine.groupBy("event_type")
+        .agg(expr("theta_union_agg(sk)").as("sk"),
+          count(lit(1)).as("n_parts"))
+      val est = per.agg(
+        expr("theta_sketch_estimate(theta_intersection_agg(sk))")
+          .cast("long").as("est_both"),
+        sum("n_parts").as("n_parts"))
+      val exact = k.filter(col("event_type") === "click").select("uk")
+        .intersect(
+          k.filter(col("event_type") === "purchase").select("uk"))
+        .agg(count(lit(1)).as("exact_both"))
+      est.crossJoin(exact)
+        .select(col("n_parts"), col("exact_both"),
+          (abs(col("est_both") - col("exact_both")) * lit(20L) <=
+            col("exact_both")).as("within_5pct"))
+    },
+    Some("""
+      WITH k AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               user_id * 100000 + epoch_us(ts) // 86400000000 AS uk
+        FROM events WHERE event_type IN ('click', 'purchase'))
+      SELECT (SELECT count(*) FROM (SELECT DISTINCT event_type, h FROM k))::BIGINT
+               AS n_parts,
+             (SELECT count(*) FROM
+               (SELECT DISTINCT uk FROM k WHERE event_type = 'click'
+                INTERSECT
+                SELECT DISTINCT uk FROM k WHERE event_type = 'purchase'))::BIGINT
+               AS exact_both,
+             TRUE AS within_5pct"""))
+
+  /** A REAL micro-batch `session_window` run in the correctness gate (the
+    * sessionization sibling of stream_hourly_exec): events replayed
+    * ts-ordered through a MemoryStream in 2 chunks (sessions straddling
+    * the boundary prove cross-batch session-window state merging; the
+    * entry's wall is per-batch planning overhead, ~1.1 s/batch, so the
+    * chunk count is the minimum that still exercises it), and emission
+    * happens only when the WATERMARK passes a session's end — so unlike
+    * the other exec gates this one exercises the watermark-driven append
+    * path. Two far-future sentinel events (user_id = -1, max ts + 4 h /
+    * + 8 h against a 1 h lateness + 30 min gap) close every real session
+    * with DATA batches — the first advances the watermark past all real
+    * session ends, the second's batch emits against it — keeping the
+    * engine's no-data flush batches off (they'd add one empty batch per
+    * chunk for the same effect). The
+    * sentinels' own open session is filtered from the sink. Hash-gated
+    * against the SAME
+    * DuckDB oracle as the batch q_events_sessions_native — the streaming
+    * runtime must land on the identical session set. */
+  val eventsSessionsStreamExec = Q(
+    "stream_sessions_exec",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)]
+        .collect().sortBy(_._1.getTime)
+      def sentinel(hours: Int) = (
+        new java.sql.Timestamp(rows.last._1.getTime + hours * 3600 * 1000L),
+        -1L)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val sink = s"stream_sessions_exec_sink_${StreamSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamOps
+          .sessionize(mem.toDF().toDF("ts", "user_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+          mem.addData(Seq(sentinel(4)))
+          q.processAllAvailable() // advances the watermark past all sessions
+          mem.addData(Seq(sentinel(8)))
+          q.processAllAvailable() // emits every real session against it
+        } finally q.stop()
+      }
+      s.table(sink)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "sess_start_us")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      s AS (SELECT user_id, event_id, us,
+              CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id, us,
+              sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM s)
+      SELECT user_id, min(us) AS sess_start_us, count(*) AS n_events,
+             ((max(us) - min(us)) // 100) / 10000.0 AS duration_sec
+      FROM g GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_start_us"""))
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsHourlyStreamExec, eventsSessions,
@@ -917,5 +1072,5 @@ object RelationalQueries {
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
-    sketchRollup)
+    sketchRollup, windowFunnel, sketchThetaOverlap, eventsSessionsStreamExec)
 }

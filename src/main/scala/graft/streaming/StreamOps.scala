@@ -26,20 +26,21 @@ object StreamOps {
     * ~40% of stream_*_exec wall at sf0.1. Production streams size this
     * to their key cardinality instead; the semantics are
     * partition-count-independent (gated by the same oracle either way). */
-  def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)
+  def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int,
+      noDataBatches: Boolean = false)
       (body: => T): T = {
     // noDataMicroBatches: after every data batch the engine schedules an
     // extra empty batch to advance the watermark and flush state whose
     // emission WAITS on it. The gate entries here emit eagerly (content
     // dedup, fMGWS pair/cap output) — their results never wait on the
     // watermark, so the empty batches are pure per-batch overhead
-    // (measured ~30% of exec-entry wall). Ops whose output does ride the
-    // watermark (asofStream's ripe-on-watermark emission, session
-    // windows) must NOT run under this helper with that setting — their
-    // spec harnesses drive the default engine behavior.
+    // (measured ~30% of exec-entry wall) and default OFF. Ops whose output
+    // does ride the watermark (asofStream's ripe-on-watermark emission,
+    // session windows — stream_sessions_exec) pass `noDataBatches = true`
+    // to keep the engine's flush batches.
     val confs = Seq(
       "spark.sql.shuffle.partitions" -> n.toString,
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString)
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally prev.foreach {

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Funnel
+
+/** Boundary gates for the window funnel ([[graft.ops.Funnel]]): the three
+  * documented semantics — strict step order, inclusive window bound, min
+  * anchor — each flipped by a single planted event, plus a partial-funnel
+  * case that would have caught the original completed-users-only join bug
+  * (intermediate step counts must include users who drop later). */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val Steps = Seq("view", "click", "purchase")
+  private val W = 1000L // window in µs for these planted logs
+
+  private def counts(rows: Seq[(Long, Long, String)]): (Long, Long, Long) = {
+    import spark.implicits._
+    val df = spark.createDataset(rows).toDF("user_id", "us", "event_type")
+    val r = Funnel.funnelCounts(df, Steps, W).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("completed and partial funnels count per step reached") {
+    // u1 completes; u2 reaches click only; u3 views only; u4 never views
+    // (its click/purchase must not create a funnel without step 1).
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 100L, "view"), (2L, 200L, "click"),
+      (3L, 100L, "view"),
+      (4L, 100L, "click"), (4L, 200L, "purchase"))
+    assert(counts(rows) == ((3L, 2L, 1L)))
+  }
+
+  test("strict order: a step at exactly the previous step's ts does not advance") {
+    val tied = Seq(
+      (1L, 100L, "view"), (1L, 100L, "click"), (1L, 300L, "purchase"))
+    assert(counts(tied) == ((1L, 0L, 0L)))
+    // one µs later and the click (then purchase) qualifies
+    val after = Seq(
+      (1L, 100L, "view"), (1L, 101L, "click"), (1L, 300L, "purchase"))
+    assert(counts(after) == ((1L, 1L, 1L)))
+  }
+
+  test("window is inclusive at anchor + W and anchored at the FIRST view") {
+    // click exactly at anchor+W counts; purchase at anchor+W+1 does not
+    val edge = Seq(
+      (1L, 100L, "view"), (1L, 100L + W, "click"),
+      (1L, 101L + W, "purchase"))
+    assert(counts(edge) == ((1L, 1L, 0L)))
+    // a second, later view would put the purchase in window, but the
+    // anchor stays at the FIRST view — documented min-anchor semantics
+    val reanchor = Seq(
+      (1L, 100L, "view"), (1L, 2000L, "view"),
+      (1L, 2100L, "click"), (1L, 2200L, "purchase"))
+    assert(counts(reanchor) == ((1L, 0L, 0L)))
+  }
+
+  test("earliest QUALIFYING step is the next anchor, not the globally earliest") {
+    // u1's earliest click is BEFORE its first view (non-qualifying); the
+    // later click must carry the funnel and the purchase follows it.
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 50L, "click"),
+      (1L, 400L, "click"), (1L, 500L, "purchase"))
+    assert(counts(rows) == ((1L, 1L, 1L)))
+  }
+
+  test("funnelSteps keeps one row per step-1 user with null tails") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 100L, "view"), (2L, 200L, "click"),
+      (3L, 100L, "view"))
+    val df = spark.createDataset(rows).toDF("user_id", "us", "event_type")
+    val wide = Funnel.funnelSteps(df, Steps, W)
+      .orderBy("user").collect()
+    assert(wide.length == 3)
+    assert(wide.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(!wide(0).isNullAt(3) && wide(1).isNullAt(3) && wide(2).isNullAt(2))
+  }
+}
