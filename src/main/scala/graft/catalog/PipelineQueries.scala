@@ -180,5 +180,99 @@ object PipelineQueries {
       DedupQueries.oracleNgramPipeline + ",",
       "\n                 AND doc_id NOT IN (SELECT doc_b FROM vp)")))
 
-  def qs: Seq[Q] = Seq(curate, curateNearDup)
+  /** The stages BETWEEN curation and the trainer, composed into one plan:
+    * exact dedup (planted re-crawl, provably halved) → integer quality
+    * gate → temperature mixing over the skewed lang dimension (τ = 0.5,
+    * md5-membership, computed on the FILTERED corpus — mixing weights
+    * must reflect what survived the gate, not the raw crawl) → train
+    * split (md5 bucket, growth-stable) → 2048-token sequence packing →
+    * per-source shard report (docs / sequences / tokens). With
+    * doc_pipeline_curate(_v2) this closes the crawl→shard path: curate
+    * proves the filtering cascade, this proves the SAMPLING + PACKING
+    * cascade that consumes it. Every stage is deterministic integer/md5
+    * arithmetic, so the DuckDB twin replays all six decisions exactly;
+    * scale shape is the stages' own (dedup groups 16-byte digests, mix
+    * thresholds broadcast, packing windows partitioned by source). */
+  val pretrainShard = Q(
+    "doc_pipeline_pretrain",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val crawl = d.unionAll(
+        d.select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+      val deduped = crawl
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+          min("lang").as("lang"), min("source").as("source"))
+        .drop("h")
+      val nTokens = size(split(col("text"), " "))
+      val alphaLen =
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
+      val filtered = deduped
+        .withColumn("word_tokens",
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+            lit(0))).cast("long"))
+        .withColumn("text_len", length(col("text")).cast("long"))
+        .withColumn("q_num", alphaLen * least(nTokens, lit(100)).cast("long"))
+        .filter(col("q_num") >= lit(25L) * col("text_len") &&
+          col("word_tokens") >= 10)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("word_tokens").as("n_tok"))
+      val mixed = graft.ops.Curation
+        .temperatureSample(filtered, strata = "lang", tau = 0.5)
+      val bucket =
+        substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
+      val train = mixed.filter(bucket < "cc")
+      graft.ops.Curation
+        .packSequences(train, strata = "source", tokensCol = "n_tok",
+          budget = 2048)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("seq_id").as("n_seqs"),
+          sum("n_tok").as("sum_tokens"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH crawl AS (SELECT doc_id, text, lang, source FROM documents
+                     UNION ALL
+                     SELECT doc_id + 100000, text, lang, source FROM documents),
+      dedup AS (SELECT min(doc_id) AS doc_id, min(text) AS text,
+                       min(lang) AS lang, min(source) AS source
+                FROM crawl GROUP BY md5(text)),
+      feat AS (SELECT doc_id, lang, source,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                        AS word_tokens,
+                      length(text)::BIGINT AS text_len,
+                      len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT
+                        * least(len(string_split(text, ' ')), 100)::BIGINT
+                        AS q_num
+               FROM dedup),
+      filt AS (SELECT doc_id, lang, source, word_tokens AS n_tok
+               FROM feat
+               WHERE q_num >= 25 * text_len AND word_tokens >= 10),
+      c AS (SELECT lang, count(*)::BIGINT AS n_s FROM filt GROUP BY lang),
+      m AS (SELECT min(n_s) AS n_min FROM c),
+      t AS (SELECT lang,
+                   CASE WHEN n_min >= n_s THEN 'g'
+                        ELSE lpad(lower(to_hex(
+                          floor(sqrt(n_min::DOUBLE / n_s) * 16777216)::BIGINT)),
+                          6, '0') END AS thr
+            FROM c, m),
+      mixed AS (SELECT f.doc_id, f.lang, f.source, f.n_tok
+                FROM filt f JOIN t USING (lang)
+                WHERE substr(md5('m' || doc_id), 1, 6) < thr),
+      train AS (SELECT * FROM mixed
+                WHERE substr(md5('v' || doc_id), 1, 2) < 'cc'),
+      packed AS (SELECT source, n_tok,
+                        ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          - n_tok) // 2048)::BIGINT AS seq_id
+                 FROM train)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             count(DISTINCT seq_id)::BIGINT AS n_seqs,
+             sum(n_tok)::BIGINT AS sum_tokens
+      FROM packed GROUP BY source ORDER BY source"""))
+
+  def qs: Seq[Q] = Seq(curate, curateNearDup, pretrainShard)
 }
