@@ -193,46 +193,56 @@ object PipelineQueries {
     * arithmetic, so the DuckDB twin replays all six decisions exactly;
     * scale shape is the stages' own (dedup groups 16-byte digests, mix
     * thresholds broadcast, packing windows partitioned by source). */
+  /** The shard cascade parameterized by its input frame
+    * (PipelineScaleProbe runs it on synthetic million-doc corpora; the
+    * catalog entry binds it to the fixture). Stages as documented on
+    * [[pretrainShard]]. */
+  private[graft] def shardFrom(
+      s: org.apache.spark.sql.SparkSession,
+      d: org.apache.spark.sql.DataFrame,
+      recrawlShift: Long): org.apache.spark.sql.DataFrame = {
+    val crawl = d.unionAll(
+      d.select((col("doc_id") + recrawlShift).as("doc_id"), col("text"),
+        col("lang"), col("source")))
+    val deduped = crawl
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+        min("lang").as("lang"), min("source").as("source"))
+      .drop("h")
+    val nTokens = size(split(col("text"), " "))
+    val alphaLen =
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
+    val filtered = deduped
+      .withColumn("word_tokens",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).cast("long"))
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .withColumn("q_num", alphaLen * least(nTokens, lit(100)).cast("long"))
+      .filter(col("q_num") >= lit(25L) * col("text_len") &&
+        col("word_tokens") >= 10)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("word_tokens").as("n_tok"))
+    val mixed = graft.ops.Curation
+      .temperatureSample(filtered, strata = "lang", tau = 0.5)
+    val bucket =
+      substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
+    val train = mixed.filter(bucket < "cc")
+    graft.ops.Curation
+      .packSequences(train, strata = "source", tokensCol = "n_tok",
+        budget = 2048)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("seq_id").as("n_seqs"),
+        sum("n_tok").as("sum_tokens"))
+      .orderBy("source")
+  }
+
   val pretrainShard = Q(
     "doc_pipeline_pretrain",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      val crawl = d.unionAll(
-        d.select((col("doc_id") + 100000L).as("doc_id"), col("text"),
-          col("lang"), col("source")))
-      val deduped = crawl
-        .groupBy(md5(col("text").cast("binary")).as("h"))
-        .agg(min("doc_id").as("doc_id"), min("text").as("text"),
-          min("lang").as("lang"), min("source").as("source"))
-        .drop("h")
-      val nTokens = size(split(col("text"), " "))
-      val alphaLen =
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
-      val filtered = deduped
-        .withColumn("word_tokens",
-          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
-            lit(0))).cast("long"))
-        .withColumn("text_len", length(col("text")).cast("long"))
-        .withColumn("q_num", alphaLen * least(nTokens, lit(100)).cast("long"))
-        .filter(col("q_num") >= lit(25L) * col("text_len") &&
-          col("word_tokens") >= 10)
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("word_tokens").as("n_tok"))
-      val mixed = graft.ops.Curation
-        .temperatureSample(filtered, strata = "lang", tau = 0.5)
-      val bucket =
-        substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
-      val train = mixed.filter(bucket < "cc")
-      graft.ops.Curation
-        .packSequences(train, strata = "source", tokensCol = "n_tok",
-          budget = 2048)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct("seq_id").as("n_seqs"),
-          sum("n_tok").as("sum_tokens"))
-        .orderBy("source")
-    },
+    (s, dir) => shardFrom(s,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")),
+      recrawlShift = 100000L),
     Some("""
       WITH crawl AS (SELECT doc_id, text, lang, source FROM documents
                      UNION ALL

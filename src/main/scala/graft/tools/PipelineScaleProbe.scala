@@ -58,6 +58,54 @@ object PipelineScaleProbe {
       assert(nDocs == n, s"rollup lost docs: $nDocs != $n")
       assert(nMatch == nDocs, s"lang-ID disagreement: $nMatch != $nDocs")
       System.out.flush()
+
+      // Shard leg: the sampling+packing cascade (doc_pipeline_pretrain's
+      // plan — dedup → gate → temperature mix → train split → packing →
+      // per-source report). The synthetic corpus passes the gate whole, so
+      // the kept-count invariant is independently recomputable: a doc
+      // survives iff its md5 mix draw clears its lang's threshold AND its
+      // md5 split bucket is train — checked with a SECOND plan that never
+      // touches the cascade (same md5 predicates over the raw frame, using
+      // the closed-form keep-all thresholds of this corpus's exact-thirds
+      // lang balance). Tokens must conserve exactly: sum_tokens equals the
+      // independent sum over the kept set.
+      val t1 = System.nanoTime()
+      val shard = graft.catalog.PipelineQueries
+        .shardFrom(spark, docs, recrawlShift = n * 10)
+        .collect()
+      val shardWall = (System.nanoTime() - t1) / 1e9
+      val sDocs = shard.map(_.getAs[Long]("n_docs")).sum
+      val sSeqs = shard.map(_.getAs[Long]("n_seqs")).sum
+      val sTok = shard.map(_.getAs[Long]("sum_tokens")).sum
+      // independent keep-set: lang counts here are exact thirds (rate
+      // thresholds derived the same closed-form way temperatureSample
+      // does, but over the raw corpus — no pipeline code shared)
+      val langCnt = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nMin = langCnt.values.min
+      val thrOf = langCnt.map { case (l, c) =>
+        l -> (if (nMin >= c) "g"
+              else f"${math.floor(math.sqrt(nMin.toDouble / c) * (1 << 24)).toLong}%06x")
+      }
+      import spark.implicits._
+      val indep = docs
+        .join(broadcast(thrOf.toSeq.toDF("lang", "thr")), "lang")
+        .filter(substring(md5(concat(lit("m"), col("doc_id").cast("string"))), 1, 6)
+          < col("thr"))
+        .filter(substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
+          < "cc")
+        .agg(count(lit(1)).as("n"),
+          sum(size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+            lit(0))).cast("long")).as("tok"))
+        .head()
+      println(s"""{"probe":"pipeline_shard","n_docs_in":$n,""" +
+        s""""n_docs_kept":$sDocs,"n_seqs":$sSeqs,"sum_tokens":$sTok,""" +
+        f""""wall_sec":$shardWall%.2f}""")
+      assert(sDocs == indep.getLong(0),
+        s"shard kept ${sDocs} docs, independent keep-set says ${indep.getLong(0)}")
+      assert(sTok == indep.getLong(1),
+        s"shard tokens $sTok != independent ${indep.getLong(1)}")
+      System.out.flush()
     }
     spark.stop()
   }
