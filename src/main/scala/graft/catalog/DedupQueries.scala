@@ -691,6 +691,35 @@ object DedupQueries {
       SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
       FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  /** [[clusterCc]] through the alternating large-star/small-star
+    * contraction ([[graft.ops.ConnectedComponents.componentsLargeSmallStar]]
+    * — Kiveris et al. SoCC'14) instead of min-label propagation: O(log n)
+    * rounds regardless of component DIAMETER, where min-label pays
+    * O(diameter) (ConnectedComponentsSpec plants a 64-path min-label
+    * provably cannot finish at its round budget). Same oracle as
+    * dedup_cluster_cc, so the hash gate proves the two algorithms land on
+    * the identical fixpoint over the real near-dup pair graph. */
+  val clusterCcStar = Q(
+    "dedup_cluster_cc_star",
+    (s, dir) => {
+      val edges = NgramPairsCache.get(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.ops.ConnectedComponents.componentsLargeSmallStar(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""${oracleNgramPipeline.replaceFirst("WITH", "WITH RECURSIVE")},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION SELECT doc_b, doc_a FROM vp
+              UNION SELECT doc_a, doc_a FROM vp
+              UNION SELECT doc_b, doc_b FROM vp),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+      SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""))
+
   /** Deterministic random-negative sampling for contrastive training: per
     * anchor doc, 3 negatives drawn from 5 affine-derived candidate slots,
     * excluding self and every verified near-duplicate (a near-dup used as
@@ -950,6 +979,6 @@ object DedupQueries {
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep,
-    simhashPairs, embeddingNearDup, clusterCc, sampleNegatives,
+    simhashPairs, embeddingNearDup, clusterCc, clusterCcStar, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec)
 }

@@ -65,4 +65,75 @@ object ConnectedComponents {
     require(converged, s"connected components did not converge in $maxIter rounds")
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** Components via alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * deep-chain-proof variant [[components]]' scaladoc promises: where
+    * min-label propagation needs O(component diameter) rounds (a planted
+    * 64-node path needs 64), the star operations contract every component
+    * to a star in O(log n) alternations regardless of diameter, because
+    * each round rewires nodes to the minimum of their NEIGHBORHOOD's
+    * minima, not just their neighbors.
+    *
+    * Per alternation (each one groupBy + one join-back, same primitives as
+    * a min-label round):
+    *   - large-star(u): every neighbor v > u is re-pointed at
+    *     m = min(Γ(u) ∪ u);
+    *   - small-star(u), over edges directed big→small: every (smaller)
+    *     neighbor AND u itself re-point at m = min(Γ⁻(u) ∪ u).
+    * Both emit edges oriented (big, small), so the edge frame stays
+    * canonical; convergence = the small-star output equals its input
+    * (checked with except — both sides distinct), at which point every
+    * edge is (node, component-min-id) directly.
+    *
+    * Same output contract as [[components]] (nodes appearing in edges
+    * only; component = min reachable id; deterministic — gated equal in
+    * ConnectedComponentsSpec on random graphs and the planted path). */
+  def componentsLargeSmallStar(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 40): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over both directions: m(u) = min(Γ(u) ∪ u); larger
+      // neighbors re-point at it. Every undirected edge is emitted exactly
+      // once (from its smaller endpoint), so the frame never balloons.
+      val dir = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = dir.groupBy(col("a").as("u"))
+        .agg(min("b").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = dir.filter(col("b") > col("a"))
+        .join(mins, dir("a") === mins("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      // small-star over the (big → small) orientation: everything in the
+      // closed smaller-neighborhood re-points at its min, INCLUDING u —
+      // that is the edge (u, m) union leg, and it is what contracts chains.
+      val mins2 = large.groupBy(col("a").as("u")).agg(min("b").as("m"))
+      val small = large
+        .join(mins2, large("a") === mins2("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint()
+      converged = small.except(e).limit(1).count() == 0 &&
+        e.except(small).limit(1).count() == 0
+      e = small
+      iter += 1
+    }
+    require(converged, s"large/small-star did not converge in $maxIter rounds")
+    e.select(col("a").as("node"), col("b").as("component"))
+      .unionAll(e.select(col("b").as("node"), col("b").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+  }
 }

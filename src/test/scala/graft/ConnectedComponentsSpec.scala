@@ -52,6 +52,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.componentsLargeSmallStar(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("large/small-star equals min-label and union-find on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val ref = ufRef(edges)
+      assert(ccStar(edges) == ref)
+      assert(cc(edges) == ref)
+    }
+  }
+
+  test("large/small-star contracts a 64-node path past min-label's round budget") {
+    // A 64-long chain has diameter 63: min-label at its default maxIter=20
+    // MUST fail (that is the documented weakness), while the star
+    // alternation converges logarithmically and labels the whole path 0.
+    val path = (0L until 63L).map(i => (i, i + 1))
+    assert(ccStar(path) == (0L to 63L).map(_ -> 0L).toMap)
+    val e = intercept[IllegalArgumentException](cc(path))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("catalog clusters: every cluster id is a member and the minimum") {
     val rows = graft.catalog.DedupQueries.clusterCc
       .run(spark, SparkTestBase.sf0001).collect()
