@@ -1068,6 +1068,59 @@ object RelationalQueries {
       FROM g GROUP BY user_id, sess_id
       ORDER BY user_id, sess_start_us"""))
 
+  /** The window funnel under REAL micro-batch execution
+    * ([[graft.streaming.StreamOps.funnelStream]]): events replayed
+    * ts-ordered in 2 chunks; a user's funnel state accumulates ACROSS
+    * batches (step 2/3 events arrive in later micro-batches than the
+    * anchor view) and each funnel is finalized only when the WATERMARK
+    * closes its 24 h window — the greedy chain then replays the batch
+    * operator's decision procedure over the buffered events. Two
+    * far-future sentinels of a NON-step type drive the flush (the state
+    * function ignores unknown types, so they advance the watermark and
+    * leave no state — see the funnelStream scaladoc for why a pre-filter
+    * would break exactly this); per-user results aggregate to the same
+    * counts row as q_window_funnel — the streaming runtime must land on
+    * the batch entry's exact oracle hash. */
+  val windowFunnelStreamExec = Q(
+    "stream_funnel_exec",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .as[(java.sql.Timestamp, Long, String)]
+        .collect().sortBy(_._1.getTime)
+      def sentinel(hours: Int) = (
+        new java.sql.Timestamp(rows.last._1.getTime + hours * 3600 * 1000L),
+        -1L, "zz_sentinel")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String)]
+      val sink = s"stream_funnel_exec_sink_${StreamSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamOps
+          .funnelStream(mem.toDF().toDF("ts", "user_id", "event_type"),
+            steps = Seq("view", "click", "purchase"),
+            windowUs = 86400000000L)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+          mem.addData(Seq(sentinel(26))) // 24h window + 1h lateness + 1h
+          q.processAllAvailable() // advances the watermark past every window
+          mem.addData(Seq(sentinel(27)))
+          q.processAllAvailable() // fires the timeouts that emit
+        } finally q.stop()
+      }
+      s.table(sink)
+        .agg(count(lit(1)).as("n_view"),
+          sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("n_click_24h"),
+          sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("n_purchase_24h"))
+    },
+    windowFunnel.oracle)
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsHourlyStreamExec, eventsSessions,
@@ -1076,5 +1129,6 @@ object RelationalQueries {
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
-    sketchRollup, windowFunnel, sketchThetaOverlap, eventsSessionsStreamExec)
+    sketchRollup, windowFunnel, sketchThetaOverlap, eventsSessionsStreamExec,
+    windowFunnelStreamExec)
 }

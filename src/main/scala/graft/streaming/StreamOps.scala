@@ -565,4 +565,112 @@ object StreamOps {
         if (!batch.isEmpty) applyRollupBatch(batch, id, storePath, keys, sumCols)
       }
       .start()
+
+  /** Streaming window funnel — the continuous form of
+    * [[graft.ops.Funnel]]: per-user funnel state finalized by the
+    * WATERMARK (a funnel is undecidable until no event inside its window
+    * can still arrive, so emission waits for watermark > anchor + W and
+    * then replays the batch operator's greedy chain over the buffered
+    * events — stream and batch share the decision procedure, which is
+    * what the parity gates check).
+    *
+    * State per user, all window-bounded:
+    *   - `anchor`: min step-1 event time seen (a scalar — later step-1s
+    *     only lower it);
+    *   - buffered (us, stepIdx) for steps ≥ 2, pruned to us ≤ anchor + W
+    *     (a later anchor decrease only shrinks the window, so nothing
+    *     pruned could re-qualify) and, while no anchor exists, to
+    *     us ≥ watermark (a qualifying step-1 would need event time < us,
+    *     and the watermark guarantees none will be accepted);
+    *   - after emission a tombstone suppresses re-opening (batch
+    *     semantics anchor at the GLOBAL first step-1; a post-window
+    *     step-1 would start a second funnel in a per-window variant,
+    *     documented out of scope), GC'd `gcMs` past the watermark.
+    *
+    * Input: (ts TIMESTAMP, user_id LONG, event_type STRING). Non-step
+    * types are NOT pre-filtered: a filter between the watermark and the
+    * state op gets pushed below the EventTimeWatermark node, and a
+    * far-future sentinel of a non-step type would then never advance the
+    * watermark (found by the parity spec's small corpus — the fixture
+    * masked it because every anchor closes before its max event time).
+    * Instead the state function ignores unknown types, so any event
+    * advances the watermark and a sentinel leaves no state behind.
+    * Output: (user_id, reached, anchor_us) — reached = deepest step index
+    * (1-based) completed inside the window, one row per user that ever
+    * saw a step 1. */
+  def funnelStream(
+      events: DataFrame, steps: Seq[String], windowUs: Long,
+      lateness: String = "1 hour", gcMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val idxOf = steps.zipWithIndex.toMap // 0-based
+    events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Option[Long], List[(Long, Int)], Boolean), (Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+            state: GroupState[(Option[Long], List[(Long, Int)], Boolean)]) =>
+          val wmMs = math.max(state.getCurrentWatermarkMs(), 0L)
+          val wmUs = wmMs * 1000L
+          var (anchor, buf, emitted) = state.getOption
+            .getOrElse((Option.empty[Long], List.empty[(Long, Int)], false))
+          if (!emitted) rows.foreach { case (_, _, us, et) =>
+            idxOf.get(et) match {
+              case Some(0) => anchor = Some(anchor.fold(us)(math.min(_, us)))
+              case Some(i) => buf = (us, i) :: buf
+              case None => () // non-step type: watermark driver only
+            }
+          }
+          // prune: see scaladoc — window-bounded either way
+          buf = anchor match {
+            case Some(a) => buf.filter(_._1 <= a + windowUs)
+            case None => buf.filter(_._1 >= wmUs)
+          }
+          val closed = anchor.exists(a => wmUs > a + windowUs)
+          val out: Iterator[(Long, Int, Long)] =
+            if (!emitted && closed) {
+              val a = anchor.get
+              var prev = a
+              var reached = 1
+              var i = 1
+              var cont = true
+              while (cont && i < steps.size) {
+                val cand = buf.collect {
+                  case (us, j) if j == i && us > prev && us <= a + windowUs => us
+                }
+                if (cand.isEmpty) cont = false
+                else { prev = cand.min; reached = i + 1; i += 1 }
+              }
+              emitted = true
+              buf = Nil
+              Iterator.single((user, reached, a))
+            } else Iterator.empty
+          val wasTombstone = state.getOption.exists(_._3)
+          if (emitted) {
+            if (wasTombstone && state.hasTimedOut) state.remove() // GC
+            else {
+              state.update((anchor, Nil, true))
+              state.setTimeoutTimestamp(wmMs + gcMs)
+            }
+          } else if (anchor.isEmpty && buf.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update((anchor, buf, false))
+            // wake at window close (anchor known) or GC horizon (buffer
+            // only); timeouts must exceed the current watermark
+            val target = anchor.map(a => a / 1000L + windowUs / 1000L)
+              .getOrElse(wmMs + gcMs)
+            state.setTimeoutTimestamp(math.max(target, wmMs) + 1L)
+          }
+          out
+      }
+      .toDF("user_id", "reached", "anchor_us")
+  }
 }

@@ -527,4 +527,55 @@ class StreamingSpec extends AnyFunSuite {
       a < rows(chunkSize - 1)._2 && b >= 100000
     }, "no pair spans first and last micro-batch")
   }
+
+  test("funnelStream equals the batch funnel per user, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val W = 30L * 60 * 1000000 // 30-minute funnel window in µs
+    // u1 completes across THREE batches; u2 clicks but purchases outside
+    // the window; u3 has click before its view (non-qualifying) then a
+    // qualifying one; u4 never views.
+    val rows = Seq(
+      (1L, 5, "view"), (1L, 10, "click"), (1L, 20, "purchase"),
+      (2L, 5, "view"), (2L, 10, "click"), (2L, 50, "purchase"),
+      (3L, 4, "click"), (3L, 6, "view"), (3L, 12, "click"),
+      (4L, 5, "click"), (4L, 6, "purchase"))
+      .map { case (u, m, et) => (ts(m), u, et) }
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.funnelStream(
+      mem.toDF().toDF("ts", "user_id", "event_type"),
+      steps = Seq("view", "click", "purchase"), windowUs = W)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(4).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // two sentinels: advance the watermark past every window, then fire
+      // the timeouts that emit (sentinel type never reaches the state op)
+      mem.addData((ts(300), -1L, "zz"))
+      q.processAllAvailable()
+      mem.addData((ts(330), -1L, "zz"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .select("user_id", "reached", "anchor_us")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      // batch reference over the same events
+      val batch = graft.ops.Funnel.funnelSteps(
+        rows.toDF("ts", "user_id", "event_type")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type")),
+        Seq("view", "click", "purchase"), W)
+        .collect().map { r =>
+          val reached =
+            if (!r.isNullAt(3)) 3 else if (!r.isNullAt(2)) 2 else 1
+          (r.getLong(0), reached, r.getLong(1))
+        }.sortBy(_._1).toSeq
+      assert(got == batch, s"\ngot   $got\nbatch $batch")
+      assert(got.map(_._1) == Seq(1L, 2L, 3L), "one row per step-1 user")
+      // each emitted exactly once (no tombstone double-fire)
+      assert(got.size == got.map(_._1).distinct.size)
+    } finally q.stop()
+  }
 }
