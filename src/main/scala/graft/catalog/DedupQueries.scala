@@ -48,20 +48,19 @@ object DedupQueries {
   /** Banded MinHash signatures: (doc_id, band_id, band_hash). Permutation j
     * of a shingle is md5(j || '|' || shingle); the signature entry is the
     * minimum over shingles; a band hashes BandRows consecutive entries.
-    * Explode-then-min runs entirely map-side before one partial agg. */
-  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
-    val perms = array((1 to Perms).map(lit): _*)
-    shingles(docs)
-      .select(col("doc_id"), col("shingle"), explode(perms).as("j"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit("|"), col("shingle")).cast("binary")).as("h"))
-      .groupBy("doc_id", "j").agg(min("h").as("mh"))
-      .withColumn("band_id", floor((col("j") - 1) / BandRows).cast("int"))
-      .groupBy("doc_id", "band_id")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-          s => s.getField("mh")), "").cast("binary")).as("band_hash"))
-  }
+    * Computed per ROW by the shared [[graft.ops.Minhash]] kernel — ZERO
+    * shuffles, vs the original explode(|shingles|·Perms) → groupBy-min →
+    * collect_list form (two aggregation shuffles and a 16× row blow-up
+    * for the identical result; duplicates in the sliding shingle stream
+    * cannot change a min, so the old DISTINCT was also dead weight).
+    * Every consumer's DuckDB oracle hash is unchanged — the cross-engine
+    * parity proof for the hand-rolled kernel. */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sig", graft.ops.Minhash.signatureUdf(Perms)(col("text")))
+      .select(col("doc_id"),
+        posexplode(graft.ops.Minhash.bandHashes(col("sig"), Perms, BandRows))
+          .as(Seq("band_id", "band_hash")))
 
   private def bandTable(s: SparkSession, dir: String): DataFrame =
     bandsOf(Tables.documents(s, dir))

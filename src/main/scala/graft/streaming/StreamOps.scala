@@ -154,45 +154,12 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
     require(nPerms % bandRows == 0, "bands must tile the signature")
-    // sig[j-1] = min over 3-word shingles of md5(j || '|' || shingle) —
-    // byte-identical to the batch pipeline (DedupQueries.shingleCol +
-    // md5 column) and its DuckDB oracle, but computed in ONE tight JVM
-    // loop per row: the same logic as nested transform/array_min HOFs
-    // evaluates INTERPRETED (the known non-codegen tax, SURVEY §8.2) and
-    // measured 5× slower at the bench SF (34 s vs ~6 s warm). The gate's
-    // oracle hash-match IS the parity proof for this hand-rolled twin.
-    val sigUdf = udf { (text: String) =>
-      val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
-      val shingles: Iterator[String] =
-        if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
-        else Iterator(w.mkString(" "))
-      val mins = new Array[String](nPerms)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hexd = "0123456789abcdef".toCharArray
-      shingles.foreach { sh =>
-        var j = 1
-        while (j <= nPerms) {
-          md.reset()
-          val d = md.digest((j.toString + "|" + sh).getBytes("UTF-8"))
-          val out = new Array[Char](32)
-          var i = 0
-          while (i < 16) {
-            out(2 * i) = hexd((d(i) >> 4) & 0xf)
-            out(2 * i + 1) = hexd(d(i) & 0xf)
-            i += 1
-          }
-          val hex = new String(out)
-          if (mins(j - 1) == null || hex < mins(j - 1)) mins(j - 1) = hex
-          j += 1
-        }
-      }
-      mins.toSeq
-    }
-    val sig = sigUdf(col("text"))
-    val bands = transform(sequence(lit(0), lit(nPerms / bandRows - 1)),
-      b => md5(array_join(
-        slice(col("sig"), b * lit(bandRows) + lit(1), lit(bandRows)), "")
-        .cast("binary")))
+    // sig[j-1] via the shared graft.ops.Minhash kernel (one tight JVM
+    // loop per row — see its scaladoc for why this beats both the HOF
+    // and the explode forms; the gate's oracle hash-match is the parity
+    // proof). The batch bandsOf now rides the same kernel.
+    val sig = graft.ops.Minhash.signatureUdf(nPerms)(col("text"))
+    val bands = graft.ops.Minhash.bandHashes(col("sig"), nPerms, bandRows)
     val fanned = docs
       .withColumn("sig", sig)
       .select(col("ts"), col("doc_id"), col("sig"),
