@@ -1000,6 +1000,49 @@ object RelationalQueries {
                AS exact_both,
              TRUE AS within_5pct"""))
 
+  /** Theta-sketch SET-DIFFERENCE — [[sketchThetaOverlap]]'s churn twin:
+    * how many (user, day) pairs clicked but NEVER purchased that day,
+    * estimated from the same two rolled-up per-type sketches via
+    * `theta_difference` (A \\ B — with union and intersection this
+    * completes the sketch set algebra; HLL supports only union). Same
+    * falsifiable gate and determinism argument as the overlap entry;
+    * exact via an anti-join of the distinct key sets. */
+  val sketchThetaDiff = Q(
+    "q_sketch_theta_diff",
+    (s, dir) => {
+      val k = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          (col("user_id") * 100000L +
+            expr("unix_micros(ts) div 86400000000")).as("uk"))
+      val per = k.groupBy("event_type")
+        .agg(expr("theta_sketch_agg(uk)").as("sk"))
+      val est = per.agg(
+        expr("""theta_sketch_estimate(theta_difference(
+            max(CASE WHEN event_type = 'click' THEN sk END),
+            max(CASE WHEN event_type = 'purchase' THEN sk END)))""")
+          .cast("long").as("est_click_only"))
+      val exact = k.filter(col("event_type") === "click").select("uk").distinct()
+        .join(k.filter(col("event_type") === "purchase").select("uk").distinct(),
+          Seq("uk"), "left_anti")
+        .agg(count(lit(1)).as("exact_click_only"))
+      est.crossJoin(exact)
+        .select(col("exact_click_only"),
+          (abs(col("est_click_only") - col("exact_click_only")) * lit(20L) <=
+            col("exact_click_only")).as("within_5pct"))
+    },
+    Some("""
+      WITH k AS (
+        SELECT event_type,
+               user_id * 100000 + epoch_us(ts) // 86400000000 AS uk
+        FROM events WHERE event_type IN ('click', 'purchase'))
+      SELECT (SELECT count(*) FROM
+               (SELECT DISTINCT uk FROM k WHERE event_type = 'click'
+                EXCEPT
+                SELECT DISTINCT uk FROM k WHERE event_type = 'purchase'))::BIGINT
+               AS exact_click_only,
+             TRUE AS within_5pct"""))
+
   /** A REAL micro-batch `session_window` run in the correctness gate (the
     * sessionization sibling of stream_hourly_exec): events replayed
     * ts-ordered through a MemoryStream in 2 chunks (sessions straddling
@@ -1129,6 +1172,6 @@ object RelationalQueries {
     sketchDistinct, mergeUpsert, pivotQty, snapshotDiffQ, semiJoinLate,
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
-    sketchRollup, windowFunnel, sketchThetaOverlap, eventsSessionsStreamExec,
-    windowFunnelStreamExec)
+    sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
+    eventsSessionsStreamExec, windowFunnelStreamExec)
 }
