@@ -547,10 +547,117 @@ object VectorQueries {
     },
     None)
 
+  /** Matryoshka-style two-stage retrieval (MRL truncation, Kusupati et
+    * al. 2022 applied at query time): stage 1 ranks the corpus by cosine
+    * over the FIRST 16 of 64 dimensions (an MRL-trained embedder front-
+    * loads information, so the prefix is a 4×-cheaper coarse scorer;
+    * cosine is scale-invariant so truncation needs no renormalization),
+    * keeps 50 candidates per query, and stage 2 exact-reranks only those
+    * pairs at full dimension ([[graft.ops.SimSearch.rerankTopK]] — the
+    * corpus is probed by vec_id with the bounded pair set as build side,
+    * exactly how a 100 TB two-stage retrieval bounds its second pass).
+    * Both stages select over 1e-4-quantized distances with vec_id
+    * tie-breaks, so the WHOLE cascade is deterministic and the oracle
+    * replays it: unlike the LSH/IVF/PQ families this "approximate" method
+    * has no build randomness, making it the one ANN entry whose full
+    * result — not an exhaustive twin — is hash-checked. Honest caveat:
+    * the fixture's embeddings are synthetic, not MRL-trained, so the
+    * prefix carries no front-loaded information and measured recall@10
+    * is ~0.4 (19/50 hits at sf0.1) — the entries gate the MECHANISM
+    * (deterministic cascade, bounded second pass), and the hash-checked
+    * per-query hit counts pin that number exactly rather than letting a
+    * floor drift. */
+  private val MrlPrefix = 16
+  private val MrlCands = 50
+  private def mrlOracle(select: String) = s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+      d1 AS (SELECT q.query_id, a.vec_id,
+                    floor(greatest(0, 1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)
+                               / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE ORDER BY t.i))
+                                  * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)))) * 1e4) / 1e4 AS dist
+             FROM embeddings a, q, generate_series(1, $MrlPrefix) t(i)
+             GROUP BY q.query_id, a.vec_id),
+      cand AS (SELECT query_id, vec_id
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY dist, vec_id) AS rn
+                     FROM d1)
+               WHERE rn <= $MrlCands),
+      d2 AS (SELECT c.query_id, c.vec_id,
+                    floor(greatest(0, 1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)
+                               / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE ORDER BY t.i))
+                                  * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)))) * 1e4) / 1e4 AS dist
+             FROM cand c
+             JOIN embeddings a ON a.vec_id = c.vec_id
+             JOIN q ON q.query_id = c.query_id, generate_series(1, 64) t(i)
+             GROUP BY c.query_id, c.vec_id),
+      mrl AS (SELECT query_id, vec_id, dist
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY dist, vec_id) AS rn
+                    FROM d2)
+              WHERE rn <= 10)
+      $select"""
+
+  private def mrlTopKFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cands = SimSearch.exactTopK(
+      queries.select(col("query_id"),
+        slice(col("embedding"), 1, MrlPrefix).as("embedding")),
+      e.select(col("vec_id"),
+        slice(col("embedding"), 1, MrlPrefix).as("embedding")),
+      k = MrlCands, metric = Distances.Cosine)
+    SimSearch.rerankTopK(cands, queries, e, k = 10,
+      metric = Distances.Cosine)
+  }
+
+  val knnMrl = Q(
+    "ann_mrl_topk",
+    (s, dir) => mrlTopKFrame(s, dir).orderBy("query_id", "vec_id"),
+    Some(mrlOracle(
+      "SELECT query_id, vec_id, dist FROM mrl ORDER BY query_id, vec_id")))
+
+  /** Per-query hit count of the MRL cascade against the full-dimension
+    * exact top-10 — unlike the other families' recall observables this is
+    * HASH-CHECKED (both sides exact and deterministic), so any prefix-
+    * informativeness regression flips the gate red rather than drifting a
+    * floor. */
+  val mrlRecall = Q(
+    "ann_mrl_recall_at10",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = SimSearch.exactTopK(queries, e, k = 10,
+        metric = Distances.Cosine).select("query_id", "vec_id")
+      mrlTopKFrame(s, dir).select("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        .orderBy("query_id")
+    },
+    Some(mrlOracle("""
+      SELECT m.query_id, count(*)::BIGINT AS n_hit
+      FROM mrl m
+      JOIN (SELECT query_id, vec_id
+            FROM (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY dist, vec_id) AS rn
+                  FROM (SELECT q.query_id, a.vec_id,
+                               floor(greatest(0, 1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)
+                                          / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE ORDER BY t.i))
+                                             * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)))) * 1e4) / 1e4 AS dist
+                        FROM embeddings a, q, generate_series(1, 64) t(i)
+                        GROUP BY q.query_id, a.vec_id))
+            WHERE rn <= 10) x
+        ON x.query_id = m.query_id AND x.vec_id = m.vec_id
+      GROUP BY m.query_id ORDER BY m.query_id""")))
+
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
     knnPq, knnPqFull, pqRecall, pqRerankRecall, knnIvfPq, knnIvfPqFull,
     ivfPqRecall,
-    knnSq, sqRecall,
+    knnSq, sqRecall, knnMrl, mrlRecall,
     knnJoinExact, knnJoinBucketed, knnJoinRecall, countVectors, topkStreamBatch)
 }

@@ -68,6 +68,28 @@ object SimSearch {
     takeTopK(scored, k, queryId, vecId)
   }
 
+  /** Exact rerank of a bounded candidate PAIR set: score only the given
+    * (query_id, vec_id) pairs against the full-dimension vectors and keep
+    * k per query — the second stage of a two-stage retrieval (coarse
+    * prefilter → exact rerank). The join fans out on candidates, never on
+    * the corpus: at 100 TB the corpus side is probed by vec_id with the
+    * pair set as the (bounded, k1·|queries|-sized) build side. */
+  def rerankTopK(
+      pairs: DataFrame, queries: DataFrame, vectors: DataFrame, k: Int,
+      metric: Distances.Metric = Distances.L2Squared,
+      queryId: String = "query_id", vecId: String = "vec_id",
+      roundTo: Int = 4): DataFrame = {
+    val q = queries.select(
+      col(queryId), Distances.asDouble(queries("embedding")).as("q_emb"))
+    val v = vectors.select(
+      col(vecId), Distances.asDouble(vectors("embedding")).as("v_emb"))
+    val scored = pairs.select(queryId, vecId)
+      .join(v, vecId)
+      .join(broadcast(q), queryId)
+      .withColumn("dist", quantize(metric, metric(col("q_emb"), col("v_emb")), roundTo))
+    takeTopK(scored, k, queryId, vecId)
+  }
+
   /** Recall@k of `approx` against `exact` (both (query_id, vec_id, ...)). */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val hit = approx.select("query_id", "vec_id")
