@@ -66,6 +66,43 @@ class FunnelSpec extends AnyFunSuite {
     assert(counts(rows) == ((1L, 1L, 1L)))
   }
 
+  /** Driver-side reference: the documented semantics implemented
+    * independently (sort-free min-scans over the raw event list). */
+  private def refCounts(
+      rows: Seq[(Long, Long, String)]): (Long, Long, Long) = {
+    val byUser = rows.groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.foreach { case (_, evs) =>
+      val views = evs.filter(_._3 == Steps(0)).map(_._2)
+      if (views.nonEmpty) {
+        n1 += 1
+        val a = views.min
+        val clicks = evs.filter(_._3 == Steps(1)).map(_._2)
+          .filter(us => us > a && us <= a + W)
+        if (clicks.nonEmpty) {
+          n2 += 1
+          val c = clicks.min
+          val buys = evs.filter(_._3 == Steps(2)).map(_._2)
+            .filter(us => us > c && us <= a + W)
+          if (buys.nonEmpty) n3 += 1
+        }
+      }
+    }
+    (n1, n2, n3)
+  }
+
+  test("random event logs agree with an independent driver-side reference") {
+    val rnd = new scala.util.Random(99)
+    (1 to 3).foreach { trial =>
+      // dense logs over few users and a tight time range so window edges,
+      // pre-anchor events and ties all occur organically
+      val types = Seq("view", "click", "purchase", "other")
+      val rows = Seq.fill(300)((rnd.nextInt(12).toLong,
+        rnd.nextInt(3000).toLong, types(rnd.nextInt(types.size))))
+      assert(counts(rows) == refCounts(rows), s"trial $trial diverged")
+    }
+  }
+
   test("funnelSteps keeps one row per step-1 user with null tails") {
     import spark.implicits._
     val rows = Seq(
