@@ -94,6 +94,30 @@ object JoinScaleProbe {
       s""""plain_rows":$nPlain,"plain_sec":$tPlain,""" +
       s""""bucketed_rows":$nBuck,"bucketed_sec":$tBuck}""")
 
+    // Funnel leg (ops/Funnel): synthetic view/click/purchase stream over
+    // the same user population; measures the per-step-aggregate plan's
+    // wall and asserts the step counts are monotone non-increasing (the
+    // funnel invariant) with step 1 equal to the number of users that
+    // ever view — an independent count.
+    val types = array(lit("view"), lit("click"), lit("purchase"))
+    val fEvents = spark.range(3L * n).select(
+      pmod(xxhash64(col("id"), lit(31)), lit(users)).as("user_id"),
+      pmod(xxhash64(col("id"), lit(37)), lit(spanUs)).as("us"),
+      element_at(types,
+        (pmod(xxhash64(col("id"), lit(41)), lit(3)) + 1).cast("int"))
+        .as("event_type")).cache()
+    fEvents.count()
+    val (fRow, tFunnel) = time(graft.ops.Funnel.funnelCounts(
+      fEvents, Seq("view", "click", "purchase"),
+      windowUs = 24L * 3600 * 1000000).head())
+    val (f1, f2, f3) = (fRow.getLong(0), fRow.getLong(1), fRow.getLong(2))
+    val viewers = fEvents.filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(f1 == viewers, s"step-1 count $f1 != distinct viewers $viewers")
+    assert(f1 >= f2 && f2 >= f3, s"funnel not monotone: $f1 $f2 $f3")
+    println(s"""{"probe":"funnel","n_events":${3L * n},"users":$users,""" +
+      s""""n_view":$f1,"n_click":$f2,"n_purchase":$f3,"sec":$tFunnel}""")
+
     // AQE skew-join leg: the complementary case to asofBucketed — for
     // shuffled JOINS (not windows) Spark's AQE already splits skewed
     // partitions at runtime. Verify the engine's config actually fires it
