@@ -46,6 +46,47 @@ object TextMatchQueries {
              n_cov_tok * 10000 // n_tok AS dup_frac_1e4
       FROM cov ORDER BY doc_id"""))
 
+  /** Substring-level REMOVAL ([[graft.ops.TextMatch.spanScrub]] — the
+    * Lee-et-al. pass dedup_span_exact only measures): every token covered
+    * by a non-first occurrence of a cross-doc duplicated 8-token window
+    * is dropped, first occurrence kept, and each doc's cleaned text is
+    * reassembled and digest-gated. The oracle replays the rank-1
+    * first-occurrence decision and the positional reassembly in SQL. */
+  val spanScrub = Q(
+    "dedup_span_scrub",
+    (s, dir) =>
+      TextMatch.spanScrub(Tables.documents(s, dir), k = 8)
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      wins AS (SELECT doc_id, i AS pos,
+                      md5(array_to_string(toks[i:i+7], ' ')) AS h
+               FROM w, unnest(range(1, len(toks) - 6)) t(i)),
+      dupg AS (SELECT h FROM wins GROUP BY h
+               HAVING count(DISTINCT doc_id) > 1),
+      occ AS (SELECT doc_id, pos, h,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rk
+              FROM wins JOIN dupg USING (h)),
+      drops AS (SELECT DISTINCT doc_id, ti
+                FROM occ, unnest(range(pos, pos + 8)) u(ti)
+                WHERE rk > 1),
+      toks2 AS (SELECT doc_id, i AS ti, toks[i] AS tok
+                FROM w, unnest(range(1, len(toks) + 1)) t(i)),
+      keptt AS (SELECT t.doc_id, t.ti, t.tok
+                FROM toks2 t LEFT JOIN drops d
+                  ON d.doc_id = t.doc_id AND d.ti = t.ti
+                WHERE d.ti IS NULL),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     md5(string_agg(tok, ' ' ORDER BY ti)) AS kept_md5
+              FROM keptt GROUP BY doc_id)
+      SELECT w.doc_id, len(w.toks)::BIGINT AS n_tok,
+             (len(w.toks) - coalesce(agg.n_kept, 0))::BIGINT AS n_dropped,
+             coalesce(agg.kept_md5, md5('')) AS kept_md5
+      FROM w LEFT JOIN agg USING (doc_id)
+      ORDER BY doc_id"""))
+
   /** Line-level global first-wins dedup over 10-token lines, docs
     * reassembled and digest-gated. The fixture's prefix-aligned near-dups
     * make 127 of 2,949 lines genuine cross-doc duplicates at sf0.01 — no
@@ -146,5 +187,5 @@ object TextMatchQueries {
       WHERE levenshtein(a.s, b.s) <= 2
       ORDER BY id_a, id_b"""))
 
-  def qs: Seq[Q] = Seq(spanDedup, paragraphs, phrase, fuzzyJoin)
+  def qs: Seq[Q] = Seq(spanDedup, spanScrub, paragraphs, phrase, fuzzyJoin)
 }

@@ -70,6 +70,63 @@ object TextMatch {
         expr("n_cov_tok * 10000 div n_tok").as("dup_frac_1e4"))
   }
 
+  /** Substring-level SCRUB — the removal pass [[spanDedupStats]] only
+    * measures (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": drop the repeated substring, keep one copy): a token
+    * is removed iff it is covered by a cross-doc-duplicated k-token
+    * window occurrence that is NOT that gram's globally-first occurrence
+    * (minimum (docId, pos) — first-crawled wins, matching I10 and the
+    * paragraph pass). Tokens covered only by first occurrences survive,
+    * so exactly one copy of every duplicated span remains in the corpus.
+    * Returns (docId, n_tok, n_dropped, kept_md5) for EVERY doc — the
+    * digest gates the reassembled cleaned text, not just counts.
+    *
+    * Plan: the duplicated-gram set and the per-gram first occurrence are
+    * gram-hash-keyed aggregates (32-byte keys, corpus-duplication-sized);
+    * drop positions explode bounded by k per non-first hit; reassembly is
+    * one left join of the (bounded) per-doc drop set back to the token
+    * arrays with an index-aware `filter` — map-side, no further
+    * shuffle. */
+  def spanScrub(
+      docs: DataFrame, k: Int = 8,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val base = docs.select(col(docId), toks.as("toks"),
+      size(toks).cast("long").as("n_tok"))
+    // posexplode yields (0-based ordinal, value); the VALUE `start` is the
+    // 1-based window position everything downstream keys on — using the
+    // ordinal here shifted every drop interval by one token (counts were
+    // unchanged, so only the digest gate caught it).
+    val wins = base
+      .filter(col("n_tok") >= k)
+      .select(col(docId), col("toks"),
+        posexplode(sequence(lit(1), col("n_tok").cast("int") - (k - 1)))
+          .as(Seq("ord", "start")))
+    val hashed = wins.select(col(docId), col("start").as("pos"),
+      md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
+        .cast("binary")).as("h"))
+    val dup = hashed.groupBy("h")
+      .agg(count_distinct(col(docId)).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val occ = hashed.join(dup, "h")
+    val firsts = occ.groupBy("h")
+      .agg(min(struct(col(docId), col("pos"))).as("f"))
+      .select(col("h"), col(s"f.$docId").as("f_doc"), col("f.pos").as("f_pos"))
+    val drops = occ.join(firsts, "h")
+      .filter(!(col(docId) === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col(docId),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"))
+      .groupBy(docId).agg(collect_set("ti").as("drop_ti"))
+    base.join(drops, Seq(docId), "left")
+      .withColumn("drop_ti", coalesce(col("drop_ti"), array().cast("array<int>")))
+      .select(col(docId), col("n_tok"),
+        size(col("drop_ti")).cast("long").as("n_dropped"),
+        md5(array_join(
+          filter(col("toks"), (t, i) =>
+            !array_contains(col("drop_ti"), i + 1)), " ")
+          .cast("binary")).as("kept_md5"))
+  }
+
   /** Global line-level dedup with first-wins semantics (RefinedWeb's
     * "remove any line already seen anywhere in the corpus", C4's boilerplate
     * pass): documents are segmented into `lineTokens`-token lines, every

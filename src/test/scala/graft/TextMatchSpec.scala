@@ -43,6 +43,39 @@ class TextMatchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Row(1L, 3L, 10L, 6250L), Row(2L, 3L, 10L, 6250L)))
   }
 
+  // --- spanScrub ----------------------------------------------------------
+
+  test("spanScrub: the first occurrence keeps the span, later ones lose it") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x1 y1 z1 w1 v1 u1 t1 s1"),
+      (2L, "p2 q2 a b c d e f g h r2 s2 t2 u2 v2 w2"),
+      (3L, "m3 n3 o3 p3 q3 r3 s3 t3 u3 v3 w3 x3 y3 z3 k3 l3"))
+      .toDF("doc_id", "text")
+    val out = TextMatch.spanScrub(docs, k = 8).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 (first occurrence) keeps everything; doc 2 loses exactly the
+    // 8 shared tokens; doc 3 untouched.
+    assert(out.toSeq == Seq(
+      (1L, 16L, 0L, md5Of("a b c d e f g h x1 y1 z1 w1 v1 u1 t1 s1")),
+      (2L, 16L, 8L, md5Of("p2 q2 r2 s2 t2 u2 v2 w2")),
+      (3L, 16L, 0L,
+        md5Of("m3 n3 o3 p3 q3 r3 s3 t3 u3 v3 w3 x3 y3 z3 k3 l3"))))
+  }
+
+  test("spanScrub: three-way copies keep exactly one instance corpus-wide") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (5L, s"a5 b5 $shared"), (6L, s"$shared a6 b6"), (7L, s"a7 $shared b7"))
+      .toDF("doc_id", "text")
+    val out = TextMatch.spanScrub(docs, k = 8).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // doc 5 is the first (doc_id order) occurrence of every shared window
+    // and keeps all 14 tokens; 6 and 7 lose the full 12-token run.
+    assert(out.toSeq == Seq((5L, 0L), (6L, 12L), (7L, 12L)))
+  }
+
   // --- paragraphDedup -----------------------------------------------------
 
   test("paragraphDedup: first occurrence survives, later copies drop") {
