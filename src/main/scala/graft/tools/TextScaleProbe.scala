@@ -97,6 +97,40 @@ object TextScaleProbe {
         f"train(24 merges over the vocab table) $trainSec%.2f s, " +
         f"tokenize $tokSec%.2f s (total_bpe_tokens=$totTok)")
       System.out.flush()
+
+      // Span scrub (TextMatch.spanScrub): every 9th doc gets its first 8
+      // tokens overwritten with doc (id-1)'s first 8 (id-1 ≡ 8 mod 9, so
+      // the SOURCE doc is never itself overwritten) — a planted cross-doc
+      // duplicated span whose first occurrence (the lower id) must
+      // survive and whose copy must lose >= 8 tokens, guaranteed by the
+      // min-(doc_id, pos) rule. The dup-gram aggregates are duplication-
+      // sized; the reassembly join is corpus-sized but map-shaped — the
+      // probe checks wall grows ~linearly and the plant invariant holds.
+      val planted = data.withColumn("text",
+        expr("""CASE WHEN doc_id % 9 = 0 AND doc_id >= 9
+                THEN concat(
+                  array_join(transform(sequence(0, 7), j ->
+                    concat('w', cast(((doc_id - 1) * 31 + j * j * 7 +
+                                      (doc_id - 1) % 97) % 10000 as string))),
+                    ' '),
+                  ' ', substring_index(text, ' ', -32))
+                ELSE text END"""))
+      t0 = System.nanoTime()
+      val scrub = graft.ops.TextMatch.spanScrub(planted, k = 8)
+        .localCheckpoint(eager = true)
+      val scrubRows = scrub.count()
+      val scrubSec = (System.nanoTime() - t0) / 1e9
+      val copies = scrub.filter(col("doc_id") % 9 === 0 && col("doc_id") >= 9)
+      val nCopies = copies.count()
+      val underScrubbed = copies.filter(col("n_dropped") < 8).count()
+      val totDropped = scrub.agg(sum("n_dropped")).head().getLong(0)
+      println(f"span_scrub n=$n: $scrubSec%.2f s, rows=$scrubRows, " +
+        s"planted_copies=$nCopies, under_scrubbed=$underScrubbed, " +
+        s"total_dropped=$totDropped")
+      assert(scrubRows == n, s"scrub lost docs: $scrubRows != $n")
+      assert(underScrubbed == 0,
+        s"$underScrubbed planted copies kept their duplicated span")
+      System.out.flush()
     }
     spark.stop()
   }
