@@ -34,6 +34,49 @@ object PipelineQueries {
         .select(col("doc_b").as("doc_id")).distinct()),
       recrawlShift = 100000L)
 
+  /** The shared crawl→shard head: simulated re-crawl (every doc fetched
+    * twice under distinct ids — the dedup stage must provably halve the
+    * corpus, same construction as dedup_exact_docs) → exact dedup (md5 of
+    * the text, first-crawled id wins; group members share
+    * text/lang/source, so min() reconstructs the row without a second
+    * corpus join) → optional near-dup drop-list anti-join (v2's EXACT
+    * prefix-filtered pair set) → quality + length gate (the
+    * text_quality_score composite: quality ≥ 1/4 ⟺ q_num ≥ 25·text_len,
+    * per-doc 1e-4 quantization via integer div — a float quotient here
+    * put round() half-boundaries at the mercy of 1-ulp engine divergence,
+    * the r3 hash red). ONE definition feeds both doc_pipeline_curate(_v2)
+    * and doc_pipeline_pretrain, so the two cascades cannot silently
+    * disagree about which docs survive curation. */
+  private def dedupAndGate(
+      d: org.apache.spark.sql.DataFrame,
+      nearDupDrop: Option[org.apache.spark.sql.DataFrame],
+      recrawlShift: Long): org.apache.spark.sql.DataFrame = {
+    val crawl = d.unionAll(
+      d.select((col("doc_id") + recrawlShift).as("doc_id"), col("text"),
+        col("lang"), col("source")))
+    val deduped = crawl
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+        min("lang").as("lang"), min("source").as("source"))
+      .drop("h")
+    val kept = nearDupDrop match {
+      case None => deduped
+      case Some(drop) => deduped.join(drop, Seq("doc_id"), "left_anti")
+    }
+    val nTokens = size(split(col("text"), " "))
+    val alphaLen =
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
+    kept
+      .withColumn("word_tokens",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).cast("long"))
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .withColumn("q_num", alphaLen * least(nTokens, lit(100)).cast("long"))
+      .filter(col("q_num") >= lit(25L) * col("text_len") &&
+        col("word_tokens") >= 10)
+      .withColumn("quality_1e4", expr("(q_num * 100) div text_len"))
+  }
+
   /** The pipeline parameterized by its input frame (PipelineScaleProbe
     * runs it on synthetic million-doc corpora; the catalog entries bind
     * it to the fixture + cached near-dup pair table). `nearDupDrop`, when
@@ -44,47 +87,7 @@ object PipelineQueries {
       nearDupDrop: Option[org.apache.spark.sql.DataFrame],
       recrawlShift: Long): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      // Simulated re-crawl: every doc fetched twice under distinct ids —
-      // the dedup stage must provably halve the corpus (same construction
-      // as dedup_exact_docs).
-      val crawl = d.unionAll(
-        d.select((col("doc_id") + recrawlShift).as("doc_id"), col("text"),
-          col("lang"), col("source")))
-      // Exact dedup: md5 of the text, first-crawled id wins. Group members
-      // share identical text/lang/source, so min() reconstructs the row
-      // without a second join against the corpus.
-      val deduped = crawl
-        .groupBy(md5(col("text").cast("binary")).as("h"))
-        .agg(min("doc_id").as("doc_id"), min("text").as("text"),
-          min("lang").as("lang"), min("source").as("source"))
-        .drop("h")
-      // Near-dup stage (v2 only): drop every doc whose text near-dups a
-      // lower id at 3-gram Jaccard >= 0.8 — the EXACT prefix-filtered pair
-      // set of dedup_ngram_keep, computed on the exact-deduped corpus
-      // (which the planted re-crawl provably reduces back to `documents`,
-      // so the cached pair table applies verbatim).
-      val kept = nearDupDrop match {
-        case None => deduped
-        case Some(drop) => deduped.join(drop, Seq("doc_id"), "left_anti")
-      }
-      // Quality + length gate (the text_quality_score composite and the
-      // BPE-ish word-token count of text_token_count). quality is the
-      // rational alpha_len·min(n_tok,100) / (text_len·100); both the gate
-      // (quality ≥ 1/4 ⟺ q_num ≥ 25·text_len) and the per-doc 1e-4
-      // quantization (q_num·100 div text_len) stay in exact integer
-      // arithmetic — a float quotient here put round() half-boundaries at
-      // the mercy of 1-ulp engine divergence (the r3 hash red).
-      val nTokens = size(split(col("text"), " "))
-      val alphaLen =
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
-      val filtered = kept
-        .withColumn("word_tokens",
-          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
-        .withColumn("text_len", length(col("text")).cast("long"))
-        .withColumn("q_num", alphaLen * least(nTokens, lit(100)).cast("long"))
-        .filter(col("q_num") >= lit(25L) * col("text_len") &&
-          col("word_tokens") >= 10)
-        .withColumn("quality_1e4", expr("(q_num * 100) div text_len"))
+      val filtered = dedupAndGate(d, nearDupDrop, recrawlShift)
       // Language-ID: best stopword-hit ratio (text_lang_id). Docs with no
       // stopword hit at all have no prediction and drop out — a real
       // pipeline routes those to a review queue, not the training set.
@@ -201,25 +204,7 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession,
       d: org.apache.spark.sql.DataFrame,
       recrawlShift: Long): org.apache.spark.sql.DataFrame = {
-    val crawl = d.unionAll(
-      d.select((col("doc_id") + recrawlShift).as("doc_id"), col("text"),
-        col("lang"), col("source")))
-    val deduped = crawl
-      .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
-        min("lang").as("lang"), min("source").as("source"))
-      .drop("h")
-    val nTokens = size(split(col("text"), " "))
-    val alphaLen =
-      length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
-    val filtered = deduped
-      .withColumn("word_tokens",
-        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
-          lit(0))).cast("long"))
-      .withColumn("text_len", length(col("text")).cast("long"))
-      .withColumn("q_num", alphaLen * least(nTokens, lit(100)).cast("long"))
-      .filter(col("q_num") >= lit(25L) * col("text_len") &&
-        col("word_tokens") >= 10)
+    val filtered = dedupAndGate(d, nearDupDrop = None, recrawlShift)
       .select(col("doc_id"), col("lang"), col("source"),
         col("word_tokens").as("n_tok"))
     val mixed = graft.ops.Curation

@@ -26,21 +26,21 @@ object StreamOps {
     * ~40% of stream_*_exec wall at sf0.1. Production streams size this
     * to their key cardinality instead; the semantics are
     * partition-count-independent (gated by the same oracle either way). */
-  def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int,
-      noDataBatches: Boolean = false)
+  def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)
       (body: => T): T = {
     // noDataMicroBatches: after every data batch the engine schedules an
     // extra empty batch to advance the watermark and flush state whose
-    // emission WAITS on it. The gate entries here emit eagerly (content
-    // dedup, fMGWS pair/cap output) — their results never wait on the
-    // watermark, so the empty batches are pure per-batch overhead
-    // (measured ~30% of exec-entry wall) and default OFF. Ops whose output
-    // does ride the watermark (asofStream's ripe-on-watermark emission,
-    // session windows — stream_sessions_exec) pass `noDataBatches = true`
-    // to keep the engine's flush batches.
+    // emission WAITS on it. That flush is pure per-batch overhead here
+    // (measured ~30% of exec-entry wall): the eager-emitting gates
+    // (content dedup, fMGWS pair/cap output) never wait on the watermark,
+    // and the watermark-riding gates (stream_sessions_exec,
+    // stream_funnel_exec) flush with TWO far-future sentinel DATA batches
+    // instead — the first advances the watermark, the second's batch
+    // emits/fires timeouts against it (see those entries' scaladocs), so
+    // no caller needs the engine's empty batches.
     val confs = Seq(
       "spark.sql.shuffle.partitions" -> n.toString,
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString)
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally prev.foreach {
@@ -571,7 +571,11 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     require(steps.size >= 2, "a funnel needs at least two steps")
-    val idxOf = steps.zipWithIndex.toMap // 0-based
+    // every 0-based index a type serves — a funnel may legitimately
+    // repeat a step type ("view, click, click"), and a last-wins map here
+    // silently emptied the sink for such funnels (anchor never matched)
+    val idxsOf: Map[String, Seq[Int]] =
+      steps.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     events
       .withWatermark("ts", lateness)
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
@@ -589,10 +593,10 @@ object StreamOps {
           var (anchor, buf, emitted) = state.getOption
             .getOrElse((Option.empty[Long], List.empty[(Long, Int)], false))
           if (!emitted) rows.foreach { case (_, _, us, et) =>
-            idxOf.get(et) match {
-              case Some(0) => anchor = Some(anchor.fold(us)(math.min(_, us)))
-              case Some(i) => buf = (us, i) :: buf
-              case None => () // non-step type: watermark driver only
+            // non-step types fall through: watermark drivers only
+            idxsOf.getOrElse(et, Nil).foreach {
+              case 0 => anchor = Some(anchor.fold(us)(math.min(_, us)))
+              case i => buf = (us, i) :: buf
             }
           }
           // prune: see scaladoc — window-bounded either way

@@ -578,4 +578,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == got.map(_._1).distinct.size)
     } finally q.stop()
   }
+
+  test("funnelStream supports a REPEATED step type (view, click, click)") {
+    // A last-wins type->index map silently emptied the sink for funnels
+    // that repeat a step (idxOf("click") shadowed its first position).
+    implicit val sqlCtx = spark.sqlContext
+    val W = 30L * 60 * 1000000
+    val rows = Seq(
+      (1L, 5, "view"), (1L, 10, "click"), (1L, 20, "click"), // completes
+      (2L, 5, "view"), (2L, 10, "click")) // one click only -> step 2
+      .map { case (u, m, et) => (ts(m), u, et) }
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.funnelStream(
+      mem.toDF().toDF("ts", "user_id", "event_type"),
+      steps = Seq("view", "click", "click"), windowUs = W)
+      .writeStream.format("memory").queryName("funnel_stream_rep")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((ts(300), -1L, "zz"))
+      q.processAllAvailable()
+      mem.addData((ts(330), -1L, "zz"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream_rep")
+        .select("user_id", "reached").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 3), (2L, 2)), s"got $got")
+      // batch agreement on the same repeated-step funnel
+      val batch = graft.ops.Funnel.funnelCounts(
+        rows.toDF("ts", "user_id", "event_type")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type")),
+        Seq("view", "click", "click"), W).head()
+      assert((batch.getLong(0), batch.getLong(1), batch.getLong(2)) ==
+        ((2L, 2L, 1L)))
+    } finally q.stop()
+  }
 }
