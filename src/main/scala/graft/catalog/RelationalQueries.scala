@@ -1000,6 +1000,52 @@ object RelationalQueries {
                AS exact_both,
              TRUE AS within_5pct"""))
 
+  /** Cohort RETENTION matrix — the third classic event-analytics shape
+    * next to sessionization and the funnel: users are cohorted by their
+    * FIRST-activity week (epoch-week integer), and cell (cohort, offset)
+    * counts cohort members active `offset` weeks later. Two user-level
+    * aggregates (first week, distinct (user, week) activity) and one join
+    * between them — both frames are ≤ |users|·|weeks| rows regardless of
+    * event volume, so at 100 TB the matrix costs two partial-agg shuffles
+    * over user-sized frames, never an events-sized join. retained_pct is
+    * integer basis points (·10000 div cohort size) — no float division to
+    * flake the hash. Epoch-week arithmetic (`us div 7-days`) is identical
+    * integer math on both engines and dodges ISO-week/locale divergence. */
+  val eventsRetention = Q(
+    "q_events_retention",
+    (s, dir) => {
+      val WeekUs = 7L * 24 * 3600 * 1000000
+      val e = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $WeekUs").as("wk"))
+      val active = e.distinct() // (user, week) activity grid
+      val cohort = active.groupBy("user_id").agg(min("wk").as("c_wk"))
+      val sizes = cohort.groupBy("c_wk").agg(count(lit(1)).as("n_cohort"))
+      active.join(cohort, "user_id")
+        .groupBy(col("c_wk"), (col("wk") - col("c_wk")).as("offset_wk"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "c_wk")
+        .select(col("c_wk"), col("offset_wk"), col("n_cohort"),
+          col("n_active"),
+          expr("n_active * 10000 div n_cohort").as("retained_bp"))
+        .orderBy("c_wk", "offset_wk")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT user_id,
+                        epoch_us(ts) // 604800000000 AS wk
+                 FROM events),
+      cohort AS (SELECT user_id, min(wk) AS c_wk FROM e GROUP BY user_id),
+      sizes AS (SELECT c_wk, count(*)::BIGINT AS n_cohort
+                FROM cohort GROUP BY c_wk),
+      cells AS (SELECT c.c_wk, e.wk - c.c_wk AS offset_wk,
+                       count(*)::BIGINT AS n_active
+                FROM e JOIN cohort c USING (user_id)
+                GROUP BY c.c_wk, e.wk - c.c_wk)
+      SELECT x.c_wk, x.offset_wk, s.n_cohort, x.n_active,
+             x.n_active * 10000 // s.n_cohort AS retained_bp
+      FROM cells x JOIN sizes s USING (c_wk)
+      ORDER BY c_wk, offset_wk"""))
+
   /** Theta-sketch SET-DIFFERENCE — [[sketchThetaOverlap]]'s churn twin:
     * how many (user, day) pairs clicked but NEVER purchased that day,
     * estimated from the same two rolled-up per-type sketches via
@@ -1173,5 +1219,5 @@ object RelationalQueries {
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
-    eventsSessionsStreamExec, windowFunnelStreamExec)
+    eventsRetention, eventsSessionsStreamExec, windowFunnelStreamExec)
 }
