@@ -1046,6 +1046,58 @@ object RelationalQueries {
       FROM cells x JOIN sizes s USING (c_wk)
       ORDER BY c_wk, offset_wk"""))
 
+  /** RFM segmentation — the fourth event-analytics classic (after
+    * sessions, funnel, retention): per-user Recency (days since last
+    * purchase, against the corpus max timestamp so the query is
+    * reproducible), Frequency (purchase count) and Monetary (value summed
+    * in integer cents), each cut at fixed integer thresholds into
+    * high/low, then rolled up to the 8-cell segment grid. One user-level
+    * aggregate over the purchase slice + a broadcast of the single
+    * max-timestamp row; the segment map is a pure projection — events
+    * shuffle once, user frames never exceed |users|. Fixed thresholds
+    * rather than ntile: quantile cuts tie-break nondeterministically
+    * across engines, integer cuts cannot (doc_quality_percentile_filter
+    * gates the data-driven variant separately). */
+  val eventsRfm = Q(
+    "q_events_rfm",
+    (s, dir) => {
+      val DayUs = 86400000000L
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val maxUs = p.agg(max("us").as("max_us"))
+      val rfm = p.groupBy("user_id")
+        .agg(max("us").as("last_us"), count(lit(1)).as("freq"),
+          sum("cents").as("cents"))
+        .crossJoin(broadcast(maxUs))
+        .select(col("user_id"),
+          expr(s"(max_us - last_us) div $DayUs").as("recency_d"),
+          col("freq"), col("cents"))
+      rfm.select(
+        when(col("recency_d") <= 2, "r_hi").otherwise("r_lo").as("r"),
+        when(col("freq") >= 14, "f_hi").otherwise("f_lo").as("f"),
+        when(col("cents") >= 70000L, "m_hi").otherwise("m_lo").as("m"))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r", "f", "m")
+    },
+    Some("""
+      WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events WHERE event_type = 'purchase'),
+      mx AS (SELECT max(us) AS max_us FROM p),
+      rfm AS (SELECT user_id,
+                     (mx.max_us - max(us)) // 86400000000 AS recency_d,
+                     count(*)::BIGINT AS freq,
+                     sum(cents)::BIGINT AS cents
+              FROM p, mx GROUP BY user_id, mx.max_us)
+      SELECT CASE WHEN recency_d <= 2 THEN 'r_hi' ELSE 'r_lo' END AS r,
+             CASE WHEN freq >= 14 THEN 'f_hi' ELSE 'f_lo' END AS f,
+             CASE WHEN cents >= 70000 THEN 'm_hi' ELSE 'm_lo' END AS m,
+             count(*)::BIGINT AS n_users
+      FROM rfm GROUP BY 1, 2, 3 ORDER BY r, f, m"""))
+
   /** Theta-sketch SET-DIFFERENCE — [[sketchThetaOverlap]]'s churn twin:
     * how many (user, day) pairs clicked but NEVER purchased that day,
     * estimated from the same two rolled-up per-type sketches via
@@ -1219,5 +1271,5 @@ object RelationalQueries {
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
-    eventsRetention, eventsSessionsStreamExec, windowFunnelStreamExec)
+    eventsRetention, eventsRfm, eventsSessionsStreamExec, windowFunnelStreamExec)
 }
