@@ -76,6 +76,53 @@ class TextMatchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((5L, 0L), (6L, 12L), (7L, 12L)))
   }
 
+  test("spanScrub: random corpora agree with a driver-side reference") {
+    // Independent implementation of the documented rule: token dropped iff
+    // covered by a non-first (global min (doc_id, pos)) occurrence of a
+    // cross-doc duplicated 8-window. Small vocab + short docs force heavy
+    // organic duplication and overlapping windows.
+    def ref(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1) }
+      val wins = toks.flatMap { case (id, w) =>
+        if (w.length >= k) (1 to (w.length - k + 1)).map(p =>
+          (w.slice(p - 1, p - 1 + k).mkString(" "), id, p))
+        else Nil
+      }
+      val dupGrams = wins.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.size > 1).keySet
+      val firsts = wins.filter(w => dupGrams(w._1)).groupBy(_._1)
+        .map { case (g, os) => g -> os.map(o => (o._2, o._3)).min }
+      val drops = wins
+        .filter(w => dupGrams(w._1) && (w._2, w._3) != firsts(w._1))
+        .flatMap { case (_, id, p) => (p until p + k).map(id -> _) }
+        .toSet
+      toks.map { case (id, w) =>
+        val kept = w.zipWithIndex.collect {
+          case (t, i) if !drops(id -> (i + 1)) => t
+        }
+        id -> ((w.length - kept.length).toLong, kept.mkString(" "))
+      }.toMap
+    }
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(2024)
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 25L).map { id =>
+        val n = 6 + rnd.nextInt(20)
+        id -> Seq.fill(n)(s"t${rnd.nextInt(6)}").mkString(" ")
+      }
+      val out = TextMatch.spanScrub(docs.toDF("doc_id", "text"), k = 8)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      val want = ref(docs, 8)
+      docs.foreach { case (id, _) =>
+        val (wd, wt) = want(id)
+        assert(out(id) == ((wd, md5Of(wt))),
+          s"trial $trial doc $id: got ${out(id)}, want ($wd, md5('$wt'))")
+      }
+    }
+  }
+
   // --- paragraphDedup -----------------------------------------------------
 
   test("paragraphDedup: first occurrence survives, later copies drop") {
