@@ -47,7 +47,18 @@ object QualityReport {
         }.mkString("{", ", ", "}")
         s""""$name": $cols"""
       }
-      s"""{"sf": "$sfDir", "observables": ${entries.mkString("{", ", ", "}")}}"""
+      // MRL is the one ANN family whose per-query hit counts are
+      // HASH-GATED (ann_mrl_recall_at10 is not rows-only), so the value
+      // cannot regress silently — it is summarized here anyway so this
+      // artifact stays the complete recall picture across families.
+      val mrlRows = graft.SparkEntry
+        .queries("ann_mrl_recall_at10")(spark, sfDir).collect()
+      val mrlHits = mrlRows.map(_.getAs[Long]("n_hit")).sum
+      val mrl = f""""ann_mrl_recall_at10": {"recall_at_10": ${
+        mrlHits.toDouble / (10.0 * mrlRows.length)}%.4f, "n_queries": ${
+        mrlRows.length}, "hash_gated": true}"""
+      s"""{"sf": "$sfDir", "observables": ${
+        (entries :+ mrl).mkString("{", ", ", "}")}}"""
     }
     val json =
       if (sfDirs.size == 1) report(sfDirs.head)
