@@ -118,6 +118,34 @@ object JoinScaleProbe {
     println(s"""{"probe":"funnel","n_events":${3L * n},"users":$users,""" +
       s""""n_view":$f1,"n_click":$f2,"n_purchase":$f3,"sec":$tFunnel}""")
 
+    // Retention leg (the q_events_retention shape): cohort by first-
+    // activity epoch-week over the same synthetic stream. Invariants: the
+    // offset-0 cell of every cohort retains 100% by construction (a
+    // user's first week IS activity), and summed cohort sizes equal the
+    // distinct-user count.
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val rEvents = fEvents.select(col("user_id"),
+      (col("us") - (col("us") % weekUs)).divide(weekUs).cast("long").as("wk"))
+    val t2 = System.nanoTime()
+    val activeW = rEvents.distinct()
+    val cohortW = activeW.groupBy("user_id").agg(min("wk").as("c_wk"))
+    val sizesW = cohortW.groupBy("c_wk").agg(count(lit(1)).as("n_cohort"))
+    val cells = activeW.join(cohortW, "user_id")
+      .groupBy(col("c_wk"), (col("wk") - col("c_wk")).as("off"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizesW, "c_wk").cache()
+    val nCells = cells.count()
+    val tRet = (System.nanoTime() - t2) / 1e9
+    val offZeroBad = cells
+      .filter(col("off") === 0 && col("n_active") =!= col("n_cohort")).count()
+    val cohortSum = sizesW.agg(sum("n_cohort")).head().getLong(0)
+    val nUsers = rEvents.select("user_id").distinct().count()
+    println(s"""{"probe":"retention","n_events":${3L * n},"cells":$nCells,""" +
+      s""""off0_violations":$offZeroBad,"cohort_sum":$cohortSum,""" +
+      s""""distinct_users":$nUsers,"sec":$tRet}""")
+    assert(offZeroBad == 0, "offset-0 retention must be 100%")
+    assert(cohortSum == nUsers, "cohort sizes must partition the users")
+
     // AQE skew-join leg: the complementary case to asofBucketed — for
     // shuffled JOINS (not windows) Spark's AQE already splits skewed
     // partitions at runtime. Verify the engine's config actually fires it
