@@ -24,6 +24,16 @@ object PlanAudit {
     graft.index.LshForest.topK(queries, buckets, e, fmodel, k = 10).explain("formatted")
     println("===== Q3 shipping =====")
     graft.catalog.RelationalQueries.q3Shipping.run(spark, dir).explain("formatted")
+    println("===== window funnel =====")
+    // expect: filters pushed to the events scan, per-step partial aggs
+    // before their exchanges, AQE broadcasting the users-sized step frames
+    graft.catalog.RelationalQueries.windowFunnel.run(spark, dir)
+      .explain("formatted")
+    println("===== cohort retention =====")
+    // expect: one distinct exchange on (user, week), user-sized aggregates,
+    // broadcast of the cohort-sizes frame
+    graft.catalog.RelationalQueries.eventsRetention.run(spark, dir)
+      .explain("formatted")
     spark.stop()
   }
 }
