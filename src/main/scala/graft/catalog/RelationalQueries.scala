@@ -953,8 +953,8 @@ object RelationalQueries {
     * the two 4 KB buffers — never a distinct-pair shuffle of the raw
     * corpus. Gated like q_sketch_distinct: the exact intersection (small
     * here) rides next to a within-5% flag the oracle asserts TRUE; the
-    * composite key is exact integer arithmetic (user_id·100000 +
-    * epoch-day) on both engines. n_parts witnesses a real multi-sketch
+    * composite key is exact integer arithmetic (user_id·2^20 +
+    * epoch-day, the shift wide enough that no realistic epoch-day can alias across users) on both engines. n_parts witnesses a real multi-sketch
     * merge (hundreds of hourly sketches per type). Margin: measured
     * estimate/exact = 5971/5877 (1.6% rel, ≈ the lgK=12 1σ RSE) at
     * sf0.1, exact at sf0.01 — and theta's fixed hash seed makes the
@@ -966,7 +966,7 @@ object RelationalQueries {
       val k = Tables.events(s, dir)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
-          (col("user_id") * 100000L +
+          (col("user_id") * 1048576L +
             expr("unix_micros(ts) div 86400000000")).as("uk"))
       val fine = k.groupBy("event_type", "h")
         .agg(expr("theta_sketch_agg(uk)").as("sk"))
@@ -989,7 +989,7 @@ object RelationalQueries {
     Some("""
       WITH k AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               user_id * 100000 + epoch_us(ts) // 86400000000 AS uk
+               user_id * 1048576 + epoch_us(ts) // 86400000000 AS uk
         FROM events WHERE event_type IN ('click', 'purchase'))
       SELECT (SELECT count(*) FROM (SELECT DISTINCT event_type, h FROM k))::BIGINT
                AS n_parts,
@@ -1111,7 +1111,7 @@ object RelationalQueries {
       val k = Tables.events(s, dir)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_type"),
-          (col("user_id") * 100000L +
+          (col("user_id") * 1048576L +
             expr("unix_micros(ts) div 86400000000")).as("uk"))
       val per = k.groupBy("event_type")
         .agg(expr("theta_sketch_agg(uk)").as("sk"))
@@ -1132,7 +1132,7 @@ object RelationalQueries {
     Some("""
       WITH k AS (
         SELECT event_type,
-               user_id * 100000 + epoch_us(ts) // 86400000000 AS uk
+               user_id * 1048576 + epoch_us(ts) // 86400000000 AS uk
         FROM events WHERE event_type IN ('click', 'purchase'))
       SELECT (SELECT count(*) FROM
                (SELECT DISTINCT uk FROM k WHERE event_type = 'click'

@@ -99,6 +99,7 @@ object ConnectedComponents {
         least(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint()
+    var eCount = e.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -126,8 +127,14 @@ object ConnectedComponents {
         .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
         .distinct()
         .localCheckpoint()
-      converged = small.except(e).limit(1).count() == 0 &&
-        e.except(small).limit(1).count() == 0
+      // Convergence on distinct sets: equal cardinality + empty one-sided
+      // except imply set equality — one count (of the frame the next round
+      // reuses anyway) and at most one except job per alternation, where
+      // the two-sided form paid two full set-difference jobs every round.
+      val smallCount = small.count()
+      converged = smallCount == eCount &&
+        small.except(e).limit(1).count() == 0
+      eCount = smallCount
       e = small
       iter += 1
     }

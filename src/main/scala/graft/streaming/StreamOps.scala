@@ -635,8 +635,12 @@ object StreamOps {
           } else {
             state.update((anchor, buf, false))
             // wake at window close (anchor known) or GC horizon (buffer
-            // only); timeouts must exceed the current watermark
-            val target = anchor.map(a => a / 1000L + windowUs / 1000L)
+            // only); timeouts must exceed the current watermark. Ceiling
+            // division: with a truncating (a/1000 + windowUs/1000) a
+            // non-ms-aligned windowUs could fire the timeout with `closed`
+            // still false (wmUs == a + windowUs - sub-ms remainder), re-arm
+            // at wmMs + 1, and after a final sentinel batch never emit.
+            val target = anchor.map(a => (a + windowUs + 999L) / 1000L)
               .getOrElse(wmMs + gcMs)
             state.setTimeoutTimestamp(math.max(target, wmMs) + 1L)
           }
