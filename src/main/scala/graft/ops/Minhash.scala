@@ -65,4 +65,91 @@ object Minhash {
         slice(sig, b * lit(bandRows) + lit(1), lit(bandRows)), "")
         .cast("binary")))
   }
+
+  /** Modulus of the affine permutation family: the Mersenne prime 2³¹−1.
+    * Small enough that a·h + b stays under 2⁶² — plain BIGINT arithmetic
+    * with no overflow on either engine (DuckDB BIGINT multiply ERRORS on
+    * overflow rather than wrapping, so a 64-bit-state hash family is not
+    * SQL-replayable there). */
+  private[graft] val AffineP = 2147483647L
+
+  /** Fixed (a_j, b_j) coefficients of the affine family, derived from two
+    * public 32-bit hash primes — plain constants both the kernel and the
+    * SQL oracle embed literally. */
+  private[graft] def affineCoeffs(nPerms: Int): Seq[(Long, Long)] =
+    (1 to nPerms).map { j =>
+      val a = (j * 2654435761L) % AffineP
+      val b = (j * 2246822519L) % AffineP
+      require(a != 0L, s"degenerate multiplier for permutation $j")
+      (a, b)
+    }
+
+  /** The SQL VALUES list `(j, a, b), …` the DuckDB oracle replays
+    * [[signatureAffineUdf]] with. */
+  private[graft] def affineCoeffsSql(nPerms: Int): String =
+    affineCoeffs(nPerms).zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, $a, $b)" }.mkString(", ")
+
+  /** The CHEAP signature family — the 100 TB cost lever on the near-dup
+    * pipeline. [[signatureUdf]] spends nPerms MD5 digests per shingle
+    * (crypto-bound: ~16 digests × ~entire text length each); this family
+    * spends ONE digest per DISTINCT shingle and derives all nPerms
+    * permutations with an affine universal-hash map (Broder/Carter-Wegman):
+    *
+    *   h(shingle) = (first 60 bits of md5(shingle)) mod p,  p = 2³¹−1
+    *   perm_j     = (a_j · h + b_j) mod p
+    *   sig[j-1]   = min over shingles of perm_j           (a BIGINT)
+    *
+    * Everything after the digest is a multiply-add — the signature pass
+    * drops from nPerms digests to one per shingle (measured severalfold in
+    * DedupScaleProbe). The 60-bit truncation keeps the hex→integer fold
+    * inside BIGINT range on the DuckDB side (15 nibbles × 16-powers sums
+    * < 2⁶³), so the whole family stays a pure-SQL cross-engine replay.
+    * xxhash64 — the obvious digestless candidate, built into Spark — is
+    * NOT in DuckDB 1.0.0 (the driver's oracle engine), hence md5-seeded.
+    *
+    * Same tokenization contract as [[signatureUdf]]; the in-row HashSet
+    * skips repeat shingles (a duplicate can never change a min — the same
+    * argument that let the batch pipeline drop its DISTINCT). */
+  def signatureAffineUdf(nPerms: Int): UserDefinedFunction = {
+    val as = affineCoeffs(nPerms).map(_._1).toArray
+    val bs = affineCoeffs(nPerms).map(_._2).toArray
+    udf { (text: String) =>
+      val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
+      val shingles: Iterator[String] =
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
+        else Iterator(w.mkString(" "))
+      val mins = Array.fill(nPerms)(Long.MaxValue)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = new java.util.HashSet[String]()
+      shingles.foreach { sh =>
+        if (seen.add(sh)) {
+          val d = md.digest(sh.getBytes("UTF-8"))
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          v = (v << 4) | ((d(7) >> 4) & 0xfL) // first 15 hex chars = 60 bits
+          val h = v % AffineP
+          var j = 0
+          while (j < nPerms) {
+            val pj = (as(j) * h + bs(j)) % AffineP
+            if (pj < mins(j)) mins(j) = pj
+            j += 1
+          }
+        }
+      }
+      mins.toSeq
+    }
+  }
+
+  /** Band keys over an affine (BIGINT) signature: band b = the bandRows
+    * consecutive entries joined with ',' — decimal-rendered identically by
+    * both engines, so no second digest is spent on the band key. */
+  def bandKeysAffine(sig: Column, nPerms: Int, bandRows: Int): Column = {
+    require(nPerms % bandRows == 0, "bands must tile the signature")
+    transform(sequence(lit(0), lit(nPerms / bandRows - 1)),
+      b => array_join(
+        slice(sig, b * lit(bandRows) + lit(1), lit(bandRows))
+          .cast("array<string>"), ","))
+  }
 }

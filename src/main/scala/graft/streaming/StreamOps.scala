@@ -147,19 +147,34 @@ object StreamOps {
     * a deterministic replay.
     *
     * Input: (ts TIMESTAMP, doc_id LONG, text STRING). Output:
-    * (doc_a, doc_b, n_agree LONG). */
+    * (doc_a, doc_b, n_agree LONG).
+    *
+    * `family` picks the signature kernel: "md5" (nPerms digests per
+    * shingle — the original cross-engine parity twin) or "affine" (ONE
+    * digest per distinct shingle + affine permutations,
+    * [[graft.ops.Minhash.signatureAffineUdf]] — the cheap kernel a 100 TB
+    * stream runs; entries rendered as decimal strings so the state and
+    * agreement logic are family-blind). */
   def nearDupPairsStream(
       docs: DataFrame, nPerms: Int = 16, bandRows: Int = 4,
-      minAgree: Int = 13, lateness: String = "7 days"): DataFrame = {
+      minAgree: Int = 13, lateness: String = "7 days",
+      family: String = "md5"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
     require(nPerms % bandRows == 0, "bands must tile the signature")
-    // sig[j-1] via the shared graft.ops.Minhash kernel (one tight JVM
-    // loop per row — see its scaladoc for why this beats both the HOF
-    // and the explode forms; the gate's oracle hash-match is the parity
-    // proof). The batch bandsOf now rides the same kernel.
-    val sig = graft.ops.Minhash.signatureUdf(nPerms)(col("text"))
-    val bands = graft.ops.Minhash.bandHashes(col("sig"), nPerms, bandRows)
+    // sig[j-1] via the shared graft.ops.Minhash kernels (one tight JVM
+    // loop per row — see their scaladoc for why this beats both the HOF
+    // and the explode forms; the gates' oracle hash-matches are the parity
+    // proof). The batch bandsOf/bandsOfFast ride the same kernels.
+    val (sig, bands) = family match {
+      case "affine" => (
+        graft.ops.Minhash.signatureAffineUdf(nPerms)(col("text"))
+          .cast("array<string>"),
+        graft.ops.Minhash.bandKeysAffine(col("sig"), nPerms, bandRows))
+      case _ => (
+        graft.ops.Minhash.signatureUdf(nPerms)(col("text")),
+        graft.ops.Minhash.bandHashes(col("sig"), nPerms, bandRows))
+    }
     val fanned = docs
       .withColumn("sig", sig)
       .select(col("ts"), col("doc_id"), col("sig"),

@@ -34,7 +34,16 @@ object DedupScaleProbe {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      streamNearDupLeg(spark, if (args.length > 1) args(1).toInt else 50000)
+      streamNearDupLeg(spark, if (args.length > 1) args(1).toInt else 50000,
+        family = if (args.length > 2) args(2) else "md5")
+      spark.stop()
+      return
+    }
+    if (args.nonEmpty && args(0) == "sigkernel") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      sigKernelLeg(spark, if (args.length > 1) args(1).toInt else 100000)
       spark.stop()
       return
     }
@@ -223,7 +232,51 @@ object DedupScaleProbe {
     * agreement estimate (expected a bit under 1.0 — binomial estimate
     * of J ≈ 0.93, deterministic for a fixed corpus; the true-Jaccard
     * batch pass is the documented backstop). */
-  def streamNearDupLeg(spark: SparkSession, n: Int): Unit = {
+  /** Signature-kernel leg (`sigkernel <n>`): the cost claim behind
+    * dedup_minhash_pairs_fast — time the full signature + banding pass
+    * (the near-dup pipeline's hottest map; zero-shuffle either way) under
+    * the md5-per-permutation kernel vs the one-digest affine kernel on
+    * the same synthetic 40-word corpus. Warm-up pass first so JIT and
+    * page-cache effects don't flatter either side. */
+  def sigKernelLeg(spark: SparkSession, n: Int): Unit = {
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => format_string("w%04d", pmod(xxhash64(col("id"), j), lit(2000)))))
+        .as("text"))
+      .cache()
+    docs.count()
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // tokenize-only floor: the split/sliding/shingle-build cost BOTH
+    // kernels pay before any hashing — the irreducible part of the pass
+    val tokUdf = udf { (text: String) =>
+      val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
+      val shingles: Iterator[String] =
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
+        else Iterator(w.mkString(" "))
+      var acc = 0L
+      shingles.foreach(sh => acc += sh.length)
+      acc
+    }
+    def tokCount() =
+      docs.select(tokUdf(col("text")).as("n")).agg(sum("n")).first()
+    graft.catalog.DedupQueries.bandsOfFast(docs.limit(2000)).count() // warm JIT
+    graft.catalog.DedupQueries.bandsOf(docs.limit(2000)).count()
+    tokCount()
+    val (nFast, tFast) = time(graft.catalog.DedupQueries.bandsOfFast(docs).count())
+    val (nMd5, tMd5) = time(graft.catalog.DedupQueries.bandsOf(docs).count())
+    val (_, tTok) = time(tokCount())
+    println(s"""{"probe":"sig_kernel","n_docs":$n,"band_rows":$nMd5,""" +
+      s""""rows_equal":${nFast == nMd5},""" +
+      s""""t_md5_sec":${f"$tMd5%.2f"},"t_affine_sec":${f"$tFast%.2f"},""" +
+      s""""t_tokenize_only_sec":${f"$tTok%.2f"},""" +
+      s""""speedup":${f"${tMd5 / tFast}%.2f"},""" +
+      s""""hash_cost_speedup":${f"${(tMd5 - tTok) / math.max(tFast - tTok, 1e-9)}%.2f"}}""")
+  }
+
+  def streamNearDupLeg(spark: SparkSession, n: Int, family: String = "md5"): Unit = {
     import spark.implicits._
     val base = spark.range(n).select(
       col("id").as("doc_id"),
@@ -242,7 +295,7 @@ object DedupScaleProbe {
       .MemoryStream[(java.sql.Timestamp, Long, String)]
     val q = graft.streaming.StreamOps
       .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
-        lateness = "365 days")
+        lateness = "365 days", family = family)
       .writeStream.format("memory").queryName("probe_neardup_sink")
       .outputMode("append").start()
     val batchWalls = Seq.newBuilder[Double]
@@ -263,7 +316,7 @@ object DedupScaleProbe {
         .filter(col("doc_b") === col("doc_a") + n && col("doc_a") % 20 === 0)
         .count()
       val walls = batchWalls.result()
-      println(s"""{"probe":"stream_neardup","n_docs":${rows.length},""" +
+      println(s"""{"probe":"stream_neardup","family":"$family","n_docs":${rows.length},""" +
         s""""batch_walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
         s""""state_rows":$stateRows,"pairs":$nPairs,""" +
         s""""planted":$planted,"planted_found":$found}""")

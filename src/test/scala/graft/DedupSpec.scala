@@ -55,6 +55,40 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall on strong dups = $recall (${strong.size} strong)")
   }
 
+  test("fast (affine) minhash pairs: perfect precision and strong recall") {
+    val found = DedupQueries.minhashPairsFast.run(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(found.nonEmpty, "fixture has planted near-dups; none found")
+    found.foreach { case ((a, b), jac) =>
+      val t = truth.getOrElse((a, b), 0.0)
+      assert(math.abs(t - jac) < 1e-3, s"pair ($a,$b): reported $jac, truth $t")
+      assert(t >= 0.8)
+    }
+    val pairs = found.map(_._1).toSet
+    val strong = truth.filter(_._2 >= 0.9).keySet
+    val recall = strong.count(pairs).toDouble / strong.size
+    assert(recall >= 0.9, s"affine-family recall on strong dups = $recall")
+  }
+
+  test("affine signature: content-functional, order-sensitive, in range") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"), // case-folds equal
+      (3L, "dog lazy the over jumps fox brown quick the"), // same words, reordered
+      (4L, "an entirely different document about ducks today")
+    ).toDF("doc_id", "text")
+    val sigs = docs
+      .withColumn("sig", graft.ops.Minhash.signatureAffineUdf(16)(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(sigs(1) == sigs(2), "case-folded duplicates must share the signature")
+    assert(sigs(1) != sigs(3), "3-gram shingles are order-sensitive")
+    assert(sigs(1) != sigs(4))
+    sigs.values.foreach(_.foreach(v =>
+      assert(v >= 0 && v < graft.ops.Minhash.AffineP, s"entry $v out of field")))
+  }
+
   test("keep-list drops exactly the dominated docs") {
     val pairs = DedupQueries.minhashPairs.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
