@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
@@ -619,40 +620,99 @@ object VectorQueries {
     Some(mrlOracle(
       "SELECT query_id, vec_id, dist FROM mrl ORDER BY query_id, vec_id")))
 
+  /** Variance-concentrating "MRL-trained" twin of the fixture embeddings:
+    * dimension i (1-based) scaled by 2^-((i-1) div 4) — halve the scale
+    * every 4 dims, so the 16-dim prefix carries ~99.6% of the energy, the
+    * front-loading an actually-MRL-trained embedder would produce
+    * (Kusupati et al. 2022). Every weight is a power of two, so the
+    * scaling is EXACT in IEEE-754 on both engines (an exponent shift, no
+    * mantissa change) and the whole cascade stays bit-replayable in
+    * DuckDB. This is what makes the recall gate LIVE: on the raw
+    * synthetic fixture the prefix carries no information and recall pins
+    * at the 0.58/0.38 mechanism number — a gate that cannot move cannot
+    * catch a prefix-prefilter regression. */
+  private def mrlTrained(emb: Column): Column =
+    transform(emb, (x, i) =>
+      (x.cast("double") / pow(lit(2.0), (i / lit(4)).cast("int")))
+        .cast("float"))
+
+  /** `arr[t.i]` under the same per-dim power-of-two weighting, oracle
+    * side. */
+  private def wEl(arr: String) =
+    s"($arr[t.i]::DOUBLE / (1 << ((t.i-1)//4)))"
+  private def wCos(arr: String, qe: String) =
+    s"""floor(greatest(0, 1 - sum(${wEl(arr)} * ${wEl(qe)} ORDER BY t.i)
+               / (sqrt(sum(${wEl(arr)} * ${wEl(arr)} ORDER BY t.i))
+                  * sqrt(sum(${wEl(qe)} * ${wEl(qe)} ORDER BY t.i)))) * 1e4) / 1e4"""
+
   /** Per-query hit count of the MRL cascade against the full-dimension
-    * exact top-10 — unlike the other families' recall observables this is
-    * HASH-CHECKED (both sides exact and deterministic), so any prefix-
-    * informativeness regression flips the gate red rather than drifting a
-    * floor. */
+    * exact top-10, over the [[mrlTrained]] twin — HASH-CHECKED like the
+    * raw-fixture entries (everything exact and deterministic), and now a
+    * LIVE quality gate: recall lands ≈1.0 because the prefix genuinely
+    * front-loads variance, so a regression in the prefix-prefilter logic
+    * (wrong slice, wrong metric, dropped rerank) drops whole hit counts
+    * and flips the hash red. Queries whose cascade returns ZERO exact
+    * hits still emit an n_hit = 0 row (left join + coalesce on both
+    * sides), keeping QualityReport's denominator at the true query count.
+    * The raw-fixture mechanism number lives on in `ann_mrl_topk`. */
   val mrlRecall = Q(
     "ann_mrl_recall_at10",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), mrlTrained(col("embedding")).as("embedding"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val exact = SimSearch.exactTopK(queries, e, k = 10,
         metric = Distances.Cosine).select("query_id", "vec_id")
-      mrlTopKFrame(s, dir).select("query_id", "vec_id")
+      val cands = SimSearch.exactTopK(
+        queries.select(col("query_id"),
+          slice(col("embedding"), 1, MrlPrefix).as("embedding")),
+        e.select(col("vec_id"),
+          slice(col("embedding"), 1, MrlPrefix).as("embedding")),
+        k = MrlCands, metric = Distances.Cosine)
+      val approx = SimSearch.rerankTopK(cands, queries, e, k = 10,
+        metric = Distances.Cosine)
+      val hits = approx.select("query_id", "vec_id")
         .join(exact, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .orderBy("query_id")
     },
-    Some(mrlOracle("""
-      SELECT m.query_id, count(*)::BIGINT AS n_hit
-      FROM mrl m
-      JOIN (SELECT query_id, vec_id
-            FROM (SELECT query_id, vec_id,
-                         row_number() OVER (PARTITION BY query_id
-                                            ORDER BY dist, vec_id) AS rn
-                  FROM (SELECT q.query_id, a.vec_id,
-                               floor(greatest(0, 1 - sum(a.embedding[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)
-                                          / (sqrt(sum(a.embedding[t.i]::DOUBLE * a.embedding[t.i]::DOUBLE ORDER BY t.i))
-                                             * sqrt(sum(q.qe[t.i]::DOUBLE * q.qe[t.i]::DOUBLE ORDER BY t.i)))) * 1e4) / 1e4 AS dist
-                        FROM embeddings a, q, generate_series(1, 64) t(i)
-                        GROUP BY q.query_id, a.vec_id))
-            WHERE rn <= 10) x
-        ON x.query_id = m.query_id AND x.vec_id = m.vec_id
-      GROUP BY m.query_id ORDER BY m.query_id""")))
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+      d1 AS (SELECT q.query_id, a.vec_id, ${wCos("a.embedding", "q.qe")} AS dist
+             FROM embeddings a, q, generate_series(1, $MrlPrefix) t(i)
+             GROUP BY q.query_id, a.vec_id),
+      cand AS (SELECT query_id, vec_id
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY dist, vec_id) AS rn
+                     FROM d1)
+               WHERE rn <= $MrlCands),
+      ex AS (SELECT q.query_id, a.vec_id, ${wCos("a.embedding", "q.qe")} AS dist
+             FROM embeddings a, q, generate_series(1, 64) t(i)
+             GROUP BY q.query_id, a.vec_id),
+      mrl AS (SELECT query_id, vec_id
+              FROM (SELECT e.query_id, e.vec_id, e.dist,
+                           row_number() OVER (PARTITION BY e.query_id
+                                              ORDER BY e.dist, e.vec_id) AS rn
+                    FROM ex e JOIN cand c
+                      ON c.query_id = e.query_id AND c.vec_id = e.vec_id)
+              WHERE rn <= 10),
+      exact10 AS (SELECT query_id, vec_id
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                     ORDER BY dist, vec_id) AS rn
+                        FROM ex)
+                  WHERE rn <= 10),
+      hits AS (SELECT m.query_id, count(*)::BIGINT AS n_hit
+               FROM mrl m JOIN exact10 x
+                 ON x.query_id = m.query_id AND x.vec_id = m.vec_id
+               GROUP BY m.query_id)
+      SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit
+      FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id"""))
 
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
