@@ -344,6 +344,62 @@ object DedupQueries {
       SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
       FROM vp ORDER BY doc_a, doc_b"""))
 
+  /** Persisted BASE-half component labels — the other artifact production
+    * carries forward between increments (next to [[BaseBandsCache]]'s band
+    * table): components over the verified pairs WITHIN the base half,
+    * derived here by filtering the cached full pair set (doc_a < doc_b, so
+    * doc_b < split ⟺ both endpoints in the base). */
+  private object BaseLabelsCache {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def get(s: SparkSession, dir: String, split: Long): DataFrame = {
+      val path = cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_baselabels/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.ops.ConnectedComponents.components(
+          PairsCache.get(s, dir).filter(col("doc_b") < split)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
+  }
+
+  /** The FULL daily-crawl increment loop, composed end to end:
+    * [[minhashIncremental]]'s delta pairs (delta bands vs the persisted
+    * base band table) feed
+    * [[graft.ops.ConnectedComponents.updateIncremental]] against the
+    * persisted base labels — delta edges merged into existing components
+    * at O(|delta| + touched components), never a full pair-graph
+    * recompute. The oracle IS the full recompute (recursive transitive
+    * closure over the complete verified pair set), so the hash gate
+    * proves increment ≡ recompute on the real near-dup graph. */
+  val clusterIncremental = Q(
+    "dedup_cluster_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val split = (docs.agg(max("doc_id")).first().getLong(0) + 1) / 2
+      val delta = docs.filter(col("doc_id") >= split)
+      val deltaBands = bandsOf(delta)
+      val allBands = BaseBandsCache.get(s, dir, split).unionAll(deltaBands)
+      val deltaPairs = minhashPairsDelta(docs, allBands, deltaBands)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.ops.ConnectedComponents.updateIncremental(
+        BaseLabelsCache.get(s, dir, split), deltaPairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""${oraclePipeline.replaceFirst("WITH", "WITH RECURSIVE")},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION SELECT doc_b, doc_a FROM vp
+              UNION SELECT doc_a, doc_a FROM vp
+              UNION SELECT doc_b, doc_b FROM vp),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+      SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""))
+
   /** Keep-list under first-wins semantics: drop every doc that near-dups a
     * lower id (greedy, matches I10's first-inserted-wins). */
   val minhashKeep = Q(
@@ -1144,7 +1200,8 @@ object DedupQueries {
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashPairsFast, minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep,
-    simhashPairs, embeddingNearDup, clusterCc, clusterCcStar, sampleNegatives,
+    simhashPairs, embeddingNearDup, clusterCc, clusterCcStar,
+    clusterIncremental, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,
     streamNearDupFastExec)
 }

@@ -143,4 +143,68 @@ object ConnectedComponents {
       .unionAll(e.select(col("b").as("node"), col("b").as("component")))
       .groupBy("node").agg(min("component").as("component"))
   }
+
+  /** INCREMENTAL component maintenance — the daily-crawl loop's missing
+    * step: yesterday's labels plus today's delta edges, WITHOUT touching
+    * the full pair graph. Contract the delta onto the existing labeling
+    * (each endpoint → its current component id; unseen nodes → self),
+    * run [[componentsLargeSmallStar]] on that contracted graph — sized by
+    * the delta and the components it touches, never the corpus — and map
+    * the old labels through the result.
+    *
+    * Correctness: an old component's label is the min node id it
+    * contains, so the contracted graph's node set is {component minima}
+    * ∪ {new nodes}, and the star contraction's min over THAT set equals
+    * the min over the union graph's merged node sets — exactly what a
+    * full recompute would assign (the catalog entry's oracle IS the full
+    * recompute; IncrementalSpec-style parity in ConnectedComponentsSpec).
+    * Untouched components never enter the contracted graph and keep
+    * their labels through the left join.
+    *
+    * Cost: O(|delta| + touched components) per increment — two label
+    * lookups on the delta, a star contraction of the contracted graph,
+    * one broadcast-sized relabel join back (the contracted result has at
+    * most one row per touched component + new node).
+    *
+    * `labels` is (node, component) with component = min reachable id
+    * (the [[components]] output contract); `deltaEdges` self-loops are
+    * dropped (pair graphs are strict a < b). Returns the full updated
+    * labeling: every old node plus every node of the delta. */
+  def updateIncremental(
+      labels: DataFrame, deltaEdges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val lbl = labels.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("label"))
+    val e = deltaEdges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // Label lookup without shuffling the corpus-sized labels frame: semi-
+    // join labels down to the delta's endpoints (broadcast build side =
+    // 2·|delta| keys, one map-side scan of labels), then resolve both
+    // endpoints against that delta-sized slice.
+    val touched = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val lblTouched = lbl.join(broadcast(touched), Seq("node"), "left_semi")
+      .localCheckpoint()
+    val contracted = e
+      .join(lblTouched.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"), "left")
+      .join(lblTouched.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"), "left")
+      .select(coalesce(col("la"), col("src")).as("a"),
+        coalesce(col("lb"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")) // intra-component delta edges: no-ops
+    val merged = componentsLargeSmallStar(contracted, "a", "b")
+    // Old nodes ride their label through the (touched-components-sized)
+    // relabel map; nodes of the delta not in the old labeling are new.
+    val relabel = merged.select(col("node").as("label"),
+      col("component").as("newc"))
+    val updatedOld = lbl
+      .join(broadcast(relabel), Seq("label"), "left")
+      .select(col("node"), coalesce(col("newc"), col("label")).as("component"))
+    val newNodes = merged
+      .join(lbl.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("component"))
+    updatedOld.unionAll(newNodes)
+  }
 }

@@ -39,6 +39,16 @@ object DedupScaleProbe {
       spark.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "ccdelta") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      ccDeltaLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 1000000,
+        m = if (args.length > 2) args(2).toInt else 10000)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "sigkernel") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -232,6 +242,60 @@ object DedupScaleProbe {
     * agreement estimate (expected a bit under 1.0 — binomial estimate
     * of J ≈ 0.93, deterministic for a fixed corpus; the true-Jaccard
     * batch pass is the documented backstop). */
+  /** Incremental-components leg (`ccdelta <n> <m>`): the scale claim
+    * behind dedup_cluster_incremental — merging m delta edges into the
+    * persisted labeling of an n-node base graph must cost a small
+    * fraction of the full recompute, and land on the identical labels.
+    * Base: n nodes in ~n/4 small components (edge i→i+1 unless i % 4 == 3
+    * — the duplicate-cluster shape). Delta: m edges, half bridging two
+    * existing components (hash-chosen), half attaching brand-new nodes.
+    * Base labels are precomputed (the previous increment's output — NOT
+    * timed). Equality against the full star recompute on the union is
+    * asserted, not just reported. */
+  def ccDeltaLeg(spark: SparkSession, n: Int, m: Int): Unit = {
+    import graft.ops.ConnectedComponents
+    val base = spark.range(n - 1)
+      .filter(pmod(col("id"), lit(4)) =!= 3)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .cache()
+    base.count()
+    val half = m / 2
+    val bridges = spark.range(half).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n.toLong)).as("src"),
+      pmod(xxhash64(col("id"), lit(2)), lit(n.toLong)).as("dst"))
+    val attach = spark.range(half).select(
+      pmod(xxhash64(col("id"), lit(3)), lit(n.toLong)).as("src"),
+      (col("id") + n.toLong).as("dst"))
+    val delta = bridges.unionAll(attach)
+      .filter(col("src") =!= col("dst")).cache()
+    val nDelta = delta.count()
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // previous increment's persisted output — not part of the delta cost
+    val labels = ConnectedComponents.components(base, maxIter = 10)
+      .cache()
+    labels.count()
+    val (incr, tIncr) = time {
+      val d = ConnectedComponents.updateIncremental(labels, delta).cache()
+      d.count(); d
+    }
+    val (full, tFull) = time {
+      val f = ConnectedComponents
+        .componentsLargeSmallStar(base.unionAll(delta)).cache()
+      f.count(); f
+    }
+    val mismatches = incr.as("i")
+      .join(full.as("f"), col("i.node") === col("f.node"))
+      .filter(col("i.component") =!= col("f.component")).count() +
+      math.abs(incr.count() - full.count())
+    require(mismatches == 0, s"incremental != full recompute: $mismatches")
+    println(s"""{"probe":"cc_delta","n_base_nodes":$n,"n_delta_edges":$nDelta,""" +
+      s""""t_incremental_sec":${f"$tIncr%.2f"},"t_full_sec":${f"$tFull%.2f"},""" +
+      s""""speedup":${f"${tFull / tIncr}%.2f"},"equal":true}""")
+  }
+
   /** Signature-kernel leg (`sigkernel <n>`): the cost claim behind
     * dedup_minhash_pairs_fast — time the full signature + banding pass
     * (the near-dup pipeline's hottest map; zero-shuffle either way) under

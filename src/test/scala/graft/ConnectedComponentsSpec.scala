@@ -79,6 +79,47 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  private def ccIncr(
+      base: Seq[(Long, Long)], delta: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.updateIncremental(
+      ConnectedComponents.components(base.toDF("src", "dst")),
+      delta.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental update equals full recompute on the union graph") {
+    val rnd = new scala.util.Random(77)
+    (1 to 3).foreach { _ =>
+      // base over nodes 0..39; delta mixes: old-old merges, old-new
+      // attachments, new-new pairs, and intra-component no-ops
+      val base = Seq.fill(50)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val delta = Seq.fill(20)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccIncr(base, delta) == ufRef(base ++ delta))
+    }
+  }
+
+  test("incremental update: targeted merge, attach, no-op, new-only cases") {
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // merge two components + attach a new node + brand-new pair + no-op
+    val delta = Seq((3L, 10L), (21L, 50L), (60L, 61L), (1L, 2L))
+    val got = ccIncr(base, delta)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L, 50L -> 20L, 60L -> 60L, 61L -> 60L))
+    // all-no-op delta leaves the labeling untouched
+    assert(ccIncr(base, Seq((1L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L))
+  }
+
+  test("incremental update: a new node can become the canonical minimum") {
+    // new node 0 joins component {5,6} — the merged min is the NEW id
+    val got = ccIncr(Seq((5L, 6L)), Seq((0L, 6L)))
+    assert(got == Map(0L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
   test("catalog clusters: every cluster id is a member and the minimum") {
     val rows = graft.catalog.DedupQueries.clusterCc
       .run(spark, SparkTestBase.sf0001).collect()
