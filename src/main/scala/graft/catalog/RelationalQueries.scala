@@ -1098,6 +1098,84 @@ object RelationalQueries {
              count(*)::BIGINT AS n_users
       FROM rfm GROUP BY 1, 2, 3 ORDER BY r, f, m"""))
 
+  /** Multi-touch ATTRIBUTION — the fifth event-analytics classic (after
+    * sessions, funnel, retention, RFM): each converting user's pre-
+    * conversion touches (view/click inside a 7-day lookback before the
+    * FIRST purchase — min-anchored like the funnel, one conversion per
+    * user) split 10000 basis points of credit three ways at once:
+    * first-touch (rank 1 takes all), last-touch (rank n takes all), and
+    * linear (10000 div n each, remainder to the earliest touches — so
+    * every conversion's credit sums to exactly 10000 with no float
+    * division to flake the hash). Ranks order by (us, event_id): exact
+    * integer microseconds with a unique tiebreak, deterministic on both
+    * engines.
+    *
+    * 100 TB shape: conversions are one filtered user-level aggregate;
+    * touches shuffle ONCE on the user key against that users-sized build
+    * side (AQE broadcasts it when small); the rank window partitions on
+    * user over lookback-bounded touch lists; the three models are a
+    * 3-way explode of the already-ranked rows (map-side), rolled up to
+    * the (model, channel) grid — never an events×events join. */
+  val eventsAttribution = Q(
+    "q_events_attribution",
+    (s, dir) => {
+      val LookbackUs = 7L * 86400000000L
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("event_id"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(col("us") < col("c_us") &&
+          col("us") >= col("c_us") - LookbackUs)
+      val ranked = touches
+        .withColumn("r", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      val credited = ranked.select(col("event_type"),
+        explode(array(
+          struct(lit("first_touch").as("model"),
+            when(col("r") === 1, lit(10000L)).otherwise(lit(0L)).as("bp")),
+          struct(lit("last_touch").as("model"),
+            when(col("r") === col("n"), lit(10000L)).otherwise(lit(0L)).as("bp")),
+          struct(lit("linear").as("model"),
+            (expr("10000 div n") +
+              when(col("r") <= expr("10000 % n"), lit(1L)).otherwise(lit(0L)))
+              .as("bp")))).as("mc"))
+        .select(col("event_type"), col("mc.model").as("model"),
+          col("mc.bp").as("bp"))
+      credited.groupBy(col("model"), col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"), sum("bp").as("credit_bp"))
+        .orderBy("model", "channel")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+                 FROM events),
+      conv AS (SELECT user_id, min(us) AS c_us FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id),
+      t AS (SELECT e.user_id, e.event_type, e.us, e.event_id
+            FROM e JOIN conv c USING (user_id)
+            WHERE e.event_type IN ('view', 'click')
+              AND e.us < c.c_us AND e.us >= c.c_us - 604800000000),
+      r AS (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS r,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM t),
+      m AS (
+        SELECT event_type, 'first_touch' AS model,
+               CASE WHEN r = 1 THEN 10000 ELSE 0 END AS bp FROM r
+        UNION ALL
+        SELECT event_type, 'last_touch',
+               CASE WHEN r = n THEN 10000 ELSE 0 END FROM r
+        UNION ALL
+        SELECT event_type, 'linear',
+               10000 // n + CASE WHEN r <= 10000 % n THEN 1 ELSE 0 END FROM r)
+      SELECT model, event_type AS channel, count(*)::BIGINT AS n_touches,
+             sum(bp)::BIGINT AS credit_bp
+      FROM m GROUP BY model, event_type ORDER BY model, channel"""))
+
   /** Theta-sketch SET-DIFFERENCE — [[sketchThetaOverlap]]'s churn twin:
     * how many (user, day) pairs clicked but NEVER purchased that day,
     * estimated from the same two rolled-up per-type sketches via
@@ -1271,5 +1349,6 @@ object RelationalQueries {
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
-    eventsRetention, eventsRfm, eventsSessionsStreamExec, windowFunnelStreamExec)
+    eventsRetention, eventsRfm, eventsAttribution,
+    eventsSessionsStreamExec, windowFunnelStreamExec)
 }

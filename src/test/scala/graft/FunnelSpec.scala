@@ -103,6 +103,24 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution conserves credit: every model pays exactly 10000 bp " +
+      "per converting user with touches") {
+    val rows = graft.catalog.RelationalQueries.eventsAttribution
+      .run(spark, SparkTestBase.sf0001).collect()
+    assert(rows.nonEmpty)
+    val byModel = rows.groupBy(_.getString(0))
+    assert(byModel.keySet == Set("first_touch", "last_touch", "linear"))
+    val totals = byModel.view.mapValues(_.map(_.getLong(3)).sum).toMap
+    // all three models split the same pot — same converting users
+    assert(totals.values.toSet.size == 1,
+      s"models disagree on total credit: $totals")
+    assert(totals("linear") % 10000 == 0,
+      "total must be 10000 bp x number of credited conversions")
+    // every model counts the same touch rows
+    val touches = byModel.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(touches.values.toSet.size == 1)
+  }
+
   test("funnelSteps keeps one row per step-1 user with null tails") {
     import spark.implicits._
     val rows = Seq(
