@@ -945,6 +945,62 @@ object RelationalQueries {
              (SELECT count(*) FROM c)::BIGINT AS n_click_24h,
              (SELECT count(*) FROM p)::BIGINT AS n_purchase_24h"""))
 
+  /** Time-to-convert distribution over the funnel — for each step past
+    * the anchor, how long users who reached it took from their first
+    * view: exact integer-µs latencies (step_k_us − step_1_us from
+    * [[graft.ops.Funnel.funnelSteps]]'s per-user wide frame), aggregated
+    * to n/min/max and type-7 p50/p90 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` over integers — the profile_token_quantiles
+    * determinism argument). The steps unpivot map-side from the wide
+    * frame, so the whole entry costs the funnel's per-step user-level
+    * aggregates plus one users-sized quantile shuffle over 2 bounded
+    * groups. */
+  val funnelTimeToConvert = Q(
+    "q_funnel_time_to_convert",
+    (s, dir) => {
+      val wide = graft.ops.Funnel.funnelSteps(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type")),
+        steps = Seq("view", "click", "purchase"),
+        windowUs = 86400000000L) // 24 h
+      wide.select(explode(array(
+        struct(lit("click").as("step"),
+          (col("step_2_us") - col("step_1_us")).as("lat_us")),
+        struct(lit("purchase").as("step"),
+          (col("step_3_us") - col("step_1_us")).as("lat_us")))).as("t"))
+        .select(col("t.step").as("step"), col("t.lat_us").as("lat_us"))
+        .filter(col("lat_us").isNotNull)
+        .groupBy("step")
+        .agg(count(lit(1)).as("n_users"),
+          min("lat_us").as("min_us"), max("lat_us").as("max_us"),
+          round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+          round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))
+        .orderBy("step")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+      v AS (SELECT user_id, min(us) AS v_us FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.us) AS c_us, min(v.v_us) AS v_us
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND e.us > v.v_us AND e.us <= v.v_us + 86400000000
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.us) AS p_us, min(c.v_us) AS v_us
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.us > c.c_us AND e.us <= c.v_us + 86400000000
+            GROUP BY e.user_id),
+      lat AS (SELECT 'click' AS step, c_us - v_us AS lat_us FROM c
+              UNION ALL
+              SELECT 'purchase', p_us - v_us FROM p)
+      SELECT step, count(*)::BIGINT AS n_users,
+             min(lat_us) AS min_us, max(lat_us) AS max_us,
+             round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+             round(quantile_cont(lat_us, 0.9), 4) AS p90_us
+      FROM lat GROUP BY step ORDER BY step"""))
+
   /** Theta-sketch SET-INTERSECTION — the sketch family's answer to
     * "how many (user, day) pairs did BOTH click and purchase?" at 100 TB:
     * HLL can only union, theta sketches support intersection/difference,
@@ -1349,6 +1405,6 @@ object RelationalQueries {
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
-    eventsRetention, eventsRfm, eventsAttribution,
+    eventsRetention, eventsRfm, eventsAttribution, funnelTimeToConvert,
     eventsSessionsStreamExec, windowFunnelStreamExec)
 }

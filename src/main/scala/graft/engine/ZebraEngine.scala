@@ -449,6 +449,26 @@ final class ZebraEngine private (
     true
   }
 
+  /** Index VACUUM — reclaim the dead weight [[compactIndexIfNeeded]]'s
+    * leaf-local splits leave behind (rows under leaf ids no tree can
+    * reach; queries already ignore them, but they inflate every index
+    * scan) WITHOUT a retrain: rewrite the REACHABLE rows only
+    * ([[liveIndex]] — the broadcast-semi-join view), restoring the
+    * leaf-sorted pruning layout. Decouples space reclamation from model
+    * retraining, which previously only a full [[refreshIndex]] did: the
+    * model file is untouched, so routing — and therefore every query
+    * result — is bit-identical pre/post (IncrementalSpec gates this; the
+    * endurance probe asserts stale/live lands at 0.0 after an 11×-growth
+    * ingest run). Returns the number of stale rows reclaimed. */
+  def vacuumIndex(): Long = {
+    if (!hasData(indexDir)) return 0L
+    val total = spark.read.parquet(indexDir).count()
+    val live = liveIndex
+    val stale = total - live.count()
+    if (stale > 0L) rewritePartitioned(indexDir, live)
+    stale
+  }
+
   /** IVF-PQ staleness maintenance — the quantizer-family sibling of
     * [[compactIndexIfNeeded]]. Incremental ingest ([[insertRecords]])
     * routes new vectors through the FROZEN coarse centroids and PQ

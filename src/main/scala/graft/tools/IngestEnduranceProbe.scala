@@ -104,6 +104,16 @@ object IngestEnduranceProbe {
       println(f"bucket_rows: $bucketRows, live: $liveRows, stale/live: $r%.3f")
       r
     }
+    // vacuum: reclaim the split dead weight WITHOUT a retrain, then
+    // re-measure — the decoupling compactIndexIfNeeded alone can't give
+    val postVacuumRatio = if (kind == "ivfpq") 0.0 else {
+      val (reclaimed, _) = time("vacuum")(eng.vacuumIndex())
+      val bucketRows = spark.read.parquet(s"$path/index").count()
+      val liveRows = eng.liveIndex.count()
+      val r = (bucketRows - liveRows).toDouble / liveRows
+      println(f"vacuum reclaimed: $reclaimed, stale/live after: $r%.3f")
+      r
+    }
 
     eng.queryVectors(queries, 10).count()
     val (_, qAfter) = time("query_warm_after")(
@@ -126,8 +136,11 @@ object IngestEnduranceProbe {
     if (kind == "ivfpq")
       gate("retrains_fired", compactions >= 1,
         s"$compactions >= 1 (growth 11x must cross the 4x trigger)")
-    else
+    else {
       gate("stale_ratio", staleRatio <= 1.5, f"$staleRatio%.3f <= 1.5")
+      gate("post_vacuum_stale", postVacuumRatio == 0.0,
+        f"$postVacuumRatio%.3f == 0.0 (vacuum must reclaim all dead rows)")
+    }
     gate("latency_drift", qAfter <= qBefore * 10 + 2.0,
       f"warm query $qBefore%.2fs -> $qAfter%.2fs at 11x corpus")
     spark.stop()

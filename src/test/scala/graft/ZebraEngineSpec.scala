@@ -135,6 +135,34 @@ class ZebraEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuumIndex reclaims split dead weight; results identical, no retrain") {
+    val eng = freshEngine()
+    eng.insertRecords(emb.limit(100))
+    eng.refreshIndex()
+    eng.insertRecords(emb.exceptAll(emb.limit(100)))
+    assert(eng.compactIndexIfNeeded(factor = 4.0), "setup: must compact")
+    val stale = spark.read.parquet(s"$enginePath/index").count() -
+      eng.liveIndex.count()
+    assert(stale > 0, "setup: compaction must strand stale rows")
+    val queries = emb.limit(8).select(col("id").as("query_id"), col("embedding"))
+    val before = eng.queryVectors(queries, k = 5).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[String]("id"),
+        r.getAs[Double]("dist"))).toSet
+    val modelStampBefore =
+      new java.io.File(s"$enginePath/index_model.bin").lastModified()
+    assert(eng.vacuumIndex() == stale, "vacuum must reclaim exactly the dead rows")
+    // stale/live back to 0; model untouched; routing (results) identical
+    val total = spark.read.parquet(s"$enginePath/index").count()
+    assert(total == eng.liveIndex.count(), "post-vacuum index must be all-live")
+    assert(new java.io.File(s"$enginePath/index_model.bin").lastModified() ==
+      modelStampBefore, "vacuum must not retrain or rewrite the model")
+    val after = eng.queryVectors(queries, k = 5).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[String]("id"),
+        r.getAs[Double]("dist"))).toSet
+    assert(after == before, "vacuum changed query results")
+    assert(eng.vacuumIndex() == 0L, "second vacuum must be a no-op")
+  }
+
   test("filtered query: predicate + kNN equals exact kNN of the filtered set") {
     val eng = freshEngine()
     eng.insertRecords(emb)
