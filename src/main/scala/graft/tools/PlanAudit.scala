@@ -34,6 +34,18 @@ object PlanAudit {
     // broadcast of the cohort-sizes frame
     graft.catalog.RelationalQueries.eventsRetention.run(spark, dir)
       .explain("formatted")
+    println("===== multi-touch attribution =====")
+    // expect: purchase/touch filters pushed to the events scans, one
+    // user-keyed join against the users-sized conversions aggregate, rank
+    // window partitioned on user_id, map-side 3-model explode before the
+    // final (model, channel) aggregation
+    graft.catalog.RelationalQueries.eventsAttribution.run(spark, dir)
+      .explain("formatted")
+    println("===== affine minhash bands (fast family) =====")
+    // expect: ZERO exchanges — one projection chain (UDF signature +
+    // band-key transform + posexplode) straight off the documents scan
+    graft.catalog.DedupQueries
+      .bandsOfFast(Tables.documents(spark, dir)).explain("formatted")
     spark.stop()
   }
 }

@@ -141,6 +141,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"ranking window crept back in:\n$p")
   }
 
+  test("affine minhash bands: one projection chain off the scan, zero exchanges") {
+    val p = plan(graft.catalog.DedupQueries.bandsOfFast(
+      Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange"), s"signature/banding must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"missing band posexplode:\n$p")
+  }
+
+  test("attribution: conversions broadcast, no events-sized self join") {
+    val p = plan(RelationalQueries.eventsAttribution.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"users-sized conversions frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"touch join shuffled the events side against events:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("relational agg: map-side partials, codegen after AQE finalizes") {
     val df = RelationalQueries.q1Agg.run(spark, dir)
     val pre = plan(df)
