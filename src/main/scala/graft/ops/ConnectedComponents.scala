@@ -166,18 +166,35 @@ object ConnectedComponents {
     * one broadcast-sized relabel join back (the contracted result has at
     * most one row per touched component + new node).
     *
+    * The contracted graph is DELTA-sized by construction, so the default
+    * path resolves it with a driver-side union-find (min-rooted — the
+    * same normalization the star contraction converges to) once its edge
+    * count is verified ≤ `driverTierMax` (2²⁰ pairs ≈ 16 MB — the
+    * bounded-collect policy of the small-batch LSH tier): a daily
+    * increment's touched-component graph is thousands of edges, and the
+    * star alternation's ~4 scheduler rounds per halving dominated the
+    * catalog entry's wall (5.3 s → ~1 s). Anything larger falls back to
+    * the distributed star contraction — same labels, spec-gated equal.
+    *
     * `labels` is (node, component) with component = min reachable id
     * (the [[components]] output contract); `deltaEdges` self-loops are
     * dropped (pair graphs are strict a < b). Returns the full updated
     * labeling: every old node plus every node of the delta. */
   def updateIncremental(
       labels: DataFrame, deltaEdges: DataFrame,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      driverTierMax: Long = 1L << 20): DataFrame = {
     val lbl = labels.select(col("node").cast("long").as("node"),
       col("component").cast("long").as("label"))
+    // Materialize the delta ONCE: the edge frame is typically the output
+    // of an expensive upstream (the minhash delta-pair pipeline), and the
+    // steps below take several independent actions over it (touched-node
+    // broadcast, contracted count, driver collect / star rounds) — without
+    // the checkpoint each action replays the whole upstream.
     val e = deltaEdges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
     // Label lookup without shuffling the corpus-sized labels frame: semi-
     // join labels down to the delta's endpoints (broadcast build side =
     // 2·|delta| keys, one map-side scan of labels), then resolve both
@@ -194,7 +211,20 @@ object ConnectedComponents {
       .select(coalesce(col("la"), col("src")).as("a"),
         coalesce(col("lb"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")) // intra-component delta edges: no-ops
-    val merged = componentsLargeSmallStar(contracted, "a", "b")
+      .localCheckpoint()
+    val merged = {
+      val cnt = contracted
+        .limit(math.min(driverTierMax + 1, Int.MaxValue.toLong).toInt).count()
+      if (cnt == 0) {
+        import labels.sparkSession.implicits._
+        Seq.empty[(Long, Long)].toDF("node", "component")
+      } else if (cnt <= driverTierMax) {
+        import labels.sparkSession.implicits._
+        val edges = contracted.collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        unionFindMin(edges).toSeq.toDF("node", "component")
+      } else componentsLargeSmallStar(contracted, "a", "b")
+    }
     // Old nodes ride their label through the (touched-components-sized)
     // relabel map; nodes of the delta not in the old labeling are new.
     val relabel = merged.select(col("node").as("label"),
@@ -206,5 +236,32 @@ object ConnectedComponents {
       .join(lbl.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("component"))
     updatedOld.unionAll(newNodes)
+  }
+
+  /** Min-rooted union-find over an edge array (driver tier of
+    * [[updateIncremental]]): always parents the larger root under the
+    * smaller, so every root IS its component's minimum id — the same
+    * fixpoint the distributed algorithms converge to. Deterministic for
+    * any edge order. */
+  private def unionFindMin(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      } else { parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b) }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
   }
 }

@@ -101,6 +101,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental update: driver union-find tier equals distributed star") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val base = Seq.fill(50)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val delta = Seq.fill(20)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val labels = ConnectedComponents.components(base.toDF("src", "dst"))
+    def run(tierMax: Long) = ConnectedComponents
+      .updateIncremental(labels, delta.toDF("src", "dst"),
+        driverTierMax = tierMax)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run(1L << 20)
+    val viaStar = run(0L) // forces the distributed star path
+    assert(viaDriver == viaStar)
+    assert(viaDriver == ufRef(base ++ delta))
+  }
+
   test("incremental update: targeted merge, attach, no-op, new-only cases") {
     val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
     // merge two components + attach a new node + brand-new pair + no-op
