@@ -72,6 +72,7 @@ private[graft] object HitPreview {
   *   graft.tools.Cli image  insert-from-files <engine-dir> <file|dir> ...
   *   graft.tools.Cli audio  query-from-files <engine-dir> <wav> [k]
   *   graft.tools.Cli <mod>  clear  <engine-dir>
+  *   graft.tools.Cli <mod>  maintain <engine-dir>   (compact + vacuum)
   * }}}
   */
 object Cli {
@@ -86,7 +87,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println("usage: Cli <text|image|audio> <insert|insert-from-files|query|query-from-files|clear> <engine-dir> [args...]")
+      System.err.println("usage: Cli <text|image|audio> <insert|insert-from-files|query|query-from-files|clear|maintain> <engine-dir> [args...]")
       sys.exit(2)
     }
     val Array(modality, cmd, dir) = args.take(3)
@@ -158,6 +159,16 @@ object Cli {
       case "clear" => // C5
         engine.clear()
         println("cleared")
+
+      case "maintain" => // beyond-reference: the index maintenance pass a
+        // long-lived engine runs between ingest batches — leaf-split
+        // compaction (or IVF-PQ staleness retrain), then vacuum of the
+        // stranded dead rows, each step reporting what it did
+        val compacted =
+          if (engine.config.indexKind == "ivfpq") engine.maintainIvfPqIfNeeded()
+          else engine.compactIndexIfNeeded()
+        val reclaimed = engine.vacuumIndex()
+        println(s"compacted: $compacted, vacuumed: $reclaimed stale rows")
 
       case other => sys.error(s"unknown command: $other")
     }
