@@ -558,6 +558,123 @@ object DedupQueries {
       WHERE doc_id NOT IN (SELECT doc_b FROM vp)
       ORDER BY doc_id"""))
 
+  /** EXACT shingle-containment join — the ASYMMETRIC near-dup relation
+    * Jaccard misses: a short document wholly contained in a longer one
+    * (a quote, an excerpt, a chunk re-crawled inside its source page) has
+    * C(A→B) = |Sh(A)∩Sh(B)| / |Sh(A)| ≈ 1 while J(A,B) is small, so a
+    * Jaccard keep-list retains both and a pretrain corpus double-counts
+    * the contained text. Same prefix-filter machinery as
+    * [[ngramCandidates]], adapted to the one-sided threshold: if
+    * C(A→B) ≥ t then B misses at most n − ⌈t·n⌉ of A's n shingles, so
+    * among A's n − ⌈t·n⌉ + 1 globally-RAREST shingles at least one is in
+    * B (pigeonhole) — joining just that prefix against the inverted
+    * index finds every qualifying ORDERED pair, exact, never all-pairs.
+    * Thresholds integer (C ≥ 0.9 ⟺ 10·inter ≥ 9·n_a); the reported
+    * containment is one exact division. */
+  private[graft] def containmentPairs(
+      docs: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val pref = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(cnt, "doc_id")
+      .filter(col("rk") <= col("n") - expr(s"($tNum*n + ${tDen - 1}) div $tDen") + 1)
+      .select("doc_id", "shingle")
+    val cand = pref.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("na"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("na"), 4).as("containment"))
+  }
+
+  /** Per-JVM cache of the containment pair set (PairsCache pattern). */
+  private object ContainmentCache {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def get(s: SparkSession, dir: String): DataFrame = {
+      val path = cache.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_containpairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // plant contained docs: every 5th doc (≥ 6 words) truncated to its
+        // first ⌈2n/3⌉ words — a sliding-shingle PREFIX is a strict subset
+        // of the original's shingles, so C(trunc → original) = 1.0 exactly
+        val w = split(col("text"), " ")
+        val planted = d.unionAll(
+          d.filter(col("doc_id") % 5 === 0 && size(w) >= 6)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat_ws(" ",
+                slice(w, lit(1),
+                  greatest(lit(3), expr("2 * size(split(text, ' ')) div 3"))))
+                .as("text")))
+        containmentPairs(planted).write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
+  }
+
+  /** [[containmentPairs]] as a gated entry over the planted corpus: every
+    * truncated twin must surface as (contained → container, 1.0), every
+    * organic asymmetric overlap is verified exactly, and the DuckDB
+    * oracle replays planting, prefix selection and verification 1:1. */
+  val containmentPairsQ = Q(
+    "dedup_containment_pairs",
+    (s, dir) => ContainmentCache.get(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH planted AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               array_to_string(
+                 (string_split(text, ' '))[1:greatest(3, 2*len(string_split(text, ' '))//3)],
+                 ' ')
+        FROM documents
+        WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 6),
+      words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM planted),
+      sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) >= $ShingleN
+                    THEN array_to_string(w[i+1:i+$ShingleN], ' ')
+                    ELSE array_to_string(w, ' ') END AS shingle
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, greatest(len(w) - $ShingleN, 0) + 1)) AS i
+              FROM words)),
+      ccnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      pref AS (
+        SELECT r.doc_id, r.shingle
+        FROM (SELECT s.doc_id, s.shingle,
+                     row_number() OVER (PARTITION BY s.doc_id
+                                        ORDER BY f.df, s.shingle) AS rk
+              FROM sh s JOIN freq f USING (shingle)) r
+        JOIN ccnt c USING (doc_id)
+        WHERE r.rk <= c.n - (9*c.n + 9) // 10 + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN sh b ON b.shingle = a.shingle
+                             AND a.doc_id <> b.doc_id),
+      i AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b)
+      SELECT i.doc_a, i.doc_b, round(i.inter / ca.n, 4) AS containment
+      FROM i JOIN ccnt ca ON ca.doc_id = i.doc_a
+      WHERE 10*i.inter >= 9*ca.n
+      ORDER BY doc_a, doc_b"""))
+
   /** 64-bit SimHash of the token multiset. The per-token 64 bits are the
     * FIRST 8 BYTES OF md5(token) (big-endian) — md5 is present and
     * bit-identical in both Spark and DuckDB, so unlike a
@@ -1230,7 +1347,7 @@ object DedupQueries {
 
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashPairsFast, minhashIncremental, minhashKeep,
-    ngramJaccard, ngramKeep,
+    ngramJaccard, ngramKeep, containmentPairsQ,
     simhashPairs, embeddingNearDup, clusterCc, clusterCcStar,
     clusterIncremental, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,

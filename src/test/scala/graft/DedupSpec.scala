@@ -70,6 +70,36 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"affine-family recall on strong dups = $recall")
   }
 
+  test("containment prefix filter is EXACT: equals brute-force ordered pairs") {
+    import spark.implicits._
+    // dense tiny corpus: shared prefixes force real containment relations
+    val docs = (0 until 40).map { i =>
+      val words = (0 to 6 + i % 5).map(j => s"w${(i * 7 + j * 3) % 11}")
+      (i.toLong, words.mkString(" "))
+    } ++ Seq(
+      (100L, "w0 w3 w6 w9 w1"), // a strict prefix of nothing — organic checks
+      (101L, "w0 w3 w6"))       // contained in 100 (its 1 shingle ∈ 100's)
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.catalog.DedupQueries.containmentPairs(df)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force over distinct 3-gram shingle sets
+    def sh(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+    val want = (for {
+      (a, sa) <- sets.iterator
+      (b, sb) <- sets
+      if a != b
+      inter = (sa & sb).size
+      if 10 * inter >= 9 * sa.size
+    } yield (a, b) -> math.rint(inter.toDouble / sa.size * 10000) / 10000).toMap
+    assert(got == want)
+    assert(want.contains((101L, 100L)), "sanity: the planted containment exists")
+  }
+
   test("affine signature: content-functional, order-sensitive, in range") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
