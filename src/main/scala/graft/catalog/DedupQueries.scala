@@ -675,6 +675,82 @@ object DedupQueries {
       WHERE 10*i.inter >= 9*ca.n
       ORDER BY doc_a, doc_b"""))
 
+  /** Keep-list under containment: drop every doc contained in ANY other
+    * doc — order-free (no greedy cascade: if A ⊂ B ⊂ C, both A and B
+    * drop regardless of processing order), except MUTUAL containment
+    * (equal shingle sets), where the smaller id survives — the same
+    * first-wins convention as the other keep-lists. Runs over the same
+    * planted corpus as the pairs entry: every truncated twin must drop,
+    * each original must survive unless organically contained. */
+  val containmentKeep = Q(
+    "dedup_containment_keep",
+    (s, dir) => {
+      val p = ContainmentCache.get(s, dir).select("doc_a", "doc_b")
+      val rev = p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+      val nonMutualDrop = p.join(rev, Seq("doc_a", "doc_b"), "left_anti")
+        .select("doc_a")
+      val mutualDrop = p.join(rev, Seq("doc_a", "doc_b"), "left_semi")
+        .filter(col("doc_b") < col("doc_a")).select("doc_a")
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val planted = d.select("doc_id").unionAll(
+        d.filter(col("doc_id") % 5 === 0 && size(w) >= 6)
+          .select((col("doc_id") + 100000).as("doc_id")))
+      planted
+        .join(nonMutualDrop.unionAll(mutualDrop).distinct()
+          .withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH planted AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               array_to_string(
+                 (string_split(text, ' '))[1:greatest(3, 2*len(string_split(text, ' '))//3)],
+                 ' ')
+        FROM documents
+        WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 6),
+      words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM planted),
+      sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) >= $ShingleN
+                    THEN array_to_string(w[i+1:i+$ShingleN], ' ')
+                    ELSE array_to_string(w, ' ') END AS shingle
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, greatest(len(w) - $ShingleN, 0) + 1)) AS i
+              FROM words)),
+      ccnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      pref AS (
+        SELECT r.doc_id, r.shingle
+        FROM (SELECT s.doc_id, s.shingle,
+                     row_number() OVER (PARTITION BY s.doc_id
+                                        ORDER BY f.df, s.shingle) AS rk
+              FROM sh s JOIN freq f USING (shingle)) r
+        JOIN ccnt c USING (doc_id)
+        WHERE r.rk <= c.n - (9*c.n + 9) // 10 + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN sh b ON b.shingle = a.shingle
+                             AND a.doc_id <> b.doc_id),
+      i AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b),
+      vp AS (SELECT i.doc_a, i.doc_b
+             FROM i JOIN ccnt ca ON ca.doc_id = i.doc_a
+             WHERE 10*i.inter >= 9*ca.n),
+      drop AS (
+        SELECT DISTINCT doc_a FROM vp p
+        WHERE p.doc_b < p.doc_a
+           OR NOT EXISTS (SELECT 1 FROM vp q
+                          WHERE q.doc_a = p.doc_b AND q.doc_b = p.doc_a))
+      SELECT doc_id FROM planted
+      WHERE doc_id NOT IN (SELECT doc_a FROM drop)
+      ORDER BY doc_id"""))
+
   /** 64-bit SimHash of the token multiset. The per-token 64 bits are the
     * FIRST 8 BYTES OF md5(token) (big-endian) — md5 is present and
     * bit-identical in both Spark and DuckDB, so unlike a
@@ -1347,7 +1423,7 @@ object DedupQueries {
 
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashPairsFast, minhashIncremental, minhashKeep,
-    ngramJaccard, ngramKeep, containmentPairsQ,
+    ngramJaccard, ngramKeep, containmentPairsQ, containmentKeep,
     simhashPairs, embeddingNearDup, clusterCc, clusterCcStar,
     clusterIncremental, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,

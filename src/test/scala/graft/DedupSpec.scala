@@ -100,6 +100,16 @@ class DedupSpec extends AnyFunSuite {
     assert(want.contains((101L, 100L)), "sanity: the planted containment exists")
   }
 
+  test("containment keep: every planted truncated twin drops") {
+    val kept = DedupQueries.containmentKeep.run(spark, dir).collect()
+      .map(_.getLong(0))
+    assert(kept.nonEmpty)
+    // a truncated twin is contained in its original by construction; under
+    // mutual containment (degenerate equal shingle sets) the smaller id —
+    // the original — survives. Either way no twin may survive.
+    assert(kept.forall(_ < 100000), "a planted contained twin survived")
+  }
+
   test("affine signature: content-functional, order-sensitive, in range") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
