@@ -409,6 +409,23 @@ object DedupQueries {
     * recompute. The oracle IS the full recompute (recursive transitive
     * closure over the complete verified pair set), so the hash gate
     * proves increment ≡ recompute on the real near-dup graph. */
+  /** Full-recompute oracle over the complete minhash verified pair set:
+    * recursive transitive closure to min-reachable labels — the gate both
+    * incremental cluster entries (batch delta AND streaming epochs) must
+    * land on exactly. */
+  private val minhashClosureOracle =
+    s"""${oraclePipeline.replaceFirst("WITH", "WITH RECURSIVE")},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION SELECT doc_b, doc_a FROM vp
+              UNION SELECT doc_a, doc_a FROM vp
+              UNION SELECT doc_b, doc_b FROM vp),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+      SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""
+
   val clusterIncremental = Q(
     "dedup_cluster_incremental",
     (s, dir) => {
@@ -419,17 +436,58 @@ object DedupQueries {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id")
     },
-    Some(s"""${oraclePipeline.replaceFirst("WITH", "WITH RECURSIVE")},
-      und AS (SELECT doc_a AS a, doc_b AS b FROM vp
-              UNION SELECT doc_b, doc_a FROM vp
-              UNION SELECT doc_a, doc_a FROM vp
-              UNION SELECT doc_b, doc_b FROM vp),
-      reach(a, b) AS (
-        SELECT a, b FROM und
-        UNION
-        SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
-      SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
-      FROM reach GROUP BY a ORDER BY doc_id"""))
+    Some(minhashClosureOracle))
+
+  /** Streaming duplicate-cluster maintenance in the correctness gate —
+    * the continuous form of [[clusterIncremental]]: the verified pair set
+    * replayed as EDGES through a MemoryStream in 4 ROUND-ROBIN chunks
+    * (so a cluster's pairs deliberately land in different micro-batches
+    * and the store must merge components ACROSS epochs, not just label
+    * within one), folded into the versioned parquet store by
+    * [[graft.streaming.StreamOps.maintainComponents]]
+    * (foreachBatch + idempotent-replay commit markers — the
+    * incremental-view-maintenance shape, since append-mode emission is
+    * impossible when merges retroactively relabel old nodes). The final
+    * store version must land on the SAME full-recompute closure hash as
+    * the batch entries. */
+  val streamClusterExec = Q(
+    "stream_cluster_exec",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = PairsCache.get(s, dir).select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val runId = DedupSinkIds.next()
+      val store = s"/tmp/graft_stream_components/run_$runId"
+      val ckpt = s"/tmp/graft_stream_components_ckpt/run_$runId"
+      // the sink counter is per-JVM: a fresh process would otherwise pick
+      // up run_1's checkpoint from a PREVIOUS process and try to resume a
+      // MemoryStream whose offsets no longer exist
+      Seq(store, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val q = graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        graft.streaming.StreamOps.maintainComponents(
+          mem.toDF().toDF("src", "dst"), store, ckpt)
+      }
+      try {
+        (0 until 4)
+          .map(k => pairs.zipWithIndex.collect { case (p, i) if i % 4 == k => p })
+          .filter(_.nonEmpty)
+          .foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+      } finally q.stop()
+      graft.streaming.StreamOps.currentComponents(s, store).get
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(minhashClosureOracle))
 
   /** Keep-list under first-wins semantics: drop every doc that near-dups a
     * lower id (greedy, matches I10's first-inserted-wins). */
@@ -1427,5 +1485,5 @@ object DedupQueries {
     simhashPairs, embeddingNearDup, clusterCc, clusterCcStar,
     clusterIncremental, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,
-    streamNearDupFastExec)
+    streamNearDupFastExec, streamClusterExec)
 }

@@ -548,6 +548,62 @@ object StreamOps {
       }
       .start()
 
+  /** The current maintained component labeling at `storePath` (latest
+    * committed version), if any batch has ever committed. */
+  def currentComponents(
+      s: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[DataFrame] =
+    committedVersions(s, storePath).maxOption
+      .map(v => s.read.parquet(s"$storePath/v=$v"))
+
+  /** Apply one micro-batch of near-dup pair EDGES to the versioned
+    * component store — [[applyRollupBatch]]'s contract (idempotent replay
+    * via committed `v=<batchId>` markers, atomic _SUCCESS commit point,
+    * retention-window GC) with
+    * [[graft.ops.ConnectedComponents.updateIncremental]] as the merge
+    * algebra: labels(v′) = update(labels(v), batch edges), cost
+    * O(|batch| + touched components) + one labels scan — the base pair
+    * graph is NEVER re-read. The first committed batch starts from the
+    * empty labeling (update against ∅ ≡ a fresh components run on the
+    * batch). */
+  def applyComponentsBatch(
+      batch: DataFrame, batchId: Long, storePath: String): Unit = {
+    val s = batch.sparkSession
+    val versions = committedVersions(s, storePath)
+    if (versions.exists(_ >= batchId)) return // replayed or stale epoch
+    val edges = batch.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    import s.implicits._
+    val prev = versions.maxOption match {
+      case Some(v) => s.read.parquet(s"$storePath/v=$v")
+      case None => Seq.empty[(Long, Long)].toDF("node", "component")
+    }
+    graft.ops.ConnectedComponents.updateIncremental(prev, edges)
+      .write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    versions.sorted.dropRight(2).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"v=$v"), true))
+  }
+
+  /** Streaming duplicate-CLUSTER maintenance — the continuous form of the
+    * daily-crawl loop `dedup_cluster_incremental` gates in batch: a
+    * stream of verified near-dup pair edges (src, dst) folds into the
+    * persisted component labeling epoch by epoch. Emitting components
+    * from inside a stateful streaming op is impossible in append mode
+    * (merges retroactively relabel nodes emitted epochs ago), so like
+    * [[maintainRollup]] this maintains a STORE the serving layer reads —
+    * the incremental-view-maintenance shape, with per-epoch cost tracking
+    * the delta, never the accumulated graph. */
+  def maintainComponents(
+      stream: DataFrame, storePath: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) applyComponentsBatch(batch, id, storePath)
+      }
+      .start()
+
   /** Streaming window funnel — the continuous form of
     * [[graft.ops.Funnel]]: per-user funnel state finalized by the
     * WATERMARK (a funnel is undecidable until no event inside its window

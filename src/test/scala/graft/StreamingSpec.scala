@@ -429,6 +429,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintained components: epochs fold to the union graph; replay no-ops") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("cc_store").toString
+    def current() = StreamOps.currentComponents(spark, store).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // epoch 0: two separate components
+    StreamOps.applyComponentsBatch(
+      Seq((1L, 2L), (10L, 11L)).toDF("src", "dst"), 0L, store)
+    assert(current() == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // replayed epoch id with DIFFERENT content must be ignored entirely
+    StreamOps.applyComponentsBatch(
+      Seq((2L, 10L)).toDF("src", "dst"), 0L, store)
+    assert(current() == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+      "replayed epoch re-applied")
+    // epoch 1: a bridging edge merges the components retroactively
+    StreamOps.applyComponentsBatch(
+      Seq((11L, 2L)).toDF("src", "dst"), 1L, store)
+    assert(current() ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // epoch 2: brand-new nodes join without touching the merged component
+    StreamOps.applyComponentsBatch(
+      Seq((50L, 51L)).toDF("src", "dst"), 2L, store)
+    assert(current() ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 50L -> 50L, 51L -> 50L))
+  }
+
   test("maintained rollup: a replayed epoch is a no-op (no double count)") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("rollup_replay").toString
