@@ -1001,6 +1001,49 @@ object RelationalQueries {
              round(quantile_cont(lat_us, 0.9), 4) AS p90_us
       FROM lat GROUP BY step ORDER BY step"""))
 
+  /** Next-event TRANSITION MATRIX (first-order Markov) — the path-analysis
+    * classic next to sessions/funnel/retention/RFM/attribution: for every
+    * consecutive event pair within a user's (us, event_id)-ordered stream,
+    * count (from_type → to_type) and express the row-conditional
+    * probability in integer basis points (n·10000 div n_from — exact on
+    * both engines, remainder truncated). One lag window partitioned on
+    * user_id (per-user event lists, bounded), then two tiny aggregates
+    * over the |types|² grid — at 100 TB the only corpus-scale work is the
+    * per-user sort inside the window's user-keyed exchange; nothing joins
+    * events to events. */
+  val eventsTransitions = Q(
+    "q_events_transitions",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val tr = e.withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val cnt = tr.groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("from_type").agg(sum("n").as("n_from"))
+      cnt.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 10000 div n_from").as("p_bp"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                 FROM events),
+      tr AS (SELECT event_type AS from_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) AS to_type
+             FROM e),
+      cnt AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+              FROM tr WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type),
+      tot AS (SELECT from_type, sum(n)::BIGINT AS n_from
+              FROM cnt GROUP BY from_type)
+      SELECT c.from_type, c.to_type, c.n, c.n * 10000 // t.n_from AS p_bp
+      FROM cnt c JOIN tot t USING (from_type)
+      ORDER BY from_type, to_type"""))
+
   /** Theta-sketch SET-INTERSECTION — the sketch family's answer to
     * "how many (user, day) pairs did BOTH click and purchase?" at 100 TB:
     * HLL can only union, theta sketches support intersection/difference,
@@ -1406,5 +1449,6 @@ object RelationalQueries {
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
     eventsRetention, eventsRfm, eventsAttribution, funnelTimeToConvert,
+    eventsTransitions,
     eventsSessionsStreamExec, windowFunnelStreamExec)
 }
