@@ -271,4 +271,41 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got.length == want.length && got.toSet == want.toSet)
     }
   }
+
+  test("property: incremental components == full recompute for ANY base/delta split") {
+    // union-find reference (min-normalized), duplicated from
+    // ConnectedComponentsSpec's targeted cases — here the SPLIT point is
+    // drawn too, so the algebra update(cc(B), D) = cc(B ∪ D) is exercised
+    // over arbitrary partitions of a random edge list, not a fixed one.
+    def ufRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+    }
+    val genEdge = for {
+      a <- Gen.chooseNum(0L, 49L); b <- Gen.chooseNum(0L, 49L) if a != b
+    } yield (a, b)
+    val gen = for {
+      edges <- Gen.listOfN(60, genEdge)
+      split <- Gen.chooseNum(0, 60)
+    } yield (edges, split)
+    forAllSeeded(gen, trials = 3) { case (edges, split) =>
+      val (base, delta) = edges.splitAt(split)
+      val labels =
+        if (base.isEmpty) Seq.empty[(Long, Long)].toDF("node", "component")
+        else graft.ops.ConnectedComponents.components(base.toDF("src", "dst"))
+      val got = graft.ops.ConnectedComponents
+        .updateIncremental(labels, delta.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ufRef(edges), s"split at $split diverged")
+    }
+  }
 }
