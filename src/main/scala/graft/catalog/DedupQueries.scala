@@ -1132,6 +1132,56 @@ object DedupQueries {
       SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
       FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  /** SPLIT-LEAKAGE audit — the QA gate a pretrain pipeline runs right
+    * after train/val/test assignment: a near-duplicate pair that CROSSES
+    * the split boundary leaks evaluation data into training (the eval
+    * doc's twin is trained on), which inflates eval scores exactly the
+    * way benchmark contamination does. Composes the md5-bucketed split
+    * (`split_train_val`'s assignment, growth-stable) with the EXACT
+    * prefix-filtered near-dup pair set (provably complete, so a clean
+    * audit is a guarantee, not a sample): every J ≥ 0.8 pair whose
+    * endpoints land in different splits, rolled up per unordered split
+    * pair with an example doc for triage. Cost = the pair set (shared
+    * cache) + two broadcast-sized split joins. */
+  val splitLeakageAudit = Q(
+    "split_leakage_audit",
+    (s, dir) => {
+      val bucket =
+        substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
+      val splits = Tables.documents(s, dir).select(col("doc_id"),
+        when(bucket < "cc", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+      NgramPairsCache.get(s, dir).select("doc_a", "doc_b")
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+          "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+          "doc_b")
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(least(col("sa"), col("sb")).as("split_x"),
+          greatest(col("sa"), col("sb")).as("split_y"))
+        .agg(count(lit(1)).as("n_leaked_pairs"),
+          min("doc_a").as("example_doc_a"))
+        .orderBy("split_x", "split_y")
+    },
+    Some(s"""$oracleNgramPipeline,
+      sp AS (SELECT doc_id,
+                    CASE WHEN substr(md5('v' || doc_id), 1, 2) < 'cc' THEN 'train'
+                         WHEN substr(md5('v' || doc_id), 1, 2) < 'e6' THEN 'val'
+                         ELSE 'test' END AS split
+             FROM documents),
+      leaks AS (
+        SELECT least(a.split, b.split) AS split_x,
+               greatest(a.split, b.split) AS split_y,
+               p.doc_a
+        FROM vp p
+        JOIN sp a ON a.doc_id = p.doc_a
+        JOIN sp b ON b.doc_id = p.doc_b
+        WHERE a.split <> b.split)
+      SELECT split_x, split_y, count(*)::BIGINT AS n_leaked_pairs,
+             min(doc_a)::BIGINT AS example_doc_a
+      FROM leaks GROUP BY split_x, split_y
+      ORDER BY split_x, split_y"""))
+
   /** Deterministic random-negative sampling for contrastive training: per
     * anchor doc, 3 negatives drawn from 5 affine-derived candidate slots,
     * excluding self and every verified near-duplicate (a near-dup used as
@@ -1483,7 +1533,7 @@ object DedupQueries {
     dedupExactDocs, minhashPairs, minhashPairsFast, minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep, containmentPairsQ, containmentKeep,
     simhashPairs, embeddingNearDup, clusterCc, clusterCcStar,
-    clusterIncremental, sampleNegatives,
+    clusterIncremental, splitLeakageAudit, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,
     streamNearDupFastExec, streamClusterExec)
 }
