@@ -49,6 +49,16 @@ object DedupScaleProbe {
       spark.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "boilerplate") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      boilerplateLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 100000,
+        dupEvery = if (args.length > 2) args(2).toInt else 10)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "sigkernel") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -294,6 +304,85 @@ object DedupScaleProbe {
     println(s"""{"probe":"cc_delta","n_base_nodes":$n,"n_delta_edges":$nDelta,""" +
       s""""t_incremental_sec":${f"$tIncr%.2f"},"t_full_sec":${f"$tFull%.2f"},""" +
       s""""speedup":${f"${tFull / tIncr}%.2f"},"equal":true}""")
+  }
+
+  /** Boilerplate leg (`boilerplate <n> <dupEvery>`): the HOT-BUCKET trap
+    * of text banding — every `dupEvery`-th doc is one of 20 boilerplate
+    * templates, so thousands of docs share identical text and every band
+    * bucket holding a template group goes quadratic (the in-group pair
+    * OUTPUT itself is C(m,2) — no join trick can beat an output bound;
+    * a signature-group collapse was measured at only 1.3× even at 62M
+    * candidates because the distinct over the quadratic output dominates
+    * both plans). The production mitigation is PIPELINE ORDERING — exact
+    * dedup BEFORE banding, as doc_pipeline_curate/pretrain already
+    * compose: identical-text groups collapse to one representative, the
+    * quadratic pairs are never materialized, and the first-wins KEEP SET
+    * is provably unchanged (a non-min group member always drops against
+    * its own group min at J = 1; a representative drops iff a verified
+    * rep-level pair names a lower-id group min — both derivable without
+    * enumerating in-group pairs). This leg measures both plans end to end
+    * on the keep-list and ASSERTS the keep sets equal. */
+  def boilerplateLeg(spark: SparkSession, n: Int, dupEvery: Int): Unit = {
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(dupEvery)) === 0,
+        concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          j => format_string("b%02d_%04d",
+            (pmod(col("id"), lit(20L * dupEvery)) / dupEvery).cast("long"),
+            pmod(xxhash64(
+              (pmod(col("id"), lit(20L * dupEvery)) / dupEvery).cast("long"), j),
+              lit(2000))))))
+        .otherwise(
+          concat_ws(" ", transform(sequence(lit(0), lit(39)),
+            j => format_string("w%04d", pmod(xxhash64(col("id"), j), lit(2000))))))
+        .as("text"))
+      .cache()
+    docs.count()
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def verifiedPairs(d: org.apache.spark.sql.DataFrame) = {
+      val bands = DedupQueries.bandsOfFast(d)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      DedupQueries.verifyJaccardProbe(cand, d).select("doc_a", "doc_b")
+    }
+    // naive: enumerate + verify the full (boilerplate-quadratic) pair set
+    val (keepNaive, tNaive) = time {
+      val drop = verifiedPairs(docs).select(col("doc_b").as("doc_id")).distinct()
+      val k = docs.select("doc_id").join(drop, Seq("doc_id"), "left_anti").cache()
+      k.count(); k
+    }
+    // collapse-first: exact-text groups -> rep-level near-dup -> drop rule
+    val (keepColl, tColl) = time {
+      val g = docs.groupBy(md5(col("text").cast("binary")).as("k"))
+        .agg(min("doc_id").as("gid"))
+      val reps = docs
+        .join(g.select(col("gid").as("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val dropReps = verifiedPairs(reps).select(col("doc_b").as("doc_id")).distinct()
+      val keptReps = reps.select("doc_id")
+        .join(dropReps, Seq("doc_id"), "left_anti")
+      // keep = kept representatives only: every non-min member drops at
+      // J = 1 against its own group min
+      val k = keptReps.cache()
+      k.count(); k
+    }
+    val nNaive = keepNaive.count()
+    val nColl = keepColl.count()
+    val diff = keepNaive.exceptAll(keepColl).limit(1).count() +
+      keepColl.exceptAll(keepNaive).limit(1).count()
+    require(nNaive == nColl && diff == 0,
+      s"keep sets diverged: naive=$nNaive collapsed=$nColl diff=$diff")
+    println(s"""{"probe":"boilerplate","n_docs":$n,"dup_every":$dupEvery,""" +
+      s""""kept":$nNaive,"keep_sets_equal":true,""" +
+      s""""t_naive_keep_sec":${f"$tNaive%.2f"},""" +
+      s""""t_collapse_first_keep_sec":${f"$tColl%.2f"},""" +
+      s""""speedup":${f"${tNaive / tColl}%.2f"}}""")
   }
 
   /** Signature-kernel leg (`sigkernel <n>`): the cost claim behind
