@@ -52,6 +52,60 @@ object RetrievalQueries {
             FROM sc)
       WHERE rk <= 10 ORDER BY rk"""))
 
+  private object StreamRunIds {
+    private val n = new java.util.concurrent.atomic.AtomicLong(0)
+    def next(): Long = n.incrementAndGet()
+  }
+
+  /** BM25 served from the MAINTAINED inverted index, in the correctness
+    * gate: the documents table replayed through a MemoryStream in 4
+    * doc_id-ordered chunks, each micro-batch APPENDING its postings epoch
+    * (`Retrieval.maintainPostings` — per-epoch work is tokenizing the
+    * batch, nothing existing rewritten; every BM25 statistic is additive
+    * so dl/df/N/S derive from the union of epochs), then the SAME query
+    * as `text_bm25_topk` answered from the store. Hash-gated against the
+    * batch entry's exact oracle — the continuously-maintained index must
+    * rank identically to a from-scratch rebuild. */
+  val bm25StreamExec = Q(
+    "stream_bm25_exec",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val runId = StreamRunIds.next()
+      val store = s"/tmp/graft_stream_postings/run_$runId"
+      val ckpt = s"/tmp/graft_stream_postings_ckpt/run_$runId"
+      // per-JVM counter: scrub prior processes' leftovers (the stale-
+      // checkpoint lesson from stream_cluster_exec)
+      Seq(store, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val q = graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        Retrieval.maintainPostings(mem.toDF().toDF("doc_id", "text"), store, ckpt)
+      }
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable() // micro-batch boundary per chunk
+        }
+      } finally q.stop()
+      Retrieval.bm25TopKFromPostings[Long](
+        Retrieval.currentPostings(s, store).get, terms, 10)
+        .orderBy("rk")
+    },
+    Some(s"""
+      WITH $bm25ScoresSql
+      SELECT doc_id, bm25_1e4, rk
+      FROM (SELECT doc_id, bm25_1e4,
+                   row_number() OVER (ORDER BY bm25_1e4 DESC, doc_id)::BIGINT
+                     AS rk
+            FROM sc)
+      WHERE rk <= 10 ORDER BY rk"""))
+
   /** Hybrid search: RRF over the top-100 of each leg — the BM25 ranking and
     * the exact-cosine vector ranking for query vec_id=0 (documents and
     * embeddings share ids in the fixture). Fuses bounded retrieved sets
@@ -375,6 +429,6 @@ object RetrievalQueries {
     Some(engineHybridOracle(Seq(0 -> terms.mkString(" ")),
       "AND doc_id < 200", selectQueryId = false)))
 
-  def qs: Seq[Q] = Seq(bm25, hybridRrf, engineHybrid,
+  def qs: Seq[Q] = Seq(bm25, bm25StreamExec, hybridRrf, engineHybrid,
     engineHybridBatch, engineHybridFiltered)
 }

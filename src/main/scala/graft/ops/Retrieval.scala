@@ -120,6 +120,87 @@ object Retrieval {
     topKByScore[I](bm25ScoresBatch(docs, qterms, docId, textCol, queryId),
       k, "bm25_1e4", docId, Seq(queryId))
 
+  /** MAINTAINED inverted index — the production form of the BM25 surface:
+    * a batch rebuild re-tokenizes the whole corpus per query session,
+    * while a crawl appends documents continuously. The store is
+    * append-only epoch-partitioned postings (`epoch=<batchId>/` of
+    * (doc_id, word, tf) rows, `_SUCCESS` the commit marker): per epoch
+    * the work is tokenizing THE BATCH — nothing existing is rewritten
+    * (contrast the rollup store's merge-rewrite; postings need no merge
+    * because every BM25 statistic is additive: dl = Σ tf per doc,
+    * N/S = doc count / token count, df = per-word doc count, all
+    * derivable from the union of epochs). Replayed epochs no-op on the
+    * committed marker. Empty-token postings are retained deliberately:
+    * dl must equal the raw split length for score parity with
+    * [[bm25Scores]]. */
+  def applyPostingsBatch(
+      batch: DataFrame, batchId: Long, storePath: String,
+      docId: String = "doc_id", textCol: String = "text"): Unit = {
+    val s = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$storePath/epoch=$batchId")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    batch
+      .select(col(docId), explode(split(lower(col(textCol)), " ")).as("word"))
+      .groupBy(docId, "word").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** The maintained postings (union of committed epochs), if any. */
+  def currentPostings(
+      s: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val dirs = fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+        .filter(st => fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+      if (dirs.isEmpty) None else Some(s.read.parquet(dirs: _*))
+    }
+  }
+
+  /** Streaming index maintenance: each micro-batch of documents appends
+    * its postings epoch (the foreachBatch store-maintenance shape shared
+    * with StreamOps.maintainRollup/maintainComponents). */
+  def maintainPostings(
+      stream: DataFrame, storePath: String, checkpoint: String,
+      docId: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) applyPostingsBatch(batch, id, storePath, docId, textCol)
+      }
+      .start()
+
+  /** BM25 top-k SERVED FROM the maintained postings — must equal
+    * [[bm25TopK]] over the same corpus (the catalog gate's claim): dl,
+    * corpus stats and df all derive from the store, and the scoring
+    * arithmetic is shared rational-integer form. */
+  def bm25TopKFromPostings[I: scala.reflect.runtime.universe.TypeTag: Ordering](
+      postings: DataFrame, terms: Seq[String], k: Int,
+      docId: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromPostings needs at least one term")
+    val dl = postings.groupBy(docId).agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = postings.filter(col("word").isInCollection(terms))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "word").join(dl, docId)
+      .crossJoin(broadcast(stats))
+      .select(col(docId),
+        floor((col("n_docs") + 1).cast("double") / (col("df") + 1)
+          * (lit(22.0) * col("tf") * col("sum_dl"))
+          / (lit(10.0) * col("tf") * col("sum_dl") + lit(3.0) * col("sum_dl")
+            + lit(9.0) * col("dl") * col("n_docs"))
+          * lit(1e4)).cast("long").as("t4"))
+      .groupBy(docId).agg(sum("t4").as("bm25_1e4"))
+    topKByScore[I](scored, k, "bm25_1e4", docId)
+  }
+
   /** Reciprocal-rank fusion of retrieval legs. Each leg is
     * (name, DataFrame(docId, rankCol)) with ranks 1-based over a BOUNDED
     * retrieved set (top-k per leg — fuse what was retrieved, as a

@@ -47,4 +47,29 @@ class RetrievalSpec extends AnyFunSuite {
     val again = RetrievalQueries.bm25.run(spark, dir).collect()
     assert(bm25.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("maintained postings: epochs append, replay no-ops, serving == batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("postings").toString
+    val docs = Seq(
+      (1L, "spark joins a window"), (2L, "window window spark"),
+      (3L, "nothing relevant here"), (4L, "spark alone"))
+      .toDF("doc_id", "text")
+    graft.ops.Retrieval.applyPostingsBatch(docs.filter(col("doc_id") <= 2), 0L, store)
+    graft.ops.Retrieval.applyPostingsBatch(docs.filter(col("doc_id") > 2), 1L, store)
+    // a replayed epoch with different content must be ignored
+    graft.ops.Retrieval.applyPostingsBatch(
+      Seq((99L, "spark spark spark")).toDF("doc_id", "text"), 0L, store)
+    val served = graft.ops.Retrieval.bm25TopKFromPostings[Long](
+      graft.ops.Retrieval.currentPostings(spark, store).get,
+      Seq("spark", "window"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.ops.Retrieval.bm25TopK[Long](
+      docs, Seq("spark", "window"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served.toSeq == batch.toSeq,
+      s"maintained index diverged from rebuild: ${served.toSeq} vs ${batch.toSeq}")
+    assert(!served.exists(_._1 == 99L), "replayed epoch content leaked in")
+  }
 }
