@@ -1439,6 +1439,57 @@ object RelationalQueries {
     },
     windowFunnel.oracle)
 
+  /** [[eventsAttribution]] under REAL micro-batch execution — the newest
+    * event-analytics operator gets its streaming sibling the day it
+    * lands: events replayed ts-ordered in 2 chunks through
+    * [[graft.streaming.StreamOps.attributionStream]] (per-user buffered
+    * touches + min-purchase anchor, credit finalized when the WATERMARK
+    * passes the anchor — users' anchors straddle the chunk boundary, so
+    * cross-batch state is exercised), flushed with two far-future
+    * sentinel DATA batches (advance + fire, the session/funnel-exec
+    * pattern), and the per-touch credit rows aggregated to the SAME
+    * (model, channel) grid — the gate lands on the batch entry's exact
+    * oracle hash. */
+  val attributionStreamExec = Q(
+    "stream_attribution_exec",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+        .as[(java.sql.Timestamp, Long, Long, String)]
+        .collect().sortBy(r => (r._1.getTime, r._3))
+      def sentinel(hours: Int) = (
+        new java.sql.Timestamp(rows.last._1.getTime + hours * 3600 * 1000L),
+        -1L, -1L, "zz_sentinel")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+      val sink = s"stream_attribution_exec_sink_${StreamSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamOps
+          .attributionStream(
+            mem.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+            lookbackUs = 7L * 86400000000L)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+          mem.addData(Seq(sentinel(2))) // 1h lateness + margin
+          q.processAllAvailable() // advances the watermark past every anchor
+          mem.addData(Seq(sentinel(3)))
+          q.processAllAvailable() // fires the timeouts that emit
+        } finally q.stop()
+      }
+      s.table(sink)
+        .groupBy(col("model"), col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"), sum("bp").as("credit_bp"))
+        .orderBy("model", "channel")
+    },
+    eventsAttribution.oracle)
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsHourlyStreamExec, eventsSessions,
@@ -1450,5 +1501,5 @@ object RelationalQueries {
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
     eventsRetention, eventsRfm, eventsAttribution, funnelTimeToConvert,
     eventsTransitions,
-    eventsSessionsStreamExec, windowFunnelStreamExec)
+    eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec)
 }

@@ -604,6 +604,106 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming multi-touch ATTRIBUTION — the continuous form of
+    * `q_events_attribution` ([[graft.ops.Funnel]]'s sibling state
+    * machine): per user, buffer view/click touches and track the MIN
+    * purchase time (the batch semantics' anchor); once the watermark
+    * passes the anchor no earlier purchase or qualifying touch can
+    * arrive, so the credit split is final and emits — first/last/linear
+    * over the (us, event_id)-ranked touches inside the lookback window
+    * before the anchor, 10000 basis points each model, linear remainder
+    * to the earliest ranks (the batch operator's exact rule; the gate
+    * lands on the batch entry's oracle hash).
+    *
+    * State per user, all bounded: anchor scalar + buffered touches
+    * pruned to [max-possible-anchor − lookback, anchor) — while no
+    * purchase is seen, any FUTURE purchase has event time ≥ watermark,
+    * so touches below wm − lookback can never qualify and drop; once
+    * anchored, touches ≥ anchor can never qualify (they must precede the
+    * final anchor, which only decreases). A tombstone suppresses
+    * re-emission, GC'd past the watermark; non-event types (sentinels)
+    * fall through as watermark drivers, leaving no state — the
+    * funnelStream lessons applied.
+    *
+    * Input: (ts TIMESTAMP, user_id LONG, event_id LONG, event_type
+    * STRING). Output: one row per (touch, model) —
+    * (user_id, event_type, model, bp). */
+  def attributionStream(
+      events: DataFrame, lookbackUs: Long,
+      lateness: String = "1 hour", gcMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Option[Long], List[(Long, Long, String)], Boolean),
+        (Long, String, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+            state: GroupState[(Option[Long], List[(Long, Long, String)], Boolean)]) =>
+          val wmMs = math.max(state.getCurrentWatermarkMs(), 0L)
+          val wmUs = wmMs * 1000L
+          var (anchor, buf, emitted) = state.getOption
+            .getOrElse((Option.empty[Long],
+              List.empty[(Long, Long, String)], false))
+          if (!emitted) rows.foreach { case (_, _, us, eid, et) =>
+            et match {
+              case "purchase" => anchor = Some(anchor.fold(us)(math.min(_, us)))
+              case "view" | "click" => buf = (us, eid, et) :: buf
+              case _ => // watermark drivers only
+            }
+          }
+          buf = anchor match {
+            case Some(a) => buf.filter(_._1 < a)
+            case None => buf.filter(_._1 >= wmUs - lookbackUs)
+          }
+          val closed = anchor.exists(a => wmUs >= a)
+          val out =
+            if (!emitted && closed) {
+              val a = anchor.get
+              val touches = buf
+                .filter(t => t._1 < a && t._1 >= a - lookbackUs)
+                .sortBy(t => (t._1, t._2))
+              emitted = true
+              buf = Nil
+              val n = touches.size
+              touches.iterator.zipWithIndex.flatMap { case ((_, _, et), i) =>
+                val r = i + 1
+                Iterator(
+                  (user, et, "first_touch", if (r == 1) 10000L else 0L),
+                  (user, et, "last_touch", if (r == n) 10000L else 0L),
+                  (user, et, "linear",
+                    10000L / n + (if (r <= 10000 % n) 1L else 0L)))
+              }
+            } else Iterator.empty
+          val wasTombstone = state.getOption.exists(_._3)
+          if (emitted) {
+            if (wasTombstone && state.hasTimedOut) state.remove() // GC
+            else {
+              state.update((anchor, Nil, true))
+              state.setTimeoutTimestamp(wmMs + gcMs)
+            }
+          } else if (anchor.isEmpty && buf.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update((anchor, buf, false))
+            // wake when the watermark can pass the anchor (ceiling ms so a
+            // non-ms-aligned anchor can't fire a hair early — the
+            // funnelStream timeout lesson), else at the GC horizon
+            val target = anchor.map(a => (a + 999L) / 1000L)
+              .getOrElse(wmMs + gcMs)
+            state.setTimeoutTimestamp(math.max(target, wmMs) + 1L)
+          }
+          out
+      }
+      .toDF("user_id", "event_type", "model", "bp")
+  }
+
   /** Streaming window funnel — the continuous form of
     * [[graft.ops.Funnel]]: per-user funnel state finalized by the
     * WATERMARK (a funnel is undecidable until no event inside its window

@@ -429,6 +429,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attribution stream: cross-batch anchor lowering, exact credit split") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long, String)]
+    val sink = "attr_stream_spec_sink"
+    val q = StreamOps.withShufflePartitions(spark, 4) {
+      StreamOps.attributionStream(
+        mem.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+        lookbackUs = 86400000000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+    }
+    try {
+      // batch 1: user 1 touch + a LATE anchor candidate; user 2 touches
+      // only; user 3 purchase only
+      mem.addData(Seq(
+        (ts(10), 1L, 100L, "view"), (ts(50), 1L, 101L, "purchase"),
+        (ts(15), 2L, 200L, "click"), (ts(12), 3L, 300L, "purchase")))
+      q.processAllAvailable()
+      // batch 2: an EARLIER purchase for user 1 arrives in a later batch
+      // (inside lateness) and must LOWER the anchor to t=30, excluding
+      // the t=35 click arriving alongside it (>= final anchor)
+      mem.addData(Seq(
+        (ts(30), 1L, 102L, "purchase"), (ts(35), 1L, 103L, "click"),
+        (ts(20), 1L, 104L, "click")))
+      q.processAllAvailable()
+      // sentinels: advance the watermark past every anchor, then fire
+      mem.addData(Seq((ts(24 * 60 + 120), -1L, -2L, "zz_sentinel")))
+      q.processAllAvailable()
+      mem.addData(Seq((ts(24 * 60 + 180), -1L, -3L, "zz_sentinel")))
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      // user 1: anchor 30, touches view@10 (rank 1), click@20 (rank 2) —
+      // first: view 10000; last: click 10000; linear 5000 each.
+      // users 2 (no purchase) and 3 (no touches) emit nothing.
+      val want = Set(
+        (1L, "view", "first_touch", 10000L), (1L, "click", "first_touch", 0L),
+        (1L, "view", "last_touch", 0L), (1L, "click", "last_touch", 10000L),
+        (1L, "view", "linear", 5000L), (1L, "click", "linear", 5000L))
+      assert(got == want, s"got $got")
+    } finally q.stop()
+  }
+
   test("maintained components: epochs fold to the union graph; replay no-ops") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("cc_store").toString
