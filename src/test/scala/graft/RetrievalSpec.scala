@@ -71,5 +71,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(served.toSeq == batch.toSeq,
       s"maintained index diverged from rebuild: ${served.toSeq} vs ${batch.toSeq}")
     assert(!served.exists(_._1 == 99L), "replayed epoch content leaked in")
+
+    // LSM compaction: one partition set, same ranking, manifests remember
+    def serve() = graft.ops.Retrieval.bm25TopKFromPostings[Long](
+      graft.ops.Retrieval.currentPostings(spark, store).get,
+      Seq("spark", "window"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(graft.ops.Retrieval.compactPostings(spark, store))
+    assert(serve() == batch.toSeq, "compaction changed the ranking")
+    assert(!graft.ops.Retrieval.compactPostings(spark, store),
+      "single-epoch store must not re-compact")
+    // a replayed SUPERSEDED epoch id must still no-op (its dir is GC'd;
+    // only the manifest remembers it)
+    graft.ops.Retrieval.applyPostingsBatch(
+      Seq((98L, "spark spark")).toDF("doc_id", "text"), 1L, store)
+    assert(serve() == batch.toSeq, "superseded epoch replay re-applied")
+    // append after compaction, compact AGAIN (GC removes the first compact
+    // dir) — transitively-carried manifests must still block epoch 0
+    graft.ops.Retrieval.applyPostingsBatch(
+      Seq((5L, "window seat")).toDF("doc_id", "text"), 2L, store)
+    assert(graft.ops.Retrieval.compactPostings(spark, store))
+    graft.ops.Retrieval.applyPostingsBatch(
+      Seq((97L, "window window")).toDF("doc_id", "text"), 0L, store)
+    val expect = graft.ops.Retrieval.bm25TopK[Long](
+      docs.unionAll(Seq((5L, "window seat")).toDF("doc_id", "text")),
+      Seq("spark", "window"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(serve() == expect, "ancient epoch id re-applied after double compaction")
   }
 }
