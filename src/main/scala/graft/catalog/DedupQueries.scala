@@ -182,16 +182,28 @@ object DedupQueries {
     * as parquet rather than collected — the pair set is proportional to the
     * corpus's duplication, which a 100 TB crawl makes arbitrarily large;
     * readers get a distributed scan. Same pattern as the LSH/IVF caches. */
-  object PairsCache {
+  /** Per-JVM build-once parquet cache — the shared machinery behind every
+    * *Cache object in this file: one computation per (prefix, fixture
+    * dir) per JVM, persisted as parquet rather than collected (pair/label
+    * sets grow with corpus duplication, which a 100 TB crawl makes
+    * arbitrarily large; readers get a distributed scan). Paths are stable
+    * across JVMs, so a warm /tmp survives process restarts. */
+  private object ParquetCache {
     private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def get(s: SparkSession, dir: String): DataFrame = {
-      val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_pairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        verifiedPairs(s, dir).write.mode("overwrite").parquet(p)
+    def get(s: SparkSession, prefix: String, dir: String)
+        (build: => DataFrame): DataFrame = {
+      val path = cache.getOrElseUpdate(s"$prefix|$dir", {
+        val p = s"/tmp/$prefix/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        build.write.mode("overwrite").parquet(p)
         p
       })
       s.read.parquet(path)
     }
+  }
+
+  object PairsCache {
+    def get(s: SparkSession, dir: String): DataFrame =
+      ParquetCache.get(s, "graft_pairs", dir)(verifiedPairs(s, dir))
   }
 
   /** Exact doc dedup on md5(text), first (lowest doc_id) wins — the text
@@ -238,18 +250,11 @@ object DedupQueries {
     * delta work (delta banding + bucket join + verify), not a re-band of
     * the base it would never redo. */
   private object BaseBandsCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def get(s: SparkSession, dir: String, split: Long): DataFrame = {
-      val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_basebands/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def get(s: SparkSession, dir: String, split: Long): DataFrame =
+      ParquetCache.get(s, "graft_basebands", dir)(
         bandsOf(Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-          .filter(col("doc_id") < split))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+          .filter(col("doc_id") < split)))
   }
 
   /** The doc-id midpoint both increment entries split the corpus at. */
@@ -265,21 +270,16 @@ object DedupQueries {
     * cost; the other reads the persisted parquet — the same
     * split-build-from-serve pattern as PairsCache/engine_build_docs. */
   private object DeltaPairsCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def get(s: SparkSession, dir: String): DataFrame = {
-      val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_deltapairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def get(s: SparkSession, dir: String): DataFrame =
+      ParquetCache.get(s, "graft_deltapairs", dir) {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val split = deltaSplit(s, dir)
         val deltaBands = bandsOf(docs.filter(col("doc_id") >= split))
         val allBands = BaseBandsCache.get(s, dir, split).unionAll(deltaBands)
         minhashPairsDelta(docs, allBands, deltaBands)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+      }
   }
+
 
   val minhashIncremental = Q(
     "dedup_minhash_incremental",
@@ -301,6 +301,27 @@ object DedupQueries {
         posexplode(graft.ops.Minhash.bandKeysAffine(col("sig"), Perms, BandRows))
           .as(Seq("band_id", "band_hash")))
 
+  /** The affine signature family's hsh → mh → bands CTE chain (shared by
+    * the batch and streaming oracles — ONE definition, so a coefficient
+    * or fold change can never desynchronize the two gates). `mat`
+    * interpolates MATERIALIZED for oracles whose planner needs it. */
+  private def affineSigCtes(mat: String = "") = s"""
+      hsh AS $mat (
+        SELECT doc_id, shingle,
+               CAST(sum((strpos('0123456789abcdef', substr(md5(shingle), k.k, 1)) - 1)
+                        * (1::BIGINT << (4 * (15 - k.k)))) % ${graft.ops.Minhash.AffineP}
+                    AS BIGINT) AS h
+        FROM sh, generate_series(1, 15) k(k)
+        GROUP BY doc_id, shingle),
+      mh AS $mat (
+        SELECT doc_id, p.j, min((p.a * h + p.b) % ${graft.ops.Minhash.AffineP}) AS mh
+        FROM hsh, (VALUES ${graft.ops.Minhash.affineCoeffsSql(Perms)}) p(j, a, b)
+        GROUP BY doc_id, p.j),
+      bands AS $mat (
+        SELECT doc_id, CAST((j-1) // $BandRows AS INT) AS band_id,
+               string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_hash
+        FROM mh GROUP BY doc_id, CAST((j-1) // $BandRows AS INT))"""
+
   /** Oracle CTE chain replaying the AFFINE signature family 1:1: fold the
     * first 15 hex chars of md5(shingle) to a 60-bit integer (nibble ·
     * 16-power sums stay < 2⁶³ — BIGINT-safe, which is why the kernel
@@ -309,21 +330,7 @@ object DedupQueries {
     * permutation, band on the comma-joined entries, then the SAME
     * candidate/verify tail as [[oraclePipeline]]. */
   private val oraclePipelineFast = s"""$oracleShingles,
-      hsh AS (
-        SELECT doc_id, shingle,
-               CAST(sum((strpos('0123456789abcdef', substr(md5(shingle), k.k, 1)) - 1)
-                        * (1::BIGINT << (4 * (15 - k.k)))) % ${graft.ops.Minhash.AffineP}
-                    AS BIGINT) AS h
-        FROM sh, generate_series(1, 15) k(k)
-        GROUP BY doc_id, shingle),
-      mh AS (
-        SELECT doc_id, p.j, min((p.a * h + p.b) % ${graft.ops.Minhash.AffineP}) AS mh
-        FROM hsh, (VALUES ${graft.ops.Minhash.affineCoeffsSql(Perms)}) p(j, a, b)
-        GROUP BY doc_id, p.j),
-      bands AS (
-        SELECT doc_id, CAST((j-1) // $BandRows AS INT) AS band_id,
-               string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_hash
-        FROM mh GROUP BY doc_id, CAST((j-1) // $BandRows AS INT)),
+${affineSigCtes()},
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
@@ -353,10 +360,8 @@ object DedupQueries {
     * family's [[PairsCache]]; the kernel's cost claim is measured where
     * it belongs, in DedupScaleProbe's sigkernel leg. */
   private object FastPairsCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def get(s: SparkSession, dir: String): DataFrame = {
-      val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_fastpairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def get(s: SparkSession, dir: String): DataFrame =
+      ParquetCache.get(s, "graft_fastpairs", dir) {
         val bands = bandsOfFast(Tables.documents(s, dir))
         val pairs = bands.as("a")
           .join(bands.as("b"),
@@ -366,12 +371,9 @@ object DedupQueries {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         verifyJaccard(pairs, shingleTable(s, dir))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+      }
   }
+
 
   val minhashPairsFast = Q(
     "dedup_minhash_pairs_fast",
@@ -386,18 +388,11 @@ object DedupQueries {
     * derived here by filtering the cached full pair set (doc_a < doc_b, so
     * doc_b < split ⟺ both endpoints in the base). */
   private object BaseLabelsCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def get(s: SparkSession, dir: String, split: Long): DataFrame = {
-      val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_baselabels/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def get(s: SparkSession, dir: String, split: Long): DataFrame =
+      ParquetCache.get(s, "graft_baselabels", dir)(
         graft.ops.ConnectedComponents.components(
           PairsCache.get(s, dir).filter(col("doc_b") < split)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
   }
 
   /** The FULL daily-crawl increment loop, composed end to end:
@@ -554,15 +549,9 @@ object DedupQueries {
   /** Per-JVM parquet cache of the verified n-gram pair set (same pattern
     * and rationale as [[PairsCache]]). */
   object NgramPairsCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def get(s: SparkSession, dir: String): DataFrame = {
-      val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_ngram_pairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        ngramJaccardPairs(Tables.documents(s, dir)).write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+    def get(s: SparkSession, dir: String): DataFrame =
+      ParquetCache.get(s, "graft_ngram_pairs", dir)(
+        ngramJaccardPairs(Tables.documents(s, dir)))
   }
 
   /** Shared oracle CTE chain for the prefix-filtered pipeline, ending (like
@@ -660,14 +649,12 @@ object DedupQueries {
 
   /** Per-JVM cache of the containment pair set (PairsCache pattern). */
   private object ContainmentCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def get(s: SparkSession, dir: String): DataFrame = {
-      val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_containpairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def get(s: SparkSession, dir: String): DataFrame =
+      ParquetCache.get(s, "graft_containpairs", dir) {
         val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        // plant contained docs: every 5th doc (≥ 6 words) truncated to its
-        // first ⌈2n/3⌉ words — a sliding-shingle PREFIX is a strict subset
-        // of the original's shingles, so C(trunc → original) = 1.0 exactly
+        // plant contained docs: every 5th doc (>= 6 words) truncated to its
+        // first ceil(2n/3) words - a sliding-shingle PREFIX is a strict
+        // subset of the original's shingles, so C(trunc -> original) = 1.0
         val w = split(col("text"), " ")
         val planted = d.unionAll(
           d.filter(col("doc_id") % 5 === 0 && size(w) >= 6)
@@ -676,22 +663,16 @@ object DedupQueries {
                 slice(w, lit(1),
                   greatest(lit(3), expr("2 * size(split(text, ' ')) div 3"))))
                 .as("text")))
-        containmentPairs(planted).write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+        containmentPairs(planted)
+      }
   }
 
-  /** [[containmentPairs]] as a gated entry over the planted corpus: every
-    * truncated twin must surface as (contained → container, 1.0), every
-    * organic asymmetric overlap is verified exactly, and the DuckDB
-    * oracle replays planting, prefix selection and verification 1:1. */
-  val containmentPairsQ = Q(
-    "dedup_containment_pairs",
-    (s, dir) => ContainmentCache.get(s, dir).orderBy("doc_a", "doc_b"),
-    Some(s"""
-      WITH planted AS MATERIALIZED (
+
+  /** Shared oracle chain for BOTH containment entries (planting →
+    * shingles → rarity prefix → candidates → intersections) — one
+    * definition, so a threshold or planting tweak cannot desynchronize
+    * the pair and keep gates. */
+  private val containmentOracleBase = s"""WITH planted AS MATERIALIZED (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 100000,
@@ -727,7 +708,17 @@ object DedupQueries {
             FROM cand c
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-            GROUP BY c.doc_a, c.doc_b)
+            GROUP BY c.doc_a, c.doc_b)"""
+
+  /** [[containmentPairs]] as a gated entry over the planted corpus: every
+    * truncated twin must surface as (contained → container, 1.0), every
+    * organic asymmetric overlap is verified exactly, and the DuckDB
+    * oracle replays planting, prefix selection and verification 1:1. */
+  val containmentPairsQ = Q(
+    "dedup_containment_pairs",
+    (s, dir) => ContainmentCache.get(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""
+      ${containmentOracleBase}
       SELECT i.doc_a, i.doc_b, round(i.inter / ca.n, 4) AS containment
       FROM i JOIN ccnt ca ON ca.doc_id = i.doc_a
       WHERE 10*i.inter >= 9*ca.n
@@ -760,43 +751,7 @@ object DedupQueries {
         .orderBy("doc_id")
     },
     Some(s"""
-      WITH planted AS MATERIALIZED (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000,
-               array_to_string(
-                 (string_split(text, ' '))[1:greatest(3, 2*len(string_split(text, ' '))//3)],
-                 ' ')
-        FROM documents
-        WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 6),
-      words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM planted),
-      sh AS MATERIALIZED (
-        SELECT DISTINCT doc_id,
-               CASE WHEN len(w) >= $ShingleN
-                    THEN array_to_string(w[i+1:i+$ShingleN], ' ')
-                    ELSE array_to_string(w, ' ') END AS shingle
-        FROM (SELECT doc_id, w,
-                     unnest(range(0, greatest(len(w) - $ShingleN, 0) + 1)) AS i
-              FROM words)),
-      ccnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-      pref AS (
-        SELECT r.doc_id, r.shingle
-        FROM (SELECT s.doc_id, s.shingle,
-                     row_number() OVER (PARTITION BY s.doc_id
-                                        ORDER BY f.df, s.shingle) AS rk
-              FROM sh s JOIN freq f USING (shingle)) r
-        JOIN ccnt c USING (doc_id)
-        WHERE r.rk <= c.n - (9*c.n + 9) // 10 + 1),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM pref a JOIN sh b ON b.shingle = a.shingle
-                             AND a.doc_id <> b.doc_id),
-      i AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.doc_a
-            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-            GROUP BY c.doc_a, c.doc_b),
+      ${containmentOracleBase},
       vp AS (SELECT i.doc_a, i.doc_b
              FROM i JOIN ccnt ca ON ca.doc_id = i.doc_a
              WHERE 10*i.inter >= 9*ca.n),
@@ -1246,19 +1201,13 @@ object DedupQueries {
     * NearDupCache): the k-means fit + pair verify runs once per fixture
     * dir; both the pairs and keep entries read the cached parquet. */
   private object SemPairsCache {
-    private val cache = scala.collection.concurrent.TrieMap[String, String]()
-    def pairs(s: SparkSession, dir: String): DataFrame = {
-      val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_sempairs/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def pairs(s: SparkSession, dir: String): DataFrame =
+      ParquetCache.get(s, "graft_sempairs", dir)(
         graft.ops.SemDedup.dupPairsAssigned(md5Vectors(s, dir),
           EmbedQueries.KmAssignCache.assign(s, dir),
-          tauNum = semTau._1, tauDen = semTau._2)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      s.read.parquet(path)
-    }
+          tauNum = semTau._1, tauDen = semTau._2))
   }
+
 
   private def semOracle(select: String) = s"""${EmbedQueries.sparseSp},
       ${graft.ops.KMeansInt.oracleSql(k = 4, iters = 3, dim = 32)},
@@ -1499,21 +1448,7 @@ object DedupQueries {
         FROM (SELECT doc_id, w,
                      unnest(range(0, greatest(len(w) - $ShingleN, 0) + 1)) AS i
               FROM words)),
-      hsh AS MATERIALIZED (
-        SELECT doc_id, shingle,
-               CAST(sum((strpos('0123456789abcdef', substr(md5(shingle), k.k, 1)) - 1)
-                        * (1::BIGINT << (4 * (15 - k.k)))) % ${graft.ops.Minhash.AffineP}
-                    AS BIGINT) AS h
-        FROM sh, generate_series(1, 15) k(k)
-        GROUP BY doc_id, shingle),
-      mh AS MATERIALIZED (
-        SELECT doc_id, p.j, min((p.a * h + p.b) % ${graft.ops.Minhash.AffineP}) AS mh
-        FROM hsh, (VALUES ${graft.ops.Minhash.affineCoeffsSql(Perms)}) p(j, a, b)
-        GROUP BY doc_id, p.j),
-      bands AS MATERIALIZED (
-        SELECT doc_id, CAST((j-1) // $BandRows AS INT) AS band_id,
-               string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_hash
-        FROM mh GROUP BY doc_id, CAST((j-1) // $BandRows AS INT)),
+${affineSigCtes("MATERIALIZED")},
       cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a

@@ -463,7 +463,9 @@ final class ZebraEngine private (
   def vacuumIndex(): Long = {
     if (!hasData(indexDir)) return 0L
     val total = spark.read.parquet(indexDir).count()
-    val live = liveIndex
+    // materialize the live view once: the count and the rewrite would
+    // otherwise each re-run the scan + reachability semi-join
+    val live = liveIndex.localCheckpoint()
     val stale = total - live.count()
     if (stale > 0L) rewritePartitioned(indexDir, live)
     stale

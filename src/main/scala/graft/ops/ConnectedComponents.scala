@@ -232,8 +232,15 @@ object ConnectedComponents {
     val updatedOld = lbl
       .join(broadcast(relabel), Seq("label"), "left")
       .select(col("node"), coalesce(col("newc"), col("label")).as("component"))
-    val newNodes = merged
-      .join(lbl.select("node"), Seq("node"), "left_anti")
+    // New nodes derive DELTA-side: touched endpoints with no label (both
+    // frames delta-sized — an anti-join against the corpus-sized labels
+    // frame here would shuffle the whole labeling for an answer the
+    // semi-join already determined). Every new node appears in merged:
+    // it is a contracted endpoint, and its self-label can never equal its
+    // partner's (old labels are old node ids; distinct new ids differ).
+    val newNodes = touched
+      .join(lblTouched.select("node"), Seq("node"), "left_anti")
+      .join(merged, Seq("node"))
       .select(col("node"), col("component"))
     updatedOld.unionAll(newNodes)
   }

@@ -214,7 +214,13 @@ object Retrieval {
     val target = new org.apache.hadoop.fs.Path(
       storePath, s"epoch=compact_${System.nanoTime()}")
     require(fs.rename(staging, target), s"compaction rename failed: $target")
-    live.foreach(d => fs.delete(d, true)) // best-effort GC
+    // Retention window (the applyRollupBatch reader contract): a reader
+    // that resolved currentPostings just before this commit is still
+    // scanning THIS compaction's sources, so they survive until the NEXT
+    // compaction — only dirs superseded a full cycle ago are reclaimed.
+    priorSuperseded.foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(storePath, name), true)
+    }
     true
   }
 

@@ -162,6 +162,9 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import docs.sparkSession.implicits._
     require(nPerms % bandRows == 0, "bands must tile the signature")
+    require(family == "md5" || family == "affine",
+      s"unknown signature family: $family") // a silent md5 fallback would
+    // let a probe/benchmark misattribute its numbers to the wrong kernel
     // sig[j-1] via the shared graft.ops.Minhash kernels (one tight JVM
     // loop per row — see their scaladoc for why this beats both the HOF
     // and the explode forms; the gates' oracle hash-matches are the parity

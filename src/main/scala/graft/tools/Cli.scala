@@ -164,11 +164,16 @@ object Cli {
         // long-lived engine runs between ingest batches — leaf-split
         // compaction (or IVF-PQ staleness retrain), then vacuum of the
         // stranded dead rows, each step reporting what it did
-        val compacted =
-          if (engine.config.indexKind == "ivfpq") engine.maintainIvfPqIfNeeded()
-          else engine.compactIndexIfNeeded()
-        val reclaimed = engine.vacuumIndex()
-        println(s"compacted: $compacted, vacuumed: $reclaimed stale rows")
+        if (engine.config.indexKind == "ivfpq") {
+          // retrain rewrites the cells whole — there is nothing to vacuum,
+          // and liveIndex is unfiltered for ivfpq (two wasted index scans)
+          val retrained = engine.maintainIvfPqIfNeeded()
+          println(s"retrained: $retrained")
+        } else {
+          val compacted = engine.compactIndexIfNeeded()
+          val reclaimed = engine.vacuumIndex()
+          println(s"compacted: $compacted, vacuumed: $reclaimed stale rows")
+        }
 
       case other => sys.error(s"unknown command: $other")
     }

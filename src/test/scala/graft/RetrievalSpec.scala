@@ -81,8 +81,9 @@ class RetrievalSpec extends AnyFunSuite {
     assert(serve() == batch.toSeq, "compaction changed the ranking")
     assert(!graft.ops.Retrieval.compactPostings(spark, store),
       "single-epoch store must not re-compact")
-    // a replayed SUPERSEDED epoch id must still no-op (its dir is GC'd;
-    // only the manifest remembers it)
+    // a replayed SUPERSEDED epoch id must still no-op (its dir survives
+    // one retention cycle, then only the manifest remembers it — the
+    // double-compaction case below exercises the manifest-only path)
     graft.ops.Retrieval.applyPostingsBatch(
       Seq((98L, "spark spark")).toDF("doc_id", "text"), 1L, store)
     assert(serve() == batch.toSeq, "superseded epoch replay re-applied")
