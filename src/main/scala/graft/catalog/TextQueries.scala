@@ -172,5 +172,158 @@ object TextQueries {
             FROM documents)
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(tokenCount, quality, langId, tfidf, fingerprint)
+  /** keep threshold in micro-nats/token (τ = 3.42 nats ≈ perplexity 31
+    * under the bigram LM) — fixed, not corpus-relative, so the gate is a
+    * pure function of the data like every other entry; sits inside the
+    * fixture's observed 3.17–3.73 band (keeps ~35% at sf0.01, ~55% at
+    * sf0.1), so the flag is live, not vacuous, and the keep/drop
+    * boundary is an exact integer compare (nll_micro ≤ n·τ) that cannot
+    * flake however close a doc lands. */
+  private val LmKeepTauMicro = 34200L
+
+  /** CCNet-style n-gram LM quality scoring — the classic model-based
+    * quality filter (Wenzek et al. 2020: score a crawl by the perplexity
+    * of an LM trained on a trusted corpus; keep the low-perplexity head).
+    * Here the "trusted" corpus is the deterministic doc_id%4==0 quarter
+    * and the LM is an add-one-smoothed bigram model over whitespace
+    * tokens with a BOS context: p(w|c) = (c2(c,w)+1)/(c1(c)+V+1). The
+    * per-position negative log-prob is quantized to integer micro-nats
+    * (round(-ln p · 1e4)) BEFORE the per-doc sum — one ln per row of the
+    * corpus, but the value only depends on the (c2, c1) count pair, so
+    * the cross-engine surface is the bounded distinct-count-pair set and
+    * the doc aggregate is an order-independent integer sum
+    * (quantize-before-summing; same ln-agreement envelope tfidf already
+    * proves green). keep is an
+    * integer comparison (nll ≤ n·τ), no float threshold.
+    *
+    * 100 TB shape: the count tables are distinct-bigram-bounded
+    * (corpus-sublinear), built with map-side partial aggregation; c1 is
+    * vocabulary-sized (broadcastable); scoring is one corpus-sized
+    * equi-join against c2 plus the broadcast c1/V, then a partial-agg
+    * doc rollup — no window, no all-pairs, nothing collected. */
+  val lmScore = Q(
+    "text_lm_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val big = docs
+        .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("pos", "word")))
+        .select(col("doc_id"),
+          // posexplode's ordinal is 0-based (oracle pitfall): pos>=1 has
+          // 1-based predecessor element_at(w, pos); pos==0 gets BOS
+          when(col("pos") === 0, lit("<s>"))
+            .otherwise(element_at(col("w"), col("pos"))).as("ctx"),
+          col("word"))
+      val train = big.filter(col("doc_id") % 4 === 0)
+      val c2 = train.groupBy("ctx", "word").agg(count(lit(1)).as("c2"))
+      val c1 = train.groupBy("ctx").agg(count(lit(1)).as("c1"))
+      val v = train.agg((countDistinct(col("word")) + 1L).as("v"))
+      val scored = big
+        .join(c2, Seq("ctx", "word"), "left")
+        .join(c1, Seq("ctx"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(-log((coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
+              (coalesce(col("c1"), lit(0L)) + col("v"))) * 10000)
+            .cast("long").as("q"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("q").as("nll_micro"))
+        .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
+          round(col("nll_micro").cast("double") / (col("n_tokens") * 10000), 4)
+            .as("avg_nll"),
+          (col("nll_micro") <= col("n_tokens") * LmKeepTauMicro).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                   FROM documents),
+      big AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS ctx,
+               w[i] AS word
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tok)),
+      train AS MATERIALIZED (
+        SELECT ctx, word FROM big WHERE doc_id % 4 = 0),
+      c2 AS (SELECT ctx, word, count(*) AS c2 FROM train GROUP BY ctx, word),
+      c1 AS (SELECT ctx, count(*) AS c1 FROM train GROUP BY ctx),
+      v AS (SELECT count(DISTINCT word) + 1 AS v FROM train),
+      sc AS (SELECT b.doc_id,
+                    CAST(round(-ln((coalesce(c2.c2, 0) + 1)::DOUBLE
+                                   / (coalesce(c1.c1, 0) + v.v)) * 10000)
+                         AS BIGINT) AS q
+             FROM big b
+             LEFT JOIN c2 ON c2.ctx = b.ctx AND c2.word = b.word
+             LEFT JOIN c1 ON c1.ctx = b.ctx, v)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(q)::BIGINT AS nll_micro,
+             round(sum(q)::DOUBLE / (count(*) * 10000), 4) AS avg_nll,
+             sum(q) <= count(*) * $LmKeepTauMicro AS keep
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** fastText-style hashed-n-gram linear classifier — the model-based
+    * quality-filter PLUMBING (feature hashing → weight lookup → linear
+    * score) with a deterministic stand-in for trained weights, the same
+    * documented deviation as the md5 embedder (no model downloads under
+    * no-egress). Features are word unigrams + adjacent bigrams; buckets
+    * are the md5 60-bit fold mod 4096 (Spark: conv(hex15); oracle: the
+    * proven strpos nibble fold — both equal the same integer); weights
+    * w(b) = (b·48271) mod 1001 − 500 are pure integer arithmetic on both
+    * engines. Everything downstream is exact BIGINT — multiplicity-
+    * weighted sum, basis-point average via `div` — so the gate has no
+    * float surface at all.
+    *
+    * 100 TB shape: features aggregate per (doc, feature) FIRST (map-side
+    * partials; also dedups the md5 work per repeated feature), the score
+    * is a doc-sized rollup, and the "model" (bucket→weight) is closed
+    * form — a real trained model would broadcast a 4096-row weight
+    * table in its place. */
+  val qualityClassifier = Q(
+    "text_quality_classifier",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val uni = docs.select(col("doc_id"), explode(col("w")).as("f"))
+      val bi = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), '_', element_at(w, i + 1)))")).as("f"))
+      val feats = uni.unionAll(bi)
+        .groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
+      val scored = feats
+        .select(col("doc_id"), col("cnt"),
+          (conv(substring(md5(col("f").cast("binary")), 1, 15), 16, 10)
+            .cast("long") % 4096L).as("b"))
+        .select(col("doc_id"), col("cnt"),
+          ((col("b") * 48271L) % 1001L - 500L).as("wgt"))
+      scored.groupBy("doc_id")
+        .agg(sum("cnt").as("n_feat"), sum(col("cnt") * col("wgt")).as("score_sum"))
+        .select(col("doc_id"), col("n_feat"), col("score_sum"),
+          expr("(score_sum * 10000) div n_feat").as("avg_bp"),
+          (col("score_sum") > 0L).as("label"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                   FROM documents),
+      uni AS (SELECT doc_id, unnest(w) AS f FROM tok),
+      bi AS (SELECT doc_id, w[i] || '_' || w[i + 1] AS f
+             FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                   FROM tok WHERE len(w) >= 2)),
+      feats AS (SELECT doc_id, f, count(*) AS cnt
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+                GROUP BY doc_id, f),
+      hb AS (SELECT doc_id, f, cnt,
+                    CAST(sum((strpos('0123456789abcdef', substr(md5(f), k.k, 1)) - 1)
+                             * (1::BIGINT << (4 * (15 - k.k)))) % 4096
+                         AS BIGINT) AS b
+             FROM feats, generate_series(1, 15) k(k)
+             GROUP BY doc_id, f, cnt),
+      sc AS (SELECT doc_id, cnt, (b * 48271) % 1001 - 500 AS wgt FROM hb)
+      SELECT doc_id, sum(cnt)::BIGINT AS n_feat,
+             sum(cnt * wgt)::BIGINT AS score_sum,
+             (sum(cnt * wgt)::BIGINT * 10000) // sum(cnt)::BIGINT AS avg_bp,
+             sum(cnt * wgt) > 0 AS label
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(tokenCount, quality, langId, tfidf, fingerprint,
+    lmScore, qualityClassifier)
 }
