@@ -1318,6 +1318,70 @@ object RelationalQueries {
                AS exact_click_only,
              TRUE AS within_5pct"""))
 
+  /** Theta sketches maintained INSIDE Structured Streaming state — the
+    * per-hour distinct-user sketch as a live, incrementally-updated
+    * aggregate (the 100 TB dashboard shape: 4 KB of mergeable state per
+    * window, updated per micro-batch, never a distinct shuffle of the
+    * raw stream). Events replay through a MemoryStream in 4 chunks, so
+    * each hour's sketch buffer is serialized into the state store and
+    * re-merged across batches; the final per-hour ESTIMATES are
+    * hash-checked against DuckDB's exact distinct counts — valid because
+    * the fixture's per-hour cardinality (≤ 166 at sf0.1) is far below
+    * the sketch's k = 4096, so theta stays in exact mode and its
+    * retained-set size IS the distinct count, deterministically (at
+    * production cardinality this column would be gated with the
+    * within-5% pattern of q_sketch_distinct instead). stream_eq_batch
+    * additionally witnesses that cross-batch state-store merging
+    * produced byte-equivalent estimates to a one-shot batch aggregation
+    * of the same data — theta's retained set is a pure function of the
+    * input SET (k smallest hashes), so batch/stream equality is exact,
+    * not approximate. */
+  val sketchStreamExec = Q(
+    "stream_sketch_exec",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)]
+        .collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val sink = s"stream_sketch_exec_sink_${StreamSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = mem.toDF().toDF("ts", "user_id")
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+          .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val streamed = s.table(sink).select(col("hour_start"),
+        expr("theta_sketch_estimate(sk)").cast("long").as("est_users"))
+      val batch = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          expr("theta_sketch_estimate(theta_sketch_agg(user_id))")
+            .cast("long").as("batch_est"))
+      streamed.join(batch, Seq("hour_start"))
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("n_exact"), col("est_users"),
+          (col("est_users") === col("batch_est")).as("stream_eq_batch"))
+        .orderBy("hour_start")
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             count(DISTINCT user_id)::BIGINT AS n_exact,
+             count(DISTINCT user_id)::BIGINT AS est_users,
+             TRUE AS stream_eq_batch
+      FROM events GROUP BY date_trunc('hour', ts) ORDER BY hour_start"""))
+
   /** A REAL micro-batch `session_window` run in the correctness gate (the
     * sessionization sibling of stream_hourly_exec): events replayed
     * ts-ordered through a MemoryStream in 2 chunks (sessions straddling
@@ -1501,5 +1565,6 @@ object RelationalQueries {
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
     eventsRetention, eventsRfm, eventsAttribution, funnelTimeToConvert,
     eventsTransitions,
-    eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec)
+    eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,
+    sketchStreamExec)
 }

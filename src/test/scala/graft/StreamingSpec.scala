@@ -685,4 +685,28 @@ class StreamingSpec extends AnyFunSuite {
         ((2L, 2L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming theta sketch: cross-batch state merges without double count") {
+    // same user re-appearing in the SAME hour from a LATER micro-batch
+    // must not inflate the sketch (state-store buffer re-merge is a set
+    // union); a genuinely new user must grow it by exactly one — theta
+    // stays in exact mode at these cardinalities, so estimates are exact
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "user_id")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      .writeStream.format("memory").queryName("theta_stream_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(5), 1L), (ts(10), 2L))
+      q.processAllAvailable()
+      mem.addData((ts(15), 1L), (ts(20), 3L), (ts(70), 1L)) // dup, new, new hour
+      q.processAllAvailable()
+      val got = spark.table("theta_stream_test")
+        .select(col("h"), expr("theta_sketch_estimate(sk)").cast("long").as("n"))
+        .orderBy("h").collect().map(r => r.getLong(1)).toSeq
+      assert(got == Seq(3L, 1L))
+    } finally q.stop()
+  }
 }
