@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
@@ -293,6 +294,85 @@ object CurationQueries {
       WHERE q_1e6 >= t.thr
       ORDER BY doc_id"""))
 
+  /** EXACT token-budget selection — "fill a 15k-token training budget
+    * with the best-quality docs": the greedy optimum (keep docs in
+    * descending quality order while the running token sum stays within
+    * budget) computed WITHOUT a global ranking window. Docs histogram
+    * into ≤1001 coarse quality buckets (q_1e6 div 1000); an
+    * exclusive-cumulative over the BUCKET table (bounded — the only
+    * unpartitioned window is 1001 rows) finds the buckets that fit
+    * whole, and only the single boundary bucket — 1/1000 of the corpus
+    * in expectation — pays a per-doc running sum, ordered (q desc,
+    * doc_id) for determinism. At 100 TB the full buckets are a semi-join
+    * keep, the boundary window is corpus/1000-sized, and nothing
+    * corpus-sized is ever globally ordered. Kept set is exactly
+    * under-budget (inclusive running sum ≤ B, no partial docs). */
+  val tokenBudgetSample = Q(
+    "sample_token_budget",
+    (s, dir) => {
+      val B = 15000L
+      val nChars = length(col("text"))
+      val nTokens = size(split(col("text"), " "))
+      val alphaChars = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      val q = floor(alphaChars.cast("double") / nChars
+        * least(nTokens, lit(100)).cast("double") / 100.0 * 1e6).cast("long")
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), q.as("q_1e6"), nTokens.cast("long").as("n_tokens"))
+        .withColumn("qb", expr("q_1e6 div 1000"))
+      val hist = scored.groupBy("qb").agg(sum("n_tokens").as("bt"))
+      val wh = Window.orderBy(col("qb").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("cum_hi", coalesce(sum("bt").over(wh), lit(0L)))
+      val fullB = cum.filter(col("cum_hi") + col("bt") <= B).select("qb")
+      val boundary = cum
+        .filter(col("cum_hi") < B && col("cum_hi") + col("bt") > B)
+        .select("qb", "cum_hi") // at most one row
+      val keptFull = scored.join(fullB, Seq("qb"), "left_semi")
+      val wb = Window.orderBy(col("q_1e6").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val keptBoundary = scored.join(broadcast(boundary), Seq("qb"))
+        .withColumn("c", sum("n_tokens").over(wb))
+        .filter(col("cum_hi") + col("c") <= B)
+      keptFull.select("doc_id", "q_1e6", "n_tokens")
+        .unionAll(keptBoundary.select("doc_id", "q_1e6", "n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+               CAST(floor(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                    / length(text)
+                    * least(len(string_split(text, ' ')), 100)::DOUBLE / 100.0
+                    * 1000000) AS BIGINT) AS q_1e6,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               CAST(floor(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                    / length(text)
+                    * least(len(string_split(text, ' ')), 100)::DOUBLE / 100.0
+                    * 1000000) AS BIGINT) // 1000 AS qb
+        FROM documents),
+      hist AS (SELECT qb, sum(n_tokens)::BIGINT AS bt FROM scored GROUP BY qb),
+      cum AS (SELECT qb, bt,
+                     coalesce(sum(bt) OVER (ORDER BY qb DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                       AS cum_hi
+              FROM hist),
+      kept_full AS (
+        SELECT s.doc_id, s.q_1e6, s.n_tokens
+        FROM scored s JOIN cum c ON c.qb = s.qb
+        WHERE c.cum_hi + c.bt <= 15000),
+      kept_boundary AS (
+        SELECT doc_id, q_1e6, n_tokens FROM (
+          SELECT s.doc_id, s.q_1e6, s.n_tokens,
+                 c.cum_hi + sum(s.n_tokens) OVER (ORDER BY s.q_1e6 DESC, s.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM scored s JOIN cum c ON c.qb = s.qb
+          WHERE c.cum_hi < 15000 AND c.cum_hi + c.bt > 15000)
+        WHERE run <= 15000)
+      SELECT doc_id, q_1e6, n_tokens FROM kept_full
+      UNION ALL
+      SELECT doc_id, q_1e6, n_tokens FROM kept_boundary
+      ORDER BY doc_id"""))
+
   /** The per-key ingest cap under REAL micro-batch execution (the
     * runtime gate for `StreamOps.capPerKey`, previously only
     * MemoryStream-spec'd): documents replayed source-keyed in 4
@@ -349,5 +429,5 @@ object CurationQueries {
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
       splitTrainVal, chunkDocuments, temperatureMix, qualityPercentileFilter,
-      streamCapExec)
+      tokenBudgetSample, streamCapExec)
 }

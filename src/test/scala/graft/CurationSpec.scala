@@ -74,4 +74,33 @@ class CurationSpec extends AnyFunSuite {
       assert(seqs == (0L until rs.length).toSeq, s"holes in seq ids for $src")
     }
   }
+
+  test("token budget: kept set IS the greedy prefix of the global quality order") {
+    // the bucketed algorithm (full buckets via semi-join + one boundary
+    // window) must equal the straightforward greedy it replaces: take
+    // docs in (quality desc, doc_id) order while the running token sum
+    // stays within budget
+    val got = CurationQueries.tokenBudgetSample.run(spark, dir).collect()
+    val all = got.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("q_1e6"), r.getAs[Long]("n_tokens")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"), col("text"))
+      .collect().map { r =>
+        val text = r.getAs[String]("text")
+        val toks = text.split(" ", -1).length.toLong
+        val alpha = text.toLowerCase.count(c => c >= 'a' && c <= 'z').toLong
+        val q = math.floor(alpha.toDouble / text.length *
+          math.min(toks, 100L).toDouble / 100.0 * 1e6).toLong
+        (r.getAs[Long]("doc_id"), q, toks)
+      }
+    val greedy = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var budget = 15000L
+    var stopped = false
+    scored.sortBy { case (id, q, _) => (-q, id) }.foreach { case (id, q, n) =>
+      if (!stopped && n <= budget) { greedy += ((id, q, n)); budget -= n }
+      else stopped = true // maximal PREFIX, not a best-fit repack
+    }
+    assert(all.sortBy(_._1).toSeq == greedy.sortBy(_._1).toSeq)
+    assert(all.map(_._3).sum <= 15000L)
+  }
 }
