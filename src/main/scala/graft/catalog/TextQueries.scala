@@ -204,34 +204,10 @@ object TextQueries {
   val lmScore = Q(
     "text_lm_score",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      val big = docs
-        .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("pos", "word")))
-        .select(col("doc_id"),
-          // posexplode's ordinal is 0-based (oracle pitfall): pos>=1 has
-          // 1-based predecessor element_at(w, pos); pos==0 gets BOS
-          when(col("pos") === 0, lit("<s>"))
-            .otherwise(element_at(col("w"), col("pos"))).as("ctx"),
-          col("word"))
-      val train = big.filter(col("doc_id") % 4 === 0)
-      val c2 = train.groupBy("ctx", "word").agg(count(lit(1)).as("c2"))
-      val c1 = train.groupBy("ctx").agg(count(lit(1)).as("c1"))
-      val v = train.agg((countDistinct(col("word")) + 1L).as("v"))
-      val scored = big
-        .join(c2, Seq("ctx", "word"), "left")
-        .join(c1, Seq("ctx"), "left")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          round(-log((coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
-              (coalesce(col("c1"), lit(0L)) + col("v"))) * 10000)
-            .cast("long").as("q"))
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("q").as("nll_micro"))
-        .select(col("doc_id"), col("n_tokens"), col("nll_micro"),
-          round(col("nll_micro").cast("double") / (col("n_tokens") * 10000), 4)
-            .as("avg_nll"),
-          (col("nll_micro") <= col("n_tokens") * LmKeepTauMicro).as("keep"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.ops.QualityModels.lmScore(docs,
+        train = docs.filter(col("doc_id") % 4 === 0),
+        tauMicro = LmKeepTauMicro)
         .orderBy("doc_id")
     },
     Some(s"""
@@ -278,29 +254,9 @@ object TextQueries {
     * table in its place. */
   val qualityClassifier = Q(
     "text_quality_classifier",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      val uni = docs.select(col("doc_id"), explode(col("w")).as("f"))
-      val bi = docs.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 1)," +
-            " i -> concat(element_at(w, i), '_', element_at(w, i + 1)))")).as("f"))
-      val feats = uni.unionAll(bi)
-        .groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
-      val scored = feats
-        .select(col("doc_id"), col("cnt"),
-          (conv(substring(md5(col("f").cast("binary")), 1, 15), 16, 10)
-            .cast("long") % 4096L).as("b"))
-        .select(col("doc_id"), col("cnt"),
-          ((col("b") * 48271L) % 1001L - 500L).as("wgt"))
-      scored.groupBy("doc_id")
-        .agg(sum("cnt").as("n_feat"), sum(col("cnt") * col("wgt")).as("score_sum"))
-        .select(col("doc_id"), col("n_feat"), col("score_sum"),
-          expr("(score_sum * 10000) div n_feat").as("avg_bp"),
-          (col("score_sum") > 0L).as("label"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => graft.ops.QualityModels
+      .hashedLinearScore(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .orderBy("doc_id"),
     Some("""
       WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                    FROM documents),

@@ -131,6 +131,40 @@ object TextScaleProbe {
       assert(underScrubbed == 0,
         s"$underScrubbed planted copies kept their duplicated span")
       System.out.flush()
+
+      // Bigram-LM scoring (QualityModels.lmScore): the count tables are
+      // bounded by the DISTINCT bigram set of the train split, not the
+      // corpus (reported next to wall time — the ratio is the shuffle
+      // saving vs an events-sized join); scoring is one corpus-sized
+      // equi-join + a doc rollup, so wall should grow ~linearly in n.
+      val trainSplit = data.filter(col("doc_id") % 4 === 0)
+      val distinctBigrams = trainSplit
+        .select(explode(split(lower(col("text")), " ")).as("w"), col("doc_id"))
+        .count() // positions in the train split (bigram rows == positions)
+      t0 = System.nanoTime()
+      val lm = graft.ops.QualityModels
+        .lmScore(data, trainSplit, tauMicro = 34200L)
+        .agg(sum("nll_micro"), sum(when(col("keep"), 1L).otherwise(0L)),
+          count(lit(1)))
+        .head()
+      println(f"lm_score n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"rows=${lm.getLong(2)}, kept=${lm.getLong(1)}, " +
+        s"train_positions=$distinctBigrams (count tables bounded by " +
+        "distinct train bigrams)")
+      assert(lm.getLong(2) == n, "lm score lost docs")
+      System.out.flush()
+
+      // Hashed-linear classifier (QualityModels.hashedLinearScore):
+      // explode → per-(doc, feature) partial agg (md5 once per distinct
+      // feature per doc) → doc rollup. Pure map/agg — ~linear in n.
+      t0 = System.nanoTime()
+      val clf = graft.ops.QualityModels.hashedLinearScore(data)
+        .agg(sum(when(col("label"), 1L).otherwise(0L)), count(lit(1)))
+        .head()
+      println(f"classifier n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"rows=${clf.getLong(1)}, positive=${clf.getLong(0)}")
+      assert(clf.getLong(1) == n, "classifier lost docs")
+      System.out.flush()
     }
     spark.stop()
   }
