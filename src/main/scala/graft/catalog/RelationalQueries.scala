@@ -1011,6 +1011,112 @@ object RelationalQueries {
     * over the |types|² grid — at 100 TB the only corpus-scale work is the
     * per-user sort inside the window's user-keyed exchange; nothing joins
     * events to events. */
+  /** Trailing-window ANOMALY detection on the hourly event series — the
+    * ops-dashboard classic ("did this hour's click volume spike?"),
+    * integer-exact: the 2σ test (x−μ)² > 4σ² cross-multiplies to
+    * (24·c − S)² > 4·(24·Q − S²) over the previous 24 hourly counts
+    * (S = Σc, Q = Σc²), so there is no sqrt, no float mean, and the
+    * flag cannot flake. Scale shape: the corpus aggregates to the
+    * hourly count table FIRST (map-side partials; the table is
+    * hours×types-sized regardless of event volume), and the trailing
+    * window runs over that tiny derived series — at 100 TB the window
+    * never touches raw events. Hours with fewer than 24 predecessors
+    * (per type, ROWS-based) are warm-up and not emitted. */
+  val eventsAnomaly = Q(
+    "q_events_anomaly",
+    (s, dir) => {
+      val hc = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      hc.withColumn("n24", count(lit(1)).over(w))
+        .withColumn("s24", sum("c").over(w))
+        .withColumn("q24", sum(col("c") * col("c")).over(w))
+        .filter(col("n24") === 24)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("c"), col("s24"), col("q24"),
+          ((lit(24L) * col("c") - col("s24")) *
+            (lit(24L) * col("c") - col("s24")) >
+            lit(4L) * (lit(24L) * col("q24") - col("s24") * col("s24")))
+            .as("is_anomaly"))
+        .orderBy("event_type", "hour_start")
+    },
+    Some("""
+      WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                         count(*)::BIGINT AS c
+                  FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, h, c,
+                    count(*) OVER w AS n24,
+                    sum(c) OVER w AS s24,
+                    sum(c * c) OVER w AS q24
+             FROM hc
+             WINDOW w AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, c,
+             s24::BIGINT AS s24, q24::BIGINT AS q24,
+             (24 * c - s24) * (24 * c - s24) > 4 * (24 * q24 - s24 * s24)
+               AS is_anomaly
+      FROM st WHERE n24 = 24 ORDER BY event_type, hour_start"""))
+
+  /** χ² A/B test, integer-exact: users split into arms by user_id
+    * parity, conversion = a heavy purchaser (>13 purchase events — the
+    * fixture median, so both cells of each arm are populated and the
+    * flag is live, not vacuous); significance at α = 0.05
+    * cross-multiplies 1000·N·(ad−bc)² > 3841·R1·R2·C1·C2 (χ² > 3.841
+    * with 1 dof) in DECIMAL/HUGEINT so neither engine can overflow and
+    * no sqrt or float division exists anywhere. The 2×2 table is two
+    * user-sized aggregates (arm, converted) — at 100 TB the test costs
+    * one partial-agg pass over events and a 4-row pivot, and the
+    * deterministic parity split stands in for a real assignment
+    * column. */
+  val eventsAbtest = Q(
+    "q_events_abtest",
+    (s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+          13L).cast("long").as("conv"))
+        .select((col("user_id") % 2).as("arm"), col("conv"))
+      val cells = users.groupBy("arm", "conv").agg(count(lit(1)).as("n"))
+      val t = cells.agg(
+        sum(when(col("arm") === 0 && col("conv") === 1, col("n"))
+          .otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0 && col("conv") === 0, col("n"))
+          .otherwise(0L)).as("b"),
+        sum(when(col("arm") === 1 && col("conv") === 1, col("n"))
+          .otherwise(0L)).as("c"),
+        sum(when(col("arm") === 1 && col("conv") === 0, col("n"))
+          .otherwise(0L)).as("d"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      t.select(col("a"), col("b"), col("c"), col("d"),
+        (dec(lit(1000L)) * dec(col("a") + col("b") + col("c") + col("d")) *
+          dec(col("a") * col("d") - col("b") * col("c")) *
+          dec(col("a") * col("d") - col("b") * col("c")) >
+          dec(lit(3841L)) * dec(col("a") + col("b")) * dec(col("c") + col("d")) *
+            dec(col("a") + col("c")) * dec(col("b") + col("d")))
+          .as("significant"))
+    },
+    Some("""
+      WITH u AS (SELECT user_id % 2 AS arm,
+                        CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                           THEN 1 ELSE 0 END) > 13
+                             THEN 1 ELSE 0 END AS conv
+                 FROM events GROUP BY user_id),
+      t AS (SELECT
+              sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+              sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+              sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+              sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+            FROM u)
+      SELECT a, b, c, d,
+             1000::HUGEINT * (a + b + c + d)::HUGEINT
+               * (a * d - b * c)::HUGEINT * (a * d - b * c)::HUGEINT
+             > 3841::HUGEINT * (a + b)::HUGEINT * (c + d)::HUGEINT
+               * (a + c)::HUGEINT * (b + d)::HUGEINT AS significant
+      FROM t"""))
+
   val eventsTransitions = Q(
     "q_events_transitions",
     (s, dir) => {
@@ -1564,7 +1670,7 @@ object RelationalQueries {
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
     eventsRetention, eventsRfm, eventsAttribution, funnelTimeToConvert,
-    eventsTransitions,
+    eventsTransitions, eventsAnomaly, eventsAbtest,
     eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,
     sketchStreamExec)
 }

@@ -308,4 +308,39 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got == ufRef(edges), s"split at $split diverged")
     }
   }
+
+  test("property: cross-multiplied 2-sigma test == float mean/var test") {
+    // the anomaly entry's integer inequality (24c−S)² > 4(24Q−S²) must
+    // agree with the definition it replaces, (c−μ)² > 4σ², for any
+    // 24-count history (strict inequality both sides; ties are
+    // measure-zero for the float form and identical for the integer one)
+    val gen = Gen.listOfN(25, Gen.chooseNum(0L, 500L))
+    forAllSeeded(gen, trials = 50) { counts =>
+      val hist = counts.take(24)
+      val c = counts.last
+      val s = hist.sum
+      val q = hist.map(x => x * x).sum
+      val integerFlag = (24 * c - s) * (24 * c - s) > 4 * (24 * q - s * s)
+      val mu = s.toDouble / 24
+      val varr = q.toDouble / 24 - mu * mu
+      val floatFlag = (c - mu) * (c - mu) > 4 * varr
+      assert(integerFlag == floatFlag, s"c=$c hist=$hist")
+    }
+  }
+
+  test("property: cross-multiplied chi-square threshold == float chi-square") {
+    val genCell = Gen.chooseNum(1L, 2000L)
+    val gen = for { a <- genCell; b <- genCell; c <- genCell; d <- genCell }
+      yield (a, b, c, d)
+    forAllSeeded(gen, trials = 100) { case (a, b, c, d) =>
+      val n = a + b + c + d
+      val det = a * d - b * c
+      val integerFlag = BigInt(1000) * BigInt(n) * BigInt(det) * BigInt(det) >
+        BigInt(3841) * BigInt(a + b) * BigInt(c + d) * BigInt(a + c) * BigInt(b + d)
+      val chi2 = n.toDouble * det * det /
+        ((a + b).toDouble * (c + d) * (a + c) * (b + d))
+      val floatFlag = chi2 > 3.841
+      assert(integerFlag == floatFlag, s"cells=($a,$b,$c,$d) chi2=$chi2")
+    }
+  }
 }
