@@ -318,23 +318,9 @@ object CurationQueries {
         * least(nTokens, lit(100)).cast("double") / 100.0 * 1e6).cast("long")
       val scored = Tables.documents(s, dir)
         .select(col("doc_id"), q.as("q_1e6"), nTokens.cast("long").as("n_tokens"))
-        .withColumn("qb", expr("q_1e6 div 1000"))
-      val hist = scored.groupBy("qb").agg(sum("n_tokens").as("bt"))
-      val wh = Window.orderBy(col("qb").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = hist.withColumn("cum_hi", coalesce(sum("bt").over(wh), lit(0L)))
-      val fullB = cum.filter(col("cum_hi") + col("bt") <= B).select("qb")
-      val boundary = cum
-        .filter(col("cum_hi") < B && col("cum_hi") + col("bt") > B)
-        .select("qb", "cum_hi") // at most one row
-      val keptFull = scored.join(fullB, Seq("qb"), "left_semi")
-      val wb = Window.orderBy(col("q_1e6").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val keptBoundary = scored.join(broadcast(boundary), Seq("qb"))
-        .withColumn("c", sum("n_tokens").over(wb))
-        .filter(col("cum_hi") + col("c") <= B)
-      keptFull.select("doc_id", "q_1e6", "n_tokens")
-        .unionAll(keptBoundary.select("doc_id", "q_1e6", "n_tokens"))
+      Curation.tokenBudgetSelect(scored, "q_1e6", "n_tokens",
+        budget = B, bucketDiv = 1000L, bestLow = false)
+        .select("doc_id", "q_1e6", "n_tokens")
         .orderBy("doc_id")
     },
     Some("""

@@ -269,5 +269,142 @@ object PipelineQueries {
              sum(n_tok)::BIGINT AS sum_tokens
       FROM packed GROUP BY source ORDER BY source"""))
 
-  def qs: Seq[Q] = Seq(curate, curateNearDup, pretrainShard)
+  /** v2 budget: tokens of training text the cascade may emit (fits
+    * inside the post-filter train split at both SFs so the selection is
+    * live — some docs kept whole-bucket, one boundary bucket cut). */
+  private val PretrainV2Budget = 4000L
+
+  /** The MODERN pretraining cascade (doc_pipeline_pretrain + the two
+    * model-based stages a FineWeb/CCNet-style pipeline adds): recrawl
+    * exact-dedup → heuristic quality gate → bigram-LM perplexity filter
+    * (LM trained on the trusted doc_id%4 quarter of the ORIGINAL corpus,
+    * scoring the surviving crawl — `QualityModels.lmScore`) →
+    * temperature mixing per language → train split → EXACT token-budget
+    * selection ranked by LM quality (`Curation.tokenBudgetSelect`,
+    * ascending avg micro-nll, no global window) → sequence packing →
+    * per-source shard accounting. Every stage's keep-decision is
+    * integer/md5-deterministic, and the DuckDB oracle replays all eight
+    * stages 1:1, so a drift in ANY stage (a count, a threshold, a
+    * boundary doc) flips the hash. Scale shape is each stage's own
+    * (documented on its operator); the cascade adds no new shuffle
+    * beyond its stages. */
+  val pretrainShardV2 = Q(
+    "doc_pipeline_pretrain_v2",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val filtered = dedupAndGate(d, nearDupDrop = None, recrawlShift = 100000L)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("word_tokens").as("n_tok"))
+      val trusted = d.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val lm = graft.ops.QualityModels
+        .lmScore(filtered.select("doc_id", "text"), trusted, tauMicro = 34200L)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("nll_micro"), col("n_tokens").as("n_lm"))
+      val lmKept = filtered.drop("text").join(lm, "doc_id")
+      val mixed = graft.ops.Curation
+        .temperatureSample(lmKept, strata = "lang", tau = 0.5)
+      val bucket =
+        substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
+      val train = mixed.filter(bucket < "cc")
+        .withColumn("avgq", expr("(nll_micro * 1000000) div n_lm"))
+      val sel = graft.ops.Curation.tokenBudgetSelect(train, "avgq", "n_tok",
+        budget = PretrainV2Budget, bucketDiv = 100000000L, bestLow = true)
+      graft.ops.Curation
+        .packSequences(sel, strata = "source", tokensCol = "n_tok",
+          budget = 2048)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("seq_id").as("n_seqs"),
+          sum("n_tok").as("sum_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH crawl AS (SELECT doc_id, text, lang, source FROM documents
+                     UNION ALL
+                     SELECT doc_id + 100000, text, lang, source FROM documents),
+      dedup AS (SELECT min(doc_id) AS doc_id, min(text) AS text,
+                       min(lang) AS lang, min(source) AS source
+                FROM crawl GROUP BY md5(text)),
+      feat AS (SELECT doc_id, text, lang, source,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                        AS word_tokens,
+                      length(text)::BIGINT AS text_len,
+                      len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT
+                        * least(len(string_split(text, ' ')), 100)::BIGINT
+                        AS q_num
+               FROM dedup),
+      filt AS (SELECT doc_id, text, lang, source, word_tokens AS n_tok
+               FROM feat
+               WHERE q_num >= 25 * text_len AND word_tokens >= 10),
+      ttok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents WHERE doc_id % 4 = 0),
+      tbig AS MATERIALIZED (
+        SELECT CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS ctx, w[i] AS word
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM ttok)),
+      lc2 AS (SELECT ctx, word, count(*) AS c2 FROM tbig GROUP BY ctx, word),
+      lc1 AS (SELECT ctx, count(*) AS c1 FROM tbig GROUP BY ctx),
+      lv AS (SELECT count(DISTINCT word) + 1 AS v FROM tbig),
+      stok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM filt),
+      sbig AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS ctx, w[i] AS word
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM stok)),
+      sc AS (SELECT b.doc_id,
+                    CAST(round(-ln((coalesce(lc2.c2, 0) + 1)::DOUBLE
+                                   / (coalesce(lc1.c1, 0) + lv.v)) * 10000)
+                         AS BIGINT) AS q
+             FROM sbig b
+             LEFT JOIN lc2 ON lc2.ctx = b.ctx AND lc2.word = b.word
+             LEFT JOIN lc1 ON lc1.ctx = b.ctx, lv),
+      lm AS (SELECT doc_id, count(*)::BIGINT AS n_lm, sum(q)::BIGINT AS nll
+             FROM sc GROUP BY doc_id),
+      lmkept AS (SELECT f.doc_id, f.lang, f.source, f.n_tok, l.nll, l.n_lm
+                 FROM filt f JOIN lm l USING (doc_id)
+                 WHERE l.nll <= l.n_lm * 34200),
+      c AS (SELECT lang, count(*)::BIGINT AS n_s FROM lmkept GROUP BY lang),
+      m AS (SELECT min(n_s) AS n_min FROM c),
+      t AS (SELECT lang,
+                   CASE WHEN n_min >= n_s THEN 'g'
+                        ELSE lpad(lower(to_hex(
+                          floor(sqrt(n_min::DOUBLE / n_s) * 16777216)::BIGINT)),
+                          6, '0') END AS thr
+            FROM c, m),
+      mixed AS (SELECT k.doc_id, k.lang, k.source, k.n_tok, k.nll, k.n_lm
+                FROM lmkept k JOIN t USING (lang)
+                WHERE substr(md5('m' || doc_id), 1, 6) < thr),
+      train AS (SELECT *, (nll * 1000000) // n_lm AS avgq FROM mixed
+                WHERE substr(md5('v' || doc_id), 1, 2) < 'cc'),
+      qbd AS (SELECT *, avgq // 100000000 AS qb FROM train),
+      hist AS (SELECT qb, sum(n_tok)::BIGINT AS bt FROM qbd GROUP BY qb),
+      cum AS (SELECT qb, bt,
+                     coalesce(sum(bt) OVER (ORDER BY qb ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                       AS cum_pre
+              FROM hist),
+      kept_full AS (
+        SELECT s.doc_id, s.source, s.n_tok
+        FROM qbd s JOIN cum c2 ON c2.qb = s.qb
+        WHERE c2.cum_pre + c2.bt <= $PretrainV2Budget),
+      kept_boundary AS (
+        SELECT doc_id, source, n_tok FROM (
+          SELECT s.doc_id, s.source, s.n_tok,
+                 c2.cum_pre + sum(s.n_tok) OVER (ORDER BY s.avgq ASC, s.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM qbd s JOIN cum c2 ON c2.qb = s.qb
+          WHERE c2.cum_pre < $PretrainV2Budget
+            AND c2.cum_pre + c2.bt > $PretrainV2Budget)
+        WHERE run <= $PretrainV2Budget),
+      sel AS (SELECT * FROM kept_full UNION ALL SELECT * FROM kept_boundary),
+      packed AS (SELECT source, n_tok,
+                        ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          - n_tok) // 2048)::BIGINT AS seq_id
+                 FROM sel)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             count(DISTINCT seq_id)::BIGINT AS n_seqs,
+             sum(n_tok)::BIGINT AS sum_tokens
+      FROM packed GROUP BY source ORDER BY source"""))
+
+  def qs: Seq[Q] = Seq(curate, curateNearDup, pretrainShard, pretrainShardV2)
 }

@@ -185,6 +185,42 @@ object Curation {
     if (keepText) out else out.drop("chunk_text")
   }
 
+  /** EXACT token-budget selection without a global window: keep the
+    * greedy-optimal prefix of the (score, docId) order — ascending when
+    * `bestLow` (e.g. LM nll: lower is better), descending otherwise —
+    * whose running `tokensCol` sum stays within `budget` (inclusive, no
+    * partial docs). Scale shape: docs histogram into coarse score
+    * buckets (`scoreCol div bucketDiv`; the only unpartitioned window is
+    * the bucket table), buckets that fit whole keep via semi-join, and
+    * only the single boundary bucket — 1/buckets of the corpus in
+    * expectation — pays a per-doc running sum. Requires scoreCol ≥ 0
+    * (integer `div` bucketing). Returns the kept rows with input
+    * columns. */
+  def tokenBudgetSelect(
+      docs: DataFrame, scoreCol: String, tokensCol: String,
+      budget: Long, bucketDiv: Long, bestLow: Boolean,
+      docId: String = "doc_id"): DataFrame = {
+    val scored = docs.withColumn("qb", expr(s"$scoreCol div $bucketDiv"))
+    val hist = scored.groupBy("qb").agg(sum(tokensCol).as("bt"))
+    val wh = Window.orderBy(if (bestLow) col("qb").asc else col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_pre", coalesce(sum("bt").over(wh), lit(0L)))
+    val fullB = cum.filter(col("cum_pre") + col("bt") <= budget).select("qb")
+    val boundary = cum
+      .filter(col("cum_pre") < budget && col("cum_pre") + col("bt") > budget)
+      .select("qb", "cum_pre") // at most one row
+    val keptFull = scored.join(fullB, Seq("qb"), "left_semi")
+    val wb = Window
+      .orderBy(if (bestLow) col(scoreCol).asc else col(scoreCol).desc,
+        col(docId))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val keptBoundary = scored.join(broadcast(boundary), Seq("qb"))
+      .withColumn("run", sum(tokensCol).over(wb))
+      .filter(col("cum_pre") + col("run") <= budget)
+      .drop("cum_pre", "run")
+    keptFull.unionAll(keptBoundary).drop("qb")
+  }
+
   /** Concat-and-chunk sequence packing: assign docs (in docId order within
     * each `strata`) to fixed-budget training sequences by running token
     * cumsum div `budget`. Returns the input plus (seq_id, cum). */
