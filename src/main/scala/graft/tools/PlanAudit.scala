@@ -46,6 +46,26 @@ object PlanAudit {
     // band-key transform + posexplode) straight off the documents scan
     graft.catalog.DedupQueries
       .bandsOfFast(Tables.documents(spark, dir)).explain("formatted")
+    println("===== bigram-LM quality scoring =====")
+    // expect: map-side partial aggs on the bigram count tables, the 1-row
+    // vocab frame broadcast, one corpus-sized equi-join, no window
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.ops.QualityModels
+      .lmScore(d, d.filter(col("doc_id") % 4 === 0), tauMicro = 34200L)
+      .explain("formatted")
+    println("===== hashed-linear classifier =====")
+    // expect: explode → partial (doc, feature) agg → doc rollup; no join
+    graft.ops.QualityModels.hashedLinearScore(d).explain("formatted")
+    println("===== token-budget selection =====")
+    // expect: corpus → bucket histogram (partial agg) → tiny bucket
+    // window; full buckets keep via LeftSemi; boundary bucket broadcast
+    graft.catalog.CurationQueries.tokenBudgetSample.run(spark, dir)
+      .explain("formatted")
+    println("===== hourly anomaly =====")
+    // expect: events pre-aggregate to the hours × types table before the
+    // trailing window ever runs
+    graft.catalog.RelationalQueries.eventsAnomaly.run(spark, dir)
+      .explain("formatted")
     spark.stop()
   }
 }

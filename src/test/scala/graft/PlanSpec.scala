@@ -167,4 +167,59 @@ class PlanSpec extends AnyFunSuite {
     assert(post.contains("*(") || post.contains("WholeStageCodegen"),
       s"aggregation fell out of codegen:\n$post")
   }
+
+  test("lm score: partial-agg count tables, broadcast vocab scalar, no window") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val p = plan(graft.ops.QualityModels.lmScore(docs,
+      docs.filter(col("doc_id") % 4 === 0), tauMicro = 34200L))
+    assert(p.contains("partial_count"),
+      s"bigram count tables must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row vocab frame must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in LM scoring:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the vocab cross join must stay a broadcast, never a cartesian:\n$p")
+  }
+
+  test("classifier: pure explode/agg — no join operator at all") {
+    val p = plan(graft.ops.QualityModels.hashedLinearScore(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+    assert(!p.contains("Join"), s"closed-form weights need no join:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"feature counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("token budget: histogram before windows; full buckets keep via semi-join") {
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 1000000L).as("q"),
+        nTokens.as("n_tokens"))
+    val p = plan(graft.ops.Curation.tokenBudgetSelect(
+      scored, "q", "n_tokens", budget = 15000L, bucketDiv = 1000L,
+      bestLow = false))
+    // every Window must sit above the bucket histogram's aggregation, so
+    // the corpus is never globally ordered: the first Window operator in
+    // the plan string appears after the first partial aggregation
+    val w = p.indexOf("Window")
+    val agg = p.indexOf("partial_sum")
+    assert(w >= 0 && agg >= 0 && agg < p.lastIndexOf("partial_sum"),
+      s"histogram partial agg missing:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"full buckets must keep via semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("anomaly: corpus pre-aggregates to the hourly table before the window") {
+    val p = plan(RelationalQueries.eventsAnomaly.run(spark, dir))
+    val firstAgg = p.indexOf("partial_count")
+    val firstWin = p.indexOf("Window")
+    assert(firstAgg >= 0 && firstWin >= 0,
+      s"expected a partial hourly aggregation and a trailing window:\n$p")
+    // plan strings print top-down: the Window consumes the aggregate, so
+    // it must appear ABOVE (before) the partial agg in the string
+    assert(firstWin < firstAgg,
+      s"the trailing window must run over the aggregated hourly series, " +
+        s"not raw events:\n$p")
+  }
 }
