@@ -288,37 +288,60 @@ object PipelineQueries {
     * boundary doc) flips the hash. Scale shape is each stage's own
     * (documented on its operator); the cascade adds no new shuffle
     * beyond its stages. */
+  /** `tauMicro` is the LM keep threshold (fixture-calibrated default);
+    * `materialize` checkpoints the filtered crawl between the heuristic
+    * and LM stages — the catalog entry keeps the pure single-plan form,
+    * the scale probe passes true (a production pipeline persists between
+    * stages anyway, and without it the dedup+gate subtree recomputes for
+    * each of its three consumers). */
+  private[graft] def shardV2From(
+      s: org.apache.spark.sql.SparkSession,
+      d: org.apache.spark.sql.DataFrame,
+      recrawlShift: Long,
+      budget: Long,
+      tauMicro: Long = 34200L,
+      materialize: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val filtered0 = dedupAndGate(d, nearDupDrop = None, recrawlShift)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("word_tokens").as("n_tok"))
+    val filtered = if (materialize) filtered0.localCheckpoint() else filtered0
+    val trusted = d.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    val lm = graft.ops.QualityModels
+      .lmScore(filtered.select("doc_id", "text"), trusted, tauMicro = tauMicro)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("nll_micro"), col("n_tokens").as("n_lm"))
+    // The selection stages each scan their input more than once
+    // (temperatureSample: counts + filter; tokenBudgetSelect: histogram +
+    // full-bucket semi-join + boundary), so under `materialize` the
+    // post-LM frame — text already dropped, a few numeric cols per
+    // surviving doc — is checkpointed too; otherwise the corpus-sized
+    // LM-scoring join above re-executes once per downstream scan.
+    val lmKept0 = filtered.drop("text").join(lm, "doc_id")
+    val lmKept = if (materialize) lmKept0.localCheckpoint() else lmKept0
+    val mixed = graft.ops.Curation
+      .temperatureSample(lmKept, strata = "lang", tau = 0.5)
+    val bucket =
+      substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
+    val train = mixed.filter(bucket < "cc")
+      .withColumn("avgq", expr("(nll_micro * 1000000) div n_lm"))
+    val sel = graft.ops.Curation.tokenBudgetSelect(train, "avgq", "n_tok",
+      budget = budget, bucketDiv = 100000000L, bestLow = true)
+    graft.ops.Curation
+      .packSequences(sel, strata = "source", tokensCol = "n_tok",
+        budget = 2048)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("seq_id").as("n_seqs"),
+        sum("n_tok").as("sum_tokens"))
+      .orderBy("source")
+  }
+
   val pretrainShardV2 = Q(
     "doc_pipeline_pretrain_v2",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      val filtered = dedupAndGate(d, nearDupDrop = None, recrawlShift = 100000L)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("word_tokens").as("n_tok"))
-      val trusted = d.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
-      val lm = graft.ops.QualityModels
-        .lmScore(filtered.select("doc_id", "text"), trusted, tauMicro = 34200L)
-        .filter(col("keep"))
-        .select(col("doc_id"), col("nll_micro"), col("n_tokens").as("n_lm"))
-      val lmKept = filtered.drop("text").join(lm, "doc_id")
-      val mixed = graft.ops.Curation
-        .temperatureSample(lmKept, strata = "lang", tau = 0.5)
-      val bucket =
-        substring(md5(concat(lit("v"), col("doc_id").cast("string"))), 1, 2)
-      val train = mixed.filter(bucket < "cc")
-        .withColumn("avgq", expr("(nll_micro * 1000000) div n_lm"))
-      val sel = graft.ops.Curation.tokenBudgetSelect(train, "avgq", "n_tok",
-        budget = PretrainV2Budget, bucketDiv = 100000000L, bestLow = true)
-      graft.ops.Curation
-        .packSequences(sel, strata = "source", tokensCol = "n_tok",
-          budget = 2048)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct("seq_id").as("n_seqs"),
-          sum("n_tok").as("sum_tokens"))
-        .orderBy("source")
-    },
+    (s, dir) => shardV2From(s,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")),
+      recrawlShift = 100000L, budget = PretrainV2Budget),
     Some(s"""
       WITH crawl AS (SELECT doc_id, text, lang, source FROM documents
                      UNION ALL

@@ -106,6 +106,34 @@ object PipelineScaleProbe {
       assert(sTok == indep.getLong(1),
         s"shard tokens $sTok != independent ${indep.getLong(1)}")
       System.out.flush()
+
+      // v2 leg: the modern cascade (… → bigram-LM filter → token-budget
+      // selection → packing). The LM count tables are train-bigram-
+      // bounded and the budget stage windows only its bucket histogram,
+      // so end-to-end wall should stay ~linear in n. Budget scales with
+      // n (n/10 tokens) so the selection stays live at every size;
+      // greedy-prefix semantics guarantee the kept mass lands within one
+      // doc (≤ 45 tokens here) of the budget when the train mass
+      // exceeds it.
+      val v2Budget = n / 10
+      val t2 = System.nanoTime()
+      val v2 = graft.catalog.PipelineQueries
+        .shardV2From(spark, docs, recrawlShift = n * 10, budget = v2Budget,
+          tauMicro = 80500L, materialize = true) // synthetic-corpus tau:
+        // random-draw bigrams score ~8.1 nats (ln(c1+V) smoothing floor);
+        // 8.05 keeps the seen-bigram head and drops the unseen tail
+        .collect()
+      val v2Wall = (System.nanoTime() - t2) / 1e9
+      val v2Tok = v2.map(_.getAs[Long]("sum_tokens")).sum
+      val v2Docs = v2.map(_.getAs[Long]("n_docs")).sum
+      println(s"""{"probe":"pipeline_shard_v2","n_docs_in":$n,""" +
+        s""""n_docs_kept":$v2Docs,"sum_tokens":$v2Tok,""" +
+        s""""budget":$v2Budget,""" + f""""wall_sec":$v2Wall%.2f}""")
+      assert(v2Tok <= v2Budget, s"budget exceeded: $v2Tok > $v2Budget")
+      assert(v2Tok > v2Budget - 45,
+        s"budget underfilled: $v2Tok vs $v2Budget (boundary should stop " +
+          "within one doc of the budget)")
+      System.out.flush()
     }
     spark.stop()
   }
