@@ -67,6 +67,16 @@ object DedupScaleProbe {
       spark.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "embdelta") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      embDeltaLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 200000,
+        dim = if (args.length > 2) args(2).toInt else 64)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "embedding") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -180,6 +190,114 @@ object DedupScaleProbe {
       s""""verified_pairs":$nVerified,"planted":$planted0,""" +
       s""""planted_found":$plantedFound,"t_build_sec":$tBuild,""" +
       s""""t_candidates_sec":$tCand,"t_verify_sec":$tVerify}""")
+  }
+
+  /** Embedding-increment leg (`embdelta <n> [dim]`): the scale claim
+    * behind dedup_embedding_incremental — with the base forest, frozen
+    * cuts and sub-keyed bucket table built once and carried forward (NOT
+    * timed; production's previous-day artifacts), routing a delta
+    * through the frozen index must cost ~|delta| on the delta-side
+    * stages plus one base-side bucket probe, never a corpus re-route.
+    * Deltas of n/16, n/4 and n twin vectors (exact copies of a base
+    * prefix, shifted ids) force pairing across the split; each size
+    * asserts FULL planted recall (identical vectors share every frozen
+    * sub-key). A full recompute (fresh forest + refine + all-pairs
+    * bucket join on base ∪ smallest delta) runs last as the comparator
+    * the increment is claimed against. */
+  def embDeltaLeg(spark: SparkSession, n: Int, dim: Int): Unit = {
+    import graft.catalog.DedupQueries
+    import graft.functions.Distances
+    import graft.index.LshForest
+
+    val base = spark.range(n).select(
+      col("id").cast("int").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(xxhash64(col("id"), j), lit(2001)) - 1000) / 1000.0)
+          .cast("float")).as("embedding")).cache()
+    base.count()
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // Previous-day artifacts: built once, not part of any timed leg.
+    val model = LshForest.build(base)
+    val raw = LshForest.bucketTable(base, model)
+    val cuts = DedupQueries.bucketCuts(raw, base).cache()
+    cuts.count()
+    val baseKeyed = DedupQueries.assignSubKeys(raw, base, cuts).cache()
+    baseKeyed.count()
+
+    for (frac <- Seq(16, 4, 1)) {
+      val d = n / frac
+      val delta = base.filter(col("vec_id") < d)
+        .select((col("vec_id") + n).as("vec_id"), col("embedding")).cache()
+      delta.count()
+      val ((nVerified, plantedFound), wall) = time {
+        val deltaKeyed = DedupQueries.assignSubKeys(
+          LshForest.bucketTable(delta, model), delta, cuts)
+        val all = baseKeyed.unionAll(deltaKeyed)
+        val pairs = deltaKeyed.as("d")
+          .join(all.as("a"),
+            col("d.tree_id") === col("a.tree_id") &&
+              col("d.leaf_id") === col("a.leaf_id") &&
+              col("d.sub_key") === col("a.sub_key") &&
+              col("a.vec_id") =!= col("d.vec_id"))
+          .select(
+            least(col("a.vec_id"), col("d.vec_id")).as("vec_a"),
+            greatest(col("a.vec_id"), col("d.vec_id")).as("vec_b"))
+          .distinct()
+        val v = base.unionAll(delta)
+          .select(col("vec_id"), Distances.asDouble(col("embedding")).as("emb"))
+        val verified = pairs
+          .join(v.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+          .join(v.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+          .filter(Distances.cosineSim(col("ea"), col("eb")) >= 0.999)
+          .cache()
+        val nv = verified.count()
+        val pf = verified
+          .filter(col("vec_b") === col("vec_a") + n && col("vec_a") < d).count()
+        verified.unpersist()
+        (nv, pf)
+      }
+      println(s"""{"probe":"dedup_emb_delta","n_base":$n,"n_delta":$d,""" +
+        s""""verified_pairs":$nVerified,"planted":$d,""" +
+        s""""planted_found":$plantedFound,"t_increment_sec":$wall}""")
+      assert(plantedFound == d, s"planted recall ${plantedFound}/$d")
+      delta.unpersist()
+      System.out.flush()
+    }
+
+    // Comparator: what the daily loop would pay WITHOUT the increment —
+    // full forest rebuild + refine + all-pairs bucket join at base ∪
+    // the smallest (n/16) delta.
+    val dSmall = n / 16
+    val planted = base.unionAll(
+      base.filter(col("vec_id") < dSmall)
+        .select((col("vec_id") + n).as("vec_id"), col("embedding"))).cache()
+    planted.count()
+    val (nFull, tFull) = time {
+      val m2 = LshForest.build(planted)
+      val refined = DedupQueries.refineBuckets(
+        LshForest.bucketTable(planted, m2), planted)
+      val pairs = refined.as("a")
+        .join(refined.as("b"),
+          col("a.tree_id") === col("b.tree_id") &&
+            col("a.leaf_id") === col("b.leaf_id") &&
+            col("a.sub_key") === col("b.sub_key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val v = planted
+        .select(col("vec_id"), Distances.asDouble(col("embedding")).as("emb"))
+      pairs
+        .join(v.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+        .join(v.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+        .filter(Distances.cosineSim(col("ea"), col("eb")) >= 0.999)
+        .count()
+    }
+    println(s"""{"probe":"dedup_emb_delta_full_recompute","n_base":$n,""" +
+      s""""n_delta":$dSmall,"verified_pairs":$nFull,"t_full_sec":$tFull}""")
   }
 
   /** Delta-increment leg (`minhashdelta <n>`): the scale claim behind
