@@ -1381,6 +1381,74 @@ object RelationalQueries {
              sum(bp)::BIGINT AS credit_bp
       FROM m GROUP BY model, event_type ORDER BY model, channel"""))
 
+  /** TIME-DECAY attribution — [[eventsAttribution]]'s fourth model, kept
+    * as its own entry so the three-model grid's gate stays untouched:
+    * each touch weighs 2^(7 − age_days) (halving per day of age, age 0–7
+    * inside the lookback — power-of-two weights so the per-user share is
+    * pure integer arithmetic), credit_bp = (10000·w) div Σw with the
+    * remainder distributed +1 to the earliest touches (each touch's
+    * truncation loss is < 1, so remainder < n and every conversion sums
+    * to exactly 10000 — no float division to flake the hash). Output is
+    * the (channel, age_days) decay profile. Same 100 TB shape as the
+    * base entry: one users-sized conversion aggregate, touches shuffle
+    * once on user, windows partition on user over lookback-bounded touch
+    * lists. */
+  val eventsAttributionDecay = Q(
+    "q_events_attribution_decay",
+    (s, dir) => {
+      val DayUs = 86400000000L
+      val LookbackUs = 7L * DayUs
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("event_id"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(col("us") < col("c_us") &&
+          col("us") >= col("c_us") - LookbackUs)
+      val wUser = Window.partitionBy("user_id")
+      val weighted = touches
+        .withColumn("age_d", expr(s"(c_us - us) div $DayUs"))
+        .withColumn("w", expr("shiftleft(1L, cast(7 - age_d as int))"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+        .withColumn("tw", sum("w").over(wUser))
+        .withColumn("base", expr("(10000 * w) div tw"))
+        .withColumn("rem", lit(10000L) - sum("base").over(wUser))
+        .withColumn("bp",
+          col("base") + when(col("r") <= col("rem"), 1L).otherwise(0L))
+      weighted
+        .groupBy(col("event_type").as("channel"), col("age_d"))
+        .agg(count(lit(1)).as("n_touches"), sum("bp").as("credit_bp"))
+        .orderBy("channel", "age_d")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+                 FROM events),
+      conv AS (SELECT user_id, min(us) AS c_us FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id),
+      t AS (SELECT e.user_id, e.event_type, e.us, e.event_id,
+                   (c.c_us - e.us) // 86400000000 AS age_d
+            FROM e JOIN conv c USING (user_id)
+            WHERE e.event_type IN ('view', 'click')
+              AND e.us < c.c_us AND e.us >= c.c_us - 604800000000),
+      r AS (SELECT user_id, event_type, age_d,
+                   (1::BIGINT << CAST(7 - age_d AS INT)) AS w,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS r
+            FROM t),
+      b AS (SELECT user_id, event_type, age_d, r,
+                   (10000 * w) // sum(w) OVER (PARTITION BY user_id) AS base
+            FROM r),
+      f AS (SELECT *, 10000 - sum(base) OVER (PARTITION BY user_id) AS rem
+            FROM b)
+      SELECT event_type AS channel, age_d,
+             count(*)::BIGINT AS n_touches,
+             sum(base + CASE WHEN r <= rem THEN 1 ELSE 0 END)::BIGINT
+               AS credit_bp
+      FROM f GROUP BY 1, 2 ORDER BY channel, age_d"""))
+
   /** Theta-sketch SET-DIFFERENCE — [[sketchThetaOverlap]]'s churn twin:
     * how many (user, day) pairs clicked but NEVER purchased that day,
     * estimated from the same two rolled-up per-type sketches via
@@ -1669,7 +1737,8 @@ object RelationalQueries {
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
-    eventsRetention, eventsRfm, eventsAttribution, funnelTimeToConvert,
+    eventsRetention, eventsRfm, eventsAttribution, eventsAttributionDecay,
+    funnelTimeToConvert,
     eventsTransitions, eventsAnomaly, eventsAbtest,
     eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,
     sketchStreamExec)

@@ -121,6 +121,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(touches.values.toSet.size == 1)
   }
 
+  test("time-decay attribution pays the same pot as the base models and " +
+      "weights newer touches strictly more per touch") {
+    val decay = graft.catalog.RelationalQueries.eventsAttributionDecay
+      .run(spark, SparkTestBase.sf0001).collect()
+    assert(decay.nonEmpty)
+    val decayTotal = decay.map(_.getLong(3)).sum
+    val base = graft.catalog.RelationalQueries.eventsAttribution
+      .run(spark, SparkTestBase.sf0001).collect()
+    val linearTotal = base.filter(_.getString(0) == "linear")
+      .map(_.getLong(3)).sum
+    // identical conversions and lookback => identical credit pot
+    assert(decayTotal == linearTotal,
+      s"decay pot $decayTotal != linear pot $linearTotal")
+    // per-touch credit must fall with age: day-0 touches out-earn day-6+
+    val perTouch = decay.groupBy(_.getLong(1))
+      .view.mapValues(rs =>
+        rs.map(_.getLong(3)).sum.toDouble / rs.map(_.getLong(2)).sum).toMap
+    val ages = perTouch.keys.toSeq.sorted
+    assert(ages.size >= 2)
+    assert(perTouch(ages.head) > perTouch(ages.last),
+      s"per-touch credit not decaying: $perTouch")
+  }
+
   test("funnelSteps keeps one row per step-1 user with null tails") {
     import spark.implicits._
     val rows = Seq(
