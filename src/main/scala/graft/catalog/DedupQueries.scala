@@ -1031,7 +1031,7 @@ ${affineSigCtes()},
       .agg(sort_array(collect_list(struct(col("b"), col("med")))).as("bm"))
       .select(col("tree_id"), col("leaf_id"),
         transform(col("bm"), x => x.getField("med")).as("meds"))
-    counts.join(meds, Seq("tree_id", "leaf_id"), "left")
+    counts.join(broadcast(meds), Seq("tree_id", "leaf_id"), "left")
   }
 
   /** Sub-key assignment of routed bucket rows against a frozen cuts

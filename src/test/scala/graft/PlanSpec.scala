@@ -210,6 +210,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("decay attribution: user-partitioned windows only, conversions broadcast") {
+    val df = RelationalQueries.eventsAttributionDecay.run(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"users-sized conversions frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"touch join shuffled events against events:\n$p")
+    // every window must partition on user_id — a global (unpartitioned)
+    // window would single-task the corpus
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(df.queryExecution.optimizedPlan.toString)
+      .map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty)
+    assert(winSpecs.forall(_.contains("user_id")),
+      s"window not partitioned on user_id: $winSpecs")
+  }
+
+  test("embedding increment: frozen cuts broadcast to the delta assign") {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val model = graft.index.LshForest.build(e)
+    val raw = graft.index.LshForest.bucketTable(e, model)
+    val cuts = graft.catalog.DedupQueries.bucketCuts(raw, e)
+    val delta = e.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    val p = plan(graft.catalog.DedupQueries.assignSubKeys(
+      graft.index.LshForest.bucketTable(delta, model), delta, cuts))
+    assert(p.contains("BroadcastHashJoin"),
+      s"leaf-bounded cuts table must broadcast to the assign:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the delta assign must never shuffle against the cuts:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the assign:\n$p")
+  }
+
   test("anomaly: corpus pre-aggregates to the hourly table before the window") {
     val p = plan(RelationalQueries.eventsAnomaly.run(spark, dir))
     val firstAgg = p.indexOf("partial_count")
