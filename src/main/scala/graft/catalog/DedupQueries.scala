@@ -905,7 +905,8 @@ ${affineSigCtes()},
     * (tree, bit); null when bits <= 0 (under-cap leaves — no work there).
     * Hoisted from [[refineBuckets]] so [[bucketCuts]]/[[assignSubKeys]]
     * compute bit-identical projections for the frozen-cut increment. */
-  private lazy val nearDupProj = udf { (emb: Seq[Float], treeId: Int, bits: Int) =>
+  private[graft] def nearDupProjection(
+      emb: Seq[Float], treeId: Int, bits: Int): Array[Double] =
     if (bits <= 0) null
     else {
       val out = new Array[Double](bits)
@@ -924,7 +925,10 @@ ${affineSigCtes()},
       }
       out
     }
-  }
+
+  private lazy val nearDupProj =
+    udf((emb: Seq[Float], treeId: Int, bits: Int) =>
+      nearDupProjection(emb, treeId, bits))
 
   /** Occupancy-cap the bucket table before a pair join. The forest's leaf
     * resolution is bounded by its BUILD SAMPLE (LshForest.Options.sampleCap
@@ -1597,11 +1601,66 @@ ${affineSigCtes("MATERIALIZED")},
       SELECT doc_a, doc_b, n_agree FROM agree WHERE n_agree >= 13
       ORDER BY doc_a, doc_b"""))
 
+  /** [[graft.streaming.StreamOps.embNearDupStream]] under REAL micro-batch
+    * execution — the vector-space member of the streaming dedup set
+    * (content, minhash×2, clusters, now embeddings). The frozen base
+    * forest + cuts come from [[EmbBaseIndexCache]] (the same previous-day
+    * artifacts the batch increment serves from); the planted corpus
+    * replays as 4 micro-batches ordered by vec_id, so every twin arrives
+    * batches after its base vector and the pair emission crosses real
+    * state boundaries. Identical vectors route and refine identically
+    * against the frozen index, so the expected pair set is exactly the
+    * planted twins at cos_1e4 = 10000 — hash-exact. */
+  val streamEmbDedupExec = Q(
+    "stream_embdedup_exec",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val model = EmbBaseIndexCache.model(dir, e)
+      val cuts = EmbBaseIndexCache.cuts(s, dir, e).collect().map { r =>
+        ((r.getInt(0), r.getInt(1)),
+          (r.getInt(2),
+            Option(r.getSeq[Double](3)).map(_.toArray).orNull))
+      }.toMap // bounded by the forest's leaf set
+      val rows = e.unionAll(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        .select(
+          timestamp_micros((col("vec_id") + 1000000L) * 1000000L).as("ts"),
+          col("vec_id"), col("embedding"))
+        .as[(java.sql.Timestamp, Long, Seq[Float])]
+        .collect().sortBy(_._2)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+      val sink = s"stream_embdedup_exec_sink_${DedupSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
+            model, cuts)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
+      s.table(sink)
+        .select(col("vec_a"), col("vec_b"),
+          col("cos_1e4").cast("long").as("cos_1e4"))
+        .distinct().orderBy("vec_a", "vec_b")
+    },
+    Some("""
+      SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b,
+             10000::BIGINT AS cos_1e4
+      FROM embeddings ORDER BY vec_a"""))
+
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashPairsFast, minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep, containmentPairsQ, containmentKeep,
     simhashPairs, embeddingNearDup, embeddingIncremental, clusterCc, clusterCcStar,
     clusterIncremental, splitLeakageAudit, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,
-    streamNearDupFastExec, streamClusterExec)
+    streamNearDupFastExec, streamClusterExec, streamEmbDedupExec)
 }

@@ -265,7 +265,7 @@ object LshForest {
 
   /** Descend to the leaf for a point (reference: `insert` descent,
     * lsh.rs:350-365). */
-  private def leafFor(root: Node, p: Array[Double]): Leaf = {
+  private[graft] def leafFor(root: Node, p: Array[Double]): Leaf = {
     var n = root
     while (true) {
       n match {

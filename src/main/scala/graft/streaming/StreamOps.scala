@@ -219,6 +219,108 @@ object StreamOps {
       .toDF("doc_a", "doc_b", "n_agree")
   }
 
+  /** Streaming EMBEDDING near-dup — the vector-space sibling of
+    * [[nearDupPairsStream]], run against a FROZEN base index: the forest
+    * model and per-leaf refinement cuts built on yesterday's corpus (the
+    * same previous-day artifacts as `dedup_embedding_incremental`; cuts
+    * are leaf-set-bounded, so holding them in the routing closure is the
+    * streaming form of the batch side's broadcast join).
+    *
+    * Shape:
+    *  - each arriving vector routes PER ROW to its numTrees
+    *    (tree, leaf, sub_key) buckets — frozen-forest traversal + frozen-
+    *    median projection bits, no shuffle before the state operator;
+    *  - state keys on the bucket and holds (vec_id, embedding,
+    *    event-time) for arrivals inside the watermark horizon — dim·4 B
+    *    per vector per tree, occupancy-bounded by the cuts' cap within
+    *    `lateness`, expired by event-time timeout plus an in-call prune;
+    *  - a later arrival emits (vec_a = earlier, vec_b = later, cos_1e4)
+    *    for every live prior with cosine >= `simThreshold`; the 1e4
+    *    integer quantization keeps the exec gate hash-exact. Duplicate
+    *    emissions from a pair sharing several trees are for the caller's
+    *    `.distinct()` (same convention as the text stream).
+    *
+    * Semantics hand-off: pairs farther apart than `lateness`, and
+    * occupancy drift past the frozen cuts, are the batch pass's and the
+    * retrain trigger's jobs respectively — this op's contract is the
+    * within-horizon continuous surface.
+    *
+    * Input: (ts TIMESTAMP, vec_id LONG, embedding ARRAY<FLOAT>). Output:
+    * (vec_a, vec_b, cos_1e4 LONG). */
+  def embNearDupStream(
+      vectors: DataFrame, model: graft.index.LshForest.ForestModel,
+      cuts: Map[(Int, Int), (Int, Array[Double])],
+      simThreshold: Double = 0.999, lateness: String = "7 days"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import vectors.sparkSession.implicits._
+    val sc = vectors.sparkSession.sparkContext
+    val bcModel = sc.broadcast(model)
+    val bcCuts = sc.broadcast(cuts)
+    val routeUdf = udf { (emb: Seq[Float]) =>
+      val m = bcModel.value
+      val cs = bcCuts.value
+      val p = new Array[Double](emb.length)
+      var i = 0
+      while (i < emb.length) { p(i) = emb(i).toDouble; i += 1 }
+      m.trees.indices.map { t =>
+        val leaf = graft.index.LshForest.leafFor(m.trees(t), p).leafId
+        val sub = cs.get((t, leaf)) match {
+          case Some((bits, meds)) if bits > 0 && meds != null =>
+            val proj = graft.catalog.DedupQueries.nearDupProjection(emb, t, bits)
+            var k = 0; var s = 0
+            while (k < bits) {
+              if (proj(k) >= meds(k)) s |= 1 << k
+              k += 1
+            }
+            s
+          case _ => 0
+        }
+        s"$t|$leaf|$sub"
+      }
+    }
+    vectors
+      .select(col("ts"), col("vec_id"),
+        explode(routeUdf(col("embedding"))).as("bucket"), col("embedding"))
+      .withWatermark("ts", lateness)
+      .select(col("bucket"), col("ts"), col("vec_id"), col("embedding"))
+      .as[(String, java.sql.Timestamp, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Float], Long)], (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, java.sql.Timestamp, Long, Seq[Float])],
+            state: GroupState[Seq[(Long, Seq[Float], Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = math.max(state.getCurrentWatermarkMs(), 0L)
+            var live = state.getOption.getOrElse(Seq.empty)
+              .filter(_._3 >= wm - 1) // in-call prune of expired priors
+            val out = Seq.newBuilder[(Long, Long, Long)]
+            def cos1e4(a: Seq[Float], b: Seq[Float]): Long = {
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < a.length) {
+                dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+                nb += b(i).toDouble * b(i); i += 1
+              }
+              if (na == 0.0 || nb == 0.0) 0L
+              else math.round(dot / math.sqrt(na * nb) * 10000)
+            }
+            val thr1e4 = math.round(simThreshold * 10000)
+            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
+              case (_, ts, id, emb) =>
+                live.foreach { case (pid, pemb, _) =>
+                  val c = cos1e4(pemb, emb)
+                  if (c >= thr1e4 && pid != id) out += ((pid, id, c))
+                }
+                live :+= ((id, emb, ts.getTime))
+            }
+            state.update(live)
+            state.setTimeoutTimestamp(live.map(_._3).max + 1L, lateness)
+            out.result().iterator
+          }
+      }
+      .toDF("vec_a", "vec_b", "cos_1e4")
+  }
+
   /** Per-key cap sampling over a stream: pass through at most `cap` records
     * per key — "keep at most N documents per domain/user" during training
     * data ingest. This is the one streaming op here that genuinely needs

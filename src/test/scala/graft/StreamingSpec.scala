@@ -598,6 +598,52 @@ class StreamingSpec extends AnyFunSuite {
     }, "no pair spans first and last micro-batch")
   }
 
+  test("embNearDupStream: cross-batch twin pairs; stale priors expire with " +
+      "the watermark") {
+    val dim = 8
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(i => (((seed * 31 + i) * 2654435761L % 2001) - 1000)
+        .toFloat / 1000f)
+    val base = Seq(0L -> vec(1), 1L -> vec(2), 2L -> vec(3))
+      .toDF("vec_id", "embedding")
+    val model = graft.index.LshForest.build(base)
+    val cuts = Map.empty[(Int, Int), (Int, Array[Double])]
+    val day = 86400000L
+
+    def run(batches: Seq[Seq[(Timestamp, Long, Seq[Float])]],
+        lateness: String, sink: String): Set[(Long, Long, Long)] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Timestamp, Long, Seq[Float])]
+      val q = StreamOps
+        .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
+          model, cuts, lateness = lateness)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(sink).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+
+    // Twin of vec 0 arrives two batches later, within the horizon: pairs.
+    val t0 = new Timestamp(30L * day)
+    val got = run(Seq(
+      Seq((t0, 0L, vec(1)), (t0, 2L, vec(3))),
+      Seq((new Timestamp(30L * day + 3600000L), 1L, vec(2))),
+      Seq((new Timestamp(30L * day + 7200000L), 10L, vec(1)))),
+      lateness = "7 days", sink = "embdedup_spec_pair")
+    assert(got == Set((0L, 10L, 10000L)), s"got $got")
+
+    // Same twin 10 days out with a 1-hour horizon, after a watermark-
+    // advancing filler batch: the prior expired, nothing pairs.
+    val gotExpired = run(Seq(
+      Seq((t0, 0L, vec(1))),
+      Seq((new Timestamp(40L * day), 5L, vec(4))),
+      Seq((new Timestamp(40L * day + 1000L), 10L, vec(1)))),
+      lateness = "1 hour", sink = "embdedup_spec_expired")
+    assert(gotExpired.isEmpty, s"stale prior paired: $gotExpired")
+  }
+
   test("funnelStream equals the batch funnel per user, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val W = 30L * 60 * 1000000 // 30-minute funnel window in µs
