@@ -66,6 +66,21 @@ object PlanAudit {
     // trailing window ever runs
     graft.catalog.RelationalQueries.eventsAnomaly.run(spark, dir)
       .explain("formatted")
+    println("===== time-decay attribution =====")
+    // expect: conversions broadcast, all windows partitioned on user_id,
+    // no events-sized self join
+    graft.catalog.RelationalQueries.eventsAttributionDecay.run(spark, dir)
+      .explain("formatted")
+    println("===== embedding increment: frozen-cut delta assign =====")
+    // expect: leaf-bounded cuts broadcast, no sort-merge join, no window
+    val model2 = graft.index.LshForest.build(e)
+    val raw2 = graft.index.LshForest.bucketTable(e, model2)
+    val delta2 = e.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    graft.catalog.DedupQueries.assignSubKeys(
+      graft.index.LshForest.bucketTable(delta2, model2), delta2,
+      graft.catalog.DedupQueries.bucketCuts(raw2, e))
+      .explain("formatted")
     spark.stop()
   }
 }
