@@ -67,6 +67,29 @@ object DedupScaleProbe {
       spark.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "streamembdedup") {
+      // RocksDB state store: the default HDFS-backed provider clones its
+      // whole in-memory map per batch version, an O(total state) tax that
+      // shows up as linearly growing batch walls — exactly what this
+      // leg exists to measure. A long-lived production stream (and a
+      // 1000-executor deployment) runs RocksDB; pass "hdfs" as arg 3 to
+      // see the default provider's growth curve for comparison.
+      val provider =
+        if (args.length > 3 && args(3) == "hdfs")
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.streaming.stateStore.providerClass", provider)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      streamEmbDedupLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 100000,
+        dim = if (args.length > 2) args(2).toInt else 64)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "embdelta") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -545,6 +568,96 @@ object DedupScaleProbe {
       s""""t_tokenize_only_sec":${f"$tTok%.2f"},""" +
       s""""speedup":${f"${tMd5 / tFast}%.2f"},""" +
       s""""hash_cost_speedup":${f"${(tMd5 - tTok) / math.max(tFast - tTok, 1e-9)}%.2f"}}""")
+  }
+
+  /** Streaming embedding-near-dup leg (`streamembdedup <n> [dim]`): the
+    * state claim behind stream_embdedup_exec. TWO horizons of the same
+    * stream (base index frozen from the first half — production's
+    * previous-day artifacts, build not timed; every-20th twins planted
+    * 60 s of event time after their originals; 8 micro-batches):
+    *
+    *  - "bounded" (1-hour lateness — the production shape): the
+    *    watermark expires state, so BOTH per-bucket occupancy and the
+    *    per-batch event-time-timeout scan (Spark iterates all live state
+    *    rows each batch to find expired groups — an O(|state|) tax no
+    *    provider avoids) stay horizon-bounded: per-batch wall must be
+    *    FLAT and state_rows must plateau.
+    *  - "unbounded" (365-day lateness): nothing expires; the leg
+    *    documents the timeout-scan tax growing with cumulative state —
+    *    the measured reason a production deployment sets a real horizon
+    *    and leaves out-of-horizon pairs to the batch increment.
+    *
+    * Both variants assert FULL planted recall (twins land one batch
+    * after their originals, well inside either horizon). */
+  def streamEmbDedupLeg(spark: SparkSession, n: Int, dim: Int): Unit = {
+    import spark.implicits._
+    import graft.catalog.DedupQueries
+    import graft.index.LshForest
+    val base = spark.range(n).select(
+      col("id").cast("int").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(xxhash64(col("id"), j), lit(2001)) - 1000) / 1000.0)
+          .cast("float")).as("embedding")).cache()
+    base.count()
+    val half = base.filter(col("vec_id") < n / 2)
+    val model = LshForest.build(half)
+    val cuts = DedupQueries
+      .bucketCuts(LshForest.bucketTable(half, model), half)
+      .collect().map { r =>
+        ((r.getInt(0), r.getInt(1)),
+          (r.getInt(2), Option(r.getSeq[Double](3)).map(_.toArray).orNull))
+      }.toMap
+    // one arrival per second of event time; twins 60 s after the original
+    val twins = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"),
+        ((col("vec_id") + 1000000L) * 1000000L + 60L * 1000000L).as("us"))
+    val rows = base
+      .select(col("vec_id"), col("embedding"),
+        ((col("vec_id") + 1000000L) * 1000000L).as("us"))
+      .unionAll(twins)
+      .select(timestamp_micros(col("us")).as("ts"), col("vec_id"),
+        col("embedding"))
+      .as[(java.sql.Timestamp, Long, Seq[Float])].collect()
+      .sortBy(r => (r._1.getTime, r._2))
+    val planted = (n + 19) / 20
+
+    for ((variant, lateness) <- Seq(
+        ("bounded", "1 hour"), ("unbounded", "365 days"))) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+      val sink = s"probe_embdedup_sink_$variant"
+      val q = graft.streaming.StreamOps
+        .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
+          model, cuts, lateness = lateness)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      val batchWalls = Seq.newBuilder[Double]
+      try {
+        rows.grouped(math.max(1, rows.length / 8 + 1)).foreach { chunk =>
+          val t0 = System.nanoTime()
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+          batchWalls += (System.nanoTime() - t0) / 1e9
+        }
+        val stateRows = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        val out = spark.table(sink)
+          .select("vec_a", "vec_b").distinct().cache()
+        val nPairs = out.count()
+        val found = out
+          .filter(col("vec_b") === col("vec_a") + n && col("vec_a") % 20 === 0)
+          .count()
+        val walls = batchWalls.result()
+        println(s"""{"probe":"stream_embdedup","variant":"$variant",""" +
+          s""""n_vectors":${rows.length},"dim":$dim,""" +
+          s""""batch_walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+          s""""state_rows":$stateRows,"pairs":$nPairs,""" +
+          s""""planted":$planted,"planted_found":$found}""")
+        assert(found == planted, s"$variant planted recall $found/$planted")
+        System.out.flush()
+      } finally q.stop()
+    }
   }
 
   def streamNearDupLeg(spark: SparkSession, n: Int, family: String = "md5"): Unit = {
