@@ -243,12 +243,13 @@ object StreamOps {
     * Semantics hand-off: pairs farther apart than `lateness`, and
     * occupancy drift past the frozen cuts, are the batch pass's and the
     * retrain trigger's jobs respectively — this op's contract is the
-    * within-horizon continuous surface. The horizon also bounds the
-    * per-batch event-time-timeout scan (Spark iterates all live state
-    * rows each batch to find expired groups — an O(|state|) tax no
-    * store provider avoids): DedupScaleProbe's streamembdedup leg
-    * measures flat batch walls under a real horizon vs linear growth
-    * with an unbounded one.
+    * within-horizon continuous surface. The horizon is also what keeps
+    * the per-batch cost flat: a bucket's state value is its WHOLE live
+    * (vec_id, embedding) list, rewritten on every touch (and walked by
+    * the per-batch timeout scan), so unbounded occupancy grows batch
+    * walls linearly — DedupScaleProbe's streamembdedup leg measures
+    * flat walls under a 1-hour horizon vs ~2.6× growth over the same
+    * stream with a 365-day one.
     *
     * Input: (ts TIMESTAMP, vec_id LONG, embedding ARRAY<FLOAT>). Output:
     * (vec_a, vec_b, cos_1e4 LONG). */

@@ -577,15 +577,18 @@ object DedupScaleProbe {
     * 60 s of event time after their originals; 8 micro-batches):
     *
     *  - "bounded" (1-hour lateness — the production shape): the
-    *    watermark expires state, so BOTH per-bucket occupancy and the
-    *    per-batch event-time-timeout scan (Spark iterates all live state
-    *    rows each batch to find expired groups — an O(|state|) tax no
-    *    provider avoids) stay horizon-bounded: per-batch wall must be
-    *    FLAT and state_rows must plateau.
-    *  - "unbounded" (365-day lateness): nothing expires; the leg
-    *    documents the timeout-scan tax growing with cumulative state —
-    *    the measured reason a production deployment sets a real horizon
-    *    and leaves out-of-horizon pairs to the batch increment.
+    *    watermark expires state, so per-bucket occupancy — and with it
+    *    the per-touch state-value rewrite (a bucket's value is its whole
+    *    live embedding list), the per-arrival compare count, and the
+    *    per-batch timeout scan — stays horizon-bounded: per-batch wall
+    *    must be FLAT and state_rows must plateau.
+    *  - "unbounded" (365-day lateness): nothing expires and occupancy
+    *    grows through the run, so batch walls grow ~linearly (measured
+    *    ~2.6× over 8 batches at 105k vectors; the TEXT stream's probe
+    *    stays flat at the same scale because its band-hash buckets are
+    *    near-unique — occupancy ~1 no matter the horizon). The measured
+    *    reason a production deployment sets a real horizon and leaves
+    *    out-of-horizon pairs to the batch increment.
     *
     * Both variants assert FULL planted recall (twins land one batch
     * after their originals, well inside either horizon). */
