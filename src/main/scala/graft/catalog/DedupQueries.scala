@@ -382,6 +382,80 @@ ${affineSigCtes()},
       SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
       FROM vp ORDER BY doc_a, doc_b"""))
 
+  /** FUZZY eval-set decontamination — the near-dup form of
+    * `text_decontaminate`'s exact 5-gram overlap. Real contamination is
+    * usually a lightly EDITED copy of an eval document (reformatted,
+    * truncated, one field changed); this entry flags every corpus doc
+    * whose true shingle Jaccard against ANY benchmark doc reaches the
+    * near-dup threshold, via the affine MinHash kernel with the
+    * benchmark on the DELTA side of [[minhashPairsDelta]] — corpus
+    * bands compute per-row (zero shuffle), only band-colliding
+    * (corpus, bench) candidates verify, and at 100 TB the benchmark
+    * side is eval-set-sized (thousands of docs): its bands broadcast
+    * while the corpus streams map-side, exactly the exact-decontam
+    * plan's asymmetry with edit tolerance added. Benchmark = every 13th
+    * doc with one appended token (J ≈ 0.93 to its source — over the
+    * 0.8 threshold but not byte-identical); the oracle replays the
+    * planted union through the full affine cascade restricted to
+    * bench-involving pairs, so the hash gate proves the fuzzy match
+    * set, not just the planted diagonal. Output: one row per
+    * contaminated corpus doc with its benchmark match count and worst
+    * (max) Jaccard. */
+  val decontaminateFuzzy = Q(
+    "text_decontaminate_fuzzy",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzeval")).as("text"))
+      val benchBands = bandsOfFast(bench)
+      val allBands = bandsOfFast(docs).unionAll(benchBands)
+      minhashPairsDelta(docs.unionAll(bench), allBands, benchBands)
+        .filter(col("doc_b") >= 200000L && col("doc_a") < 200000L)
+        .groupBy("doc_a")
+        .agg(count(lit(1)).as("n_bench_matches"),
+          max(col("jaccard")).as("max_jaccard"))
+        .select(col("doc_a").as("doc_id"), col("n_bench_matches"),
+          col("max_jaccard"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, text || ' zzeval'
+        FROM documents WHERE doc_id % 13 = 0),
+      words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM docs),
+      sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(w) >= $ShingleN
+                    THEN array_to_string(w[i+1:i+$ShingleN], ' ')
+                    ELSE array_to_string(w, ' ') END AS shingle
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, greatest(len(w) - $ShingleN, 0) + 1)) AS i
+              FROM words)),
+${affineSigCtes("MATERIALIZED")},
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        WHERE a.doc_id < 200000 AND b.doc_id >= 200000),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      vp AS (
+        SELECT i.doc_a, i.doc_b,
+               i.inter / (ca.n + cb.n - i.inter) AS jaccard
+        FROM (SELECT p.doc_a, p.doc_b, count(*) AS inter
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.doc_a
+              JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+              GROUP BY p.doc_a, p.doc_b) i
+        JOIN cnt ca ON ca.doc_id = i.doc_a
+        JOIN cnt cb ON cb.doc_id = i.doc_b
+        WHERE i.inter / (ca.n + cb.n - i.inter) >= $JaccardThreshold)
+      SELECT doc_a AS doc_id, count(*)::BIGINT AS n_bench_matches,
+             round(max(jaccard), 4) AS max_jaccard
+      FROM vp GROUP BY doc_a ORDER BY doc_id"""))
+
   /** Persisted BASE-half component labels — the other artifact production
     * carries forward between increments (next to [[BaseBandsCache]]'s band
     * table): components over the verified pairs WITHIN the base half,
@@ -1657,7 +1731,8 @@ ${affineSigCtes("MATERIALIZED")},
       FROM embeddings ORDER BY vec_a"""))
 
   def qs: Seq[Q] = Seq(
-    dedupExactDocs, minhashPairs, minhashPairsFast, minhashIncremental, minhashKeep,
+    dedupExactDocs, minhashPairs, minhashPairsFast, decontaminateFuzzy,
+    minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep, containmentPairsQ, containmentKeep,
     simhashPairs, embeddingNearDup, embeddingIncremental, clusterCc, clusterCcStar,
     clusterIncremental, splitLeakageAudit, sampleNegatives,
