@@ -1730,6 +1730,50 @@ ${affineSigCtes("MATERIALIZED")},
              10000::BIGINT AS cos_1e4
       FROM embeddings ORDER BY vec_a"""))
 
+  /** [[graft.streaming.StreamOps.decontaminateStream]] under REAL
+    * micro-batch execution — filter-at-ingest decontamination: the
+    * corpus streams in 4 chunks against the SAME planted benchmark as
+    * `text_decontaminate_fuzzy`, per-doc matches aggregate batch-side,
+    * and the result must land on the batch entry's exact oracle hash
+    * (round(max(j)) = max(round(j)) by monotonicity, so the two
+    * rounding orders agree). The op is stateless, so unlike the other
+    * stream gates there is no cross-batch state to exercise — what the
+    * gate proves is kernel parity: the scala-side shingle/signature/
+    * band path equals the batch UDF + DuckDB replay byte for byte. */
+  val streamDecontamExec = Q(
+    "stream_decontam_exec",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzeval")).as("text"))
+        .as[(Long, String)].collect().toSeq
+      val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val sink = s"stream_decontam_exec_sink_${DedupSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .decontaminateStream(mem.toDF().toDF("doc_id", "text"), bench)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
+      s.table(sink)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bench_matches"),
+          round(max("jaccard"), 4).as("max_jaccard"))
+        .orderBy("doc_id")
+    },
+    decontaminateFuzzy.oracle)
+
   def qs: Seq[Q] = Seq(
     dedupExactDocs, minhashPairs, minhashPairsFast, decontaminateFuzzy,
     minhashIncremental, minhashKeep,
@@ -1737,5 +1781,6 @@ ${affineSigCtes("MATERIALIZED")},
     simhashPairs, embeddingNearDup, embeddingIncremental, clusterCc, clusterCcStar,
     clusterIncremental, splitLeakageAudit, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,
-    streamNearDupFastExec, streamClusterExec, streamEmbDedupExec)
+    streamNearDupFastExec, streamClusterExec, streamEmbDedupExec,
+    streamDecontamExec)
 }

@@ -114,33 +114,55 @@ object Minhash {
   def signatureAffineUdf(nPerms: Int): UserDefinedFunction = {
     val as = affineCoeffs(nPerms).map(_._1).toArray
     val bs = affineCoeffs(nPerms).map(_._2).toArray
-    udf { (text: String) =>
-      val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
-      val shingles: Iterator[String] =
-        if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
-        else Iterator(w.mkString(" "))
-      val mins = Array.fill(nPerms)(Long.MaxValue)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val seen = new java.util.HashSet[String]()
-      shingles.foreach { sh =>
-        if (seen.add(sh)) {
-          val d = md.digest(sh.getBytes("UTF-8"))
-          var v = 0L
-          var i = 0
-          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-          v = (v << 4) | ((d(7) >> 4) & 0xfL) // first 15 hex chars = 60 bits
-          val h = v % AffineP
-          var j = 0
-          while (j < nPerms) {
-            val pj = (as(j) * h + bs(j)) % AffineP
-            if (pj < mins(j)) mins(j) = pj
-            j += 1
-          }
+    udf { (text: String) => signatureAffine(text, nPerms, as, bs).toSeq }
+  }
+
+  /** Scala-side DISTINCT shingle set under the same tokenization
+    * contract as [[signatureUdf]] — for driver/stream-side exact-Jaccard
+    * verification against a broadcast benchmark. */
+  private[graft] def shingleSet(text: String): Set[String] = {
+    val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
+    if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+    else Set(w.mkString(" "))
+  }
+
+  /** Scala-side affine signature (the [[signatureAffineUdf]] body — the
+    * UDF delegates here so the two can never drift). */
+  private[graft] def signatureAffine(
+      text: String, nPerms: Int,
+      as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
+    val shingles: Iterator[String] =
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
+      else Iterator(w.mkString(" "))
+    val mins = Array.fill(nPerms)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[String]()
+    shingles.foreach { sh =>
+      if (seen.add(sh)) {
+        val d = md.digest(sh.getBytes("UTF-8"))
+        var v = 0L
+        var i = 0
+        while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+        v = (v << 4) | ((d(7) >> 4) & 0xfL) // first 15 hex chars = 60 bits
+        val h = v % AffineP
+        var j = 0
+        while (j < nPerms) {
+          val pj = (as(j) * h + bs(j)) % AffineP
+          if (pj < mins(j)) mins(j) = pj
+          j += 1
         }
       }
-      mins.toSeq
     }
+    mins
   }
+
+  /** Scala-side band keys of an affine signature (decimal ','-joined —
+    * identical rendering to [[bandKeysAffine]]). */
+  private[graft] def bandKeysAffineScala(
+      sig: Array[Long], bandRows: Int): Array[String] =
+    Array.tabulate(sig.length / bandRows)(b =>
+      sig.slice(b * bandRows, b * bandRows + bandRows).mkString(","))
 
   /** Band keys over an affine (BIGINT) signature: band b = the bandRows
     * consecutive entries joined with ',' — decimal-rendered identically by

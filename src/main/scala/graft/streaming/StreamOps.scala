@@ -327,6 +327,65 @@ object StreamOps {
       .toDF("vec_a", "vec_b", "cos_1e4")
   }
 
+  /** Streaming eval-set decontamination — filter-at-ingest, the
+    * continuous form of `text_decontaminate_fuzzy` and the simplest
+    * possible streaming shape: ZERO state, zero shuffle, no watermark.
+    * The benchmark is eval-set-sized, so ALL its artifacts broadcast:
+    * a (band_id, band_key) → bench-ids index for candidate generation
+    * and the per-bench distinct shingle sets for exact verification.
+    * Each arriving doc computes its affine signature + band keys in the
+    * row (the shared [[graft.ops.Minhash]] kernel — same bytes as the
+    * batch side), probes the broadcast band index, and verifies TRUE
+    * Jaccard against only the colliding bench docs — per-row cost is
+    * O(shingles + collisions), independent of stream length, so there
+    * is nothing to expire and nothing that grows. Emits one row per
+    * (doc, bench) match at `threshold`; callers aggregate per doc.
+    *
+    * Input: (doc_id LONG, text STRING). Output:
+    * (doc_id, bench_id, jaccard DOUBLE — exact integer ratio, unrounded). */
+  def decontaminateStream(
+      docs: DataFrame, bench: Seq[(Long, String)],
+      nPerms: Int = 16, bandRows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(nPerms % bandRows == 0, "bands must tile the signature")
+    val as = graft.ops.Minhash.affineCoeffs(nPerms).map(_._1).toArray
+    val bs = graft.ops.Minhash.affineCoeffs(nPerms).map(_._2).toArray
+    val benchShingles: Map[Long, Set[String]] =
+      bench.map { case (id, t) => id -> graft.ops.Minhash.shingleSet(t) }.toMap
+    val bandToBench: Map[(Int, String), Array[Long]] = bench
+      .flatMap { case (id, t) =>
+        graft.ops.Minhash
+          .bandKeysAffineScala(
+            graft.ops.Minhash.signatureAffine(t, nPerms, as, bs), bandRows)
+          .zipWithIndex.map { case (k, b) => ((b, k), id) }
+      }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toArray.sorted }
+    val sc = docs.sparkSession.sparkContext
+    val bcShingles = sc.broadcast(benchShingles)
+    val bcBands = sc.broadcast(bandToBench)
+    docs.as[(Long, String)].flatMap { case (id, text) =>
+      val keys = graft.ops.Minhash.bandKeysAffineScala(
+        graft.ops.Minhash.signatureAffine(text, nPerms, as, bs), bandRows)
+      val cands = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var b = 0
+      while (b < keys.length) {
+        bcBands.value.get((b, keys(b))).foreach(_.foreach(cands += _))
+        b += 1
+      }
+      if (cands.isEmpty) Iterator.empty
+      else {
+        val sh = graft.ops.Minhash.shingleSet(text)
+        cands.iterator.flatMap { bid =>
+          val bsh = bcShingles.value(bid)
+          val inter = sh.count(bsh.contains)
+          val j = inter.toDouble / (sh.size + bsh.size - inter)
+          if (j >= threshold) Some((id, bid, j)) else None
+        }
+      }
+    }.toDF("doc_id", "bench_id", "jaccard")
+  }
+
   /** Per-key cap sampling over a stream: pass through at most `cap` records
     * per key — "keep at most N documents per domain/user" during training
     * data ingest. This is the one streaming op here that genuinely needs
