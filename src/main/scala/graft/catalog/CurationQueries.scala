@@ -1,6 +1,5 @@
 package graft.catalog
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q

@@ -1135,6 +1135,45 @@ ${affineSigCtes("MATERIALIZED")},
               0, (acc, x) -> acc + x)"""))
           .as("sub_key"))
 
+  /** Delta-involving verified pair set over sub-keyed bucket tables — the
+    * shared tail of `dedup_embedding_incremental` and the probe's embdelta
+    * leg (ONE definition, so the probe always measures the entry's actual
+    * pipeline): delta rows join the full keyed table on the bucket,
+    * ordered-dedup'd, cosine-verified at the near-dup threshold.
+    * `vectors` must cover both sides (base ∪ delta). */
+  private[graft] def embeddingDeltaPairs(
+      baseKeyed: DataFrame, deltaKeyed: DataFrame,
+      vectors: DataFrame): DataFrame = {
+    val all = baseKeyed.unionAll(deltaKeyed)
+    val pairs = deltaKeyed.as("d")
+      .join(all.as("a"),
+        col("d.tree_id") === col("a.tree_id") &&
+          col("d.leaf_id") === col("a.leaf_id") &&
+          col("d.sub_key") === col("a.sub_key") &&
+          col("a.vec_id") =!= col("d.vec_id"))
+      .select(
+        least(col("a.vec_id"), col("d.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("d.vec_id")).as("vec_b"))
+      .distinct()
+    val v = vectors
+      .select(col("vec_id"), Distances.asDouble(col("embedding")).as("emb"))
+    pairs
+      .join(v.as("va").select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+      .join(v.as("vb").select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+      .withColumn("cos_sim", round(Distances.cosineSim(col("ea"), col("eb")), 4))
+      .filter(col("cos_sim") >= 0.999)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** Collect a [[bucketCuts]] table into the driver-side map the
+    * streaming router broadcasts — bounded by the forest's leaf set. */
+  private[graft] def cutsToMap(
+      cuts: DataFrame): Map[(Int, Int), (Int, Array[Double])] =
+    cuts.collect().map { r =>
+      ((r.getInt(0), r.getInt(1)),
+        (r.getInt(2), Option(r.getSeq[Double](3)).map(_.toArray).orNull))
+    }.toMap
+
   /** Embedding-space near-dup via the LSH forest: pairs co-located in a
     * bucket (occupancy-capped via [[refineBuckets]]), verified by cosine.
     * Exact duplicates are planted (shifted-id union), and identical
@@ -1214,25 +1253,8 @@ ${affineSigCtes("MATERIALIZED")},
       val deltaKeyed = assignSubKeys(
         LshForest.bucketTable(delta, m), delta,
         EmbBaseIndexCache.cuts(s, dir, e))
-      val all = EmbBaseIndexCache.keyedBase(s, dir, e).unionAll(deltaKeyed)
-      val pairs = deltaKeyed.as("d")
-        .join(all.as("a"),
-          col("d.tree_id") === col("a.tree_id") &&
-            col("d.leaf_id") === col("a.leaf_id") &&
-            col("d.sub_key") === col("a.sub_key") &&
-            col("a.vec_id") =!= col("d.vec_id"))
-        .select(
-          least(col("a.vec_id"), col("d.vec_id")).as("vec_a"),
-          greatest(col("a.vec_id"), col("d.vec_id")).as("vec_b"))
-        .distinct()
-      val v = e.unionAll(delta)
-        .select(col("vec_id"), Distances.asDouble(col("embedding")).as("emb"))
-      pairs
-        .join(v.as("va").select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
-        .join(v.as("vb").select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
-        .withColumn("cos_sim", round(Distances.cosineSim(col("ea"), col("eb")), 4))
-        .filter(col("cos_sim") >= 0.999)
-        .select("vec_a", "vec_b", "cos_sim")
+      embeddingDeltaPairs(EmbBaseIndexCache.keyedBase(s, dir, e), deltaKeyed,
+        e.unionAll(delta))
         .orderBy("vec_a", "vec_b")
     },
     Some("""
@@ -1691,11 +1713,7 @@ ${affineSigCtes("MATERIALIZED")},
       import s.implicits._
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val model = EmbBaseIndexCache.model(dir, e)
-      val cuts = EmbBaseIndexCache.cuts(s, dir, e).collect().map { r =>
-        ((r.getInt(0), r.getInt(1)),
-          (r.getInt(2),
-            Option(r.getSeq[Double](3)).map(_.toArray).orNull))
-      }.toMap // bounded by the forest's leaf set
+      val cuts = cutsToMap(EmbBaseIndexCache.cuts(s, dir, e))
       val rows = e.unionAll(
         e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         .select(

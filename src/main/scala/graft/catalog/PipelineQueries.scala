@@ -295,7 +295,6 @@ object PipelineQueries {
     * stages anyway, and without it the dedup+gate subtree recomputes for
     * each of its three consumers). */
   private[graft] def shardV2From(
-      s: org.apache.spark.sql.SparkSession,
       d: org.apache.spark.sql.DataFrame,
       recrawlShift: Long,
       budget: Long,
@@ -338,7 +337,7 @@ object PipelineQueries {
 
   val pretrainShardV2 = Q(
     "doc_pipeline_pretrain_v2",
-    (s, dir) => shardV2From(s,
+    (s, dir) => shardV2From(
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("source")),
       recrawlShift = 100000L, budget = PretrainV2Budget),

@@ -1016,7 +1016,10 @@ object RelationalQueries {
     * integer-exact: the 2σ test (x−μ)² > 4σ² cross-multiplies to
     * (24·c − S)² > 4·(24·Q − S²) over the previous 24 hourly counts
     * (S = Σc, Q = Σc²), so there is no sqrt, no float mean, and the
-    * flag cannot flake. Scale shape: the corpus aggregates to the
+    * flag cannot flake. The quadratic terms run in DECIMAL(38,0)
+    * (HUGEINT in the oracle): exact for hourly counts to ~4·10¹⁷, and
+    * NULL (visible) rather than silently wrapped beyond — BIGINT would
+    * wrap s24² at c ≈ 2·10⁹. Scale shape: the corpus aggregates to the
     * hourly count table FIRST (map-side partials; the table is
     * hours×types-sized regardless of event volume), and the trailing
     * window runs over that tiny derived series — at 100 TB the window
@@ -1025,21 +1028,31 @@ object RelationalQueries {
   val eventsAnomaly = Q(
     "q_events_anomaly",
     (s, dir) => {
+      // All quadratic terms in DECIMAL(38,0) (HUGEINT on the oracle):
+      // c*c, s24*s24 and (24c-s24)^2 silently wrap in BIGINT once hourly
+      // counts pass ~2e9, which is exactly the regime the "window never
+      // touches raw events" shape exists for. DECIMAL(38,0) keeps the
+      // test exact for hourly counts up to ~4e17 (576·c² ≤ 1e38) — far
+      // past any real event volume — and OVERFLOWS TO NULL (visible, not
+      // silently wrong) beyond it. q24's per-term c² is the overflow
+      // carrier, so it stays internal; the output keeps the BIGINT-safe
+      // columns only.
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
       val hc = Tables.events(s, dir)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(-24, -1)
+      val d = lit(24L) * dec(col("c")) - dec(col("s24"))
       hc.withColumn("n24", count(lit(1)).over(w))
         .withColumn("s24", sum("c").over(w))
-        .withColumn("q24", sum(col("c") * col("c")).over(w))
+        .withColumn("q24", sum(dec(col("c")) * dec(col("c"))).over(w))
         .filter(col("n24") === 24)
         .select(col("event_type"),
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("c"), col("s24"), col("q24"),
-          ((lit(24L) * col("c") - col("s24")) *
-            (lit(24L) * col("c") - col("s24")) >
-            lit(4L) * (lit(24L) * col("q24") - col("s24") * col("s24")))
+          col("c"), col("s24"),
+          (d * d >
+            lit(4L) * (lit(24L) * col("q24") - dec(col("s24")) * dec(col("s24"))))
             .as("is_anomaly"))
         .orderBy("event_type", "hour_start")
     },
@@ -1050,14 +1063,14 @@ object RelationalQueries {
       st AS (SELECT event_type, h, c,
                     count(*) OVER w AS n24,
                     sum(c) OVER w AS s24,
-                    sum(c * c) OVER w AS q24
+                    sum(c::HUGEINT * c::HUGEINT) OVER w AS q24
              FROM hc
              WINDOW w AS (PARTITION BY event_type ORDER BY h
                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
       SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, c,
-             s24::BIGINT AS s24, q24::BIGINT AS q24,
-             (24 * c - s24) * (24 * c - s24) > 4 * (24 * q24 - s24 * s24)
-               AS is_anomaly
+             s24::BIGINT AS s24,
+             (24 * c::HUGEINT - s24) * (24 * c::HUGEINT - s24) >
+               4 * (24 * q24 - s24::HUGEINT * s24::HUGEINT) AS is_anomaly
       FROM st WHERE n24 = 24 ORDER BY event_type, hour_start"""))
 
   /** χ² A/B test, integer-exact: users split into arms by user_id
@@ -1065,8 +1078,11 @@ object RelationalQueries {
     * fixture median, so both cells of each arm are populated and the
     * flag is live, not vacuous); significance at α = 0.05
     * cross-multiplies 1000·N·(ad−bc)² > 3841·R1·R2·C1·C2 (χ² > 3.841
-    * with 1 dof) in DECIMAL/HUGEINT so neither engine can overflow and
-    * no sqrt or float division exists anywhere. The 2×2 table is two
+    * with 1 dof) with every CELL cast to DECIMAL(38,0)/HUGEINT before
+    * any product, so no sqrt or float division exists anywhere and
+    * nothing wraps silently: exact to N ≈ 1.7·10⁷ users (the 38-digit
+    * budget of 62.5·N⁵), loudly NULL/erroring beyond — where a
+    * full-census χ² is degenerate anyway. The 2×2 table is two
     * user-sized aggregates (arm, converted) — at 100 TB the test costs
     * one partial-agg pass over events and a 4-row pivot, and the
     * deterministic parity split stands in for a real assignment
@@ -1090,10 +1106,16 @@ object RelationalQueries {
         sum(when(col("arm") === 1 && col("conv") === 0, col("n"))
           .otherwise(0L)).as("d"))
       val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      // cells cast to DECIMAL BEFORE the determinant products — a*d in
+      // BIGINT wraps silently past ~3e9-user cells. DECIMAL(38,0) keeps
+      // the whole comparison exact to N ≈ 1.7e7 users (62.5·N⁵ ≤ 1e38)
+      // and NULLs visibly beyond (HUGEINT errors on the oracle side);
+      // past that population a full-census χ² is statistically
+      // degenerate anyway — test a bounded sample.
+      val det = dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))
       t.select(col("a"), col("b"), col("c"), col("d"),
         (dec(lit(1000L)) * dec(col("a") + col("b") + col("c") + col("d")) *
-          dec(col("a") * col("d") - col("b") * col("c")) *
-          dec(col("a") * col("d") - col("b") * col("c")) >
+          det * det >
           dec(lit(3841L)) * dec(col("a") + col("b")) * dec(col("c") + col("d")) *
             dec(col("a") + col("c")) * dec(col("b") + col("d")))
           .as("significant"))
@@ -1112,7 +1134,8 @@ object RelationalQueries {
             FROM u)
       SELECT a, b, c, d,
              1000::HUGEINT * (a + b + c + d)::HUGEINT
-               * (a * d - b * c)::HUGEINT * (a * d - b * c)::HUGEINT
+               * (a::HUGEINT * d - b::HUGEINT * c)
+               * (a::HUGEINT * d - b::HUGEINT * c)
              > 3841::HUGEINT * (a + b)::HUGEINT * (c + d)::HUGEINT
                * (a + c)::HUGEINT * (b + d)::HUGEINT AS significant
       FROM t"""))

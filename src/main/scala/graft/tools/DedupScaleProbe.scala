@@ -259,23 +259,10 @@ object DedupScaleProbe {
       val ((nVerified, plantedFound), wall) = time {
         val deltaKeyed = DedupQueries.assignSubKeys(
           LshForest.bucketTable(delta, model), delta, cuts)
-        val all = baseKeyed.unionAll(deltaKeyed)
-        val pairs = deltaKeyed.as("d")
-          .join(all.as("a"),
-            col("d.tree_id") === col("a.tree_id") &&
-              col("d.leaf_id") === col("a.leaf_id") &&
-              col("d.sub_key") === col("a.sub_key") &&
-              col("a.vec_id") =!= col("d.vec_id"))
-          .select(
-            least(col("a.vec_id"), col("d.vec_id")).as("vec_a"),
-            greatest(col("a.vec_id"), col("d.vec_id")).as("vec_b"))
-          .distinct()
-        val v = base.unionAll(delta)
-          .select(col("vec_id"), Distances.asDouble(col("embedding")).as("emb"))
-        val verified = pairs
-          .join(v.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
-          .join(v.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
-          .filter(Distances.cosineSim(col("ea"), col("eb")) >= 0.999)
+        // the entry's own pipeline (shared helper) — the probe measures
+        // exactly what dedup_embedding_incremental runs
+        val verified = DedupQueries
+          .embeddingDeltaPairs(baseKeyed, deltaKeyed, base.unionAll(delta))
           .cache()
         val nv = verified.count()
         val pf = verified
@@ -604,12 +591,8 @@ object DedupScaleProbe {
     base.count()
     val half = base.filter(col("vec_id") < n / 2)
     val model = LshForest.build(half)
-    val cuts = DedupQueries
-      .bucketCuts(LshForest.bucketTable(half, model), half)
-      .collect().map { r =>
-        ((r.getInt(0), r.getInt(1)),
-          (r.getInt(2), Option(r.getSeq[Double](3)).map(_.toArray).orNull))
-      }.toMap
+    val cuts = DedupQueries.cutsToMap(
+      DedupQueries.bucketCuts(LshForest.bucketTable(half, model), half))
     // one arrival per second of event time; twins 60 s after the original
     val twins = base.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + n).as("vec_id"), col("embedding"),

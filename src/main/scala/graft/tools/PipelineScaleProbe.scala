@@ -118,7 +118,7 @@ object PipelineScaleProbe {
       val v2Budget = n / 10
       val t2 = System.nanoTime()
       val v2 = graft.catalog.PipelineQueries
-        .shardV2From(spark, docs, recrawlShift = n * 10, budget = v2Budget,
+        .shardV2From(docs, recrawlShift = n * 10, budget = v2Budget,
           tauMicro = 80500L, materialize = true) // synthetic-corpus tau:
         // random-draw bigrams score ~8.1 nats (ln(c1+V) smoothing floor);
         // 8.05 keeps the seen-bigram head and drops the unseen tail

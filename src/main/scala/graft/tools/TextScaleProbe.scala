@@ -138,9 +138,19 @@ object TextScaleProbe {
       // saving vs an events-sized join); scoring is one corpus-sized
       // equi-join + a doc rollup, so wall should grow ~linearly in n.
       val trainSplit = data.filter(col("doc_id") % 4 === 0)
+      // the actual bound on the c2 count table: DISTINCT (ctx, word)
+      // pairs of the train split (positions can be orders of magnitude
+      // larger — counting them would not measure the claim)
+      val trainPositions = trainSplit
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .count()
       val distinctBigrams = trainSplit
-        .select(explode(split(lower(col("text")), " ")).as("w"), col("doc_id"))
-        .count() // positions in the train split (bigram rows == positions)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(posexplode(col("w")).as(Seq("pos", "word")), col("w"))
+        .select(when(col("pos") === 0, lit("<s>"))
+          .otherwise(element_at(col("w"), col("pos"))).as("ctx"), col("word"))
+        .agg(count_distinct(col("ctx"), col("word")))
+        .head().getLong(0)
       t0 = System.nanoTime()
       val lm = graft.ops.QualityModels
         .lmScore(data, trainSplit, tauMicro = 34200L)
@@ -149,8 +159,9 @@ object TextScaleProbe {
         .head()
       println(f"lm_score n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
         s"rows=${lm.getLong(2)}, kept=${lm.getLong(1)}, " +
-        s"train_positions=$distinctBigrams (count tables bounded by " +
-        "distinct train bigrams)")
+        s"train_positions=$trainPositions, " +
+        s"distinct_train_bigrams=$distinctBigrams (the c2 count-table " +
+        "bound — corpus-sublinear once the bigram space saturates)")
       assert(lm.getLong(2) == n, "lm score lost docs")
       System.out.flush()
 

@@ -195,16 +195,21 @@ class PlanSpec extends AnyFunSuite {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("doc_id") % 1000000L).as("q"),
         nTokens.as("n_tokens"))
-    val p = plan(graft.ops.Curation.tokenBudgetSelect(
+    val df = graft.ops.Curation.tokenBudgetSelect(
       scored, "q", "n_tokens", budget = 15000L, bucketDiv = 1000L,
-      bestLow = false))
-    // every Window must sit above the bucket histogram's aggregation, so
-    // the corpus is never globally ordered: the first Window operator in
-    // the plan string appears after the first partial aggregation
-    val w = p.indexOf("Window")
-    val agg = p.indexOf("partial_sum")
-    assert(w >= 0 && agg >= 0 && agg < p.lastIndexOf("partial_sum"),
-      s"histogram partial agg missing:\n$p")
+      bestLow = false)
+    val p = plan(df)
+    // every Window must sit above an aggregation (the bucket histogram),
+    // so the corpus is never globally ordered raw: a regression to a
+    // global running-sum window over the scored rows would put a Window
+    // directly on the scan with no Aggregate below it
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the histogram/boundary windows")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window with no aggregate below it — corpus globally ordered:\n$w")
+    }
     assert(p.contains("LeftSemi"),
       s"full buckets must keep via semi-join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
