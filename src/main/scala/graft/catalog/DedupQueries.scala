@@ -401,6 +401,28 @@ ${affineSigCtes()},
     * set, not just the planted diagonal. Output: one row per
     * contaminated corpus doc with its benchmark match count and worst
     * (max) Jaccard. */
+  /** The fuzzy-decontamination pipeline over arbitrary (doc_id, text)
+    * frames — the entry and the probe's decontam leg share it, so the
+    * probe always measures the entry's actual plan. Benchmark doc_ids
+    * must all be >= `benchFloor` and corpus doc_ids below it (the
+    * bench-involving filter keys on the split). */
+  private[graft] def decontaminateFuzzyFrom(
+      docs: DataFrame, bench: DataFrame, benchFloor: Long,
+      family: String = "affine"): DataFrame = {
+    val bandFn: DataFrame => DataFrame =
+      if (family == "md5") bandsOf else bandsOfFast
+    val benchBands = bandFn(bench)
+    val allBands = bandFn(docs).unionAll(benchBands)
+    minhashPairsDelta(docs.unionAll(bench), allBands, benchBands)
+      .filter(col("doc_b") >= benchFloor && col("doc_a") < benchFloor)
+      .groupBy("doc_a")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select(col("doc_a").as("doc_id"), col("n_bench_matches"),
+        col("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
   val decontaminateFuzzy = Q(
     "text_decontaminate_fuzzy",
     (s, dir) => {
@@ -408,16 +430,7 @@ ${affineSigCtes()},
       val bench = docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" zzeval")).as("text"))
-      val benchBands = bandsOfFast(bench)
-      val allBands = bandsOfFast(docs).unionAll(benchBands)
-      minhashPairsDelta(docs.unionAll(bench), allBands, benchBands)
-        .filter(col("doc_b") >= 200000L && col("doc_a") < 200000L)
-        .groupBy("doc_a")
-        .agg(count(lit(1)).as("n_bench_matches"),
-          max(col("jaccard")).as("max_jaccard"))
-        .select(col("doc_a").as("doc_id"), col("n_bench_matches"),
-          col("max_jaccard"))
-        .orderBy("doc_id")
+      decontaminateFuzzyFrom(docs, bench, benchFloor = 200000L)
     },
     Some(s"""
       WITH docs AS MATERIALIZED (
