@@ -308,13 +308,20 @@ object DedupQueries {
   private def affineSigCtes(mat: String = "") = s"""
       hsh AS $mat (
         SELECT doc_id, shingle,
-               CAST(sum((strpos('0123456789abcdef', substr(md5(shingle), k.k, 1)) - 1)
-                        * (1::BIGINT << (4 * (15 - k.k)))) % ${graft.ops.Minhash.AffineP}
-                    AS BIGINT) AS h
-        FROM sh, generate_series(1, 15) k(k)
+               CAST(sum(CASE WHEN k.k <= 15
+                        THEN (strpos('0123456789abcdef', substr(md5(shingle), k.k, 1)) - 1)
+                             * (1::BIGINT << (4 * (15 - k.k))) ELSE 0 END)
+                    % ${graft.ops.Minhash.AffineP} AS BIGINT) AS h1,
+               CAST(sum(CASE WHEN k.k > 15
+                        THEN (strpos('0123456789abcdef', substr(md5(shingle), k.k, 1)) - 1)
+                             * (1::BIGINT << (4 * (30 - k.k))) ELSE 0 END)
+                    % ${graft.ops.Minhash.AffineP} AS BIGINT) AS h2
+        FROM sh, generate_series(1, 30) k(k)
         GROUP BY doc_id, shingle),
       mh AS $mat (
-        SELECT doc_id, p.j, min((p.a * h + p.b) % ${graft.ops.Minhash.AffineP}) AS mh
+        SELECT doc_id, p.j,
+               min((p.a * (CASE WHEN p.j <= ${Perms / 2} THEN h1 ELSE h2 END)
+                    + p.b) % ${graft.ops.Minhash.AffineP}) AS mh
         FROM hsh, (VALUES ${graft.ops.Minhash.affineCoeffsSql(Perms)}) p(j, a, b)
         GROUP BY doc_id, p.j),
       bands AS $mat (
@@ -322,13 +329,16 @@ object DedupQueries {
                string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_hash
         FROM mh GROUP BY doc_id, CAST((j-1) // $BandRows AS INT))"""
 
-  /** Oracle CTE chain replaying the AFFINE signature family 1:1: fold the
-    * first 15 hex chars of md5(shingle) to a 60-bit integer (nibble ·
-    * 16-power sums stay < 2⁶³ — BIGINT-safe, which is why the kernel
-    * truncates at 60 bits), reduce mod 2³¹−1, apply the literal (a_j, b_j)
-    * VALUES the Scala kernel derives from the same constants, min per
-    * permutation, band on the comma-joined entries, then the SAME
-    * candidate/verify tail as [[oraclePipeline]]. */
+  /** Oracle CTE chain replaying the AFFINE signature family 1:1: fold hex
+    * chars 1–15 AND 16–30 of md5(shingle) to TWO independent 60-bit
+    * integers (each nibble · 16-power sum stays < 2⁶³ — BIGINT-safe,
+    * which is why the kernel truncates at 60 bits), reduce each mod
+    * 2³¹−1, apply the literal (a_j, b_j) VALUES the Scala kernel derives
+    * from the same constants — permutations 1..8 over h1, 9..16 over h2
+    * (the split that de-correlates the per-entry minima, see
+    * [[graft.ops.Minhash.signatureAffineUdf]]) — min per permutation,
+    * band on the comma-joined entries, then the SAME candidate/verify
+    * tail as [[oraclePipeline]]. */
   private val oraclePipelineFast = s"""$oracleShingles,
 ${affineSigCtes()},
       pairs AS (

@@ -96,17 +96,27 @@ object Minhash {
     * spends ONE digest per DISTINCT shingle and derives all nPerms
     * permutations with an affine universal-hash map (Broder/Carter-Wegman):
     *
-    *   h(shingle) = (first 60 bits of md5(shingle)) mod p,  p = 2³¹−1
-    *   perm_j     = (a_j · h + b_j) mod p
-    *   sig[j-1]   = min over shingles of perm_j           (a BIGINT)
+    *   h1(shingle) = (hex chars 1–15 of md5(shingle))  mod p,  p = 2³¹−1
+    *   h2(shingle) = (hex chars 16–30 of md5(shingle)) mod p
+    *   perm_j      = (a_j · h1 + b_j) mod p   for j ≤ nPerms/2
+    *                 (a_j · h2 + b_j) mod p   for j > nPerms/2
+    *   sig[j-1]    = min over shingles of perm_j        (a BIGINT)
     *
     * Everything after the digest is a multiply-add — the signature pass
     * drops from nPerms digests to one per shingle (measured severalfold in
-    * DedupScaleProbe). The 60-bit truncation keeps the hex→integer fold
-    * inside BIGINT range on the DuckDB side (15 nibbles × 16-powers sums
-    * < 2⁶³), so the whole family stays a pure-SQL cross-engine replay.
-    * xxhash64 — the obvious digestless candidate, built into Spark — is
-    * NOT in DuckDB 1.0.0 (the driver's oracle engine), hence md5-seeded.
+    * DedupScaleProbe). TWO independent 60-bit folds of the SAME digest
+    * seed the family (the digest has 32 hex chars; one fold only spends
+    * 15): with a single base hash, whether a near-dup pair's differing
+    * shingle wins the min is correlated across ALL permutations, and the
+    * decontam probe measured that correlation as a deterministic ~1%
+    * banding miss at J ≈ 0.97 vs the md5 family's ~0%; splitting the
+    * bands across two independent folds squares the correlated-miss
+    * probability at zero extra digest cost. The 60-bit truncation keeps
+    * each hex→integer fold inside BIGINT range on the DuckDB side
+    * (15 nibbles × 16-powers sums < 2⁶³), so the whole family stays a
+    * pure-SQL cross-engine replay. xxhash64 — the obvious digestless
+    * candidate, built into Spark — is NOT in DuckDB 1.0.0 (the driver's
+    * oracle engine), hence md5-seeded.
     *
     * Same tokenization contract as [[signatureUdf]]; the in-row HashSet
     * skips repeat shingles (a duplicate can never change a min — the same
@@ -138,16 +148,22 @@ object Minhash {
     val mins = Array.fill(nPerms)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     val seen = new java.util.HashSet[String]()
+    val half = nPerms / 2
     shingles.foreach { sh =>
       if (seen.add(sh)) {
         val d = md.digest(sh.getBytes("UTF-8"))
         var v = 0L
         var i = 0
         while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-        v = (v << 4) | ((d(7) >> 4) & 0xfL) // first 15 hex chars = 60 bits
-        val h = v % AffineP
+        v = (v << 4) | ((d(7) >> 4) & 0xfL) // hex chars 1-15 = 60 bits
+        val h1 = v % AffineP
+        var v2 = (d(7) & 0xfL) // hex char 16
+        i = 8
+        while (i < 15) { v2 = (v2 << 8) | (d(i) & 0xffL); i += 1 }
+        val h2 = v2 % AffineP // hex chars 16-30 = 60 bits
         var j = 0
         while (j < nPerms) {
+          val h = if (j < half) h1 else h2
           val pj = (as(j) * h + bs(j)) % AffineP
           if (pj < mins(j)) mins(j) = pj
           j += 1

@@ -602,14 +602,17 @@ object DedupScaleProbe {
           s""""n_docs":$m,"n_bench":$nBench,""" +
           s""""flagged":$nFlagged,"planted_found":$plantedFound,""" +
           s""""bench_broadcast":$broadcastOk,""" + f""""wall_sec":$wall%.2f}""")
-        // Banding recall is the MinHash trade-off, not a bug: at the
-        // planted J = (k-1)/k ~ 0.97, 16 perms in 4x4 bands miss ~0.01%
-        // under INDEPENDENT permutations (md5 family), but the one-digest
-        // affine family derives every permutation from a single base hash
-        // per shingle, so per-entry minima are correlated and its miss
-        // rate is ~1% — measured here, invisible to the catalog gate
-        // (the oracle replays the same family on both engines).
-        val floor = if (family == "md5") nBench * 999 / 1000 else nBench * 98 / 100
+        // Banding recall at the planted J = (k-1)/k ~ 0.97: 16 perms in
+        // 4x4 bands miss ~0.01% under INDEPENDENT permutations (md5
+        // family). The affine family ORIGINALLY derived every permutation
+        // from one base hash per shingle, which correlated the per-entry
+        // minima and this probe measured a deterministic ~1% miss —
+        // invisible to the catalog gate (the oracle replays the same
+        // family on both engines). Splitting the permutations across TWO
+        // independent 60-bit folds of the same digest (Minhash
+        // .signatureAffineUdf) squares the correlated-miss probability at
+        // zero digest cost; both families now hold the same floor here.
+        val floor = nBench * 999 / 1000
         assert(plantedFound >= floor,
           s"$family planted recall $plantedFound/$nBench under floor $floor")
         assert(broadcastOk, "benchmark side did not broadcast")
