@@ -358,6 +358,148 @@ object CurationQueries {
       SELECT doc_id, q_1e6, n_tokens FROM kept_boundary
       ORDER BY doc_id"""))
 
+  /** DuckDB replay of [[graft.ops.QualityModels.dsirScore]] 1:1 —
+    * hashed uni+bigram features, per-bucket raw vs target (doc_id % 7)
+    * counts, the integer fixed-point qlog2 (fl from a max-over-series
+    * highest-set-bit, mantissa via `>>` shifts — pure integer, so the
+    * hash gate is exact), per-doc averaged +65536-shifted score. Ends
+    * with a `scored (doc_id, n_feat, dsir_score)` CTE both DSIR
+    * entries build on. */
+  private val dsirScoredCtes = """
+      WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                   FROM documents),
+      uni AS (SELECT doc_id, unnest(w) AS f FROM tok),
+      bi AS (SELECT doc_id, w[i] || '_' || w[i + 1] AS f
+             FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                   FROM tok WHERE len(w) >= 2)),
+      feats AS MATERIALIZED (
+        SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+      fcnt AS (SELECT f, count(*)::BIGINT AS ca,
+                      (count(*) FILTER (WHERE doc_id % 7 = 0))::BIGINT AS ct
+               FROM feats GROUP BY f),
+      fb AS MATERIALIZED (
+        SELECT f, ca, ct,
+               CAST(sum((strpos('0123456789abcdef', substr(md5(f), k.k, 1)) - 1)
+                        * (1::BIGINT << (4 * (15 - k.k)))) % 4096
+                    AS BIGINT) AS b
+        FROM fcnt, generate_series(1, 15) k(k)
+        GROUP BY f, ca, ct),
+      bc AS (SELECT b, (1 + sum(ca))::BIGINT AS rc, (1 + sum(ct))::BIGINT AS tc
+             FROM fb GROUP BY b),
+      fl AS (SELECT b, rc, tc,
+                    max(CASE WHEN (rc >> k.k) >= 1 THEN k.k END) AS flr,
+                    max(CASE WHEN (tc >> k.k) >= 1 THEN k.k END) AS flt
+             FROM bc, generate_series(0, 40) k(k)
+             GROUP BY b, rc, tc),
+      wt AS (SELECT b,
+                    (flt * 1024 + ((tc * 1024) >> flt) - 1024)
+                  - (flr * 1024 + ((rc * 1024) >> flr) - 1024) AS delta
+             FROM fl),
+      dfeat AS (SELECT doc_id, f, count(*)::BIGINT AS cnt
+                FROM feats GROUP BY doc_id, f),
+      scored AS (
+        SELECT d.doc_id, sum(d.cnt)::BIGINT AS n_feat,
+               (sum(d.cnt * (w.delta + 65536))::BIGINT) // sum(d.cnt)::BIGINT
+                 AS dsir_score
+        FROM dfeat d
+        JOIN fb ON fb.f = d.f
+        JOIN wt w ON w.b = fb.b
+        GROUP BY d.doc_id)"""
+
+  /** DSIR importance resampling (Xie et al. 2023) — "select the corpus
+    * slice that looks like the target domain": hashed uni+bigram
+    * features contrast a target sample (here every 7th doc — the
+    * stand-in for a trusted domain corpus) against the raw corpus,
+    * each doc scores its average integer log2-importance ratio
+    * ([[graft.ops.QualityModels.dsirScore]] — all shift/multiply
+    * arithmetic, no transcendental surface, so the whole model is
+    * DuckDB-hash-checked end to end, training included), and the
+    * 20k-feature budget fills greedily from the top scores via the
+    * proven no-global-window histogram selection
+    * ([[graft.ops.Curation.tokenBudgetSelect]]). 100 TB shape: two
+    * corpus passes (count tables, partial map-side) + one broadcast
+    * join + a doc-sized rollup; the only unpartitioned window is over
+    * the ≤1025-row score histogram. */
+  val dsirSelect = Q(
+    "sample_dsir_select",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      // tokenBudgetSelect reads `scored` three times (histogram, full
+      // buckets, boundary bucket); cached, the scoring DAG — two count
+      // passes + the broadcast-join rollup — runs once (doc-sized frame).
+      val scored = graft.ops.QualityModels.dsirScore(docs, target).cache()
+      Curation.tokenBudgetSelect(scored, "dsir_score", "n_feat",
+        budget = 20000L, bucketDiv = 256L, bestLow = false)
+        .select("doc_id", "n_feat", "dsir_score")
+        .orderBy("doc_id")
+    },
+    Some(s"""$dsirScoredCtes,
+      sc2 AS (SELECT doc_id, n_feat, dsir_score, dsir_score // 256 AS qb
+              FROM scored),
+      hist AS (SELECT qb, sum(n_feat)::BIGINT AS bt FROM sc2 GROUP BY qb),
+      cum AS (SELECT qb, bt,
+                     coalesce(sum(bt) OVER (ORDER BY qb DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                       AS cum_hi
+              FROM hist),
+      kept_full AS (
+        SELECT s.doc_id, s.n_feat, s.dsir_score
+        FROM sc2 s JOIN cum c ON c.qb = s.qb
+        WHERE c.cum_hi + c.bt <= 20000),
+      kept_boundary AS (
+        SELECT doc_id, n_feat, dsir_score FROM (
+          SELECT s.doc_id, s.n_feat, s.dsir_score,
+                 c.cum_hi + sum(s.n_feat) OVER (ORDER BY s.dsir_score DESC, s.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM sc2 s JOIN cum c ON c.qb = s.qb
+          WHERE c.cum_hi < 20000 AND c.cum_hi + c.bt > 20000)
+        WHERE run <= 20000)
+      SELECT doc_id, n_feat, dsir_score FROM kept_full
+      UNION ALL
+      SELECT doc_id, n_feat, dsir_score FROM kept_boundary
+      ORDER BY doc_id"""))
+
+  /** [[graft.streaming.StreamOps.dsirStream]] under REAL micro-batch
+    * execution — importance scoring at ingest: DSIR weights train
+    * batch-side on the same (corpus, every-7th-doc) pair, freeze into
+    * a ≤4096-entry map, and the corpus streams through the per-row
+    * kernel in 4 chunks. Stateless (per-row cost O(doc length), nothing
+    * grows), so like stream_decontam_exec the gate proves KERNEL
+    * parity: the single-pass JVM tokenize → md5-fold → lookup → integer
+    * average lands byte-for-byte on the declarative batch plan's
+    * DuckDB-checked scores — the same-oracle twin of
+    * `sample_dsir_select`'s scoring stage. */
+  val streamDsirExec = Q(
+    "stream_dsir_exec",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      val wt = graft.ops.QualityModels.dsirWeights(docs, target)
+        .as[(Long, Long)].collect().toMap
+      val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val sink = s"stream_dsir_exec_sink_${CapSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .dsirStream(mem.toDF().toDF("doc_id", "text"), wt)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
+      s.table(sink).orderBy("doc_id")
+    },
+    Some(s"""$dsirScoredCtes
+      SELECT doc_id, n_feat, dsir_score FROM scored ORDER BY doc_id"""))
+
   /** The per-key ingest cap under REAL micro-batch execution (the
     * runtime gate for `StreamOps.capPerKey`, previously only
     * MemoryStream-spec'd): documents replayed source-keyed in 4
@@ -414,5 +556,5 @@ object CurationQueries {
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
       splitTrainVal, chunkDocuments, temperatureMix, qualityPercentileFilter,
-      tokenBudgetSample, streamCapExec)
+      tokenBudgetSample, dsirSelect, streamDsirExec, streamCapExec)
 }

@@ -386,6 +386,28 @@ object StreamOps {
     }.toDF("doc_id", "bench_id", "jaccard")
   }
 
+  /** DSIR importance scoring at ingest — the filter-at-the-firehose
+    * deployment of [[graft.ops.QualityModels.dsirScore]]: the ≤ dim-row
+    * weight table is trained OFFLINE on a (raw, target) pair, frozen,
+    * and shipped into the stream; each arriving doc scores in one
+    * zero-shuffle per-row pass via
+    * [[graft.ops.QualityModels.dsirScoreKernel]] (tokenize → md5 fold →
+    * weight lookup → integer average — O(doc length), no state, nothing
+    * grows). Stateless like [[decontaminateStream]]; the stream_dsir_exec
+    * gate proves the kernel lands byte-for-byte on the declarative batch
+    * plan's DuckDB-checked scores.
+    *
+    * Input: (doc_id LONG, text STRING). Output:
+    * (doc_id, n_feat LONG, dsir_score LONG). */
+  def dsirStream(
+      docs: DataFrame, weights: Map[Long, Long],
+      dim: Long = 4096L): DataFrame = {
+    val k = graft.ops.QualityModels.dsirScoreKernel(weights, dim)
+    docs.select(col("doc_id"), k(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("n_feat"),
+        col("s._2").as("dsir_score"))
+  }
+
   /** Per-key cap sampling over a stream: pass through at most `cap` records
     * per key — "keep at most N documents per domain/user" during training
     * data ingest. This is the one streaming op here that genuinely needs

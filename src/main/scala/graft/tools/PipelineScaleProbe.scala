@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "dsir") {
+      val spark0 = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark0.sparkContext.setLogLevel("ERROR")
+      val base = if (args.length > 1) args(1).toLong else 250000L
+      Seq(base, 4 * base).foreach(dsirLeg(spark0, _))
+      spark0.stop()
+      return
+    }
     val sizes =
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(250000L, 1000000L)
     val spark = SparkSession.builder().master("local[8]")
@@ -136,5 +145,56 @@ object PipelineScaleProbe {
       System.out.flush()
     }
     spark.stop()
+  }
+
+  /** DSIR leg (`dsir <n>`, the scale claim behind `sample_dsir_select` /
+    * `stream_dsir_exec`): a 90/10 two-pool corpus (pool A and pool B draw
+    * words from DISJOINT 2000-word vocabularies; target = a 1% pool-A
+    * sample), scored two ways at n and 4n — the declarative plan
+    * (training included) and the frozen-weight per-row kernel (the
+    * at-ingest deployment). Asserts the weight table broadcasts, pool-A
+    * docs separate from pool-B by score (min-A > max-B — disjoint vocab
+    * makes the gap structural), and reports both walls: train+score
+    * should be corpus-linear, and the kernel pass — one digest stream,
+    * no joins, no aggregation shuffle — strictly cheaper. */
+  def dsirLeg(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val pool = when(pmod(col("id"), lit(10)) === 0, lit("a")).otherwise(lit("b"))
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"), pool.as("pool"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => concat(pool, format_string("w%04d",
+          pmod(xxhash64(col("id"), j), lit(2000)))))).as("text"))
+      .localCheckpoint(eager = true)
+    val target = docs.filter(col("pool") === "a" && col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text"))
+    val scoreIn = docs.select(col("doc_id"), col("text"))
+
+    val t0 = System.nanoTime()
+    val scored = graft.ops.QualityModels.dsirScore(scoreIn, target).cache()
+    val nScored = scored.count()
+    val declWall = (System.nanoTime() - t0) / 1e9
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "weight table did not broadcast")
+    val sep = scored.join(docs.select("doc_id", "pool"), "doc_id")
+      .groupBy("pool")
+      .agg(min("dsir_score").as("lo"), max("dsir_score").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sep("a")._1 > sep("b")._2,
+      s"pool separation lost: minA=${sep("a")._1} maxB=${sep("b")._2}")
+
+    val wt = graft.ops.QualityModels.dsirWeights(scoreIn, target)
+      .as[(Long, Long)].collect().toMap
+    val k = graft.ops.QualityModels.dsirScoreKernel(wt)
+    val t1 = System.nanoTime()
+    val kerAgg = scoreIn.select(k(col("text")).as("s"))
+      .agg(count(lit(1)), sum("s._2")).collect()(0)
+    val kerWall = (System.nanoTime() - t1) / 1e9
+    assert(kerAgg.getLong(0) == n, "kernel pass lost rows")
+    println(s"""{"probe":"dsir","n_docs":$n,"n_scored":$nScored,""" +
+      s""""min_a":${sep("a")._1},"max_b":${sep("b")._2},""" +
+      f""""wall_train_score_sec":$declWall%.2f,"wall_kernel_sec":$kerWall%.2f}""")
+    scored.unpersist()
+    System.out.flush()
   }
 }

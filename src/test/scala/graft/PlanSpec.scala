@@ -190,6 +190,20 @@ class PlanSpec extends AnyFunSuite {
       s"feature counts must partial-aggregate map-side:\n$p")
   }
 
+  test("dsir: weight table broadcasts; partial-agg counts; no window, no cartesian") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val p = plan(graft.ops.QualityModels.dsirScore(docs,
+      docs.filter(col("doc_id") % 7 === 0)))
+    assert(p.contains("BroadcastExchange"),
+      s"the <=dim-row weight table must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-side shuffle join belongs in DSIR scoring:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in scoring:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("token budget: histogram before windows; full buckets keep via semi-join") {
     val nTokens = size(split(col("text"), " ")).cast("long")
     val scored = Tables.documents(spark, dir)

@@ -62,4 +62,66 @@ class TextModelSpec extends AnyFunSuite {
     val again = TextQueries.qualityClassifier.run(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("qlog2: exact at powers of two, monotone, 10-bit-accurate") {
+    import spark.implicits._
+    val n = (1L to 4096L) ++ Seq(1L << 20, (1L << 20) + 1, 123456789L)
+    val got = n.toDF("n")
+      .select(col("n"), graft.ops.QualityModels.qlog2(col("n")).as("q"))
+      .orderBy("n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (v, q) =>
+      if ((v & (v - 1)) == 0) // power of two: exact
+        assert(q == 1024L * java.lang.Long.numberOfTrailingZeros(v))
+      val err = math.abs(q / 1024.0 - math.log(v.toDouble) / math.log(2))
+      assert(err < 0.09, s"qlog2($v)=$q off by $err bits")
+    }
+    got.sliding(2).foreach { case Array((v1, q1), (v2, q2)) =>
+      assert(q1 <= q2, s"qlog2 not monotone at $v1->$v2")
+    }
+  }
+
+  test("dsir: target-domain docs outscore off-domain docs; selection keeps them") {
+    import spark.implicits._
+    // two disjoint vocab pools; target drawn from pool A only
+    def doc(id: Long, pool: String) =
+      (id, (0 until 30).map(j => s"${pool}w${(id * 7 + j * 3) % 40}").mkString(" "))
+    val docs = ((0L until 40L).map(doc(_, "a")) ++
+      (40L until 80L).map(doc(_, "b"))).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") < 10) // pool-A sample
+    val scored = graft.ops.QualityModels.dsirScore(docs, target).cache()
+    val byId = scored.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_score")).toMap
+    val aMin = (0L until 40L).map(byId).min
+    val bMax = (40L until 80L).map(byId).max
+    assert(aMin > bMax,
+      s"every pool-A doc must outscore every pool-B doc (aMin=$aMin bMax=$bMax)")
+    // a budget sized to pool A's feature mass keeps exactly pool A
+    val aFeats = graft.ops.QualityModels.dsirScore(docs, target)
+      .filter(col("doc_id") < 40).agg(sum("n_feat")).collect()(0).getLong(0)
+    val kept = graft.ops.Curation
+      .tokenBudgetSelect(scored, "dsir_score", "n_feat",
+        budget = aFeats, bucketDiv = 256L, bestLow = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 40L).toSet,
+      "selection under a pool-A-sized budget must keep exactly pool A")
+  }
+
+  test("dsir: per-row kernel lands on the declarative plan's scores exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val wt = graft.ops.QualityModels.dsirWeights(docs, target)
+      .as[(Long, Long)].collect().toMap
+    val declarative = graft.ops.QualityModels.dsirScore(docs, target)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feat"), r.getAs[Long]("dsir_score"))).toMap
+    val k = graft.ops.QualityModels.dsirScoreKernel(wt)
+    val kernel = docs.select(col("doc_id"), k(col("text")).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> {
+        val s = r.getStruct(1); (s.getLong(0), s.getLong(1))
+      }).toMap
+    assert(kernel == declarative,
+      "kernel and declarative DSIR must agree byte-for-byte")
+  }
 }
