@@ -426,9 +426,14 @@ object CurationQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val target = docs.filter(col("doc_id") % 7 === 0)
       // tokenBudgetSelect reads `scored` three times (histogram, full
-      // buckets, boundary bucket); cached, the scoring DAG — two count
-      // passes + the broadcast-join rollup — runs once (doc-sized frame).
-      val scored = graft.ops.QualityModels.dsirScore(docs, target).cache()
+      // buckets, boundary bucket); checkpointed, the scoring DAG — two
+      // count passes + the broadcast-join rollup — runs once (doc-sized
+      // frame). localCheckpoint, NOT cache(): CacheManager would pin the
+      // frame for the session's lifetime AND serve a repeat bench run
+      // from memory, understating this entry's cost vs every other
+      // entry; checkpoint blocks are GC-reclaimed with the plan.
+      val scored = graft.ops.QualityModels.dsirScore(docs, target)
+        .localCheckpoint(eager = true)
       Curation.tokenBudgetSelect(scored, "dsir_score", "n_feat",
         budget = 20000L, bucketDiv = 256L, bestLow = false)
         .select("doc_id", "n_feat", "dsir_score")

@@ -419,6 +419,9 @@ ${affineSigCtes()},
   private[graft] def decontaminateFuzzyFrom(
       docs: DataFrame, bench: DataFrame, benchFloor: Long,
       family: String = "affine"): DataFrame = {
+    require(family == "md5" || family == "affine",
+      s"unknown signature family: $family") // a silent fallback would let
+    // the probe misattribute its recall/wall numbers to the wrong kernel
     val bandFn: DataFrame => DataFrame =
       if (family == "md5") bandsOf else bandsOfFast
     val benchBands = bandFn(bench)

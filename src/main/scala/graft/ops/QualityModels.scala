@@ -173,10 +173,15 @@ object QualityModels {
     features(docs)
       .groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), col("cnt"), bucketOf(col("f"), dim).as("b"))
-      .join(broadcast(wt), Seq("b"))
+      // LEFT join + delta-0 default so buckets absent from the weight
+      // table (possible only when `docs` isn't the training raw — the
+      // frozen-weights serving deployment) score exactly like the
+      // kernel's getOrElse(0); with docs == raw every bucket is present
+      // and this is the inner join the oracle replays.
+      .join(broadcast(wt), Seq("b"), "left")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_feat"),
-        sum(col("cnt") * (col("delta") + 65536L)).as("ssum"))
+        sum(col("cnt") * (coalesce(col("delta"), lit(0L)) + 65536L)).as("ssum"))
       .select(col("doc_id"), col("n_feat"),
         expr("ssum div n_feat").as("dsir_score"))
   }
@@ -190,7 +195,7 @@ object QualityModels {
     * Returns struct(n_feat, dsir_score). */
   def dsirScoreKernel(weights: Map[Long, Long], dim: Long = 4096L): UserDefinedFunction =
     udf { text: String =>
-      val w = text.toLowerCase.split(" ", -1)
+      val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
       val md = java.security.MessageDigest.getInstance("MD5")
       var ssum = 0L
       var n = 0L

@@ -573,8 +573,10 @@ object DedupScaleProbe {
     * physical plan) while the corpus streams map-side through the
     * per-row affine kernel; end-to-end wall should be ~linear in n at a
     * fixed benchmark. Benchmark = one-token-appended copies of the
-    * first nBench docs (J ≈ 0.93 — over the 0.8 threshold), run at n
-    * and 4n; asserts every planted source doc is flagged. */
+    * first nBench docs (40-token bodies ⇒ 3-shingle J = 38/39 ≈ 0.97,
+    * well over the 0.8 threshold — the operating point the recall-floor
+    * analysis below rests on), run at n and 4n; asserts every planted
+    * source doc is flagged. */
   def decontamLeg(spark: SparkSession, n: Int, nBench: Int): Unit = {
     import graft.catalog.DedupQueries
     def corpus(m: Int) = spark.range(m).select(
