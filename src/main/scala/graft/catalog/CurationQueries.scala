@@ -358,6 +358,64 @@ object CurationQueries {
       SELECT doc_id, q_1e6, n_tokens FROM kept_boundary
       ORDER BY doc_id"""))
 
+  /** UniMax language mixing ([[graft.ops.Curation.unimaxAlloc]]) —
+    * budget-capped uniform allocation, the temperature-free data-mix
+    * pass: budget = 2/3 of the corpus's total tokens (derived from the
+    * data so both SFs exercise the same structure), epoch cap = 1. On
+    * the fixture the smallest language caps out and the rest share the
+    * remainder uniformly (±1 token by name order) — the oracle replays
+    * the closed-form waterfill (sorted prefix-sum capping condition,
+    * integer quotient/remainder spread) 1:1, so the gate proves the
+    * allocation algebra, not just row shapes. The driver-side budget
+    * scalar is one tiny agg (languages-sized input; same pattern as
+    * stream_dsir_exec's frozen weights). */
+  val unimaxMix = Q(
+    "sample_unimax_mix",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+      val total = docs.agg(sum("n_tok")).collect()(0).getLong(0)
+      Curation.unimaxAlloc(docs, strata = "lang", tokensCol = "n_tok",
+        budget = total * 2 / 3, epochs = 1)
+        .orderBy("lang")
+    },
+    Some("""
+      WITH tokc AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                           sum(len(string_split(lower(text), ' ')))::BIGINT
+                             AS avail
+                    FROM documents GROUP BY lang),
+      tot AS (SELECT count(*)::BIGINT AS l_tot,
+                     ((SELECT sum(len(string_split(lower(text), ' ')))
+                       FROM documents) * 2 // 3)::BIGINT AS b
+              FROM tokc),
+      idx AS (SELECT lang, n_docs, avail, avail AS cap,
+                     row_number() OVER (ORDER BY avail, lang)::BIGINT AS i,
+                     coalesce(sum(avail) OVER (ORDER BY avail, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS p_pre
+              FROM tokc),
+      cp AS (SELECT idx.*, t.l_tot, t.b,
+                    (cap * (l_tot - i + 1) + p_pre <= b) AS capped
+             FROM idx, tot t),
+      ks AS (SELECT coalesce(sum(CASE WHEN capped THEN 1 END), 0)::BIGINT AS k,
+                    coalesce(sum(CASE WHEN capped THEN cap END), 0)::BIGINT
+                      AS p_k
+             FROM cp),
+      al AS (SELECT cp.*, ks.k, ks.p_k,
+                    ((b - p_k) // greatest(l_tot - k, 1))::BIGINT AS q,
+                    ((b - p_k) % greatest(l_tot - k, 1))::BIGINT AS r,
+                    row_number() OVER (PARTITION BY capped ORDER BY lang)::BIGINT
+                      AS j
+             FROM cp, ks)
+      SELECT lang, n_docs, avail AS avail_tokens,
+             CASE WHEN capped THEN cap
+                  ELSE q + (CASE WHEN j <= r THEN 1 ELSE 0 END) END
+               AS alloc_tokens,
+             (CASE WHEN capped THEN cap
+                   ELSE q + (CASE WHEN j <= r THEN 1 ELSE 0 END) END)
+               * 10000 // cap AS rate_bp
+      FROM al ORDER BY lang"""))
+
   /** DuckDB replay of [[graft.ops.QualityModels.dsirScore]] 1:1 —
     * hashed uni+bigram features, per-bucket raw vs target (doc_id % 7)
     * counts, the integer fixed-point qlog2 (fl from a max-over-series
@@ -561,5 +619,5 @@ object CurationQueries {
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
       splitTrainVal, chunkDocuments, temperatureMix, qualityPercentileFilter,
-      tokenBudgetSample, dsirSelect, streamDsirExec, streamCapExec)
+      tokenBudgetSample, unimaxMix, dsirSelect, streamDsirExec, streamCapExec)
 }

@@ -428,5 +428,104 @@ object PipelineQueries {
              sum(n_tok)::BIGINT AS sum_tokens
       FROM packed GROUP BY source ORDER BY source"""))
 
-  def qs: Seq[Q] = Seq(curate, curateNearDup, pretrainShard, pretrainShardV2)
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020)
+    * — the curation move the fixed-threshold LM filter (`text_lm_score`)
+    * can't make: a single tau miscalibrates across languages, so CCNet
+    * buckets each LANGUAGE's perplexity distribution into its own
+    * head/middle/tail terciles and keeps head+middle. Composition:
+    * stopword-ratio lang-ID (text_lang_id's plan) → add-one bigram-LM
+    * micro-nat NLL against the trusted doc_id % 4 slice (text_lm_score's
+    * plan) → integer per-token perplexity `ppl_q = nll_micro div
+    * n_tokens` → per-pred_lang type-7 terciles (the cross-engine-exact
+    * percentile pattern of doc_quality_percentile_filter — integer
+    * inputs, thresholds interpolate identically in DuckDB's
+    * quantile_cont) → per-doc bucket assignment. Output is the full
+    * per-doc assignment (doc_id, pred_lang, ppl_q, bucket), hash-gated.
+    * 100 TB shape: lang-ID and LM both end in doc-sized rollups (no new
+    * shuffles beyond their proven plans), the tercile table is
+    * languages-sized and BROADCASTS, bucket assignment is map-side; the
+    * only windows are per-doc-partitioned (lang-ID top-1). */
+  val ccnet = Q(
+    "doc_pipeline_ccnet",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val stopDf = TextQueries.stopwords.toDF("lang_cand", "word")
+      val tok = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      val cnt = docs.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("lang_cand"))
+      val pred = tok.join(broadcast(stopDf), Seq("word"))
+        .groupBy("doc_id", "lang_cand").agg(count(lit(1)).as("hits"))
+        .join(cnt, "doc_id")
+        .withColumn("score", col("hits").cast("double") / col("n"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang_cand").as("pred_lang"))
+      val lm = graft.ops.QualityModels
+        .lmScore(docs, docs.filter(col("doc_id") % 4 === 0), tauMicro = 0L)
+        .select(col("doc_id"), expr("nll_micro div n_tokens").as("ppl_q"))
+      val scored = lm.join(pred, "doc_id")
+      val thr = scored.groupBy("pred_lang").agg(
+        expr("percentile(ppl_q, 0.3333333333333333d)").as("t1"),
+        expr("percentile(ppl_q, 0.6666666666666666d)").as("t2"))
+      scored.join(broadcast(thr), "pred_lang")
+        .select(col("doc_id"), col("pred_lang"), col("ppl_q"),
+          when(col("ppl_q") <= col("t1"), "head")
+            .when(col("ppl_q") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+      big AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS ctx,
+               w[i] AS word
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tok0)),
+      train AS MATERIALIZED (
+        SELECT ctx, word FROM big WHERE doc_id % 4 = 0),
+      c2 AS (SELECT ctx, word, count(*) AS c2 FROM train GROUP BY ctx, word),
+      c1 AS (SELECT ctx, count(*) AS c1 FROM train GROUP BY ctx),
+      v AS (SELECT count(DISTINCT word) + 1 AS v FROM train),
+      sc AS (SELECT b.doc_id,
+                    CAST(round(-ln((coalesce(c2.c2, 0) + 1)::DOUBLE
+                                   / (coalesce(c1.c1, 0) + v.v)) * 10000)
+                         AS BIGINT) AS q
+             FROM big b
+             LEFT JOIN c2 ON c2.ctx = b.ctx AND c2.word = b.word
+             LEFT JOIN c1 ON c1.ctx = b.ctx, v),
+      lm AS (SELECT doc_id, sum(q)::BIGINT // count(*)::BIGINT AS ppl_q
+             FROM sc GROUP BY doc_id),
+      stop(lang_cand, word) AS (VALUES ${TextQueries.stopValues}),
+      tokw AS (SELECT doc_id, unnest(w) AS word FROM tok0),
+      cnt AS (SELECT doc_id, len(w)::BIGINT AS n FROM tok0),
+      hits AS (SELECT t.doc_id, s.lang_cand, count(*) AS hits
+               FROM tokw t JOIN stop s ON s.word = t.word
+               GROUP BY t.doc_id, s.lang_cand),
+      pred AS (SELECT doc_id, lang_cand AS pred_lang
+               FROM (SELECT h.doc_id, h.lang_cand,
+                            row_number() OVER (
+                              PARTITION BY h.doc_id
+                              ORDER BY h.hits::DOUBLE / c.n DESC, h.lang_cand)
+                              AS rn
+                     FROM hits h JOIN cnt c USING (doc_id))
+               WHERE rn = 1),
+      scored AS (SELECT l.doc_id, p.pred_lang, l.ppl_q
+                 FROM lm l JOIN pred p USING (doc_id)),
+      thr AS (SELECT pred_lang,
+                     quantile_cont(ppl_q, 0.3333333333333333) AS t1,
+                     quantile_cont(ppl_q, 0.6666666666666666) AS t2
+              FROM scored GROUP BY pred_lang)
+      SELECT s.doc_id, s.pred_lang, s.ppl_q,
+             CASE WHEN s.ppl_q <= t.t1 THEN 'head'
+                  WHEN s.ppl_q <= t.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s JOIN thr t USING (pred_lang)
+      ORDER BY s.doc_id"""))
+
+  def qs: Seq[Q] = Seq(curate, curateNearDup, pretrainShard, pretrainShardV2,
+    ccnet)
 }

@@ -221,6 +221,57 @@ object Curation {
     keptFull.unionAll(keptBoundary).drop("qb")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total token `budget` as UNIFORMLY as
+    * possible across strata, capping each stratum at `epochs` passes
+    * over its available tokens — the principled alternative to
+    * temperature mixing (no temperature to tune; low-resource languages
+    * are never oversampled past their epoch cap, high-resource never
+    * dominate). Exact integer waterfill, closed form: sort strata by
+    * cap ascending; stratum i is capped iff cap_i·(L−i+1) + P_{i−1} ≤ B
+    * (P = prefix cap sum — the standard prefix property makes the
+    * condition self-consistent); capped strata take their cap, the rest
+    * share (B − P_k) by integer division with the remainder going to
+    * the first r uncapped strata in name order — deterministic,
+    * documented, and sum(alloc) == B exactly whenever the budget fits
+    * under the total capacity. All windows run over the STRATA table
+    * (bounded — languages, not docs; the proven bucket-table shape).
+    * Returns (strata, n_docs, avail_tokens, alloc_tokens, rate_bp)
+    * with rate_bp = alloc·10000 div (epochs·avail) — 10000 exactly for
+    * capped strata. */
+  def unimaxAlloc(
+      docs: DataFrame, strata: String, tokensCol: String,
+      budget: Long, epochs: Int = 1): DataFrame = {
+    require(epochs >= 1, s"epochs >= 1, got $epochs")
+    val caps = docs.groupBy(strata)
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("avail"))
+      .withColumn("cap", col("avail") * epochs)
+    val wOrd = Window.orderBy(col("cap").asc, col(strata))
+    val idx = caps
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("p_pre", coalesce(
+        sum("cap").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val tot = caps.agg(count(lit(1)).as("l_tot"), lit(budget).as("b"))
+    val cp = idx.crossJoin(broadcast(tot))
+      .withColumn("capped",
+        col("cap") * (col("l_tot") - col("i") + 1L) + col("p_pre") <= col("b"))
+    val ks = cp.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("p_k"))
+    cp.crossJoin(broadcast(ks))
+      .withColumn("q", expr("(b - p_k) div greatest(l_tot - k, 1L)"))
+      .withColumn("r", expr("(b - p_k) % greatest(l_tot - k, 1L)"))
+      .withColumn("j", row_number()
+        .over(Window.partitionBy("capped").orderBy(strata)).cast("long"))
+      .withColumn("alloc_tokens", when(col("capped"), col("cap"))
+        .otherwise(col("q") + when(col("j") <= col("r"), 1L).otherwise(0L)))
+      .select(col(strata), col("n_docs"), col("avail").as("avail_tokens"),
+        col("alloc_tokens"),
+        expr("alloc_tokens * 10000 div cap").as("rate_bp"))
+  }
+
   /** Concat-and-chunk sequence packing: assign docs (in docId order within
     * each `strata`) to fixed-budget training sequences by running token
     * cumsum div `budget`. Returns the input plus (seq_id, cum). */

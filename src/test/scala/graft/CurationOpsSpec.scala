@@ -66,4 +66,40 @@ class CurationOpsSpec extends AnyFunSuite {
     // tau = 1 keeps everything
     assert(Curation.temperatureSample(docs, "source", tau = 1.0).count() == 450)
   }
+
+  test("unimaxAlloc: waterfill invariants on a known case and the fixture") {
+    import spark.implicits._
+    // known case: caps 10/20/70, budget 60 -> a capped at 10, b capped at
+    // 20 (20*2+10=50<=60), c takes the rest (30)
+    val docs = (Seq.fill(1)(("a", 10L)) ++ Seq.fill(2)(("b", 10L)) ++
+      Seq.fill(7)(("c", 10L))).toDF("lang", "n_tok")
+    val out = Curation.unimaxAlloc(docs, "lang", "n_tok", budget = 60L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("rate_bp"))).toMap
+    assert(out("a") == (10L, 10000L) && out("b") == (20L, 10000L)
+      && out("c") == (30L, 4285L), s"waterfill wrong: $out")
+    // epoch cap 2 doubles capacity: a caps at 20, b/c share the rest
+    val out2 = Curation.unimaxAlloc(docs, "lang", "n_tok",
+      budget = 60L, epochs = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(out2("a") == 20L && out2("b") == 20L && out2("c") == 20L, s"$out2")
+    // fixture: sum(alloc) == budget exactly; alloc never exceeds cap;
+    // uncapped allocations uniform within 1
+    val fx = core.Tables.documents(spark, SparkTestBase.sf0001)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.expr(
+          "cast(size(split(lower(text), ' ')) as long)").as("n_tok"))
+    val total = fx.agg(org.apache.spark.sql.functions.sum("n_tok"))
+      .collect()(0).getLong(0)
+    val b = total * 2 / 3
+    val rows = Curation.unimaxAlloc(fx, "lang", "n_tok", budget = b).collect()
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum == b,
+      "allocation must spend the budget exactly when it fits under capacity")
+    rows.foreach(r => assert(
+      r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("avail_tokens")))
+    val un = rows.filter(_.getAs[Long]("rate_bp") < 10000L)
+      .map(_.getAs[Long]("alloc_tokens"))
+    if (un.nonEmpty)
+      assert(un.max - un.min <= 1L, s"uncapped allocs not uniform: ${un.toSeq}")
+  }
 }

@@ -94,4 +94,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast join for the stopword table:\n$plan")
   }
+
+  test("ccnet: per-lang terciles balance, buckets partition each language") {
+    val rows = PipelineQueries.ccnet.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "one bucket assignment per doc")
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      val n = rs.length
+      // type-7 tercile thresholds split a tie-free integer sample into
+      // thirds within one doc; micro-nat ppl_q makes ties negligible
+      val head = byBucket.getOrElse("head", 0)
+      val tail = byBucket.getOrElse("tail", 0)
+      assert(math.abs(head - n / 3) <= 2 && math.abs(tail - n / 3) <= 2,
+        s"$lang terciles unbalanced: $byBucket over $n docs")
+      // the CCNet keep (head+middle) is ~2/3 of the language
+      assert(head + byBucket.getOrElse("middle", 0) >= 2 * n / 3 - 2)
+      // within a language, every head doc has ppl <= every tail doc
+      val maxHead = rs.filter(_.getString(3) == "head")
+        .map(_.getLong(2)).maxOption.getOrElse(Long.MinValue)
+      val minTail = rs.filter(_.getString(3) == "tail")
+        .map(_.getLong(2)).minOption.getOrElse(Long.MaxValue)
+      assert(maxHead <= minTail,
+        s"$lang bucket order violated: head max $maxHead > tail min $minTail")
+    }
+  }
+
+  test("ccnet: tercile table broadcasts; only per-doc windows") {
+    val plan = PipelineQueries.ccnet.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the languages-sized tercile table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.forall(_.contains("doc_id")),
+      s"every window must be doc-partitioned (lang-ID top-1 only):\n" +
+        windows.mkString("\n"))
+  }
 }
