@@ -46,6 +46,34 @@ object TextMatchQueries {
              n_cov_tok * 10000 // n_tok AS dup_frac_1e4
       FROM cov ORDER BY doc_id"""))
 
+  /** Memorization/canary-risk audit ([[graft.ops.TextMatch.rareSpanAudit]]):
+    * per-doc corpus-unique 8-token-window fraction and minimum window
+    * document frequency — the training-privacy observable next to
+    * `dedup_span_exact`'s duplication coverage (same window/hash
+    * machinery, inverse threshold direction). */
+  val rareSpan = Q(
+    "text_rare_span_audit",
+    (s, dir) =>
+      TextMatch.rareSpanAudit(Tables.documents(s, dir), k = 8)
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      wins AS (SELECT doc_id, len(toks)::BIGINT AS n_tok, i AS pos,
+                      md5(array_to_string(toks[i:i+7], ' ')) AS h
+               FROM w, unnest(range(1, len(toks) - 6)) t(i)),
+      dfg AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS df
+              FROM wins GROUP BY h)
+      SELECT doc_id, any_value(n_tok) AS n_tok,
+             count(*)::BIGINT AS n_wins,
+             coalesce(sum(CASE WHEN df = 1 THEN 1 END), 0)::BIGINT
+               AS n_unique_wins,
+             coalesce(sum(CASE WHEN df = 1 THEN 1 END), 0)::BIGINT
+               * 10000 // count(*)::BIGINT AS uniq_frac_1e4,
+             min(df) AS min_df
+      FROM wins JOIN dfg USING (h)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Substring-level REMOVAL ([[graft.ops.TextMatch.spanScrub]] — the
     * Lee-et-al. pass dedup_span_exact only measures): every token covered
     * by a non-first occurrence of a cross-doc duplicated 8-token window
@@ -187,5 +215,6 @@ object TextMatchQueries {
       WHERE levenshtein(a.s, b.s) <= 2
       ORDER BY id_a, id_b"""))
 
-  def qs: Seq[Q] = Seq(spanDedup, spanScrub, paragraphs, phrase, fuzzyJoin)
+  def qs: Seq[Q] =
+    Seq(spanDedup, rareSpan, spanScrub, paragraphs, phrase, fuzzyJoin)
 }

@@ -70,6 +70,47 @@ object TextMatch {
         expr("n_cov_tok * 10000 div n_tok").as("dup_frac_1e4"))
   }
 
+  /** Per-document RARE-span audit — the inverse observable of
+    * [[spanDedupStats]] and the memorization/canary-risk signal a
+    * training-privacy pass thresholds on (Carlini-style canary
+    * extraction targets sequences the model saw in exactly one
+    * document): for each doc, how many of its k-token windows are
+    * corpus-UNIQUE (document frequency 1), the integer-quantized
+    * unique fraction, and the minimum df over its windows (min_df = 1
+    * ⟹ the doc carries at least one span no other doc has; a doc full
+    * of PII or keys with uniq_frac ≈ 10000 is the canary profile,
+    * while boilerplate scores near 0). Same plan family as the span
+    * ops: windows explode map-side, only 32-byte md5 hashes shuffle
+    * (gram text never leaves the map side), df is a gram-sized
+    * aggregate, and the join-back is the one corpus-sized exchange.
+    * Returns (docId, n_tok, n_wins, n_unique_wins, uniq_frac_1e4,
+    * min_df) for docs with ≥ k tokens. */
+  def rareSpanAudit(
+      docs: DataFrame, k: Int = 8,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val wins = docs
+      .filter(size(toks) >= k)
+      .select(col(docId), size(toks).cast("long").as("n_tok"), toks.as("toks"))
+      .select(col(docId), col("n_tok"), col("toks"),
+        posexplode(sequence(lit(1), col("n_tok").cast("int") - (k - 1)))
+          .as(Seq("pos", "start")))
+    val hashed = wins.select(col(docId), col("n_tok"), col("pos"),
+      md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
+        .cast("binary")).as("h"))
+    val df = hashed.groupBy("h")
+      .agg(count_distinct(col(docId)).as("df"))
+    hashed.join(df, "h")
+      .groupBy(docId)
+      .agg(first("n_tok").as("n_tok"),
+        count(lit(1)).as("n_wins"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique_wins"),
+        min("df").as("min_df"))
+      .select(col(docId), col("n_tok"), col("n_wins"), col("n_unique_wins"),
+        expr("n_unique_wins * 10000 div n_wins").as("uniq_frac_1e4"),
+        col("min_df"))
+  }
+
   /** Substring-level SCRUB — the removal pass [[spanDedupStats]] only
     * measures (Lee et al., "Deduplicating Training Data Makes Language
     * Models Better": drop the repeated substring, keep one copy): a token

@@ -31,6 +31,30 @@ class TextMatchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(Row(1L, 1L, 8L, 5000L), Row(2L, 1L, 8L, 5000L)))
   }
 
+  test("rareSpanAudit: planted shared block lowers min_df; clean doc is all-unique") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x1 y1 z1 w1 v1 u1 t1 s1"),
+      (2L, "p2 q2 a b c d e f g h r2 s2 t2 u2 v2 w2"),
+      (3L, "m3 n3 o3 p3 q3 r3 s3 t3 u3 v3 w3 x3 y3 z3 k3 l3"))
+      .toDF("doc_id", "text")
+    val out = TextMatch.rareSpanAudit(docs, k = 8).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // 16 tokens -> 9 windows each; docs 1/2 share exactly ONE window
+    // (the identical "a b c d e f g h" run), the other 8 are unique
+    assert(out(1L) == (9L, 8L, 8888L, 1L), s"doc1: ${out(1L)}")
+    assert(out(2L) == (9L, 8L, 8888L, 1L), s"doc2: ${out(2L)}")
+    // the clean doc is the canary profile: every window unique, min_df 1
+    assert(out(3L) == (9L, 9L, 10000L, 1L), s"doc3: ${out(3L)}")
+    // a pure duplicate pair has min_df 2 and zero unique windows
+    val dup = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val d = TextMatch.rareSpanAudit(dup, k = 8).orderBy("doc_id").collect()
+    d.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 2L)
+    }
+  }
+
   test("spanDedupStats: overlapping windows count tokens once") {
     // a 10-token shared run yields 3 overlapping 8-windows but covers
     // exactly 10 distinct tokens.
