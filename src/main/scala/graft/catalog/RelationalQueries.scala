@@ -1751,6 +1751,137 @@ object RelationalQueries {
     },
     eventsAttribution.oracle)
 
+  /** The streaming as-of join under REAL micro-batch execution — the last
+    * spec-only streaming op gets its driver-checked exec gate: the
+    * q_events_asof query (purchase ← latest at-or-before click per user)
+    * replayed ts-ordered in 2 chunks through
+    * [[graft.streaming.StreamOps.asofStream]] (rights buffer across
+    * batches; a left emits only when the watermark proves its right-side
+    * history complete), then flushed by two far-future sentinel RIGHT
+    * rows on an unused key — rights never emit, so the sentinels advance
+    * the watermark and fire the event-time timeouts without adding output
+    * rows. Hash-gated against the SAME DuckDB ASOF LEFT JOIN oracle shape
+    * as the batch entries (minus the value column the stream op doesn't
+    * carry): the streaming runtime must land on the identical match set,
+    * null matches included. */
+  val asofStreamExec = Q(
+    "stream_asof_exec",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      // rights deduped to one per (user, us), as in the batch query; ts is
+      // functionally determined by us, so max(ts) is THE group's ts
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max("event_id").as("id"), max("ts").as("ts"))
+        .select(col("user_id").as("key"), col("ts"), col("us"),
+          lit(0).as("side"), col("id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"), col("us"),
+          lit(1).as("side"), col("event_id").as("id"))
+      val rows = clicks.unionByName(purchases)
+        .as[(Long, java.sql.Timestamp, Long, Int, Long)]
+        .collect().sortBy(r => (r._3, r._4, r._5))
+      def sentinel(hours: Int) = {
+        val us = rows.map(_._3).max + hours * 3600000000L
+        (-1L, new java.sql.Timestamp(us / 1000L), us, 0, -1L)
+      }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, Int, Long)]
+      val sink = s"stream_asof_exec_sink_${StreamSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamOps
+          .asofStream(mem.toDF().toDF("key", "ts", "us", "side", "id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+          mem.addData(Seq(sentinel(2))) // 1h lateness + margin
+          q.processAllAvailable() // advances the watermark past every left
+          mem.addData(Seq(sentinel(3)))
+          q.processAllAvailable() // fires the timeouts that emit
+        } finally q.stop()
+      }
+      s.table(sink).filter(col("key") >= 0)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("us").as("purchase_us"), col("match_id").as("click_id"),
+          col("match_us").as("click_us"),
+          (col("us") - col("match_us")).as("lag_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+                 FROM events),
+      c AS (SELECT user_id, us AS click_us, max(event_id) AS click_id
+            FROM e WHERE event_type = 'click' GROUP BY user_id, us),
+      p AS (SELECT event_id, user_id, us FROM e
+            WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.us AS purchase_us,
+             c.click_id, c.click_us, p.us - c.click_us AS lag_us
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.us >= c.click_us
+      ORDER BY p.event_id"""))
+
+  /** The NATIVE stream-stream interval join under real micro-batch
+    * execution ([[graft.streaming.StreamOps.rangeJoinStream]]): the
+    * q_events_range_join query (purchases attributed to the signup whose
+    * one-hour window contains them) with BOTH sides streaming — signups
+    * and purchases each replayed through their own MemoryStream in 2
+    * time-aligned chunks (splitting both streams at the same timestamp
+    * keeps every cross-batch match inside the join-state horizon: an open
+    * window is expired only when the watermark passes
+    * `open_ts + window + lateness`, and a later-batch point inside that
+    * window is provably newer). Inner-join emission is immediate, so no
+    * sentinel flush is needed. Hash-gated against the batch entry's exact
+    * oracle — the raw inequality join run in DuckDB. */
+  val rangeJoinStreamExec = Q(
+    "stream_range_exec",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().sortBy(_._2.getTime)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().sortBy(_._2.getTime)
+      val allMs = (signups ++ purchases).map(_._2.getTime)
+      val midMs = (allMs.min + allMs.max) / 2
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val oMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val sink = s"stream_range_exec_sink_${StreamSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamOps.rangeJoinStream(
+            pMem.toDF().toDF("user_id", "ts", "purchase_id"),
+            oMem.toDF().toDF("o_user_id", "open_ts", "signup_id"))
+          .select(col("signup_id"), col("purchase_id"),
+            (unix_micros(col("ts")) - unix_micros(col("open_ts")))
+              .as("delay_us"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          Seq[java.sql.Timestamp => Boolean](
+            _.getTime <= midMs, _.getTime > midMs).foreach { inChunk =>
+            pMem.addData(purchases.filter(r => inChunk(r._2)).toSeq)
+            oMem.addData(signups.filter(r => inChunk(r._2)).toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
+      s.table(sink).orderBy("signup_id", "purchase_id")
+    },
+    eventsRangeJoin.oracle)
+
   def qs: Seq[Q] = Seq(
     q1Agg, joinRevenue, topOrders, eventsHourly, topK,
     eventsHourlyStream, eventsHourlyStreamExec, eventsSessions,
@@ -1764,5 +1895,5 @@ object RelationalQueries {
     funnelTimeToConvert,
     eventsTransitions, eventsAnomaly, eventsAbtest,
     eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,
-    sketchStreamExec)
+    sketchStreamExec, asofStreamExec, rangeJoinStreamExec)
 }
