@@ -1346,6 +1346,58 @@ ${affineSigCtes("MATERIALIZED")},
       SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
       FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  /** SOFT dedup — down-WEIGHT duplicates instead of dropping them (the
+    * SoftDeDup move, He et al. 2024: hard removal throws away the signal
+    * that a document's content was independently published many times;
+    * reweighting keeps every copy in the corpus but makes each duplicate
+    * CLUSTER contribute one document's worth of sampling mass). Every doc
+    * gets its near-dup cluster's label (singletons label themselves),
+    * the cluster size, and an integer basis-point sampling weight
+    * `10000 div cluster_size` — a trainer samples docs proportional to
+    * weight_bp and sees deduplicated data without losing any document.
+    * Cost over the shared pair cache: one components fixpoint on the
+    * PAIR graph (pairs-sized, tiny next to the corpus), one left join to
+    * label all docs, one cluster-sized count — nothing corpus-quadratic.
+    * The oracle replays closure, labeling, sizing and the integer weight,
+    * so the whole reweighting is inside the hash gate. */
+  val softWeights = Q(
+    "dedup_soft_weights",
+    (s, dir) => {
+      val edges = NgramPairsCache.get(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = graft.ops.ConnectedComponents.components(edges)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val lab = Tables.documents(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val sizes = lab.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          expr("10000 div cluster_size").as("weight_bp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""${oracleNgramPipeline.replaceFirst("WITH", "WITH RECURSIVE")},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION SELECT doc_b, doc_a FROM vp
+              UNION SELECT doc_a, doc_a FROM vp
+              UNION SELECT doc_b, doc_b FROM vp),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+      lab0 AS (SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+               FROM reach GROUP BY a),
+      lab AS (SELECT d.doc_id,
+                     coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lab0 l USING (doc_id)),
+      sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+             FROM lab GROUP BY cluster_id)
+      SELECT doc_id, cluster_id, cluster_size,
+             (10000 // cluster_size)::BIGINT AS weight_bp
+      FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"""))
+
   /** SPLIT-LEAKAGE audit — the QA gate a pretrain pipeline runs right
     * after train/val/test assignment: a near-duplicate pair that CROSSES
     * the split boundary leaks evaluation data into training (the eval
@@ -1823,7 +1875,7 @@ ${affineSigCtes("MATERIALIZED")},
     minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep, containmentPairsQ, containmentKeep,
     simhashPairs, embeddingNearDup, embeddingIncremental, clusterCc, clusterCcStar,
-    clusterIncremental, splitLeakageAudit, sampleNegatives,
+    clusterIncremental, softWeights, splitLeakageAudit, sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,
     streamNearDupFastExec, streamClusterExec, streamEmbDedupExec,
     streamDecontamExec)

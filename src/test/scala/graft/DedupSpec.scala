@@ -271,6 +271,27 @@ class DedupSpec extends AnyFunSuite {
     assert(occ.max <= 64, s"max sub-bucket ${occ.max} — cuts missed the cone")
   }
 
+  test("dedup_soft_weights: each cluster carries one document's worth of mass") {
+    val rows = DedupQueries.softWeights.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == Tables.documents(spark, dir).count())
+    // cluster_size is the true member count; weight_bp = 10000 div size
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val size = members.head._3
+      assert(members.length == size, s"cluster $cid size mismatch")
+      assert(members.forall(m => m._3 == size && m._4 == 10000L / size))
+    }
+    // the fixture has both singletons (full weight) and real dup clusters
+    assert(rows.exists(_._3 == 1L) && rows.exists(_._3 > 1L))
+    assert(rows.filter(_._3 == 1L).forall(_._4 == 10000L))
+    // labels agree with the standalone components entry on clustered docs
+    val cc = DedupQueries.clusterCc.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_._3 > 1L).foreach { case (d, cid, _, _) =>
+      assert(cc(d) == cid, s"doc $d label drift: $cid vs ${cc(d)}")
+    }
+  }
+
   test("dedup_embedding_cosine returns exactly the planted pairs") {
     val rows = DedupQueries.embeddingNearDup.run(spark, dir).collect()
     val ids = Tables.embeddings(spark, dir)
