@@ -442,6 +442,25 @@ object EmbedQueries {
             FROM scored)
       WHERE rk <= 3 ORDER BY cluster, rk"""))
 
+  /** Greedy k-center DIVERSE core-set selection over the md5-count
+    * embeddings ([[graft.ops.KCenter]]): 8 farthest-point picks, full
+    * corpus assignment to the nearest pick. The diversity dual of
+    * cluster_kmeans_int's density centers — outlier regions get a
+    * guaranteed seat, which is what a coverage-stratified inspection or
+    * eval-set draw needs. Integer distances + smallest-id tie-breaks make
+    * the traversal bit-identical, so the oracle replays all 8 selections
+    * as unrolled CTEs generated by the same code: the selection ITSELF is
+    * inside the hash gate, not just the final assignment. */
+  val kcenterDiverse = Q(
+    "sample_kcenter_diverse",
+    (s, dir) => graft.ops.KCenter.selectAssign(md5Vectors(s, dir), k = 8)
+      .orderBy("doc_id"),
+    Some(s"""$sparseSp,
+      ${graft.ops.KCenter.oracleSql(k = 8)}
+      SELECT doc_id, center_id::BIGINT AS center_id,
+             center_order::BIGINT AS center_order, dist2::BIGINT AS dist2
+      FROM fin ORDER BY doc_id"""))
+
   /** The engine BUILD cost as its own timed line (round-8 verdict: the
     * one-time `ensure` inside doc_knn_exact_budget's first execution read
     * as a 15× serving regression — serving and build belong on separate
@@ -478,5 +497,5 @@ object EmbedQueries {
   def qs: Seq[Q] = Seq(
     textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip,
     docKnnExact, ragPipeline, kmeansCluster, clusterTopTerms,
-    engineBuildDocs)
+    kcenterDiverse, engineBuildDocs)
 }
