@@ -43,6 +43,24 @@ object KMeansScaleProbe {
       println(f"kmeans n=$n: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"(3 rounds + final assign), pure=$pure, digest=$digest")
       System.out.flush()
+
+      // Greedy k-center over the same blobs: per-selection cost is one
+      // broadcast-center map + one TakeOrdered(1) reduce — wall should
+      // track the scan (k passes), never a shuffle of the corpus. The
+      // 4 planted blobs must each be hit by at least one of the 8 picks
+      // (farthest-point provably covers separated blobs), and reruns
+      // must be digest-identical.
+      val t1 = System.nanoTime()
+      val kc = graft.ops.KCenter.selectAssign(
+        data.select("doc_id", "embedding"), k = 8)
+      val kcJoined = kc.join(data.select("doc_id", "blob"), "doc_id")
+      val blobsHit = kcJoined.filter(col("doc_id") === col("center_id"))
+        .select("blob").distinct().count()
+      val kcDigest = kc.agg(
+        expr("bit_xor(center_order * (doc_id + 1) + dist2)")).head().getLong(0)
+      println(f"kcenter n=$n: ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+        f"(8 selections + assign), blobs_hit=$blobsHit/4, digest=$kcDigest")
+      System.out.flush()
     }
     spark.stop()
   }

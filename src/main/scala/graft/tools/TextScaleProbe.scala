@@ -132,6 +132,28 @@ object TextScaleProbe {
         s"$underScrubbed planted copies kept their duplicated span")
       System.out.flush()
 
+      // Rare-span audit (TextMatch.rareSpanAudit): same plan family as the
+      // span ops (windows explode map-side, 32-byte hashes shuffle, df is
+      // a gram-sized aggregate) — wall should track span_scrub. Every
+      // planted copy shares its first 8-token window with its source doc,
+      // so no copy may report all-unique windows.
+      t0 = System.nanoTime()
+      val audit = graft.ops.TextMatch.rareSpanAudit(planted, k = 8)
+        .localCheckpoint(eager = true)
+      val auditRows = audit.count()
+      val auditSec = (System.nanoTime() - t0) / 1e9
+      val allUniqueCopies = audit
+        .filter(col("doc_id") % 9 === 0 && col("doc_id") >= 9)
+        .filter(col("n_unique_wins") === col("n_wins")).count()
+      val canaries = audit.filter(col("min_df") === 1).count()
+      println(f"rare_span n=$n: $auditSec%.2f s, rows=$auditRows, " +
+        s"docs_with_unique_span=$canaries, " +
+        s"planted_copies_reporting_all_unique=$allUniqueCopies")
+      assert(auditRows == n, s"audit lost docs: $auditRows != $n")
+      assert(allUniqueCopies == 0,
+        "a planted copy reported every window corpus-unique")
+      System.out.flush()
+
       // Bigram-LM scoring (QualityModels.lmScore): the count tables are
       // bounded by the DISTINCT bigram set of the train split, not the
       // corpus (reported next to wall time — the ratio is the shuffle

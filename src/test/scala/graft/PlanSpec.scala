@@ -124,6 +124,16 @@ class PlanSpec extends AnyFunSuite {
       s"span dedup must stay an equi-join:\n$p")
   }
 
+  test("rare-span audit: hashes shuffle, no window, equi-join only") {
+    val p = plan(graft.ops.TextMatch.rareSpanAudit(
+      Tables.documents(spark, dir), k = 8))
+    assert(p.contains("md5"), s"gram hash missing — window text would shuffle:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the df rollup:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"df join-back must stay an equi-join:\n$p")
+  }
+
   test("phrase search: postings term-filtered below the adjacency joins") {
     val df = graft.ops.TextMatch.phraseSearch(
       Tables.documents(spark, dir), Seq("table", "value"))
