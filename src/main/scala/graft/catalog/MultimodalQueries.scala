@@ -225,6 +225,105 @@ object MultimodalQueries {
       WHERE bit_count(xor(ha.phash, hb.phash)) <= 6
       ORDER BY id_a, id_b"""))
 
+  /** The video near-dup corpus's per-sampled-frame perceptual hashes —
+    * shared by the fixture generator and the staleness spec so the frozen
+    * oracle rows are bit-identical to the catalog entry's live pipeline
+    * (same makeVideo/sampleFrames/aHash64 functions throughout). */
+  def videoPhashRows: Seq[(Long, Int, Long)] = {
+    val videos =
+      (0 until 12).map(i => (i.toLong, MultimodalFixtures.makeVideo(i))) ++
+        (0 until 12).filter(_ % 3 == 0)
+          .map(i => (100L + i, MultimodalFixtures.makeVideoJittered(i)))
+    videos.flatMap { case (id, bytes) =>
+      VideoFrames.sampleFrames(bytes, stride = 2).toSeq.map { case (fi, png) =>
+        (id, fi, graft.embed.ImagePhash.aHash64(png))
+      }
+    }
+  }
+
+  /** VIDEO near-dup dedup — the temporal composition of
+    * [[imagePhashDedup]]: sample frames (stride 2) → per-frame aHash64 →
+    * band each frame hash into 4×16-bit chunks → candidates collide on
+    * (frame_idx, band, chunk) (never all-pairs video comparison, and a
+    * clip can only pair with a video sharing its TIMELINE, not just one
+    * still) → verify per shared frame index with popcount ≤ 6 → a pair is
+    * a near-dup when ≥ 3/4 of its compared frames are close (integer
+    * cross-multiplied). Corpus = 12 GVID fixtures + 4 planted re-encode
+    * twins (every frame byte-distinct but perceptually unchanged). The
+    * oracle replays banding + Hamming + the majority vote over the FROZEN
+    * per-frame hash fixture (regenerated through the same code by
+    * GenOracleFixtures, staleness-gated in FixtureOracleSpec), so a
+    * decode/sample/hash regression breaks the gate while the cascade is
+    * independently SQL-checked. */
+  val videoPhashDedup = Q(
+    "multimodal_video_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val sampleUdf = udf { (bytes: Array[Byte]) =>
+        val sampled = VideoFrames.sampleFrames(bytes, stride = 2)
+        if (sampled == null) Array.empty[(Int, Array[Byte])] else sampled
+      }
+      val phashUdf = udf((b: Array[Byte]) => graft.embed.ImagePhash.aHash64(b))
+      val videos =
+        ((0 until 12).map(i => (i.toLong, MultimodalFixtures.makeVideo(i))) ++
+          (0 until 12).filter(_ % 3 == 0)
+            .map(i => (100L + i, MultimodalFixtures.makeVideoJittered(i))))
+          .toDF("vec_id", "document")
+      val hashed = videos
+        .select(col("vec_id"), explode(sampleUdf(col("document"))).as("f"))
+        .select(col("vec_id"), col("f._1").as("frame_idx"),
+          phashUdf(col("f._2")).as("ph"))
+        .localCheckpoint(eager = true) // decode+hash once, not per consumer
+      val bands = hashed.select(col("vec_id"), col("frame_idx"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            expr(s"shiftright(ph, ${16 * j}) & 65535").as("chunk"))): _*))
+          .as("b"))
+        .select(col("vec_id"), col("frame_idx"),
+          col("b.band").as("band"), col("b.chunk").as("chunk"))
+      val cand = bands.as("a")
+        .join(bands.as("b2"),
+          col("a.frame_idx") === col("b2.frame_idx") &&
+            col("a.band") === col("b2.band") &&
+            col("a.chunk") === col("b2.chunk") &&
+            col("a.vec_id") < col("b2.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b2.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(hashed.select(col("vec_id").as("id_a"), col("frame_idx"),
+          col("ph").as("ph_a")), "id_a")
+        .join(hashed.select(col("vec_id").as("id_b"), col("frame_idx"),
+          col("ph").as("ph_b")), Seq("id_b", "frame_idx"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(expr("bit_count(ph_a ^ ph_b)") <= 6, 1L).otherwise(0L))
+            .as("n_close"))
+        .filter(col("n_close") * 4 >= col("n_frames") * 3)
+        .select(col("id_a"), col("id_b"), col("n_frames"), col("n_close"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH h AS (SELECT vec_id, frame_idx, phash
+                 FROM read_parquet('${Fixtures.path("multimodal_video_phash.parquet")}')),
+      b AS (SELECT vec_id, frame_idx, j.j AS band,
+                   (phash >> (16 * j.j)) & 65535 AS chunk
+            FROM h, (VALUES (0), (1), (2), (3)) j(j)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+               FROM b a JOIN b b2 ON a.frame_idx = b2.frame_idx
+                                 AND a.band = b2.band AND a.chunk = b2.chunk
+                                 AND a.vec_id < b2.vec_id),
+      v AS (SELECT c.id_a, c.id_b, count(*) AS n_frames,
+                   coalesce(sum(CASE WHEN bit_count(xor(ha.phash, hb.phash)) <= 6
+                                     THEN 1 END), 0) AS n_close
+            FROM cand c
+            JOIN h ha ON ha.vec_id = c.id_a
+            JOIN h hb ON hb.vec_id = c.id_b AND hb.frame_idx = ha.frame_idx
+            GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, n_frames::BIGINT AS n_frames,
+             n_close::BIGINT AS n_close
+      FROM v WHERE n_close * 4 >= n_frames * 3
+      ORDER BY id_a, id_b"""))
+
   def qs: Seq[Q] = Seq(imageKnn, audioKnn, imageDecodeStats, videoFrames,
-    videoKnn, imagePhashDedup)
+    videoKnn, imagePhashDedup, videoPhashDedup)
 }

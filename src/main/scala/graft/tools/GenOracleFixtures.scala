@@ -100,6 +100,13 @@ object GenOracleFixtures {
         .toDF("vec_id", "phash"),
       s"$outDir/multimodal_phash.parquet")
 
+    // Frozen per-sampled-frame perceptual hashes for the VIDEO near-dup
+    // gate: 12 base GVIDs + 4 jittered twins, sampled and hashed through
+    // the SAME sampleFrames/aHash64 the catalog entry runs.
+    writeOne(
+      MultimodalQueries.videoPhashRows.toDF("vec_id", "frame_idx", "phash"),
+      s"$outDir/multimodal_video_phash.parquet")
+
     // Both the floats AND their bit patterns: the dist_hamming catalog
     // entry reads the floats from THIS file (not the live sfDir) so the
     // entry is scale-factor-independent — Spark side and DuckDB oracle
@@ -111,7 +118,7 @@ object GenOracleFixtures {
           bitsUdf(col("embedding")).as("bits")),
       s"$outDir/embedding_bits.parquet")
 
-    println(s"[fixtures] wrote 5 fixture parquets to $outDir (bits from $sfDir)")
+    println(s"[fixtures] wrote 6 fixture parquets to $outDir (bits from $sfDir)")
     spark.stop()
   }
 

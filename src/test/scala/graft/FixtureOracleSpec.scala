@@ -57,6 +57,14 @@ class FixtureOracleSpec extends AnyFunSuite {
     assert(frozen == live, "stale multimodal_phash.parquet — rerun GenOracleFixtures")
   }
 
+  test("video phash fixture matches a live sample+hash recompute") {
+    val live = graft.catalog.MultimodalQueries.videoPhashRows
+      .sortBy(r => (r._1, r._2))
+    val frozen = spark.read.parquet(Fixtures.path("multimodal_video_phash.parquet"))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(frozen == live, "stale multimodal_video_phash.parquet — rerun GenOracleFixtures")
+  }
+
   test("embedding bit fixture matches the sf0.01 embeddings' raw float bits") {
     val live = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("vec_id"), col("embedding"))
