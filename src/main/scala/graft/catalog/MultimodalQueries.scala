@@ -324,6 +324,99 @@ object MultimodalQueries {
       FROM v WHERE n_close * 4 >= n_frames * 3
       ORDER BY id_a, id_b"""))
 
+  /** The audio near-dup corpus's per-time-strip perceptual hashes — shared
+    * by the fixture generator and the staleness spec (same
+    * makeWavChord/stripHashes code path as the catalog entry). */
+  def audioPhashRows: Seq[(Long, Int, Long)] = {
+    val clips =
+      (0 until 12).map(i => (i.toLong, MultimodalFixtures.makeWavChord(i))) ++
+        (0 until 12).filter(_ % 3 == 0)
+          .map(i => (100L + i, MultimodalFixtures.makeWavChord(i, ampMil = 985)))
+    clips.flatMap { case (id, bytes) =>
+      graft.embed.AudioPhash.stripHashes(bytes).toSeq.map { case (s, h) =>
+        (id, s, h)
+      }
+    }
+  }
+
+  /** AUDIO near-dup dedup — the audio member of the pHash family, through
+    * the reference's audio-as-spectrogram-picture trick
+    * ([[graft.embed.AudioPhash]]): spectrogram PNG → 4 TIME strips →
+    * per-strip aHash64 → band each strip hash into 4×16-bit chunks →
+    * candidates collide on (strip_idx, band, chunk) → per-strip popcount
+    * ≤ 6 verify → near-dup when ≥ 3/4 of strips are close. Corpus = 12
+    * two-segment harmonic-chord clips + 4 planted amplitude-scaled twins
+    * (the re-mastered/re-encoded copy: log-magnitude shifts by a constant,
+    * so strip hashes barely move while the bytes are entirely distinct).
+    * Same frozen-fixture oracle pattern as the image/video entries. */
+  val audioPhashDedup = Q(
+    "multimodal_audio_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val stripUdf = udf { (bytes: Array[Byte]) =>
+        val hs = graft.embed.AudioPhash.stripHashes(bytes)
+        if (hs == null) Array.empty[(Int, Long)] else hs
+      }
+      val clips =
+        ((0 until 12).map(i => (i.toLong, MultimodalFixtures.makeWavChord(i))) ++
+          (0 until 12).filter(_ % 3 == 0)
+            .map(i => (100L + i, MultimodalFixtures.makeWavChord(i, ampMil = 985))))
+          .toDF("vec_id", "document")
+      val hashed = clips
+        .select(col("vec_id"), explode(stripUdf(col("document"))).as("f"))
+        .select(col("vec_id"), col("f._1").as("strip_idx"),
+          col("f._2").as("ph"))
+        .localCheckpoint(eager = true) // decode+FFT+hash once, not per consumer
+      val bands = hashed.select(col("vec_id"), col("strip_idx"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            expr(s"shiftright(ph, ${16 * j}) & 65535").as("chunk"))): _*))
+          .as("b"))
+        .select(col("vec_id"), col("strip_idx"),
+          col("b.band").as("band"), col("b.chunk").as("chunk"))
+      val cand = bands.as("a")
+        .join(bands.as("b2"),
+          col("a.strip_idx") === col("b2.strip_idx") &&
+            col("a.band") === col("b2.band") &&
+            col("a.chunk") === col("b2.chunk") &&
+            col("a.vec_id") < col("b2.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b2.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(hashed.select(col("vec_id").as("id_a"), col("strip_idx"),
+          col("ph").as("ph_a")), "id_a")
+        .join(hashed.select(col("vec_id").as("id_b"), col("strip_idx"),
+          col("ph").as("ph_b")), Seq("id_b", "strip_idx"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_strips"),
+          sum(when(expr("bit_count(ph_a ^ ph_b)") <= 6, 1L).otherwise(0L))
+            .as("n_close"))
+        .filter(col("n_close") * 4 >= col("n_strips") * 3)
+        .select(col("id_a"), col("id_b"), col("n_strips"), col("n_close"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH h AS (SELECT vec_id, strip_idx, phash
+                 FROM read_parquet('${Fixtures.path("multimodal_audio_phash.parquet")}')),
+      b AS (SELECT vec_id, strip_idx, j.j AS band,
+                   (phash >> (16 * j.j)) & 65535 AS chunk
+            FROM h, (VALUES (0), (1), (2), (3)) j(j)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+               FROM b a JOIN b b2 ON a.strip_idx = b2.strip_idx
+                                 AND a.band = b2.band AND a.chunk = b2.chunk
+                                 AND a.vec_id < b2.vec_id),
+      v AS (SELECT c.id_a, c.id_b, count(*) AS n_strips,
+                   coalesce(sum(CASE WHEN bit_count(xor(ha.phash, hb.phash)) <= 6
+                                     THEN 1 END), 0) AS n_close
+            FROM cand c
+            JOIN h ha ON ha.vec_id = c.id_a
+            JOIN h hb ON hb.vec_id = c.id_b AND hb.strip_idx = ha.strip_idx
+            GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, n_strips::BIGINT AS n_strips,
+             n_close::BIGINT AS n_close
+      FROM v WHERE n_close * 4 >= n_strips * 3
+      ORDER BY id_a, id_b"""))
+
   def qs: Seq[Q] = Seq(imageKnn, audioKnn, imageDecodeStats, videoFrames,
-    videoKnn, imagePhashDedup, videoPhashDedup)
+    videoKnn, imagePhashDedup, videoPhashDedup, audioPhashDedup)
 }

@@ -167,3 +167,28 @@ object AudioSpectrogramEmbedder {
     out.toByteArray
   }
 }
+
+/** Perceptual AUDIO hash — the audio member of the pHash dedup family,
+  * through the reference's own audio-as-spectrogram-picture trick: the
+  * clip's spectrogram PNG splits into `strips` equal TIME strips and each
+  * strip gets an [[ImagePhash.aHash64]]. Per-strip hashing is what makes
+  * the hash discriminative (a whole-clip hash of a mostly-dark spectrogram
+  * collapses distinct clips to within a bit or two) and gives dedup its
+  * timeline alignment: two clips can only match strip-for-strip. */
+object AudioPhash {
+
+  /** (strip_idx, aHash64) per time strip; null when undecodable. */
+  def stripHashes(bytes: Array[Byte], strips: Int = 4): Array[(Int, Long)] = {
+    val png = AudioSpectrogramEmbedder.spectrogramPng(bytes)
+    if (png == null) return null
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    if (img == null) return null
+    (0 until strips).map { s =>
+      val sub = img.getSubimage(
+        s * img.getWidth / strips, 0, img.getWidth / strips, img.getHeight)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(sub, "png", out)
+      (s, ImagePhash.aHash64(out.toByteArray))
+    }.toArray
+  }
+}

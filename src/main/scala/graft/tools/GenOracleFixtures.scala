@@ -107,6 +107,13 @@ object GenOracleFixtures {
       MultimodalQueries.videoPhashRows.toDF("vec_id", "frame_idx", "phash"),
       s"$outDir/multimodal_video_phash.parquet")
 
+    // Frozen per-time-strip spectrogram hashes for the AUDIO near-dup
+    // gate: 12 chord clips + 4 amplitude-scaled twins, hashed through the
+    // SAME spectrogram/stripHashes path the catalog entry runs.
+    writeOne(
+      MultimodalQueries.audioPhashRows.toDF("vec_id", "strip_idx", "phash"),
+      s"$outDir/multimodal_audio_phash.parquet")
+
     // Both the floats AND their bit patterns: the dist_hamming catalog
     // entry reads the floats from THIS file (not the live sfDir) so the
     // entry is scale-factor-independent — Spark side and DuckDB oracle
@@ -118,7 +125,7 @@ object GenOracleFixtures {
           bitsUdf(col("embedding")).as("bits")),
       s"$outDir/embedding_bits.parquet")
 
-    println(s"[fixtures] wrote 6 fixture parquets to $outDir (bits from $sfDir)")
+    println(s"[fixtures] wrote 7 fixture parquets to $outDir (bits from $sfDir)")
     spark.stop()
   }
 

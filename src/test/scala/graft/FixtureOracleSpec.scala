@@ -65,6 +65,14 @@ class FixtureOracleSpec extends AnyFunSuite {
     assert(frozen == live, "stale multimodal_video_phash.parquet — rerun GenOracleFixtures")
   }
 
+  test("audio phash fixture matches a live spectrogram+hash recompute") {
+    val live = graft.catalog.MultimodalQueries.audioPhashRows
+      .sortBy(r => (r._1, r._2))
+    val frozen = spark.read.parquet(Fixtures.path("multimodal_audio_phash.parquet"))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(frozen == live, "stale multimodal_audio_phash.parquet — rerun GenOracleFixtures")
+  }
+
   test("embedding bit fixture matches the sf0.01 embeddings' raw float bits") {
     val live = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select(col("vec_id"), col("embedding"))
