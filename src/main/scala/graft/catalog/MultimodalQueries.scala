@@ -225,21 +225,96 @@ object MultimodalQueries {
       WHERE bit_count(xor(ha.phash, hb.phash)) <= 6
       ORDER BY id_a, id_b"""))
 
+  /** 12-base + 4-planted-twin corpus builders, ONE definition per
+    * modality, shared between the catalog entry, the *PhashRows fixture
+    * rows, and the staleness spec — so an edit to the corpus (say the
+    * twin planting) cannot silently diverge the live Spark side from the
+    * frozen oracle rows. */
+  private[catalog] def videoPhashCorpus: Seq[(Long, Array[Byte])] =
+    (0 until 12).map(i => (i.toLong, MultimodalFixtures.makeVideo(i))) ++
+      (0 until 12).filter(_ % 3 == 0)
+        .map(i => (100L + i, MultimodalFixtures.makeVideoJittered(i)))
+
+  private[catalog] def audioPhashCorpus: Seq[(Long, Array[Byte])] =
+    (0 until 12).map(i => (i.toLong, MultimodalFixtures.makeWavChord(i))) ++
+      (0 until 12).filter(_ % 3 == 0)
+        .map(i => (100L + i, MultimodalFixtures.makeWavChord(i, ampMil = 985)))
+
+  /** Shared banded perceptual-hash near-dup cascade over per-time-unit
+    * hashes `(vec_id, <tCol>, ph)`: each 64-bit hash bands into 4×16-bit
+    * chunks, candidates collide on (tCol, band, chunk) — timeline-aligned,
+    * never all-pairs — then popcount ≤ 6 verifies each aligned unit and a
+    * pair survives when ≥ 3/4 of its compared units are close (integer
+    * cross-multiplied). One definition drives BOTH modalities, and
+    * [[phashBandOracle]] mirrors it in SQL — a cascade change (radius,
+    * vote, band width) cannot apply to one modality and miss the other. */
+  private def phashBandDedup(
+      hashed: org.apache.spark.sql.DataFrame, tCol: String,
+      nName: String): org.apache.spark.sql.DataFrame = {
+    val bands = hashed.select(col("vec_id"), col(tCol),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          expr(s"shiftright(ph, ${16 * j}) & 65535").as("chunk"))): _*))
+        .as("b"))
+      .select(col("vec_id"), col(tCol),
+        col("b.band").as("band"), col("b.chunk").as("chunk"))
+    val cand = bands.as("a")
+      .join(bands.as("b2"),
+        col(s"a.$tCol") === col(s"b2.$tCol") &&
+          col("a.band") === col("b2.band") &&
+          col("a.chunk") === col("b2.chunk") &&
+          col("a.vec_id") < col("b2.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b2.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("vec_id").as("id_a"), col(tCol),
+        col("ph").as("ph_a")), "id_a")
+      .join(hashed.select(col("vec_id").as("id_b"), col(tCol),
+        col("ph").as("ph_b")), Seq("id_b", tCol))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as(nName),
+        sum(when(expr("bit_count(ph_a ^ ph_b)") <= 6, 1L).otherwise(0L))
+          .as("n_close"))
+      .filter(col("n_close") * 4 >= col(nName) * 3)
+      .select(col("id_a"), col("id_b"), col(nName), col("n_close"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SQL twin of [[phashBandDedup]] over a frozen `(vec_id, <tCol>,
+    * phash)` fixture. */
+  private def phashBandOracle(
+      fixture: String, tCol: String, nName: String): String = s"""
+      WITH h AS (SELECT vec_id, $tCol, phash
+                 FROM read_parquet('${Fixtures.path(fixture)}')),
+      b AS (SELECT vec_id, $tCol, j.j AS band,
+                   (phash >> (16 * j.j)) & 65535 AS chunk
+            FROM h, (VALUES (0), (1), (2), (3)) j(j)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+               FROM b a JOIN b b2 ON a.$tCol = b2.$tCol
+                                 AND a.band = b2.band AND a.chunk = b2.chunk
+                                 AND a.vec_id < b2.vec_id),
+      v AS (SELECT c.id_a, c.id_b, count(*) AS $nName,
+                   coalesce(sum(CASE WHEN bit_count(xor(ha.phash, hb.phash)) <= 6
+                                     THEN 1 END), 0) AS n_close
+            FROM cand c
+            JOIN h ha ON ha.vec_id = c.id_a
+            JOIN h hb ON hb.vec_id = c.id_b AND hb.$tCol = ha.$tCol
+            GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, $nName::BIGINT AS $nName,
+             n_close::BIGINT AS n_close
+      FROM v WHERE n_close * 4 >= $nName * 3
+      ORDER BY id_a, id_b"""
+
   /** The video near-dup corpus's per-sampled-frame perceptual hashes —
     * shared by the fixture generator and the staleness spec so the frozen
     * oracle rows are bit-identical to the catalog entry's live pipeline
     * (same makeVideo/sampleFrames/aHash64 functions throughout). */
-  def videoPhashRows: Seq[(Long, Int, Long)] = {
-    val videos =
-      (0 until 12).map(i => (i.toLong, MultimodalFixtures.makeVideo(i))) ++
-        (0 until 12).filter(_ % 3 == 0)
-          .map(i => (100L + i, MultimodalFixtures.makeVideoJittered(i)))
-    videos.flatMap { case (id, bytes) =>
+  def videoPhashRows: Seq[(Long, Int, Long)] =
+    videoPhashCorpus.flatMap { case (id, bytes) =>
       VideoFrames.sampleFrames(bytes, stride = 2).toSeq.map { case (fi, png) =>
         (id, fi, graft.embed.ImagePhash.aHash64(png))
       }
     }
-  }
 
   /** VIDEO near-dup dedup — the temporal composition of
     * [[imagePhashDedup]]: sample frames (stride 2) → per-frame aHash64 →
@@ -264,80 +339,25 @@ object MultimodalQueries {
         if (sampled == null) Array.empty[(Int, Array[Byte])] else sampled
       }
       val phashUdf = udf((b: Array[Byte]) => graft.embed.ImagePhash.aHash64(b))
-      val videos =
-        ((0 until 12).map(i => (i.toLong, MultimodalFixtures.makeVideo(i))) ++
-          (0 until 12).filter(_ % 3 == 0)
-            .map(i => (100L + i, MultimodalFixtures.makeVideoJittered(i))))
-          .toDF("vec_id", "document")
-      val hashed = videos
+      val hashed = videoPhashCorpus.toDF("vec_id", "document")
         .select(col("vec_id"), explode(sampleUdf(col("document"))).as("f"))
         .select(col("vec_id"), col("f._1").as("frame_idx"),
           phashUdf(col("f._2")).as("ph"))
         .localCheckpoint(eager = true) // decode+hash once, not per consumer
-      val bands = hashed.select(col("vec_id"), col("frame_idx"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"),
-            expr(s"shiftright(ph, ${16 * j}) & 65535").as("chunk"))): _*))
-          .as("b"))
-        .select(col("vec_id"), col("frame_idx"),
-          col("b.band").as("band"), col("b.chunk").as("chunk"))
-      val cand = bands.as("a")
-        .join(bands.as("b2"),
-          col("a.frame_idx") === col("b2.frame_idx") &&
-            col("a.band") === col("b2.band") &&
-            col("a.chunk") === col("b2.chunk") &&
-            col("a.vec_id") < col("b2.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b2.vec_id").as("id_b"))
-        .distinct()
-      cand
-        .join(hashed.select(col("vec_id").as("id_a"), col("frame_idx"),
-          col("ph").as("ph_a")), "id_a")
-        .join(hashed.select(col("vec_id").as("id_b"), col("frame_idx"),
-          col("ph").as("ph_b")), Seq("id_b", "frame_idx"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_frames"),
-          sum(when(expr("bit_count(ph_a ^ ph_b)") <= 6, 1L).otherwise(0L))
-            .as("n_close"))
-        .filter(col("n_close") * 4 >= col("n_frames") * 3)
-        .select(col("id_a"), col("id_b"), col("n_frames"), col("n_close"))
-        .orderBy("id_a", "id_b")
+      phashBandDedup(hashed, "frame_idx", "n_frames")
     },
-    Some(s"""
-      WITH h AS (SELECT vec_id, frame_idx, phash
-                 FROM read_parquet('${Fixtures.path("multimodal_video_phash.parquet")}')),
-      b AS (SELECT vec_id, frame_idx, j.j AS band,
-                   (phash >> (16 * j.j)) & 65535 AS chunk
-            FROM h, (VALUES (0), (1), (2), (3)) j(j)),
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-               FROM b a JOIN b b2 ON a.frame_idx = b2.frame_idx
-                                 AND a.band = b2.band AND a.chunk = b2.chunk
-                                 AND a.vec_id < b2.vec_id),
-      v AS (SELECT c.id_a, c.id_b, count(*) AS n_frames,
-                   coalesce(sum(CASE WHEN bit_count(xor(ha.phash, hb.phash)) <= 6
-                                     THEN 1 END), 0) AS n_close
-            FROM cand c
-            JOIN h ha ON ha.vec_id = c.id_a
-            JOIN h hb ON hb.vec_id = c.id_b AND hb.frame_idx = ha.frame_idx
-            GROUP BY c.id_a, c.id_b)
-      SELECT id_a, id_b, n_frames::BIGINT AS n_frames,
-             n_close::BIGINT AS n_close
-      FROM v WHERE n_close * 4 >= n_frames * 3
-      ORDER BY id_a, id_b"""))
+    Some(phashBandOracle(
+      "multimodal_video_phash.parquet", "frame_idx", "n_frames")))
 
   /** The audio near-dup corpus's per-time-strip perceptual hashes — shared
     * by the fixture generator and the staleness spec (same
     * makeWavChord/stripHashes code path as the catalog entry). */
-  def audioPhashRows: Seq[(Long, Int, Long)] = {
-    val clips =
-      (0 until 12).map(i => (i.toLong, MultimodalFixtures.makeWavChord(i))) ++
-        (0 until 12).filter(_ % 3 == 0)
-          .map(i => (100L + i, MultimodalFixtures.makeWavChord(i, ampMil = 985)))
-    clips.flatMap { case (id, bytes) =>
+  def audioPhashRows: Seq[(Long, Int, Long)] =
+    audioPhashCorpus.flatMap { case (id, bytes) =>
       graft.embed.AudioPhash.stripHashes(bytes).toSeq.map { case (s, h) =>
         (id, s, h)
       }
     }
-  }
 
   /** AUDIO near-dup dedup — the audio member of the pHash family, through
     * the reference's audio-as-spectrogram-picture trick
@@ -357,65 +377,15 @@ object MultimodalQueries {
         val hs = graft.embed.AudioPhash.stripHashes(bytes)
         if (hs == null) Array.empty[(Int, Long)] else hs
       }
-      val clips =
-        ((0 until 12).map(i => (i.toLong, MultimodalFixtures.makeWavChord(i))) ++
-          (0 until 12).filter(_ % 3 == 0)
-            .map(i => (100L + i, MultimodalFixtures.makeWavChord(i, ampMil = 985))))
-          .toDF("vec_id", "document")
-      val hashed = clips
+      val hashed = audioPhashCorpus.toDF("vec_id", "document")
         .select(col("vec_id"), explode(stripUdf(col("document"))).as("f"))
         .select(col("vec_id"), col("f._1").as("strip_idx"),
           col("f._2").as("ph"))
         .localCheckpoint(eager = true) // decode+FFT+hash once, not per consumer
-      val bands = hashed.select(col("vec_id"), col("strip_idx"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"),
-            expr(s"shiftright(ph, ${16 * j}) & 65535").as("chunk"))): _*))
-          .as("b"))
-        .select(col("vec_id"), col("strip_idx"),
-          col("b.band").as("band"), col("b.chunk").as("chunk"))
-      val cand = bands.as("a")
-        .join(bands.as("b2"),
-          col("a.strip_idx") === col("b2.strip_idx") &&
-            col("a.band") === col("b2.band") &&
-            col("a.chunk") === col("b2.chunk") &&
-            col("a.vec_id") < col("b2.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b2.vec_id").as("id_b"))
-        .distinct()
-      cand
-        .join(hashed.select(col("vec_id").as("id_a"), col("strip_idx"),
-          col("ph").as("ph_a")), "id_a")
-        .join(hashed.select(col("vec_id").as("id_b"), col("strip_idx"),
-          col("ph").as("ph_b")), Seq("id_b", "strip_idx"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_strips"),
-          sum(when(expr("bit_count(ph_a ^ ph_b)") <= 6, 1L).otherwise(0L))
-            .as("n_close"))
-        .filter(col("n_close") * 4 >= col("n_strips") * 3)
-        .select(col("id_a"), col("id_b"), col("n_strips"), col("n_close"))
-        .orderBy("id_a", "id_b")
+      phashBandDedup(hashed, "strip_idx", "n_strips")
     },
-    Some(s"""
-      WITH h AS (SELECT vec_id, strip_idx, phash
-                 FROM read_parquet('${Fixtures.path("multimodal_audio_phash.parquet")}')),
-      b AS (SELECT vec_id, strip_idx, j.j AS band,
-                   (phash >> (16 * j.j)) & 65535 AS chunk
-            FROM h, (VALUES (0), (1), (2), (3)) j(j)),
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-               FROM b a JOIN b b2 ON a.strip_idx = b2.strip_idx
-                                 AND a.band = b2.band AND a.chunk = b2.chunk
-                                 AND a.vec_id < b2.vec_id),
-      v AS (SELECT c.id_a, c.id_b, count(*) AS n_strips,
-                   coalesce(sum(CASE WHEN bit_count(xor(ha.phash, hb.phash)) <= 6
-                                     THEN 1 END), 0) AS n_close
-            FROM cand c
-            JOIN h ha ON ha.vec_id = c.id_a
-            JOIN h hb ON hb.vec_id = c.id_b AND hb.strip_idx = ha.strip_idx
-            GROUP BY c.id_a, c.id_b)
-      SELECT id_a, id_b, n_strips::BIGINT AS n_strips,
-             n_close::BIGINT AS n_close
-      FROM v WHERE n_close * 4 >= n_strips * 3
-      ORDER BY id_a, id_b"""))
+    Some(phashBandOracle(
+      "multimodal_audio_phash.parquet", "strip_idx", "n_strips")))
 
   def qs: Seq[Q] = Seq(imageKnn, audioKnn, imageDecodeStats, videoFrames,
     videoKnn, imagePhashDedup, videoPhashDedup, audioPhashDedup)

@@ -445,38 +445,36 @@ object PipelineQueries {
     * shuffles beyond their proven plans), the tercile table is
     * languages-sized and BROADCASTS, bucket assignment is map-side; the
     * only windows are per-doc-partitioned (lang-ID top-1). */
+  /** `materialize` checkpoints the corpus-sized `scored` frame (lang-ID ⋈
+    * LM cascade) between its TWO consumers — the tercile aggregation and
+    * the final bucket-assignment join; without it the whole upstream
+    * cascade re-executes once per consumer (the shardV2From lesson, same
+    * knob convention: the catalog entry keeps the pure single-plan form
+    * for the hash gate, the scale probe and production pass true). */
+  private[graft] def ccnetFrom(
+      docs: org.apache.spark.sql.DataFrame,
+      materialize: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val pred = TextQueries.langIdPred(docs).select("doc_id", "pred_lang")
+    val lm = graft.ops.QualityModels
+      .lmScore(docs, docs.filter(col("doc_id") % 4 === 0), tauMicro = 0L)
+      .select(col("doc_id"), expr("nll_micro div n_tokens").as("ppl_q"))
+    val scored0 = lm.join(pred, "doc_id")
+    val scored = if (materialize) scored0.localCheckpoint() else scored0
+    val thr = scored.groupBy("pred_lang").agg(
+      expr("percentile(ppl_q, 0.3333333333333333d)").as("t1"),
+      expr("percentile(ppl_q, 0.6666666666666666d)").as("t2"))
+    scored.join(broadcast(thr), "pred_lang")
+      .select(col("doc_id"), col("pred_lang"), col("ppl_q"),
+        when(col("ppl_q") <= col("t1"), "head")
+          .when(col("ppl_q") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val ccnet = Q(
     "doc_pipeline_ccnet",
-    (s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val stopDf = TextQueries.stopwords.toDF("lang_cand", "word")
-      val tok = docs
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-      val cnt = docs.select(col("doc_id"),
-        size(split(lower(col("text")), " ")).cast("long").as("n"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("lang_cand"))
-      val pred = tok.join(broadcast(stopDf), Seq("word"))
-        .groupBy("doc_id", "lang_cand").agg(count(lit(1)).as("hits"))
-        .join(cnt, "doc_id")
-        .withColumn("score", col("hits").cast("double") / col("n"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang_cand").as("pred_lang"))
-      val lm = graft.ops.QualityModels
-        .lmScore(docs, docs.filter(col("doc_id") % 4 === 0), tauMicro = 0L)
-        .select(col("doc_id"), expr("nll_micro div n_tokens").as("ppl_q"))
-      val scored = lm.join(pred, "doc_id")
-      val thr = scored.groupBy("pred_lang").agg(
-        expr("percentile(ppl_q, 0.3333333333333333d)").as("t1"),
-        expr("percentile(ppl_q, 0.6666666666666666d)").as("t2"))
-      scored.join(broadcast(thr), "pred_lang")
-        .select(col("doc_id"), col("pred_lang"), col("ppl_q"),
-          when(col("ppl_q") <= col("t1"), "head")
-            .when(col("ppl_q") <= col("t2"), "middle")
-            .otherwise("tail").as("bucket"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      ccnetFrom(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
     Some(s"""
       WITH tok0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
                     FROM documents),

@@ -75,30 +75,39 @@ object TextQueries {
                    4) AS quality
       FROM documents ORDER BY doc_id"""))
 
+  /** Shared stopword-ratio lang-ID plan over `docs(doc_id, text)` →
+    * (doc_id, pred_lang, score) — ONE definition consumed by both
+    * `text_lang_id` and `doc_pipeline_ccnet`, so the two entries cannot
+    * drift on tie-breaks or token counting. Per-doc token totals are
+    * size(split(...)) — a map-side expression, not a second
+    * explode+shuffle (same plan fix as doc_pipeline_curate). */
+  private[catalog] def langIdPred(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val stopDf = stopwords.toDF("lang", "word")
+    val tok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+    val cnt = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("n"))
+    val hits = tok.join(broadcast(stopDf), Seq("word"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("h"))
+    val scored = hits.join(cnt, "doc_id")
+      .withColumn("score", col("h").cast("double") / col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+  }
+
   /** Language-ID: highest stopword-hit ratio across per-language lists
     * (n-gram/stopword heuristic — no model). Ties break on language code. */
   val langId = Q(
     "text_lang_id",
-    (s, dir) => {
-      import s.implicits._
-      val stopDf = stopwords.toDF("lang", "word")
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-      // Per-doc token totals are size(split(...)) — a map-side expression,
-      // not a second explode+shuffle (same plan fix as doc_pipeline_curate).
-      val cnt = Tables.documents(s, dir).select(col("doc_id"),
-        size(split(lower(col("text")), " ")).cast("long").as("n"))
-      val hits = tok.join(broadcast(stopDf), Seq("word"))
-        .groupBy("doc_id", "lang").agg(count(lit(1)).as("h"))
-      val scored = hits.join(cnt, "doc_id")
-        .withColumn("score", col("h").cast("double") / col("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang").as("pred_lang"),
+    (s, dir) =>
+      langIdPred(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("pred_lang"),
           round(col("score"), 4).as("score"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(s"""
       WITH stop(lang, word) AS (VALUES $stopValues),
       tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word

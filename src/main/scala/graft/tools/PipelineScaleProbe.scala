@@ -143,6 +143,25 @@ object PipelineScaleProbe {
         s"budget underfilled: $v2Tok vs $v2Budget (boundary should stop " +
           "within one doc of the budget)")
       System.out.flush()
+
+      // ccnet leg: the per-language perplexity bucketing. The scored
+      // frame (lang-ID ⋈ LM) is consumed by BOTH the tercile agg and the
+      // bucket join, so the probe passes materialize=true (the entry's
+      // pure-plan form would re-execute the corpus-sized cascade per
+      // consumer); wall should stay ~linear in n, and every language's
+      // head/middle/tail partition must cover it.
+      val t3 = System.nanoTime()
+      val cc = graft.catalog.PipelineQueries
+        .ccnetFrom(docs.select("doc_id", "text"), materialize = true)
+        .groupBy("pred_lang", "bucket").count()
+        .collect()
+      val ccWall = (System.nanoTime() - t3) / 1e9
+      val ccDocs = cc.map(_.getLong(2)).sum
+      println(s"""{"probe":"pipeline_ccnet","n_docs_in":$n,""" +
+        s""""n_docs_bucketed":$ccDocs,""" + f""""wall_sec":$ccWall%.2f}""")
+      assert(ccDocs == n, s"ccnet lost docs: $ccDocs != $n")
+      assert(cc.map(_.getString(1)).toSet.subsetOf(Set("head", "middle", "tail")))
+      System.out.flush()
     }
     spark.stop()
   }

@@ -104,14 +104,8 @@ class PipelineSpec extends AnyFunSuite {
       val byBucket = rs.groupBy(_.getString(3)).view.mapValues(_.length).toMap
       assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
       val n = rs.length
-      // type-7 tercile thresholds split a tie-free integer sample into
-      // thirds within one doc; micro-nat ppl_q makes ties negligible
       val head = byBucket.getOrElse("head", 0)
       val tail = byBucket.getOrElse("tail", 0)
-      assert(math.abs(head - n / 3) <= 2 && math.abs(tail - n / 3) <= 2,
-        s"$lang terciles unbalanced: $byBucket over $n docs")
-      // the CCNet keep (head+middle) is ~2/3 of the language
-      assert(head + byBucket.getOrElse("middle", 0) >= 2 * n / 3 - 2)
       // within a language, every head doc has ppl <= every tail doc
       val maxHead = rs.filter(_.getString(3) == "head")
         .map(_.getLong(2)).maxOption.getOrElse(Long.MinValue)
@@ -119,6 +113,18 @@ class PipelineSpec extends AnyFunSuite {
         .map(_.getLong(2)).minOption.getOrElse(Long.MaxValue)
       assert(maxHead <= minTail,
         s"$lang bucket order violated: head max $maxHead > tail min $minTail")
+      // type-7 tercile thresholds split an integer sample into thirds up
+      // to TIES at the boundary value: every doc equal to a threshold
+      // lands in the lower bucket, so the balance slack must widen by the
+      // boundary tie-group size (micro-nat ppl_q makes big tie groups
+      // unlikely, but a fixture/SF change must not flake this test)
+      val headTies = rs.count(_.getLong(2) == maxHead)
+      val tailTies = rs.count(_.getLong(2) == minTail)
+      assert(math.abs(head - n / 3) <= 2 + headTies &&
+        math.abs(tail - n / 3) <= 2 + tailTies,
+        s"$lang terciles unbalanced: $byBucket over $n docs")
+      // the CCNet keep (head+middle) is ~2/3 of the language
+      assert(head + byBucket.getOrElse("middle", 0) >= 2 * n / 3 - 2 - tailTies)
     }
   }
 
