@@ -461,6 +461,34 @@ object EmbedQueries {
              center_order::BIGINT AS center_order, dist2::BIGINT AS dist2
       FROM fin ORDER BY doc_id"""))
 
+  /** The Walsh–Hadamard rotation KERNEL, hash-gated ([[graft.ops.Rotation]]
+    * — the zero-parameter OPQ rotation the PQ family can pre-compose; its
+    * recall effect is the `ann_pq_rot_gain_at10` observable): every
+    * rotated component of every md5-count vector, `y_i = Σ_j
+    * (-1)^popcount(i AND j) · x_j`, exact integers end to end. The JVM
+    * side runs the O(d log d) butterfly; the oracle replays the DEFINITION
+    * as a d×d bit_count sum over the sparse relation — two independent
+    * derivations of the same transform, so a butterfly-ordering bug (the
+    * classic FWHT mistake) flips the hash. */
+  val rotHadamard = Q(
+    "vec_rot_hadamard",
+    (s, dir) =>
+      md5Vectors(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.ops.Rotation.rotateUdf(col("embedding")))
+            .as(Seq("i", "y")))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          col("y").cast("long").as("y"))
+        .orderBy("doc_id", "i"),
+    Some(s"""$sparseSp,
+      grid AS (SELECT unnest(range(0, 32)) AS i),
+      rot AS (SELECT s.doc_id, g.i,
+                     sum(CASE WHEN bit_count(g.i & s.bucket) % 2 = 1
+                              THEN -s.w ELSE s.w END)::BIGINT AS y
+              FROM sp s CROSS JOIN grid g
+              GROUP BY s.doc_id, g.i)
+      SELECT doc_id, i::BIGINT AS i, y FROM rot ORDER BY doc_id, i"""))
+
   /** The engine BUILD cost as its own timed line (round-8 verdict: the
     * one-time `ensure` inside doc_knn_exact_budget's first execution read
     * as a 15× serving regression — serving and build belong on separate
@@ -497,5 +525,5 @@ object EmbedQueries {
   def qs: Seq[Q] = Seq(
     textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip,
     docKnnExact, ragPipeline, kmeansCluster, clusterTopTerms,
-    kcenterDiverse, engineBuildDocs)
+    kcenterDiverse, rotHadamard, engineBuildDocs)
 }

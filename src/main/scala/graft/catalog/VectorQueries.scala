@@ -289,6 +289,67 @@ object VectorQueries {
     },
     None)
 
+  /** Per-JVM PQ codes over the variance-concentrated twin, plain and
+    * Hadamard-rotated — the pair behind `ann_pq_rot_gain_at10`. */
+  private object RotPqCache {
+    private val cache = scala.collection.concurrent.TrieMap[
+      String, ((String, Pq.PqModel), (String, Pq.PqModel))]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String) = {
+      cache.getOrElseUpdate(dir, {
+        val twin = Tables.embeddings(s, dir)
+          .select(col("vec_id"), mrlTrained(col("embedding")).as("embedding"))
+          .localCheckpoint(eager = true)
+        val rot = twin.select(col("vec_id"),
+          graft.ops.Rotation.rotateUdf(col("embedding")).as("embedding"))
+          .localCheckpoint(eager = true)
+        def fit(e: org.apache.spark.sql.DataFrame, tag: String) = {
+          val m = Pq.train(e, m = 8, ksub = 256)
+          val p = s"/tmp/graft_pqrot/${tag}_" +
+            dir.replaceAll("[^A-Za-z0-9.]", "_")
+          Pq.encode(e, m).write.mode("overwrite").parquet(p)
+          (p, m)
+        }
+        (fit(twin, "plain"), fit(rot, "rot"))
+      })
+    }
+  }
+
+  /** The rotation's recall EFFECT as a self-describing observable (the
+    * kernel itself is hash-gated as `vec_rot_hadamard`): codes-only ADC
+    * recall@10 over the variance-CONCENTRATED twin (the mrlTrained
+    * embedding — energy halves every 4 dims, so one PQ subspace carries
+    * most of the signal), plain vs Hadamard-rotated, same exact-kNN
+    * ground truth (the rotation is orthogonal up to a uniform ×64, so
+    * both searches answer the SAME query). Rotation spreads each input
+    * dim across all subspaces with zero trained parameters — measured
+    * +6.5pp at sf0.01, +3pp at sf0.1; on the iid raw fixture it is a
+    * wash by design (nothing to rebalance), which is why the observable
+    * runs on the concentrated twin. Rows-only (Lloyd codebooks are
+    * engine-specific). */
+  val pqRotGain = Q(
+    "ann_pq_rot_gain_at10",
+    (s, dir) => {
+      import s.implicits._
+      val twin = Tables.embeddings(s, dir)
+        .select(col("vec_id"), mrlTrained(col("embedding")).as("embedding"))
+      val queries = twin.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val rotQueries = queries.select(col("query_id"),
+        graft.ops.Rotation.rotateUdf(col("embedding")).as("embedding"))
+      val ((plainPath, plainModel), (rotPath, rotModel)) =
+        RotPqCache.ensure(s, dir)
+      val exact = SimSearch.exactTopK(queries, twin, k = 10)
+      def recallOf(path: String, model: Pq.PqModel,
+          qs: org.apache.spark.sql.DataFrame): Double =
+        SimSearch.recallAtK(
+          Pq.adcTopK(qs, s.read.parquet(path), model, k = 10), exact)
+      Seq((
+        math.rint(recallOf(plainPath, plainModel, queries) * 10000) / 10000,
+        math.rint(recallOf(rotPath, rotModel, rotQueries) * 10000) / 10000,
+        20L)).toDF("recall_plain", "recall_rotated", "n_queries")
+    },
+    None)
+
   /** Per-JVM IVF-PQ model + persisted compressed partitioned index. */
   object IvfPqCache {
     private val cache =
@@ -716,7 +777,7 @@ object VectorQueries {
 
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
-    knnPq, knnPqFull, pqRecall, pqRerankRecall, knnIvfPq, knnIvfPqFull,
+    knnPq, knnPqFull, pqRecall, pqRerankRecall, pqRotGain, knnIvfPq, knnIvfPqFull,
     ivfPqRecall,
     knnSq, sqRecall, knnMrl, mrlRecall,
     knnJoinExact, knnJoinBucketed, knnJoinRecall, countVectors, topkStreamBatch)
