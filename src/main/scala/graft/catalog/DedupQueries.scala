@@ -1360,19 +1360,29 @@ ${affineSigCtes("MATERIALIZED")},
     * label all docs, one cluster-sized count — nothing corpus-quadratic.
     * The oracle replays closure, labeling, sizing and the integer weight,
     * so the whole reweighting is inside the hash gate. */
+  /** Every doc labeled with its near-dup cluster (components over the
+    * shared exact pair graph, singletons self-labeled) plus the per-
+    * cluster size table — the shared substrate of [[softWeights]] and
+    * [[dedupProfile]]. */
+  private def clusterLabelsAndSizes(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val edges = NgramPairsCache.get(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.ops.ConnectedComponents.components(edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val lab = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    (lab, sizes)
+  }
+
   val softWeights = Q(
     "dedup_soft_weights",
     (s, dir) => {
-      val edges = NgramPairsCache.get(s, dir)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val labels = graft.ops.ConnectedComponents.components(edges)
-        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
-      val lab = Tables.documents(s, dir).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      val sizes = lab.groupBy("cluster_id")
-        .agg(count(lit(1)).as("cluster_size"))
+      val (lab, sizes) = clusterLabelsAndSizes(s, dir)
       lab.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           expr("10000 div cluster_size").as("weight_bp"))
@@ -1397,6 +1407,44 @@ ${affineSigCtes("MATERIALIZED")},
       SELECT doc_id, cluster_id, cluster_size,
              (10000 // cluster_size)::BIGINT AS weight_bp
       FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"""))
+
+  /** Corpus DUPLICATION profile — the diagnostic a curation run reads
+    * before choosing drop vs reweight: the cluster-SIZE histogram
+    * (how many near-dup clusters of each size, how many docs they hold)
+    * over the same labeling as [[softWeights]]. `n_docs div n_clusters ==
+    * cluster_size` by construction; the corpus duplication factor is
+    * sum(n_docs) / sum(n_clusters). Cost on top of the shared pair cache:
+    * the components fixpoint + two cluster-sized aggregates — the output
+    * is distinct-sizes-sized (tiny at any scale). */
+  val dedupProfile = Q(
+    "dedup_profile",
+    (s, dir) => {
+      val (_, sizes) = clusterLabelsAndSizes(s, dir)
+      sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""${oracleNgramPipeline.replaceFirst("WITH", "WITH RECURSIVE")},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION SELECT doc_b, doc_a FROM vp
+              UNION SELECT doc_a, doc_a FROM vp
+              UNION SELECT doc_b, doc_b FROM vp),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+      lab0 AS (SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+               FROM reach GROUP BY a),
+      lab AS (SELECT d.doc_id,
+                     coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lab0 l USING (doc_id)),
+      sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+             FROM lab GROUP BY cluster_id)
+      SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+             (cluster_size * count(*))::BIGINT AS n_docs
+      FROM sz GROUP BY cluster_size ORDER BY cluster_size"""))
 
   /** SPLIT-LEAKAGE audit — the QA gate a pretrain pipeline runs right
     * after train/val/test assignment: a near-duplicate pair that CROSSES
@@ -1875,7 +1923,8 @@ ${affineSigCtes("MATERIALIZED")},
     minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep, containmentPairsQ, containmentKeep,
     simhashPairs, embeddingNearDup, embeddingIncremental, clusterCc, clusterCcStar,
-    clusterIncremental, softWeights, splitLeakageAudit, sampleNegatives,
+    clusterIncremental, softWeights, dedupProfile, splitLeakageAudit,
+    sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,
     streamNearDupFastExec, streamClusterExec, streamEmbDedupExec,
     streamDecontamExec)

@@ -81,6 +81,22 @@ object PlanAudit {
       graft.index.LshForest.bucketTable(delta2, model2), delta2,
       graft.catalog.DedupQueries.bucketCuts(raw2, e))
       .explain("formatted")
+    println("===== rare-span audit =====")
+    // expect: windows explode map-side, only md5 hashes in the exchanges,
+    // equi-join back on the hash, no window operator
+    graft.ops.TextMatch
+      .rareSpanAudit(Tables.documents(spark, dir), k = 8)
+      .explain("formatted")
+    println("===== soft-dedup weights =====")
+    // expect: components on the pairs-sized graph; ONE corpus-sized left
+    // join to label docs; cluster-sized count join; no window
+    graft.catalog.DedupQueries.softWeights.run(spark, dir)
+      .explain("formatted")
+    println("===== hadamard rotation kernel =====")
+    // expect: one projection chain (UDF + posexplode) off the documents
+    // scan — zero exchanges before the final sort
+    graft.catalog.EmbedQueries.rotHadamard.run(spark, dir)
+      .explain("formatted")
     spark.stop()
   }
 }

@@ -24,6 +24,7 @@ object QualityReport {
     "ann_pq_rerank_recall_at10",
     "ann_ivfpq_recall_at10",
     "ann_sq_recall_at10",
+    "ann_pq_rot_gain_at10",
     "knn_join_recall_at3")
 
   def main(args: Array[String]): Unit = {
