@@ -616,8 +616,32 @@ object CurationQueries {
     def next(): Long = n.incrementAndGet()
   }
 
+  /** Deterministic curriculum ordering ([[graft.ops.Curation
+    * .curriculumOrder]] — shortest-first with an md5 shuffle inside each
+    * length band): the Spark side runs the DISTRIBUTED two-phase ordering
+    * (micro-bucket histogram → broadcast offsets → within-micro rank),
+    * the oracle the same ordering as ONE global sort — the hash gate
+    * proves the two formulations land on the identical dense position for
+    * every document, which is exactly the property a resumable training
+    * run needs from its data order. */
+  val curriculumOrder = Q(
+    "sample_curriculum_order",
+    (s, dir) =>
+      Curation.curriculumOrder(Tables.documents(s, dir))
+        .orderBy("position"),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        len(string_split(lower(text), ' '))::BIGINT AS n_tok,
+                        md5('c' || doc_id) AS h
+                 FROM documents)
+      SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+             (row_number() OVER (ORDER BY n_tok // 16, substr(h, 1, 2), h,
+                                 doc_id) - 1)::BIGINT AS position
+      FROM t ORDER BY position"""))
+
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
       splitTrainVal, chunkDocuments, temperatureMix, qualityPercentileFilter,
-      tokenBudgetSample, unimaxMix, dsirSelect, streamDsirExec, streamCapExec)
+      tokenBudgetSample, unimaxMix, dsirSelect, curriculumOrder,
+      streamDsirExec, streamCapExec)
 }

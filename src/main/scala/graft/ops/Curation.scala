@@ -272,6 +272,39 @@ object Curation {
         expr("alloc_tokens * 10000 div cap").as("rate_bp"))
   }
 
+  /** Deterministic CURRICULUM ordering — shortest-sequences-first with an
+    * md5 shuffle inside each difficulty band (the classic length-based
+    * warmup schedule, reproducible run to run): every doc gets a dense
+    * 0-based training `position`, ordered by (length bucket asc, md5,
+    * docId). The 100 TB shape is the distributed two-phase ordering (the
+    * "zipWithIndex done right" pattern): docs land in (bucket,
+    * 2-hex-md5-prefix) MICRO-buckets, the micro-bucket histogram —
+    * buckets×256 rows, tiny at any scale — takes the ONLY unpartitioned
+    * window for its prefix-sum offsets and broadcasts, and each doc's
+    * position is its broadcast offset plus a rank windowed WITHIN its
+    * micro-bucket (corpus/(buckets·256)-sized partitions). The catalog
+    * oracle computes the same ordering as ONE global sort, so the hash
+    * gate proves two-phase ≡ global. */
+  def curriculumOrder(
+      docs: DataFrame, bucketWidth: Int = 16,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(docId),
+      size(split(lower(col(textCol)), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $bucketWidth"))
+      .withColumn("h", md5(concat(lit("c"), col(docId).cast("string"))))
+      .withColumn("hex", substring(col("h"), 1, 2))
+    val counts = base.groupBy("bucket", "hex").agg(count(lit(1)).as("n"))
+    val wOff = Window.orderBy("bucket", "hex")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("bucket", "hex", "off")
+    val wIn = Window.partitionBy("bucket", "hex").orderBy(col("h"), col(docId))
+    base.join(broadcast(offsets), Seq("bucket", "hex"))
+      .withColumn("position", col("off") + row_number().over(wIn) - 1)
+      .select(col(docId), col("n_tok"), col("bucket"), col("position"))
+  }
+
   /** Concat-and-chunk sequence packing: assign docs (in docId order within
     * each `strata`) to fixed-budget training sequences by running token
     * cumsum div `budget`. Returns the input plus (seq_id, cum). */

@@ -102,4 +102,20 @@ class CurationOpsSpec extends AnyFunSuite {
     if (un.nonEmpty)
       assert(un.max - un.min <= 1L, s"uncapped allocs not uniform: ${un.toSeq}")
   }
+
+  test("curriculumOrder: dense permutation, shortest buckets first, deterministic") {
+    val docs = core.Tables.documents(spark, SparkTestBase.sf0001)
+    val a = Curation.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // positions are a dense 0..n-1 permutation
+    assert(a.map(_._4).sorted.toSeq == (0L until a.length.toLong))
+    // positions respect bucket order: sorting by position sorts buckets
+    val byPos = a.sortBy(_._4)
+    assert(byPos.map(_._3).toSeq == byPos.map(_._3).sorted.toSeq,
+      "a longer-bucket doc ordered before a shorter-bucket one")
+    // bit-identical across executions (what a resumable run relies on)
+    val b = Curation.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+  }
 }

@@ -124,6 +124,17 @@ class PlanSpec extends AnyFunSuite {
       s"span dedup must stay an equi-join:\n$p")
   }
 
+  test("curriculum order: rank windows partitioned by micro-bucket") {
+    val p = plan(graft.ops.Curation.curriculumOrder(
+      Tables.documents(spark, dir)))
+    val rn = p.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("bucket")),
+      s"the per-doc rank must window WITHIN (bucket, hex) — a global " +
+        s"row_number is the zipWithIndex anti-pattern:\n${rn.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the histogram offsets must broadcast:\n$p")
+  }
+
   test("rare-span audit: hashes shuffle, no window, equi-join only") {
     val p = plan(graft.ops.TextMatch.rareSpanAudit(
       Tables.documents(spark, dir), k = 8))
