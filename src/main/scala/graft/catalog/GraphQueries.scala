@@ -50,5 +50,45 @@ object GraphQueries {
       ${Graph.pagerankOracleSql(Iters)}
       SELECT id, pr FROM it$Iters ORDER BY id"""))
 
-  def qs: Seq[Q] = Seq(pagerank)
+  /** Triangle counting ([[Graph.triangleCounts]]) over the SAME synthetic
+    * topology as `graph_pagerank` (symmetrized) — per-node triangle
+    * participation is the clustering-coefficient numerator and the
+    * standard graph-health metric for near-dup pair graphs. The oracle
+    * replays the identical degree-ordered orientation + wedge-closure
+    * joins, so the hash pins both the total and the per-node split. */
+  val triangles = Q(
+    "graph_triangles",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 31 + 7) % n,
+          (col("doc_id") * 17 + 3) % n,
+          (col("doc_id") * 13 + 11) % n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Graph.triangleCounts(edges)
+    },
+    Some(s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT doc_id AS src,
+               (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 13 + 11) % (SELECT count(*) FROM documents)
+        FROM documents),
+      ${Graph.triangleOracleSql}
+      SELECT id, count(*)::BIGINT AS n_tri FROM (
+        SELECT ta AS id FROM tri
+        UNION ALL SELECT tb FROM tri
+        UNION ALL SELECT tc FROM tri)
+      GROUP BY id ORDER BY id"""))
+
+  def qs: Seq[Q] = Seq(pagerank, triangles)
 }

@@ -1140,6 +1140,118 @@ object RelationalQueries {
                * (a + c)::HUGEINT * (b + d)::HUGEINT AS significant
       FROM t"""))
 
+  private val MarkovIters = 64
+
+  /** Markov REMOVAL-EFFECT attribution ([[graft.ops.MarkovAttribution]]) —
+    * the data-driven attribution model next to the first/last/linear and
+    * time-decay heuristics: absorption probability of `conv` from `start`
+    * over the first-order journey chain, re-solved with each channel
+    * pinned unreachable; credit = normalized probability drop. All math
+    * is the K-step truncated integer fixed point (basis points), so the
+    * oracle replays the identical recurrence as K unrolled CTEs over the
+    * (chain, state) grid. Corpus-scale work is ONE user-keyed window pass
+    * to the transition grid (the `q_events_transitions` shape); the
+    * vocabulary-squared grid is collected and the chain solve runs on the
+    * driver in microseconds at any corpus size. */
+  val eventsAttributionMarkov = Q(
+    "q_events_attribution_markov",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      graft.ops.MarkovAttribution.removalEffects(e, iters = MarkovIters)
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                 FROM events),
+      conv AS MATERIALIZED (SELECT user_id, min(us) AS c_us FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id),
+      t AS MATERIALIZED (SELECT e.user_id, e.event_type, e.us, e.event_id, c.c_us
+            FROM e LEFT JOIN conv c USING (user_id)
+            WHERE e.event_type IN ('view', 'click')
+              AND (c.c_us IS NULL
+                   OR (e.us < c.c_us AND e.us >= c.c_us - 604800000000))),
+      r AS MATERIALIZED (SELECT user_id, event_type, c_us,
+                   row_number() OVER w AS rn,
+                   lead(event_type) OVER w AS nxt,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      edges AS MATERIALIZED (
+        SELECT 'start' AS f, event_type AS t2 FROM r WHERE rn = 1
+        UNION ALL
+        SELECT event_type, nxt FROM r WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT event_type,
+               CASE WHEN c_us IS NOT NULL THEN 'conv' ELSE 'null' END
+        FROM r WHERE rn = n
+        UNION ALL
+        SELECT 'start', 'conv' FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.user_id = c.user_id)),
+      ${graft.ops.MarkovAttribution.oracleSql(MarkovIters)}
+      SELECT channel, p_full_bp, p_removed_bp, removal_bp,
+             CASE WHEN (SELECT sum(removal_bp) FROM shares) = 0 THEN 0
+                  ELSE share_base + CASE WHEN rk <= 10000 -
+                    (SELECT sum(share_base) FROM shares) THEN 1 ELSE 0 END
+             END AS share_bp
+      FROM shares ORDER BY channel"""))
+
+  /** TOP CONVERTING PATHS — the journey-level view the Markov entry
+    * aggregates away: each converter's channel sequence (last 8 touches
+    * inside the 7-day lookback, nearest the conversion — the cap bounds
+    * path cardinality and state size by construction) rendered
+    * `view>click>…`, counted and ranked. Deterministic end to end: touch
+    * order is (us, event_id) — exact integer microseconds with a unique
+    * tiebreak — and the top-50 cut orders by (n_users DESC, path), so no
+    * tie can flake the hash.
+    *
+    * 100 TB shape: touches shuffle ONCE on user against the users-sized
+    * conversion build side; the recency cap and the path assembly are one
+    * user-partitioned window + one user-keyed aggregate over ≤8-element
+    * lists; the path rollup partial-aggregates map-side (path strings are
+    * ≤8 tokens); the final cut is TakeOrdered(50), never a global sort. */
+  val eventsPathsTopk = Q(
+    "q_events_paths_topk",
+    (s, dir) => {
+      val LookbackUs = 7L * 86400000000L
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("event_id"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(col("us") < col("c_us") &&
+          col("us") >= col("c_us") - LookbackUs)
+      val recent = touches.withColumn("rd", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("us").desc, col("event_id").desc)))
+        .filter(col("rd") <= 8)
+      val paths = recent.groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(
+            struct(col("us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(50)
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                 FROM events),
+      conv AS (SELECT user_id, min(us) AS c_us FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id),
+      t AS (SELECT e.user_id, e.event_type, e.us, e.event_id
+            FROM e JOIN conv c USING (user_id)
+            WHERE e.event_type IN ('view', 'click')
+              AND e.us < c.c_us AND e.us >= c.c_us - 604800000000),
+      recent AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY us DESC, event_id DESC) AS rd
+                 FROM t),
+      p AS (SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY us, event_id) AS path
+            FROM recent WHERE rd <= 8 GROUP BY user_id)
+      SELECT path, count(*)::BIGINT AS n_users FROM p GROUP BY path
+      ORDER BY n_users DESC, path LIMIT 50"""))
+
   val eventsTransitions = Q(
     "q_events_transitions",
     (s, dir) => {
@@ -1892,7 +2004,7 @@ object RelationalQueries {
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
     eventsRetention, eventsRfm, eventsAttribution, eventsAttributionDecay,
-    funnelTimeToConvert,
+    eventsAttributionMarkov, eventsPathsTopk, funnelTimeToConvert,
     eventsTransitions, eventsAnomaly, eventsAbtest,
     eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,
     sketchStreamExec, asofStreamExec, rangeJoinStreamExec)

@@ -58,4 +58,41 @@ class GraphSpec extends AnyFunSuite {
     val b = Graph.pagerankInt(df, iters = 8).orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("triangles: K4 has four, each node in three") {
+    val k4 = (for { i <- 0L to 3L; j <- 0L to 3L if i != j } yield (i, j))
+      .toDF("src", "dst")
+    val t = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == (0L to 3L).map(_ -> 3L).toMap)
+  }
+
+  test("triangles: a square has none; adding one diagonal makes two") {
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(Graph.triangleCounts(square.toDF("src", "dst")).count() == 0)
+    val t = Graph.triangleCounts((square :+ (0L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // diagonal endpoints sit in both triangles; the square's other two
+    // corners in one each
+    assert(t == Map(0L -> 2L, 2L -> 2L, 1L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles match a brute-force reference on a random graph, " +
+    "and direction/duplication of the input edges is irrelevant") {
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 300)
+      .map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val adj = edges.flatMap(e => Seq(e, e.swap)).toSet
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+    for { a <- 0L until 40L; b <- a + 1 until 40L if adj((a, b))
+          c <- b + 1 until 40L if adj((a, c)) && adj((b, c)) } {
+      Seq(a, b, c).foreach(v => ref(v) = ref.getOrElse(v, 0L) + 1L)
+    }
+    // feed duplicated, arbitrarily-directed edges: canonicalization owns it
+    val got = Graph.triangleCounts((edges ++ edges.map(_.swap))
+      .toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref.toMap)
+  }
 }

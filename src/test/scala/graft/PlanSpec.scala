@@ -284,6 +284,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window belongs in the assign:\n$p")
   }
 
+  test("triangles: equi-joins only — orientation kills the symmetric blowup") {
+    val df = graft.catalog.GraphQueries.triangles.run(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure must stay equi-joins:\n$p")
+    assert(!p.contains("Window"),
+      s"no window belongs in triangle counting:\n$p")
+    assert(p.contains("partial_count"),
+      s"degree and per-node counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("markov attribution: one user-keyed window pass feeds the grid; " +
+    "no events-sized self join") {
+    // The catalog entry collects the grid, so gate the EDGE EXTRACTION
+    // stage (the only corpus-scale plan) directly.
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .join(conv, Seq("user_id"), "left")
+    val p = plan(touches)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"users-sized conversions frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"touch join shuffled events against events:\n$p")
+    val full = RelationalQueries.eventsAttributionMarkov.run(spark, dir)
+    assert(full.schema.fieldNames.toSeq ==
+      Seq("channel", "p_full_bp", "p_removed_bp", "removal_bp", "share_bp"))
+  }
+
+  test("paths top-k: user-partitioned window, take-ordered cut, no global sort") {
+    val df = RelationalQueries.eventsPathsTopk.run(spark, dir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be a TakeOrdered, not a global sort+limit:\n$p")
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(df.queryExecution.optimizedPlan.toString)
+      .map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("user_id")),
+      s"recency window must partition on user_id: $winSpecs")
+    assert(!p.contains("SortMergeJoin"),
+      s"touch join shuffled events against events:\n$p")
+  }
+
   test("anomaly: corpus pre-aggregates to the hourly table before the window") {
     val p = plan(RelationalQueries.eventsAnomaly.run(spark, dir))
     val firstAgg = p.indexOf("partial_count")
