@@ -169,6 +169,51 @@ object CurationQueries {
              sum(n_tok)::BIGINT AS sum_tokens
       FROM packed GROUP BY source, seq_id ORDER BY source, seq_id"""))
 
+  /** First-fit-decreasing packing ([[graft.ops.BinPack]]) — the
+    * boundary-respecting twin of `pack_sequences`: docs are packed WHOLE
+    * into 512-token bins by the exact FFD greedy inside md5-salted
+    * groups, and the recursive-CTE oracle replays the identical traversal
+    * one placement per step, so the hash pins every doc's bin. Oversized
+    * docs are the chunking path's job and are excluded by contract. */
+  val packFfd = Q(
+    "pack_sequences_ffd",
+    (s, dir) => {
+      val dl = Tables.documents(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tok"))
+      graft.ops.BinPack.packFirstFitDecreasing(dl, capacity = 512L)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE dl AS MATERIALIZED (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                 AS n_tok
+        FROM documents),
+      el AS MATERIALIZED (SELECT doc_id, n_tok FROM dl WHERE n_tok <= 512),
+      pars AS MATERIALIZED (
+        SELECT greatest(1, (count(*) + 1023) // 1024)::BIGINT AS g FROM el),
+      hashed AS MATERIALIZED (
+        SELECT doc_id, n_tok, md5('b' || doc_id) AS h FROM el),
+      grouped AS MATERIALIZED (
+        SELECT doc_id, n_tok,
+               ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1))::BIGINT
+                 % (SELECT g FROM pars) AS grp
+        FROM hashed),
+      ordd AS MATERIALIZED (
+        SELECT grp, doc_id, n_tok,
+               row_number() OVER (PARTITION BY grp
+                 ORDER BY n_tok DESC, doc_id)::BIGINT AS rn
+        FROM grouped),
+      ${graft.ops.BinPack.oracleSql(512L)}
+      SELECT grp, doc_id, n_tok, bin FROM steps WHERE rn >= 1
+      ORDER BY doc_id"""))
+
   /** Deterministic train/val/test split: each doc's bucket is the first
     * two hex chars of md5('v' || doc_id) — a pure map pass, reproducible
     * across engines and across reruns at any scale, and stable under
@@ -641,6 +686,7 @@ object CurationQueries {
 
   def qs: Seq[Q] =
     Seq(repetition, decontaminate, piiScrub, quotaSample, packSequences,
+      packFfd,
       splitTrainVal, chunkDocuments, temperatureMix, qualityPercentileFilter,
       tokenBudgetSample, unimaxMix, dsirSelect, curriculumOrder,
       streamDsirExec, streamCapExec)
