@@ -1025,6 +1025,29 @@ object RelationalQueries {
     * window runs over that tiny derived series — at 100 TB the window
     * never touches raw events. Hours with fewer than 24 predecessors
     * (per type, ROWS-based) are warm-up and not emitted. */
+  /** The trailing-window flag arithmetic of [[eventsAnomaly]] over an
+    * already-aggregated hourly count table (event_type, h, c) — shared
+    * with the streaming exec twin so both paths run ONE set of exact
+    * integer comparisons (see the batch entry's overflow notes). */
+  def anomalyFlags(hc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-24, -1)
+    val d = lit(24L) * dec(col("c")) - dec(col("s24"))
+    hc.withColumn("n24", count(lit(1)).over(w))
+      .withColumn("s24", sum("c").over(w))
+      .withColumn("q24", sum(dec(col("c")) * dec(col("c"))).over(w))
+      .filter(col("n24") === 24)
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("c"), col("s24"),
+        (d * d >
+          lit(4L) * (lit(24L) * col("q24") - dec(col("s24")) * dec(col("s24"))))
+          .as("is_anomaly"))
+      .orderBy("event_type", "hour_start")
+  }
+
   val eventsAnomaly = Q(
     "q_events_anomaly",
     (s, dir) => {
@@ -1037,24 +1060,72 @@ object RelationalQueries {
       // silently wrong) beyond it. q24's per-term c² is the overflow
       // carrier, so it stays internal; the output keeps the BIGINT-safe
       // columns only.
-      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
       val hc = Tables.events(s, dir)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("h")
-        .rowsBetween(-24, -1)
-      val d = lit(24L) * dec(col("c")) - dec(col("s24"))
-      hc.withColumn("n24", count(lit(1)).over(w))
-        .withColumn("s24", sum("c").over(w))
-        .withColumn("q24", sum(dec(col("c")) * dec(col("c"))).over(w))
-        .filter(col("n24") === 24)
-        .select(col("event_type"),
-          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("c"), col("s24"),
-          (d * d >
-            lit(4L) * (lit(24L) * col("q24") - dec(col("s24")) * dec(col("s24"))))
-            .as("is_anomaly"))
-        .orderBy("event_type", "hour_start")
+      anomalyFlags(hc)
+    },
+    Some("""
+      WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                         count(*)::BIGINT AS c
+                  FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, h, c,
+                    count(*) OVER w AS n24,
+                    sum(c) OVER w AS s24,
+                    sum(c::HUGEINT * c::HUGEINT) OVER w AS q24
+             FROM hc
+             WINDOW w AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, c,
+             s24::BIGINT AS s24,
+             (24 * c::HUGEINT - s24) * (24 * c::HUGEINT - s24) >
+               4 * (24 * q24 - s24::HUGEINT * s24::HUGEINT) AS is_anomaly
+      FROM st WHERE n24 = 24 ORDER BY event_type, hour_start"""))
+
+  /** STREAMING anomaly monitor — the exec twin of [[eventsAnomaly]]: the
+    * hourly count series is MAINTAINED incrementally
+    * ([[graft.streaming.StreamOps.hourlyCountsAppend]] — append mode, each
+    * (hour, type) row finalized exactly once when the watermark passes),
+    * then the identical [[anomalyFlags]] arithmetic runs over the
+    * materialized series. Two far-future sentinel batches flush the tail
+    * hours (the watermark-riding gate policy); the oracle is the SAME SQL
+    * as the batch entry, so the hash proves the incremental series equals
+    * the full-scan aggregation. At 100 TB this is the shape that works:
+    * the monitor's state is hours×types-sized, raw events are seen once. */
+  val eventsAnomalyStreamExec = Q(
+    "stream_anomaly_exec",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)]
+        .collect()
+      val maxMs = rows.iterator.map(_._1.getTime).max
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)]
+      val sink = s"stream_anomaly_exec_sink_${StreamSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .hourlyCountsAppend(mem.toDF().toDF("ts", "event_type"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          // first sentinel advances the watermark past every real hour;
+          // the second's batch emits the finalized tail against it
+          Seq(10L, 11L).foreach { d =>
+            mem.addData(Seq(
+              (new java.sql.Timestamp(maxMs + d * 86400000L), "__sentinel")))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      anomalyFlags(
+        s.table(sink).filter(col("event_type") =!= "__sentinel"))
     },
     Some("""
       WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h,
@@ -2007,5 +2078,6 @@ object RelationalQueries {
     eventsAttributionMarkov, eventsPathsTopk, funnelTimeToConvert,
     eventsTransitions, eventsAnomaly, eventsAbtest,
     eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,
+    eventsAnomalyStreamExec,
     sketchStreamExec, asofStreamExec, rangeJoinStreamExec)
 }

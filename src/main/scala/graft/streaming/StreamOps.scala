@@ -64,6 +64,22 @@ object StreamOps {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Hourly event counts in APPEND mode: each (hour, type) row is emitted
+    * exactly once, when the watermark passes the window's end — the
+    * incremental way to MAINTAIN the derived hourly series an anomaly
+    * monitor reads (complete-mode [[hourlyEventStats]] re-emits the whole
+    * table per batch, which a 100 TB monitor cannot). Callers flush the
+    * tail with far-future sentinel data batches (the watermark-riding
+    * gate policy — see [[withShufflePartitions]]) and filter the sentinel
+    * type back out. */
+  def hourlyCountsAppend(
+      events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("h"), col("event_type"), col("c"))
+
   /** Gap-based sessionization with the native `session_window` — the
     * Spark-first form of q_events_sessions' lag/cumsum construction: on a
     * stream it is incremental merging session state with watermark expiry;

@@ -41,6 +41,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode hourly counts: cross-batch merge, single emission, " +
+    "sentinel flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.hourlyCountsAppend(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("hourly_append_test")
+      .outputMode("append").start()
+    try {
+      // the same hour split across two batches must merge into ONE row
+      mem.addData((ts(5), "click"), (ts(20), "click"))
+      q.processAllAvailable()
+      mem.addData((ts(30), "click"), (ts(65), "view"))
+      q.processAllAvailable()
+      Seq(3000, 4000).foreach { m => // sentinels advance + flush
+        mem.addData((ts(m), "__sentinel")); q.processAllAvailable()
+      }
+      val rows = spark.table("hourly_append_test")
+        .filter(col("event_type") =!= "__sentinel")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1.getTime, t._2))
+      assert(rows.toSeq == Seq(
+        (ts(0), "click", 3L), (ts(60), "view", 1L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("session windows: closed streaming sessions equal the batch result") {
     // two users; user 1 has a 40-min gap (> 30-min session gap) -> 2 sessions
     val evs = Seq(
