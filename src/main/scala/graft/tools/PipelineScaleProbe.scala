@@ -28,6 +28,15 @@ object PipelineScaleProbe {
       spark0.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "pack") {
+      val spark0 = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark0.sparkContext.setLogLevel("ERROR")
+      val base = if (args.length > 1) args(1).toLong else 250000L
+      Seq(base, 4 * base).foreach(packLeg(spark0, _))
+      spark0.stop()
+      return
+    }
     val sizes =
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(250000L, 1000000L)
     val spark = SparkSession.builder().master("local[8]")
@@ -214,6 +223,41 @@ object PipelineScaleProbe {
       s""""min_a":${sep("a")._1},"max_b":${sep("b")._2},""" +
       f""""wall_train_score_sec":$declWall%.2f,"wall_kernel_sec":$kerWall%.2f}""")
     scored.unpersist()
+    System.out.flush()
+  }
+
+  /** `pack <base>` leg — the SURVEY §8.2 claim behind pack_sequences_ffd:
+    * salted-group FFD stays one shuffle and scales with the corpus while
+    * the waste stays near the bound. Lengths are deterministic
+    * pseudo-random in [1, 600] at capacity 512 (so ~15% of docs are
+    * oversize and excluded by contract); the leg asserts the capacity
+    * invariant globally, reports bins vs the ceil(total/512) lower bound
+    * and the padding waste in basis points, and times the pass at n and
+    * 4n. */
+  def packLeg(spark: SparkSession, n: Long): Unit = {
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      (pmod(xxhash64(col("id"), lit(42)), lit(600)) + 1).as("n_tok"))
+      .localCheckpoint(eager = true)
+    val cap = 512L
+    val t0 = System.nanoTime()
+    val packed = graft.ops.BinPack
+      .packFirstFitDecreasing(docs, capacity = cap)
+      .persist()
+    val loads = packed.groupBy("grp", "bin").agg(sum("n_tok").as("load"))
+    val over = loads.filter(col("load") > cap).count()
+    val agg = loads.agg(count(lit(1)).as("bins"), sum("load").as("total"))
+      .head()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val (bins, total) = (agg.getLong(0), agg.getLong(1))
+    val lb = (total + cap - 1) / cap
+    val wasteBp = (bins * cap - total) * 10000L / (bins * cap)
+    val placed = packed.count()
+    packed.unpersist()
+    println(f""""pack":{"n":$n,"placed":$placed,"bins":$bins,""" +
+      f""""lower_bound":$lb,"over_capacity":$over,"waste_bp":$wasteBp,""" +
+      f""""wall_sec":$wall%.2f}""")
+    assert(over == 0L, s"$over bins over capacity")
     System.out.flush()
   }
 }

@@ -92,6 +92,23 @@ object PlanAudit {
     // join to label docs; cluster-sized count join; no window
     graft.catalog.DedupQueries.softWeights.run(spark, dir)
       .explain("formatted")
+    println("===== triangle counting =====")
+    // expect: equi-joins only (wedge join on u, closure on (v, w)), every
+    // count partial-aggregated map-side, no window, no nested-loop join
+    graft.catalog.GraphQueries.triangles.run(spark, dir)
+      .explain("formatted")
+    println("===== top converting paths =====")
+    // expect: conversions broadcast to the touch join, recency window
+    // partitioned on user_id, path rollup partial map-side, TakeOrdered cut
+    graft.catalog.RelationalQueries.eventsPathsTopk.run(spark, dir)
+      .explain("formatted")
+    println("===== FFD packing =====")
+    // expect: one exchange on the salt group key feeding MapGroups; the
+    // only other exchange is the output ordering's range partition
+    graft.ops.BinPack.packFirstFitDecreasing(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      capacity = 512L).explain("formatted")
     println("===== hadamard rotation kernel =====")
     // expect: one projection chain (UDF + posexplode) off the documents
     // scan — zero exchanges before the final sort
