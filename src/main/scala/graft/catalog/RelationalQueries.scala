@@ -1266,6 +1266,73 @@ object RelationalQueries {
              END AS share_bp
       FROM shares ORDER BY channel"""))
 
+  /** MARKET-BASKET pair lift — association-rule mining's workhorse (the
+    * pairwise special case of Apriori, Agrawal & Srikant '94) over the
+    * (order, part) baskets: which parts co-occur more than independence
+    * predicts. Counts are exact; lift is integer BASIS POINTS
+    * (n12·N·10000 div (n1·n2) — truncation, no float division), and the
+    * top-100 cut orders by (n12 DESC, p1, p2), so nothing can flake the
+    * hash.
+    *
+    * 100 TB shape — the Apriori pruning IS the plan: items below the
+    * support floor are dropped BEFORE the pair join (left-semi against
+    * the tiny frequent-part set, the same pruning that makes Apriori
+    * tractable), so the order-keyed self-join fans out only over frequent
+    * items per basket (bounded by basket size × frequent density, never
+    * |parts|²); pair counts partial-aggregate map-side; the per-part
+    * count table is broadcast back for the lift; the cut is TakeOrdered,
+    * never a global sort. */
+  val basketLift = Q(
+    "q_basket_lift",
+    (s, dir) => {
+      val MinItem = 20L
+      val MinPair = 2L
+      // the deduplicated basket table feeds THREE consumers (item counts,
+      // the pair join's two sides, the order count) — checkpoint it once
+      // or the distinct shuffle runs three times (measured 5.8 → 2.9 s at
+      // sf0.1; production would persist the basket table to storage)
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(true)
+      val cnt = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val freq = cnt.filter(col("n") >= MinItem)
+      val fi = items.join(broadcast(freq.select("l_partkey")),
+        Seq("l_partkey"), "left_semi")
+      val a = fi.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = fi.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      val pairs = a.join(b, "l_orderkey")
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n12"))
+        .filter(col("n12") >= MinPair)
+      val nOrders = items.select("l_orderkey").distinct().count()
+      pairs
+        .join(broadcast(cnt.select(col("l_partkey").as("p1"),
+          col("n").as("n1"))), "p1")
+        .join(broadcast(cnt.select(col("l_partkey").as("p2"),
+          col("n").as("n2"))), "p2")
+        .select(col("p1"), col("p2"), col("n12"), col("n1"), col("n2"),
+          expr(s"(n12 * ${nOrders}L * 10000L) div (n1 * n2)").as("lift_bp"))
+        .orderBy(col("n12").desc, col("p1"), col("p2")).limit(100)
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      cnt AS (SELECT l_partkey, count(*)::BIGINT AS n FROM i GROUP BY 1),
+      fi AS (SELECT i.l_orderkey, i.l_partkey FROM i
+             JOIN cnt USING (l_partkey) WHERE cnt.n >= 20),
+      pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       count(*)::BIGINT AS n12
+                FROM fi a JOIN fi b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+      no AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM i)
+      SELECT p.p1, p.p2, p.n12, c1.n AS n1, c2.n AS n2,
+             (p.n12 * (SELECT n FROM no) * 10000) // (c1.n * c2.n) AS lift_bp
+      FROM pairs p
+      JOIN cnt c1 ON c1.l_partkey = p.p1
+      JOIN cnt c2 ON c2.l_partkey = p.p2
+      WHERE p.n12 >= 2
+      ORDER BY p.n12 DESC, p.p1, p.p2 LIMIT 100"""))
+
   /** TOP CONVERTING PATHS — the journey-level view the Markov entry
     * aggregates away: each converter's channel sequence (last 8 touches
     * inside the 7-day lookback, nearest the conversion — the cap bounds
@@ -2075,7 +2142,8 @@ object RelationalQueries {
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
     eventsRetention, eventsRfm, eventsAttribution, eventsAttributionDecay,
-    eventsAttributionMarkov, eventsPathsTopk, funnelTimeToConvert,
+    eventsAttributionMarkov, eventsPathsTopk, basketLift,
+    funnelTimeToConvert,
     eventsTransitions, eventsAnomaly, eventsAbtest,
     eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,
     eventsAnomalyStreamExec,

@@ -331,6 +331,20 @@ class PlanSpec extends AnyFunSuite {
       s"touch join shuffled events against events:\n$p")
   }
 
+  test("basket lift: apriori semi-join broadcast, take-ordered cut, " +
+    "no cartesian pair expansion") {
+    val df = RelationalQueries.basketLift.run(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"frequent-part prune and count joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an order-keyed equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a TakeOrdered, not a global sort+limit:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
   test("anomaly: corpus pre-aggregates to the hourly table before the window") {
     val p = plan(RelationalQueries.eventsAnomaly.run(spark, dir))
     val firstAgg = p.indexOf("partial_count")
