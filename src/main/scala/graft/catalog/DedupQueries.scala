@@ -392,6 +392,40 @@ ${affineSigCtes()},
       SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
       FROM vp ORDER BY doc_a, doc_b"""))
 
+  /** CROSS-SOURCE duplication matrix — the crawl-governance view of the
+    * verified near-dup pair set: which sources duplicate WHICH (a mirror
+    * site shows up as a hot off-diagonal cell; a self-duplicating crawl
+    * as a hot diagonal). Pure composition: the shared [[PairsCache]] pair
+    * set labeled with each endpoint's source (two broadcast-able joins
+    * against the docs projection), rolled up to the source×source grid
+    * with (least, greatest) canonicalization so the matrix is upper-
+    * triangular and the hash can't flake on pair orientation. At 100 TB
+    * the grid is |sources|²-sized — the same derived-table-then-rollup
+    * shape as `dedup_profile`, reusing the already-persisted pairs. */
+  val sourceMatrix = Q(
+    "dedup_source_matrix",
+    (s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      PairsCache.get(s, dir)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""$oraclePipeline,
+      lab AS (SELECT least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b
+              FROM vp
+              JOIN documents da ON da.doc_id = vp.doc_a
+              JOIN documents db ON db.doc_id = vp.doc_b)
+      SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+      FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
   /** FUZZY eval-set decontamination — the near-dup form of
     * `text_decontaminate`'s exact 5-gram overlap. Real contamination is
     * usually a lightly EDITED copy of an eval document (reformatted,
@@ -1919,7 +1953,8 @@ ${affineSigCtes("MATERIALIZED")},
     decontaminateFuzzy.oracle)
 
   def qs: Seq[Q] = Seq(
-    dedupExactDocs, minhashPairs, minhashPairsFast, decontaminateFuzzy,
+    dedupExactDocs, minhashPairs, minhashPairsFast, sourceMatrix,
+    decontaminateFuzzy,
     minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep, containmentPairsQ, containmentKeep,
     simhashPairs, embeddingNearDup, embeddingIncremental, clusterCc, clusterCcStar,

@@ -1524,6 +1524,58 @@ object RelationalQueries {
       FROM cells x JOIN sizes s USING (c_wk)
       ORDER BY c_wk, offset_wk"""))
 
+  /** Cohort LTV curves — [[eventsRetention]]'s revenue twin: cumulative
+    * purchase value (integer cents) per (first-purchase-week cohort,
+    * week offset), plus per-user LTV via integer division. Same exactness
+    * policy as retention (epoch-week buckets, no float anywhere) and the
+    * same 100 TB shape: purchases reduce to a user-sized cohort aggregate,
+    * rejoin ONCE on user (AQE broadcasts the build side), the revenue
+    * grid is cohorts×offsets-sized, and the cumulative window runs over
+    * that tiny derived grid — never over raw events. */
+  val eventsLtv = Q(
+    "q_events_ltv",
+    (s, dir) => {
+      val WeekUs = 7L * 24 * 3600 * 1000000
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $WeekUs").as("wk"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val cohort = p.groupBy("user_id").agg(min("wk").as("c_wk"))
+      val sizes = cohort.groupBy("c_wk").agg(count(lit(1)).as("n_users"))
+      val grid = p.join(cohort, "user_id")
+        .groupBy(col("c_wk"), (col("wk") - col("c_wk")).as("offset_wk"))
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+      val w = Window.partitionBy("c_wk").orderBy("offset_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(broadcast(sizes), "c_wk")
+        .withColumn("cum_cents", sum("cents").over(w))
+        .select(col("c_wk"), col("offset_wk"), col("n_users"),
+          col("n_purchases"), col("cents"), col("cum_cents"),
+          expr("cum_cents div n_users").as("ltv_cents"))
+        .orderBy("c_wk", "offset_wk")
+    },
+    Some("""
+      WITH p AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events WHERE event_type = 'purchase'),
+      cohort AS (SELECT user_id, min(wk) AS c_wk FROM p GROUP BY user_id),
+      sizes AS (SELECT c_wk, count(*)::BIGINT AS n_users
+                FROM cohort GROUP BY c_wk),
+      grid AS (SELECT c.c_wk, p.wk - c.c_wk AS offset_wk,
+                      count(*)::BIGINT AS n_purchases,
+                      sum(p.cents)::BIGINT AS cents
+               FROM p JOIN cohort c USING (user_id)
+               GROUP BY c.c_wk, p.wk - c.c_wk),
+      cum AS (SELECT g.c_wk, g.offset_wk, s.n_users, g.n_purchases, g.cents,
+                     sum(g.cents) OVER (PARTITION BY g.c_wk
+                       ORDER BY g.offset_wk
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+              FROM grid g JOIN sizes s USING (c_wk))
+      SELECT c_wk, offset_wk, n_users, n_purchases, cents, cum_cents,
+             cum_cents // n_users AS ltv_cents
+      FROM cum ORDER BY c_wk, offset_wk"""))
+
   /** RFM segmentation — the fourth event-analytics classic (after
     * sessions, funnel, retention): per-user Recency (days since last
     * purchase, against the corpus max timestamp so the query is
@@ -2141,7 +2193,8 @@ object RelationalQueries {
     custOrderDist, groupingSetsQ, smallQtyRevenue, eventsEnriched,
     trailingWindow, zorderValue, eventsJson, topkPerGroup, setOps,
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
-    eventsRetention, eventsRfm, eventsAttribution, eventsAttributionDecay,
+    eventsRetention, eventsLtv, eventsRfm, eventsAttribution,
+    eventsAttributionDecay,
     eventsAttributionMarkov, eventsPathsTopk, basketLift,
     funnelTimeToConvert,
     eventsTransitions, eventsAnomaly, eventsAbtest,

@@ -331,6 +331,24 @@ class PlanSpec extends AnyFunSuite {
       s"touch join shuffled events against events:\n$p")
   }
 
+  test("cohort ltv: cumulative window over the grid, not raw events") {
+    val df = RelationalQueries.eventsLtv.run(spark, dir)
+    val p = plan(df)
+    // the cumulative window must consume the (cohort, offset) aggregate —
+    // plan strings print top-down, so Window appears ABOVE the partial agg
+    val firstWin = p.indexOf("Window")
+    val firstAgg = p.indexOf("partial_count")
+    assert(firstWin >= 0 && firstAgg >= 0 && firstWin < firstAgg,
+      s"cumulative window must run over the aggregated grid:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cohort-sizes join must broadcast:\n$p")
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(df.queryExecution.optimizedPlan.toString)
+      .map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("c_wk")),
+      s"cumulative window must partition on the cohort key: $winSpecs")
+  }
+
   test("basket lift: apriori semi-join broadcast, take-ordered cut, " +
     "no cartesian pair expansion") {
     val df = RelationalQueries.basketLift.run(spark, dir)
