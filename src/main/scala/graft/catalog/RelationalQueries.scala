@@ -1333,6 +1333,59 @@ object RelationalQueries {
       WHERE p.n12 >= 2
       ORDER BY p.n12 DESC, p.p1, p.p2 LIMIT 100"""))
 
+  /** STREAMING basket-pair maintenance — the exec twin of
+    * [[basketLift]]'s pair counting
+    * ([[graft.streaming.StreamOps.basketPairsStream]]): items arrive in
+    * four arbitrary chunks, per-order state buffers the distinct basket,
+    * every new part emits its pairs exactly once, and the additive rollup
+    * of the emission stream must hash-equal the batch self-join's pair
+    * counts — cross-batch basket splits are exercised by construction
+    * (orders span chunk boundaries). The support floor (n12 ≥ 2) applies
+    * at read time; the Apriori item prune is a corpus-level decision a
+    * stream cannot make mid-flight, so the maintained set is unpruned. */
+  val basketStreamExec = Q(
+    "stream_basket_exec",
+    (s, dir) => {
+      import s.implicits._
+      // feed order-clustered (the realistic arrival shape — and an
+      // UNclustered feed makes every batch touch every order's state:
+      // measured 17.8 s vs 6.4 s warm at sf0.1 for identical output);
+      // orders straddling chunk boundaries still exercise the cross-batch
+      // basket split, and the deterministic sort keeps the gate stable
+      val rows = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .orderBy("l_orderkey", "l_partkey")
+        .as[(Long, Long)].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val sink = s"stream_basket_exec_sink_${StreamSinkIds.next()}"
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .basketPairsStream(mem.toDF().toDF("order_id", "part_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(sink)
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n12"))
+        .filter(col("n12") >= 2)
+        .orderBy("p1", "p2")
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       count(*)::BIGINT AS n12
+                FROM i a JOIN i b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+      SELECT p1, p2, n12 FROM pairs WHERE n12 >= 2 ORDER BY p1, p2"""))
+
   /** TOP CONVERTING PATHS — the journey-level view the Markov entry
     * aggregates away: each converter's channel sequence (last 8 touches
     * inside the 7-day lookback, nearest the conversion — the cap bounds
@@ -2195,7 +2248,7 @@ object RelationalQueries {
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
     eventsRetention, eventsLtv, eventsRfm, eventsAttribution,
     eventsAttributionDecay,
-    eventsAttributionMarkov, eventsPathsTopk, basketLift,
+    eventsAttributionMarkov, eventsPathsTopk, basketLift, basketStreamExec,
     funnelTimeToConvert,
     eventsTransitions, eventsAnomaly, eventsAbtest,
     eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,

@@ -466,6 +466,45 @@ object StreamOps {
       .toDF("key", "ts", "id")
   }
 
+  /** Streaming basket-pair maintenance — the continuous form of
+    * `q_basket_lift`'s pair counting: items arrive as (order, part) rows
+    * in any batch split, per-order state holds the distinct parts seen so
+    * far, and each genuinely new part emits its pairs against the
+    * buffered basket exactly once (set semantics match the batch
+    * DISTINCT; within a batch new parts apply in sorted order, so
+    * emission is deterministic under any chunking). Downstream the pair
+    * stream rolls up additively — counts converge to the batch self-join's
+    * n12 without ever re-reading history.
+    *
+    * State is one sorted part array per OPEN order (baskets are small —
+    * bounded by basket size, not corpus size). This gate keeps state for
+    * the run (the fixture's orders never close); production keys carry an
+    * order-completion event or a processing-time TTL to retire them. */
+  def basketPairsStream(items: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import items.sparkSession.implicits._
+    items.select(col("order_id").cast("long"), col("part_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[Array[Long]]) =>
+          val seen = scala.collection.mutable.TreeSet
+            .from(state.getOption.getOrElse(Array.empty[Long]))
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.map(_._2).toSeq.distinct.sorted.foreach { p =>
+            if (!seen.contains(p)) {
+              seen.foreach(q => out += (if (p < q) (p, q) else (q, p)))
+              seen += p
+            }
+          }
+          state.update(seen.toArray)
+          out.result().iterator
+      }
+      .toDF("p1", "p2")
+  }
+
   /** Streaming as-of join — the continuous form of [[graft.ops.AsofJoin]]
     * with IDENTICAL semantics (latest right row at-or-before each left row
     * per key, inclusive ties): a left row emits exactly once, when the

@@ -67,6 +67,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("basket pairs stream: cross-batch splits and re-sent items emit " +
+    "each pair exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.basketPairsStream(mem.toDF().toDF("order_id", "part_id"))
+      .writeStream.format("memory").queryName("basket_pairs_test")
+      .outputMode("append").start()
+    try {
+      // order 1 split across batches; order 2 whole; duplicates re-sent
+      mem.addData((1L, 10L), (1L, 20L), (2L, 10L))
+      q.processAllAvailable()
+      mem.addData((1L, 30L), (1L, 10L), (2L, 20L), (2L, 10L))
+      q.processAllAvailable()
+      val got = spark.table("basket_pairs_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // order 1 basket {10,20,30} -> 3 pairs; order 2 {10,20} -> 1 pair;
+      // the re-sent (1,10)/(2,10) must add nothing
+      assert(got == Seq((10L, 20L), (10L, 20L), (10L, 30L), (20L, 30L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("session windows: closed streaming sessions equal the batch result") {
     // two users; user 1 has a 40-min gap (> 30-min session gap) -> 2 sessions
     val evs = Seq(
