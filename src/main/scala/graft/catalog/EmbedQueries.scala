@@ -522,8 +522,30 @@ object EmbedQueries {
       WHERE len(list_filter(string_split(lower(text), ' '),
                             t -> t <> '')) > 0"""))
 
+  /** Integer-exact top principal component ([[graft.ops.Pca]]): 24
+    * max-norm power steps over the exact scaled covariance, plus the
+    * Rayleigh variance share in basis points — the energy-concentration
+    * diagnostic behind rotation/compression decisions. The oracle replays
+    * the identical recurrence as unrolled CTEs; Spark's corpus pass is a
+    * one-shot typed Aggregator (the oracle's 64² pair join would be a
+    * 4096× blow-up at scale). */
+  val pcaTop = Q(
+    "embed_pca_top",
+    (s, dir) => graft.ops.Pca.topComponent(
+      Tables.embeddings(s, dir).select("embedding")),
+    Some(s"""
+      WITH q AS MATERIALIZED (
+        SELECT vec_id, g.i,
+               CAST(floor(embedding[g.i + 1]::DOUBLE * 10000) AS BIGINT) AS q
+        FROM embeddings, generate_series(0, 63) g(i)),
+      ${graft.ops.Pca.oracleSql(64, 24)}
+      SELECT t.i::BIGINT AS dim_idx, t.v::BIGINT AS v_bp,
+             ((SELECT vtcv FROM ray) * 10000 // (SELECT vtv FROM ray)
+               // (SELECT tr FROM ray))::BIGINT AS share_bp
+      FROM it24 t ORDER BY dim_idx"""))
+
   def qs: Seq[Q] = Seq(
     textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip,
     docKnnExact, ragPipeline, kmeansCluster, clusterTopTerms,
-    kcenterDiverse, rotHadamard, engineBuildDocs)
+    kcenterDiverse, rotHadamard, pcaTop, engineBuildDocs)
 }
