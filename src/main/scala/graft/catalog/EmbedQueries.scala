@@ -544,8 +544,30 @@ object EmbedQueries {
                // (SELECT tr FROM ray))::BIGINT AS share_bp
       FROM it24 t ORDER BY dim_idx"""))
 
+  /** Corpus histogram along [[pcaTop]]'s component
+    * ([[graft.ops.Pca.projectHistogram]]): exact integer projections,
+    * offset floor-division buckets (engine-agnostic on negatives). The
+    * oracle recomputes the identical iterate and joins it back to the
+    * quantized components — one hash pins the direction AND the corpus
+    * distribution along it. */
+  val pcaProject = Q(
+    "embed_pca_project",
+    (s, dir) => graft.ops.Pca.projectHistogram(
+      Tables.embeddings(s, dir).select("embedding")),
+    Some(s"""
+      WITH q AS MATERIALIZED (
+        SELECT vec_id, g.i,
+               CAST(floor(embedding[g.i + 1]::DOUBLE * 10000) AS BIGINT) AS q
+        FROM embeddings, generate_series(0, 63) g(i)),
+      ${graft.ops.Pca.oracleSql(64, 24)},
+      proj AS (SELECT q.vec_id, sum(q.q * p.v) AS pr
+               FROM q JOIN it24 p ON p.i = q.i GROUP BY q.vec_id)
+      SELECT (((pr + 1000000000000) // 100000000) - 10000)::BIGINT AS bucket,
+             count(*)::BIGINT AS n_docs
+      FROM proj GROUP BY 1 ORDER BY bucket"""))
+
   def qs: Seq[Q] = Seq(
     textKnn, textKnnExact, embedNorm, embedNormExact, docRoundtrip,
     docKnnExact, ragPipeline, kmeansCluster, clusterTopTerms,
-    kcenterDiverse, rotHadamard, pcaTop, engineBuildDocs)
+    kcenterDiverse, rotHadamard, pcaTop, pcaProject, engineBuildDocs)
 }

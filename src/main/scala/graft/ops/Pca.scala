@@ -73,19 +73,20 @@ object Pca {
     * on the oracle side, and Scala BigInt `/` truncates identically). */
   private def fd(a: BigInt, b: BigInt): BigInt = a / b
 
-  /** Top component of `vectors(embedding: array<float>)` after `iters`
-    * max-norm power steps. Returns (dim_idx, v_bp, share_bp): the scaled
-    * direction and the Rayleigh-quotient share of total variance in basis
-    * points (repeated per row so one hash pins both). */
-  def topComponent(
-      vectors: DataFrame, dim: Int = 64, iters: Int = 24,
-      scale: Long = 10000L): DataFrame = {
+  /** The quantized component arrays `q` of `vectors(embedding)`. */
+  private def quantized(vectors: DataFrame, scale: Long) =
+    vectors.select(expr(
+      s"transform(embedding, x -> cast(floor(cast(x as double) * $scale) as bigint))")
+      .as("q"))
+
+  /** One corpus pass + the driver solve: (direction, share_bp). */
+  private def solve(
+      vectors: DataFrame, dim: Int, iters: Int,
+      scale: Long): (Array[BigInt], Long) = {
     val s = vectors.sparkSession
     import s.implicits._
-    val q = vectors.select(expr(
-      s"transform(embedding, x -> cast(floor(cast(x as double) * $scale) as bigint))")
-      .as("q")).as[Seq[Long]]
-    val buf = q.select(new MomentAgg(dim).toColumn).head()
+    val buf = quantized(vectors, scale).as[Seq[Long]]
+      .select(new MomentAgg(dim).toColumn).head()
     val n = BigInt(buf(0))
     require(n > 0, "empty corpus")
     val m = Array.tabulate(dim)(i => BigInt(buf(1 + i)))
@@ -109,7 +110,18 @@ object Pca {
       yield c(i)(j) * v(i) * v(j)).sum
     val vtv = v.map(x => x * x).sum
     val tr = (0 until dim).map(i => c(i)(i)).sum
-    val share = fd(fd(vtcv * 10000, vtv), tr).toLong
+    (v, fd(fd(vtcv * 10000, vtv), tr).toLong)
+  }
+
+  /** Top component of `vectors(embedding: array<float>)` after `iters`
+    * max-norm power steps. Returns (dim_idx, v_bp, share_bp): the scaled
+    * direction and the Rayleigh-quotient share of total variance in basis
+    * points (repeated per row so one hash pins both). */
+  def topComponent(
+      vectors: DataFrame, dim: Int = 64, iters: Int = 24,
+      scale: Long = 10000L): DataFrame = {
+    val s = vectors.sparkSession
+    val (v, share) = solve(vectors, dim, iters, scale)
     val rows = (0 until dim).map(i => Row(i.toLong, v(i).toLong, share))
     val schema = StructType(Seq(
       StructField("dim_idx", LongType, nullable = false),
@@ -117,6 +129,31 @@ object Pca {
       StructField("share_bp", LongType, nullable = false)))
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       .orderBy("dim_idx")
+  }
+
+  /** Corpus DISTRIBUTION along the top component: every vector's exact
+    * integer projection Σ q_i·v_i, bucketed at `bucket` units — the
+    * "is the corpus bimodal along its main axis?" diagnostic (a bimodal
+    * histogram argues for cluster-then-compress over one global
+    * codebook). The solve runs once on the driver; the projection is a
+    * zero-shuffle map against the broadcast 64-long direction (array
+    * literal folded into codegen), and the histogram partial-aggregates
+    * map-side. Buckets are floor-division with a positive offset so both
+    * engines agree regardless of their negative-division convention. */
+  def projectHistogram(
+      vectors: DataFrame, dim: Int = 64, iters: Int = 24,
+      scale: Long = 10000L, bucket: Long = 100000000L): DataFrame = {
+    val (v, _) = solve(vectors, dim, iters, scale)
+    val vLit = v.map(_.toLong).mkString("array(", "L, ", "L)")
+    val Offset = 1000000000000L // multiple of `bucket`, > any |projection|
+    quantized(vectors, scale)
+      .select(expr(
+        s"aggregate(zip_with(q, $vLit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+        .as("pr"))
+      .select(expr(s"((pr + ${Offset}L) div ${bucket}L) - ${Offset / bucket}L")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
   }
 
   /** The unrolled-CTE DuckDB replay of [[topComponent]] over a relation

@@ -33,6 +33,23 @@ class PcaSpec extends AnyFunSuite {
       s"share_bp should reflect the planted anisotropy, got ${r(0L)._2}")
   }
 
+  test("projection histogram: counts partition the corpus; a planted " +
+    "bimodal axis yields two separated mass lobes") {
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 400).map { k =>
+      val a = Array.fill(64)((rng.nextFloat() - 0.5f) * 0.02f)
+      a(3) = (if (k % 2 == 0) 0.8f else -0.8f) + (rng.nextFloat() - 0.5f) * 0.1f
+      a
+    }
+    // lobes sit at ±0.8·scale² ≈ ±8e7 — bucket finer than the default 1e8
+    val h = Pca.projectHistogram(embed(rows), bucket = 20000000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(h.map(_._2).sum == 400L, "histogram must partition the corpus")
+    val buckets = h.filter(_._2 > 50L).map(_._1)
+    assert(buckets.length >= 2 && buckets.max - buckets.min >= 2,
+      s"two separated mass lobes expected, got ${h.toSeq}")
+  }
+
   test("isotropic-ish corpus: share far below 1; deterministic repeat") {
     val rng = new scala.util.Random(9)
     val rows = (0 until 300).map(_ =>
