@@ -1366,6 +1366,9 @@ object RelationalQueries {
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try {
+          // cost is feed/emission volume, not batch count (2 vs 4 chunks
+          // measured equal within noise) — keep 4 for the stronger
+          // cross-batch split exercise
           rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
             mem.addData(chunk.toSeq)
             q.processAllAvailable()
