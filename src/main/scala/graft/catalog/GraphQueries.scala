@@ -90,5 +90,50 @@ object GraphQueries {
         UNION ALL SELECT tc FROM tri)
       GROUP BY id ORDER BY id"""))
 
-  def qs: Seq[Q] = Seq(pagerank, triangles)
+  /** Clustering coefficients over the same topology
+    * ([[Graph.clusteringCoefficients]]): triangles normalized by wedge
+    * capacity in integer basis points — the local-density profile next to
+    * the raw counts; every node emitted (deg-1 nodes at cc 0). */
+  val clusterCoeff = Q(
+    "graph_cluster_coeff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 31 + 7) % n,
+          (col("doc_id") * 17 + 3) % n,
+          (col("doc_id") * 13 + 11) % n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Graph.clusteringCoefficients(edges)
+    },
+    Some(s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT doc_id AS src,
+               (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 13 + 11) % (SELECT count(*) FROM documents)
+        FROM documents),
+      ${Graph.triangleOracleSql},
+      tc AS (SELECT id, count(*)::BIGINT AS n_tri FROM (
+               SELECT ta AS id FROM tri
+               UNION ALL SELECT tb FROM tri
+               UNION ALL SELECT tc FROM tri)
+             GROUP BY id)
+      SELECT d.id, d.deg, coalesce(tc.n_tri, 0)::BIGINT AS n_tri,
+             (CASE WHEN d.deg >= 2
+                   THEN (2 * coalesce(tc.n_tri, 0) * 10000)
+                        // (d.deg * (d.deg - 1))
+                   ELSE 0 END)::BIGINT AS cc_bp
+      FROM deg d LEFT JOIN tc ON tc.id = d.id
+      ORDER BY d.id"""))
+
+  def qs: Seq[Q] = Seq(pagerank, triangles, clusterCoeff)
 }

@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
@@ -175,6 +176,64 @@ object ProfileQueries {
              TRUE AS rank50_ok, TRUE AS rank90_ok
       FROM dl GROUP BY source ORDER BY source"""))
 
+  /** VOCABULARY GROWTH (Heaps' law) profile — the corpus diagnostic
+    * behind tokenizer-vocabulary and dedup-policy sizing: how many NEW
+    * word types each ingestion decile contributes, and the cumulative
+    * type count, next to per-decile doc/occurrence volume. A flattening
+    * curve means the vocabulary is saturating (more data re-uses known
+    * words); a linear one means open vocabulary (names, ids, noise).
+    *
+    * Decile = (doc_id·10) div (max_id + 1) — doc_id is the ingestion
+    * order, so the curve is the prefix-growth curve, and the bucket is a
+    * PURE MAP against one broadcast scalar (no ranking window anywhere).
+    * Each type's contribution decile is its MINIMUM decile — one
+    * type-keyed aggregate over the exploded tokens (gram-sized shuffle,
+    * the span-dedup bound); the cumulative sum runs over the 10-row
+    * decile table. All counts exact integers. */
+  val vocabGrowth = Q(
+    "profile_vocab_growth",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val toks = docs.select(
+        expr(s"(doc_id * 10) div ${maxId + 1}L").as("decile"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("tok"))
+      val perDecile = docs
+        .groupBy(expr(s"(doc_id * 10) div ${maxId + 1}L").as("decile"))
+        .agg(count(lit(1)).as("n_docs"))
+      val occ = toks.groupBy("decile").agg(count(lit(1)).as("n_occurrences"))
+      val newTypes = toks.groupBy("tok").agg(min("decile").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDecile.join(occ, "decile").join(newTypes, Seq("decile"), "left")
+        .select(col("decile"), col("n_docs"), col("n_occurrences"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("types_cum", sum("new_types").over(w))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      t AS (SELECT (doc_id * 10) // (SELECT m FROM mx) AS decile,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents),
+      pd AS (SELECT (doc_id * 10) // (SELECT m FROM mx) AS decile,
+                    count(*)::BIGINT AS n_docs
+             FROM documents GROUP BY 1),
+      occ AS (SELECT decile, count(*)::BIGINT AS n_occurrences
+              FROM t GROUP BY decile),
+      nt AS (SELECT decile, count(*)::BIGINT AS new_types FROM (
+               SELECT tok, min(decile) AS decile FROM t GROUP BY tok)
+             GROUP BY decile)
+      SELECT pd.decile, pd.n_docs, occ.n_occurrences,
+             coalesce(nt.new_types, 0)::BIGINT AS new_types,
+             sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pd.decile
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS types_cum
+      FROM pd JOIN occ USING (decile) LEFT JOIN nt USING (decile)
+      ORDER BY pd.decile"""))
+
   def qs: Seq[Q] =
-    Seq(tokenQuantiles, profileLineitem, heavyHitters, sketchQuantiles)
+    Seq(tokenQuantiles, profileLineitem, heavyHitters, sketchQuantiles,
+      vocabGrowth)
 }

@@ -1333,6 +1333,71 @@ object RelationalQueries {
       WHERE p.n12 >= 2
       ORDER BY p.n12 DESC, p.p1, p.p2 LIMIT 100"""))
 
+  /** Directional ASSOCIATION RULES — [[basketLift]]'s second half: each
+    * qualifying pair emits both orientations with integer basis-point
+    * CONFIDENCE n12·10000 div n_ante (the P(cons|ante) estimate a
+    * recommender actually serves) alongside the symmetric lift; top-100
+    * by (conf DESC, ante, cons). Same plan skeleton as the lift entry —
+    * Apriori broadcast prune before the pair join, checkpointed basket
+    * table, TakeOrdered cut — plus one map-side two-way explode. */
+  val basketRules = Q(
+    "q_basket_rules",
+    (s, dir) => {
+      val MinItem = 20L
+      val MinPair = 2L
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(true)
+      val cnt = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val freq = cnt.filter(col("n") >= MinItem)
+      val fi = items.join(broadcast(freq.select("l_partkey")),
+        Seq("l_partkey"), "left_semi")
+      val a = fi.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = fi.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      val pairs = a.join(b, "l_orderkey")
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n12"))
+        .filter(col("n12") >= MinPair)
+      val nOrders = items.select("l_orderkey").distinct().count()
+      val rules = pairs.select(col("n12"),
+        explode(array(
+          struct(col("p1").as("ante"), col("p2").as("cons")),
+          struct(col("p2").as("ante"), col("p1").as("cons")))).as("r"))
+        .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+          col("n12"))
+      rules
+        .join(broadcast(cnt.select(col("l_partkey").as("ante"),
+          col("n").as("n_ante"))), "ante")
+        .join(broadcast(cnt.select(col("l_partkey").as("cons"),
+          col("n").as("n_cons"))), "cons")
+        .select(col("ante"), col("cons"), col("n12"), col("n_ante"),
+          expr("(n12 * 10000L) div n_ante").as("conf_bp"),
+          expr(s"(n12 * ${nOrders}L * 10000L) div (n_ante * n_cons)")
+            .as("lift_bp"))
+        .orderBy(col("conf_bp").desc, col("ante"), col("cons")).limit(100)
+    },
+    Some("""
+      WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      cnt AS (SELECT l_partkey, count(*)::BIGINT AS n FROM i GROUP BY 1),
+      fi AS (SELECT i.l_orderkey, i.l_partkey FROM i
+             JOIN cnt USING (l_partkey) WHERE cnt.n >= 20),
+      pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       count(*)::BIGINT AS n12
+                FROM fi a JOIN fi b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+      no AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM i),
+      rules AS (SELECT p1 AS ante, p2 AS cons, n12 FROM pairs WHERE n12 >= 2
+                UNION ALL
+                SELECT p2, p1, n12 FROM pairs WHERE n12 >= 2)
+      SELECT r.ante, r.cons, r.n12, ca.n AS n_ante,
+             (r.n12 * 10000) // ca.n AS conf_bp,
+             (r.n12 * (SELECT n FROM no) * 10000) // (ca.n * cc.n) AS lift_bp
+      FROM rules r
+      JOIN cnt ca ON ca.l_partkey = r.ante
+      JOIN cnt cc ON cc.l_partkey = r.cons
+      ORDER BY conf_bp DESC, ante, cons LIMIT 100"""))
+
   /** STREAMING basket-pair maintenance — the exec twin of
     * [[basketLift]]'s pair counting
     * ([[graft.streaming.StreamOps.basketPairsStream]]): items arrive in
@@ -2251,8 +2316,8 @@ object RelationalQueries {
     sketchRollup, windowFunnel, sketchThetaOverlap, sketchThetaDiff,
     eventsRetention, eventsLtv, eventsRfm, eventsAttribution,
     eventsAttributionDecay,
-    eventsAttributionMarkov, eventsPathsTopk, basketLift, basketStreamExec,
-    funnelTimeToConvert,
+    eventsAttributionMarkov, eventsPathsTopk, basketLift, basketRules,
+    basketStreamExec, funnelTimeToConvert,
     eventsTransitions, eventsAnomaly, eventsAbtest,
     eventsSessionsStreamExec, windowFunnelStreamExec, attributionStreamExec,
     eventsAnomalyStreamExec,

@@ -125,6 +125,29 @@ object Graph {
       .orderBy("id")
   }
 
+  /** Per-node CLUSTERING COEFFICIENT — triangles normalized by wedge
+    * capacity: cc_bp = 2·tri·10000 div (deg·(deg−1)) for deg ≥ 2 (integer
+    * basis points, truncation; deg-1 nodes have no defined coefficient
+    * and are emitted with cc_bp = 0 alongside their degree so the output
+    * still covers every node). Composes [[triangleCounts]] with the
+    * degree table — same join shapes, plus one broadcast-able left join
+    * of the node-sized triangle counts. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges), Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("(2 * coalesce(n_tri, 0L) * 10000) div (deg * (deg - 1))"))
+          .otherwise(0L).as("cc_bp"))
+      .orderBy("id")
+  }
+
   /** The DuckDB replay of [[triangleCounts]] over an edge relation named
     * `e0(src, dst)` (callers prepend the WITH chain defining it). */
   val triangleOracleSql: String = """

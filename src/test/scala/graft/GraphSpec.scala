@@ -77,6 +77,25 @@ class GraphSpec extends AnyFunSuite {
     assert(t == Map(0L -> 2L, 2L -> 2L, 1L -> 1L, 3L -> 1L))
   }
 
+  test("clustering coefficients: K4 all 10000 bp; a path all 0; " +
+    "degree-1 nodes emitted at 0") {
+    val k4 = (for { i <- 0L to 3L; j <- 0L to 3L if i != j } yield (i, j))
+      .toDF("src", "dst")
+    val cc = Graph.clusteringCoefficients(k4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(cc == (0L to 3L).map(_ -> ((3L, 10000L))).toMap)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pc = Graph.clusteringCoefficients(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pc.length == 4 && pc.forall(t => t._3 == 0L && t._4 == 0L))
+    // diamond: diagonal endpoints see 2 triangles over deg 3 -> 6666 bp
+    val diamond = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+      .toDF("src", "dst")
+    val dc = Graph.clusteringCoefficients(diamond).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(dc == Map(0L -> 6666L, 2L -> 6666L, 1L -> 10000L, 3L -> 10000L))
+  }
+
   test("triangles match a brute-force reference on a random graph, " +
     "and direction/duplication of the input edges is irrelevant") {
     val rng = new scala.util.Random(11)
