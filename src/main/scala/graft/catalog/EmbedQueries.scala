@@ -560,9 +560,9 @@ object EmbedQueries {
                CAST(floor(embedding[g.i + 1]::DOUBLE * 10000) AS BIGINT) AS q
         FROM embeddings, generate_series(0, 63) g(i)),
       ${graft.ops.Pca.oracleSql(64, 24)},
-      proj AS (SELECT q.vec_id, sum(q.q * p.v) AS pr
+      proj AS (SELECT q.vec_id, sum(q.q * p.v)::BIGINT AS pr
                FROM q JOIN it24 p ON p.i = q.i GROUP BY q.vec_id)
-      SELECT (((pr + 1000000000000) // 100000000) - 10000)::BIGINT AS bucket,
+      SELECT (pr // 100000000)::BIGINT AS bucket,
              count(*)::BIGINT AS n_docs
       FROM proj GROUP BY 1 ORDER BY bucket"""))
 

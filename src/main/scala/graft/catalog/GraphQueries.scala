@@ -19,22 +19,25 @@ object GraphQueries {
 
   private val Iters = 10
 
-  val pagerank = Q(
-    "graph_pagerank",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-        explode(array(
-          (col("doc_id") * 31 + 7) % n,
-          (col("doc_id") * 17 + 3) % n,
-          (col("doc_id") * 13 + 11) % n)).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      Graph.pagerankInt(edges, iters = Iters).orderBy("id")
-    },
-    Some(s"""
-      WITH e0 AS (
+  /** The shared synthetic topology (three affine out-edges per doc id mod
+    * corpus size) — ONE definition for every graph entry's Spark side and
+    * ONE for every oracle, so the four copies that must stay bit-identical
+    * for the hash gates cannot drift. */
+  private def syntheticEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    docs.select(col("doc_id").as("src"),
+      explode(array(
+        (col("doc_id") * 31 + 7) % n,
+        (col("doc_id") * 17 + 3) % n,
+        (col("doc_id") * 13 + 11) % n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private val syntheticEdgesSql = """
+      e0 AS MATERIALIZED (
         SELECT doc_id AS src,
                (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
         FROM documents
@@ -45,7 +48,15 @@ object GraphQueries {
         UNION ALL
         SELECT doc_id,
                (doc_id * 13 + 11) % (SELECT count(*) FROM documents)
-        FROM documents),
+        FROM documents)"""
+
+  val pagerank = Q(
+    "graph_pagerank",
+    (s, dir) => {
+      Graph.pagerankInt(syntheticEdges(s, dir), iters = Iters).orderBy("id")
+    },
+    Some(s"""
+      WITH $syntheticEdgesSql,
       edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
       ${Graph.pagerankOracleSql(Iters)}
       SELECT id, pr FROM it$Iters ORDER BY id"""))
@@ -59,30 +70,10 @@ object GraphQueries {
   val triangles = Q(
     "graph_triangles",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-        explode(array(
-          (col("doc_id") * 31 + 7) % n,
-          (col("doc_id") * 17 + 3) % n,
-          (col("doc_id") * 13 + 11) % n)).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      Graph.triangleCounts(edges)
+      Graph.triangleCounts(syntheticEdges(s, dir))
     },
     Some(s"""
-      WITH e0 AS MATERIALIZED (
-        SELECT doc_id AS src,
-               (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
-        FROM documents
-        UNION ALL
-        SELECT doc_id,
-               (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
-        FROM documents
-        UNION ALL
-        SELECT doc_id,
-               (doc_id * 13 + 11) % (SELECT count(*) FROM documents)
-        FROM documents),
+      WITH $syntheticEdgesSql,
       ${Graph.triangleOracleSql}
       SELECT id, count(*)::BIGINT AS n_tri FROM (
         SELECT ta AS id FROM tri
@@ -97,30 +88,10 @@ object GraphQueries {
   val clusterCoeff = Q(
     "graph_cluster_coeff",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-        explode(array(
-          (col("doc_id") * 31 + 7) % n,
-          (col("doc_id") * 17 + 3) % n,
-          (col("doc_id") * 13 + 11) % n)).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      Graph.clusteringCoefficients(edges)
+      Graph.clusteringCoefficients(syntheticEdges(s, dir))
     },
     Some(s"""
-      WITH e0 AS MATERIALIZED (
-        SELECT doc_id AS src,
-               (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
-        FROM documents
-        UNION ALL
-        SELECT doc_id,
-               (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
-        FROM documents
-        UNION ALL
-        SELECT doc_id,
-               (doc_id * 13 + 11) % (SELECT count(*) FROM documents)
-        FROM documents),
+      WITH $syntheticEdgesSql,
       ${Graph.triangleOracleSql},
       tc AS (SELECT id, count(*)::BIGINT AS n_tri FROM (
                SELECT ta AS id FROM tri

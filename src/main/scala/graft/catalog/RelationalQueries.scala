@@ -1096,10 +1096,14 @@ object RelationalQueries {
     "stream_anomaly_exec",
     (s, dir) => {
       import s.implicits._
+      // sort by event time like every other append-mode exec feed — an
+      // out-of-order chunk would advance the watermark past older rows in
+      // later chunks and the engine would silently drop them (the gate
+      // must not rest on the fixture parquet happening to be ordered)
       val rows = Tables.events(s, dir)
         .select(col("ts"), col("event_type"))
         .as[(java.sql.Timestamp, String)]
-        .collect()
+        .collect().sortBy(_._1.getTime)
       val maxMs = rows.iterator.map(_._1.getTime).max
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -1282,29 +1286,48 @@ object RelationalQueries {
     * |parts|²); pair counts partial-aggregate map-side; the per-part
     * count table is broadcast back for the lift; the cut is TakeOrdered,
     * never a global sort. */
+  /** Per-JVM shared basket derivations — the common first half of
+    * q_basket_lift / q_basket_rules / stream_basket_exec computed ONCE per
+    * fixture (the DedupQueries PairsCache policy): the deduplicated
+    * (order, part) table and the Apriori-pruned qualifying pair counts,
+    * both checkpointed (the distinct shuffle alone measured 5.8 → 2.9 s
+    * at sf0.1 when it stopped re-running; production persists the basket
+    * table to storage), plus the per-part counts and order total. */
+  private object BasketCache {
+    val MinItem = 20L
+    val MinPair = 2L
+    private val cache = scala.collection.concurrent.TrieMap[
+      String,
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, Long)]()
+    /** (items, cnt, pairs, nOrders) for the fixture at `dir`. */
+    def get(s: org.apache.spark.sql.SparkSession, dir: String)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+           org.apache.spark.sql.DataFrame, Long) =
+      cache.getOrElseUpdate(dir, {
+        val items = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint(true)
+        val cnt = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        val freq = cnt.filter(col("n") >= MinItem)
+        val fi = items.join(broadcast(freq.select("l_partkey")),
+          Seq("l_partkey"), "left_semi")
+        val a = fi.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = fi.select(col("l_orderkey"), col("l_partkey").as("p2"))
+        val pairs = a.join(b, "l_orderkey")
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n12"))
+          .filter(col("n12") >= MinPair)
+          .localCheckpoint(true)
+        val nOrders = items.select("l_orderkey").distinct().count()
+        (items, cnt, pairs, nOrders)
+      })
+  }
+
   val basketLift = Q(
     "q_basket_lift",
     (s, dir) => {
-      val MinItem = 20L
-      val MinPair = 2L
-      // the deduplicated basket table feeds THREE consumers (item counts,
-      // the pair join's two sides, the order count) — checkpoint it once
-      // or the distinct shuffle runs three times (measured 5.8 → 2.9 s at
-      // sf0.1; production would persist the basket table to storage)
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint(true)
-      val cnt = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-      val freq = cnt.filter(col("n") >= MinItem)
-      val fi = items.join(broadcast(freq.select("l_partkey")),
-        Seq("l_partkey"), "left_semi")
-      val a = fi.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      val b = fi.select(col("l_orderkey"), col("l_partkey").as("p2"))
-      val pairs = a.join(b, "l_orderkey")
-        .filter(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n12"))
-        .filter(col("n12") >= MinPair)
-      val nOrders = items.select("l_orderkey").distinct().count()
+      val (_, cnt, pairs, nOrders) = BasketCache.get(s, dir)
       pairs
         .join(broadcast(cnt.select(col("l_partkey").as("p1"),
           col("n").as("n1"))), "p1")
@@ -1343,22 +1366,7 @@ object RelationalQueries {
   val basketRules = Q(
     "q_basket_rules",
     (s, dir) => {
-      val MinItem = 20L
-      val MinPair = 2L
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .localCheckpoint(true)
-      val cnt = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-      val freq = cnt.filter(col("n") >= MinItem)
-      val fi = items.join(broadcast(freq.select("l_partkey")),
-        Seq("l_partkey"), "left_semi")
-      val a = fi.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      val b = fi.select(col("l_orderkey"), col("l_partkey").as("p2"))
-      val pairs = a.join(b, "l_orderkey")
-        .filter(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n12"))
-        .filter(col("n12") >= MinPair)
-      val nOrders = items.select("l_orderkey").distinct().count()
+      val (_, cnt, pairs, nOrders) = BasketCache.get(s, dir)
       val rules = pairs.select(col("n12"),
         explode(array(
           struct(col("p1").as("ante"), col("p2").as("cons")),
@@ -1417,8 +1425,7 @@ object RelationalQueries {
       // measured 17.8 s vs 6.4 s warm at sf0.1 for identical output);
       // orders straddling chunk boundaries still exercise the cross-batch
       // basket split, and the deterministic sort keeps the gate stable
-      val rows = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val rows = BasketCache.get(s, dir)._1
         .orderBy("l_orderkey", "l_partkey")
         .as[(Long, Long)].collect()
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

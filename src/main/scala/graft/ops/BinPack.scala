@@ -42,9 +42,13 @@ object BinPack {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val s = docs.sparkSession
     import s.implicits._
+    // checkpointed: the group-count action below and the pack pass share
+    // one materialization — without it the caller's upstream plan (e.g.
+    // pack_sequences_ffd's per-doc regexp tokenization) executes twice
     val eligible = docs
       .select(col("doc_id").cast("long"), col("n_tok").cast("long"))
       .filter(col("n_tok") <= capacity)
+      .localCheckpoint(true)
     val n = eligible.count()
     val g = math.max(1L, (n + groupTarget - 1L) / groupTarget)
     val grouped = eligible.withColumn("grp",

@@ -97,12 +97,27 @@ object Graph {
     * handles at runtime — contrast PageRank's window-free aggregation
     * rounds. Returns (id, n_tri) for every node in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    val (und, deg) = canonicalize(edges)
+    triangleCountsFrom(und, deg).orderBy("id")
+  }
+
+  /** Canonical undirected edge set + degree table — shared by
+    * [[triangleCounts]] and [[clusteringCoefficients]] so composing them
+    * never pays the distinct/degree shuffles twice. */
+  private def canonicalize(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+    (und, deg)
+  }
+
+  /** [[triangleCounts]] body without the output ordering (internal
+    * consumers re-join on id immediately — a global sort there is pure
+    * waste). */
+  private def triangleCountsFrom(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
@@ -122,7 +137,6 @@ object Graph {
       .select(col("u").as("ta"), col("v").as("tb"), col("w").as("tc"))
     tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-      .orderBy("id")
   }
 
   /** Per-node CLUSTERING COEFFICIENT — triangles normalized by wedge
@@ -133,13 +147,8 @@ object Graph {
     * degree table — same join shapes, plus one broadcast-able left join
     * of the node-sized triangle counts. */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(edges), Seq("id"), "left")
+    val (und, deg) = canonicalize(edges)
+    deg.join(triangleCountsFrom(und, deg), Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("deg") >= 2,

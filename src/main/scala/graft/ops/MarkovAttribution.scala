@@ -95,6 +95,17 @@ object MarkovAttribution {
       .toMap
     val states = grid.keys.map(_._1).filter(_ != "start").toSeq.sorted
     val nOut = grid.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val schema = StructType(Seq(
+      StructField("channel", StringType, nullable = false),
+      StructField("p_full_bp", LongType, nullable = false),
+      StructField("p_removed_bp", LongType, nullable = false),
+      StructField("removal_bp", LongType, nullable = false),
+      StructField("share_bp", LongType, nullable = false)))
+    // no journeys at all (empty frame, or nothing matching the channel/
+    // conversion types): zero rows, not a key-not-found crash on 'start'
+    if (states.isEmpty || !nOut.contains("start"))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[Row], schema)
 
     def absorb(removed: Option[String]): Long = {
       var p = states.map(_ -> 0L).toMap
@@ -126,12 +137,6 @@ object MarkovAttribution {
       Row(c, pFull, removed(c), eff(c),
         baseShare(c) + (if (ranked(c) < rem) 1L else 0L))
     }
-    val schema = StructType(Seq(
-      StructField("channel", StringType, nullable = false),
-      StructField("p_full_bp", LongType, nullable = false),
-      StructField("p_removed_bp", LongType, nullable = false),
-      StructField("removal_bp", LongType, nullable = false),
-      StructField("share_bp", LongType, nullable = false)))
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       .orderBy("channel")
   }

@@ -138,20 +138,22 @@ object Pca {
     * codebook). The solve runs once on the driver; the projection is a
     * zero-shuffle map against the broadcast 64-long direction (array
     * literal folded into codegen), and the histogram partial-aggregates
-    * map-side. Buckets are floor-division with a positive offset so both
-    * engines agree regardless of their negative-division convention. */
+    * map-side. Buckets are TRUNCATING division on both engines (Spark
+    * `div` ≡ DuckDB `//` — DuckDB's integer division truncates toward
+    * zero on BIGINT and HUGEINT alike, the KMeansInt finding), so bucket
+    * 0 spans (−B, B) and every other bucket is B wide — valid for any
+    * positive width with no hidden offset contract. */
   def projectHistogram(
       vectors: DataFrame, dim: Int = 64, iters: Int = 24,
       scale: Long = 10000L, bucket: Long = 100000000L): DataFrame = {
+    require(bucket > 0, s"bucket width must be positive, got $bucket")
     val (v, _) = solve(vectors, dim, iters, scale)
     val vLit = v.map(_.toLong).mkString("array(", "L, ", "L)")
-    val Offset = 1000000000000L // multiple of `bucket`, > any |projection|
     quantized(vectors, scale)
       .select(expr(
         s"aggregate(zip_with(q, $vLit, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
         .as("pr"))
-      .select(expr(s"((pr + ${Offset}L) div ${bucket}L) - ${Offset / bucket}L")
-        .as("bucket"))
+      .select(expr(s"pr div ${bucket}L").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")
   }
