@@ -233,7 +233,83 @@ object ProfileQueries {
       FROM pd JOIN occ USING (decile) LEFT JOIN nt USING (decile)
       ORDER BY pd.decile"""))
 
+  /** COUNT-MIN sketch gate — the frequency-ESTIMATION member of the
+    * sketch family (distinct = HLL `q_sketch_distinct`, set algebra =
+    * theta, heavy set = Misra-Gries, ranks = GK quantiles): a depth×width
+    * grid of bucket counts answering "how often does token t occur",
+    * over-estimating by at most the collision mass and NEVER under
+    * (Cormode & Muthukrishnan 2005). The sketch is LINEAR — cells add —
+    * so shards/days merge by element-wise sum, and the build exploits
+    * that linearity: the token stream aggregates ONCE (vocab-sized,
+    * map-side partial — the only corpus shuffle), then each DISTINCT
+    * token's count lands in its depth=4 cells, so the 4× hash explosion
+    * runs over the vocabulary, never the corpus. Row hashes are
+    * md5-derived (15-hex-char 60-bit fold mod width=1024 — the affine-
+    * MinHash parity idiom), so the oracle replays the ENTIRE sketch:
+    * estimates are hash-checked VALUES, and `one_sided_ok` asserts the
+    * CM guarantee est >= exact on both sides (a FALSE anywhere is a
+    * sketch bug, not noise). Output: every >1/64-of-stream token (the
+    * heavy-hitter threshold, keeping the family consistent) with exact
+    * count, estimate, and the guarantee flag. */
+  val countMin = Q(
+    "q_sketch_countmin",
+    (s, dir) => {
+      val depth = 4
+      val width = 1024
+      val tok = Tables.documents(s, dir).select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("token"))
+      // vocab-sized frame feeds FOUR consumers (hashes, cells, total,
+      // heavy) — materialize it so the corpus token agg runs once, not
+      // once per consumer (same localCheckpoint-not-cache rationale as
+      // doc_pipeline_curate)
+      val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val hashed = exact.select(col("token"), col("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+            col("token")).cast("binary")), 1, 15), 16, 10)
+            .cast("long") % width)
+      val cells = hashed.groupBy("j", "bucket").agg(sum("cnt").as("cell"))
+      val total = exact.agg(sum("cnt").as("n"))
+      val heavy = exact.crossJoin(broadcast(total))
+        .filter(col("cnt") * 64 > col("n"))
+        .select("token", "cnt")
+      hashed.select("token", "j", "bucket")
+        .join(broadcast(heavy), "token")
+        .join(broadcast(cells), Seq("j", "bucket"))
+        .groupBy("token", "cnt")
+        .agg(min("cell").as("est"))
+        .select(col("token"), col("cnt"), col("est"),
+          (col("est") >= col("cnt")).as("one_sided_ok"))
+        .orderBy("token")
+    },
+    Some("""
+      WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS token
+                   FROM documents),
+      c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token),
+      tot AS (SELECT sum(cnt) AS n FROM c),
+      h AS (SELECT token, cnt, j.j AS j,
+              CAST(sum((strpos('0123456789abcdef',
+                               substr(md5(j.j::VARCHAR || ':' || token), k.k, 1)) - 1)
+                       * (1::BIGINT << (4 * (15 - k.k)))) % 1024 AS BIGINT)
+                AS bucket
+            FROM c, generate_series(0, 3) j(j), generate_series(1, 15) k(k)
+            GROUP BY token, cnt, j.j),
+      cells AS (SELECT j, bucket, sum(cnt)::BIGINT AS cell
+                FROM h GROUP BY j, bucket),
+      heavy AS (SELECT token, cnt FROM c, tot WHERE cnt * 64 > n),
+      est AS (SELECT hv.token, hv.cnt, min(cl.cell) AS est
+              FROM heavy hv
+              JOIN h ON h.token = hv.token
+              JOIN cells cl ON cl.j = h.j AND cl.bucket = h.bucket
+              GROUP BY hv.token, hv.cnt)
+      SELECT token, cnt, est, (est >= cnt) AS one_sided_ok
+      FROM est ORDER BY token"""))
+
   def qs: Seq[Q] =
     Seq(tokenQuantiles, profileLineitem, heavyHitters, sketchQuantiles,
-      vocabGrowth)
+      vocabGrowth, countMin)
 }

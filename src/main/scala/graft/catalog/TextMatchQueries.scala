@@ -144,6 +144,42 @@ object TextMatchQueries {
              coalesce(agg.kept_md5, md5('')) AS kept_md5
       FROM b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
+  /** Corpus-level boilerplate strip — the drop-ALL-occurrences complement
+    * of `dedup_paragraphs`' first-wins pass (C4's "discard any line seen
+    * on ≥ 3 pages"): every occurrence of a line with cross-doc document
+    * frequency ≥ 3 is removed, docs reassembled and digest-gated. The
+    * fixture's prefix-aligned near-dups put 15 lines at df ≥ 3 at sf0.01
+    * — real boilerplate, no planting. Same content-digest contract as the
+    * paragraph entry; the two entries differ exactly on the hot lines'
+    * FIRST occurrences, which first-wins keeps and this pass drops. */
+  val boilerplate = Q(
+    "text_boilerplate_strip",
+    (s, dir) =>
+      TextMatch.boilerplateStrip(Tables.documents(s, dir),
+        lineTokens = 10, minDf = 3)
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, toks, ((len(toks) + 9) // 10)::BIGINT AS n_lines
+            FROM w),
+      lines AS (SELECT doc_id, j AS line_no,
+                       array_to_string(toks[(j*10+1):(j*10+10)], ' ') AS line
+                FROM b, unnest(range(0, n_lines)) t(j)),
+      hot AS (SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY line) WHERE df >= 3),
+      keep AS (SELECT l.doc_id, l.line_no, l.line
+               FROM lines l LEFT JOIN hot h ON h.line = l.line
+               WHERE h.line IS NULL),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY line_no))
+                       AS kept_md5
+              FROM keep GROUP BY doc_id)
+      SELECT b.doc_id, b.n_lines, coalesce(agg.n_kept, 0) AS n_kept,
+             coalesce(agg.kept_md5, md5('')) AS kept_md5
+      FROM b LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
   /** Exact phrase search for "table value": positional-index adjacency
     * joins on the Spark side (only the two terms' postings shuffle); the
     * oracle checks token arrays by direct indexing. first_pos is 0-based
@@ -216,5 +252,6 @@ object TextMatchQueries {
       ORDER BY id_a, id_b"""))
 
   def qs: Seq[Q] =
-    Seq(spanDedup, rareSpan, spanScrub, paragraphs, phrase, fuzzyJoin)
+    Seq(spanDedup, rareSpan, spanScrub, paragraphs, boilerplate, phrase,
+      fuzzyJoin)
 }

@@ -289,6 +289,47 @@ object TextQueries {
              sum(cnt * wgt) > 0 AS label
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Token-entropy quality filter — the information-density member of
+    * the quality family (heuristics = `text_quality_score`, bigram-LM
+    * NLL = `text_lm_score`, hashed-linear = `text_quality_classifier`):
+    * per-doc Shannon entropy of the token distribution, H = log2(n) −
+    * (Σ c·log2(c))/n, in all-integer [[graft.ops.QualityModels.qlog2]]
+    * fixed point (1/1024-bit units), so training-free AND hash-exact.
+    * Low entropy = repetitive junk (keyword stuffing, boilerplate
+    * loops) — the UNORDERED-repetition signal n-gram run-lengths miss.
+    * `keep` thresholds at 4.0 bits (4096 q10): drops 99/500 docs at
+    * sf0.01, the filter decision inside the hash gate. Plan: one
+    * (doc, word) count (map-side partial, the only corpus exchange) +
+    * one doc-sized rollup; no joins, no window. */
+  val entropyFilter = Q(
+    "text_entropy_filter",
+    (s, dir) =>
+      graft.ops.QualityModels.tokenEntropy(Tables.documents(s, dir))
+        .withColumn("keep", col("entropy_q10") >= 4096L)
+        .orderBy("doc_id"),
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      wc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+             FROM tok GROUP BY doc_id, w),
+      fl AS (SELECT doc_id, w, c,
+                    max(CASE WHEN (c >> k.k) >= 1 THEN k.k END) AS flc
+             FROM wc, generate_series(0, 40) k(k) GROUP BY doc_id, w, c),
+      s AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+                   sum(c * (flc * 1024 + ((c * 1024) >> flc) - 1024))::BIGINT
+                     AS ssum
+            FROM fl GROUP BY doc_id),
+      fln AS (SELECT doc_id, n_tok, ssum,
+                     max(CASE WHEN (n_tok >> k.k) >= 1 THEN k.k END) AS fln
+              FROM s, generate_series(0, 40) k(k)
+              GROUP BY doc_id, n_tok, ssum),
+      e AS (SELECT doc_id, n_tok,
+                   CAST((fln * 1024 + ((n_tok * 1024) >> fln) - 1024)
+                        - (ssum // n_tok) AS BIGINT) AS entropy_q10
+            FROM fln)
+      SELECT doc_id, n_tok, entropy_q10, entropy_q10 >= 4096 AS keep
+      FROM e ORDER BY doc_id"""))
+
   def qs: Seq[Q] = Seq(tokenCount, quality, langId, tfidf, fingerprint,
-    lmScore, qualityClassifier)
+    lmScore, qualityClassifier, entropyFilter)
 }

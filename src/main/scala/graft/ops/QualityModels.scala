@@ -116,6 +116,33 @@ object QualityModels {
   private def bucketOf(f: Column, dim: Long): Column =
     conv(substring(md5(f.cast("binary")), 1, 15), 16, 10).cast("long") % dim
 
+  /** Per-document token Shannon entropy in [[qlog2]] fixed point —
+    * the information-density quality signal (low entropy = repetitive
+    * junk: keyword stuffing, boilerplate loops, degenerate generations;
+    * the repetition-stats cousin that catches UNORDERED repetition
+    * n-gram run-lengths miss). Identity used:
+    *
+    *   H = log2(n) − (1/n)·Σ_w c_w·log2(c_w)
+    *
+    * so every log argument is an integer COUNT and the whole score is
+    * shift/multiply arithmetic — exactly replayable in SQL, like
+    * [[dsirScore]]. Returns (docId, n_tok, entropy_q10) with entropy in
+    * 1/1024-bit units. Plan: one (doc, word)-keyed count (map-side
+    * partial — the only corpus-scale exchange) + one doc-sized rollup;
+    * no joins, no window. */
+  def tokenEntropy(
+      docs: DataFrame,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wc = docs
+      .select(col(docId), explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy(docId, "w").agg(count(lit(1)).as("c"))
+    wc.groupBy(docId)
+      .agg(sum("c").as("n_tok"),
+        sum(col("c") * qlog2(col("c"))).as("s"))
+      .select(col(docId), col("n_tok"),
+        (qlog2(col("n_tok")) - expr("s div n_tok")).as("entropy_q10"))
+  }
+
   /** Integer fixed-point base-2 log, 10 fractional bits:
     *
     *   qlog2(n) = fl·1024 + ((n·1024) >> fl) − 1024,  fl = ⌊log2 n⌋

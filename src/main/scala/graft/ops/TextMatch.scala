@@ -183,12 +183,54 @@ object TextMatch {
   def paragraphDedup(
       docs: DataFrame, lineTokens: Int = 10,
       docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (base, lines) = segmentLines(docs, lineTokens, docId, textCol)
+    val firstWins = Window.partitionBy("line").orderBy(docId, "line_no")
+    val kept = lines
+      .withColumn("rk", row_number().over(firstWins))
+      .filter(col("rk") === 1)
+    reassembleKept(base, kept, docId)
+  }
+
+  /** Corpus-level BOILERPLATE removal — the drop-ALL-occurrences
+    * complement of [[paragraphDedup]]'s first-wins pass (C4's "discard any
+    * line appearing in ≥ N pages": navigation bars, cookie notices,
+    * licence footers repeat across the crawl and first-wins dedup would
+    * still train on one copy of each). A line whose cross-doc document
+    * frequency reaches `minDf` is stripped from EVERY document; docs are
+    * reassembled from their surviving lines. Same (docId, n_lines, n_kept,
+    * kept_md5) contract as [[paragraphDedup]] — kept_md5 digests content,
+    * so the gate checks the reassembled text, not just counts.
+    *
+    * Plan: two corpus passes — the standard count-then-strip shape (the
+    * df aggregate is pass 1's line-keyed exchange; pass 2 re-segments and
+    * strips). The boilerplate set is by construction TINY (distinct lines
+    * with df ≥ minDf — at crawl scale a few thousand hot lines), so the
+    * strip is a broadcast anti-join against the corpus-sized lines frame
+    * — pass 2's only exchange is the per-doc reassembly. */
+  def boilerplateStrip(
+      docs: DataFrame, lineTokens: Int = 10, minDf: Int = 3,
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (base, lines) = segmentLines(docs, lineTokens, docId, textCol)
+    val hot = lines.groupBy("line")
+      .agg(count_distinct(col(docId)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("line")
+    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    reassembleKept(base, kept, docId)
+  }
+
+  /** Shared segmentation for the line-level passes: fixed
+    * `lineTokens`-token lines per document. Returns (base with n_lines,
+    * exploded lines with 0-based line_no). Explodes line ordinals, then
+    * slices/joins per row — same codegen-over-HOF rationale as
+    * [[spanDedupStats]]. */
+  private def segmentLines(
+      docs: DataFrame, lineTokens: Int,
+      docId: String, textCol: String): (DataFrame, DataFrame) = {
     val toks = split(lower(col(textCol)), " ")
     val base = docs.select(col(docId), toks.as("toks"))
       .withColumn("n_lines",
         expr(s"((size(toks) + ${lineTokens - 1}) div $lineTokens)").cast("long"))
-    // explode line ordinals, then slice/join per row — same
-    // codegen-over-HOF rationale as spanDedupStats
     val lines = base
       .select(col(docId), col("n_lines"), col("toks"),
         explode(sequence(lit(0L), col("n_lines") - 1)).as("line_no"))
@@ -196,10 +238,14 @@ object TextMatch {
         array_join(slice(col("toks"),
           (col("line_no") * lineTokens + 1).cast("int"), lit(lineTokens)),
           " ").as("line"))
-    val firstWins = Window.partitionBy("line").orderBy(docId, "line_no")
-    val kept = lines
-      .withColumn("rk", row_number().over(firstWins))
-      .filter(col("rk") === 1)
+    (base, lines)
+  }
+
+  /** Shared reassembly for the line-level passes: per-doc surviving-line
+    * count and a digest of the line_no-ordered reassembled text; docs with
+    * nothing kept emit (0, md5("")). */
+  private def reassembleKept(
+      base: DataFrame, kept: DataFrame, docId: String): DataFrame = {
     val reassembled = kept.groupBy(docId)
       .agg(count(lit(1)).as("n_kept"),
         md5(concat_ws("\n",

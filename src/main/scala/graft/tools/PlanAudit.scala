@@ -114,6 +114,18 @@ object PlanAudit {
     // scan — zero exchanges before the final sort
     graft.catalog.EmbedQueries.rotHadamard.run(spark, dir)
       .explain("formatted")
+    println("===== count-min sketch =====")
+    // expect: ONE corpus exchange (the vocab agg, partial map-side); the
+    // depth-explode, cell agg, heavy filter and estimate joins all run on
+    // vocab-sized or smaller frames, heavy + cells broadcast
+    graft.catalog.ProfileQueries.countMin.run(spark, dir)
+      .explain("formatted")
+    println("===== boilerplate strip =====")
+    // expect: line-keyed df aggregate is the only pre-reassembly exchange;
+    // the hot-line set broadcasts into a BroadcastHashJoin LeftAnti; one
+    // docId exchange for reassembly
+    graft.catalog.TextMatchQueries.boilerplate.run(spark, dir)
+      .explain("formatted")
     spark.stop()
   }
 }

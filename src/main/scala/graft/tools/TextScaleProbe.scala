@@ -77,6 +77,41 @@ object TextScaleProbe {
       println(f"repetition n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
         s"rows=$rep (zero-shuffle map)")
 
+      // Boilerplate strip: two corpus passes (line-df count, broadcast
+      // anti-join strip) — wall should scale ~linearly in n. The synthetic
+      // corpus's text is a function of (31·doc_id + doc_id%97) mod 10000,
+      // so whole docs repeat ~n/10000 times: the hot-line set saturates at
+      // the ≤ 40k distinct lines (bounded broadcast no matter the corpus)
+      // while nearly every occurrence strips — the worst-case strip mass.
+      t0 = System.nanoTime()
+      val bp = graft.ops.TextMatch.boilerplateStrip(data, lineTokens = 10,
+        minDf = 3)
+        .agg(sum("n_lines"), sum("n_kept")).head()
+      println(f"boilerplate n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"lines=${bp.getLong(0)} kept=${bp.getLong(1)} " +
+        "(hot set broadcast, bounded by distinct lines)")
+
+      // Count-Min sketch: one corpus token agg into the vocab-sized frame,
+      // then a 4× explosion over the VOCABULARY (10k words here — fixed as
+      // n grows), so wall tracks the token agg and the sketch stays
+      // 4×1024 cells at any corpus size.
+      // (the catalog entry reads a parquet dir; the probe runs the same
+      // shape inline over the synthetic corpus)
+      t0 = System.nanoTime()
+      val tokp = data.select(explode(split(lower(col("text")), " "))
+        .as("token"))
+      val exactp = tokp.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val cm = exactp.select(col("token"), col("cnt"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+            col("token")).cast("binary")), 1, 15), 16, 10)
+            .cast("long") % 1024)
+        .groupBy("j", "bucket").agg(sum("cnt").as("cell")).count()
+      println(f"countmin n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"cells=$cm (sketch size fixed at 4x1024 regardless of corpus)")
+
       // BPE: the merge loop runs over the DISTINCT-WORD table (bounded by
       // the 10k vocabulary no matter the corpus size), so train time after
       // the one-shuffle word-frequency agg should be FLAT in n while

@@ -363,6 +363,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window belongs here:\n$p")
   }
 
+  test("boilerplate strip: hot set broadcasts into a LeftAnti, no window") {
+    val p = plan(graft.catalog.TextMatchQueries.boilerplate.run(spark, dir))
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"the strip must be a broadcast anti-join against the hot set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the corpus-sized lines frame shuffled " +
+        s"for the strip:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("count-min: downstream consumers read the checkpointed vocab, " +
+    "not the corpus") {
+    val p = plan(graft.catalog.ProfileQueries.countMin.run(spark, dir))
+    assert(!p.contains("Scan parquet"),
+      s"a parquet scan below the sketch means a consumer re-read the " +
+        s"corpus instead of the materialized vocab frame:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"heavy-token and cell joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"vocab-sized joins must not shuffle-sort, and no window belongs " +
+        s"here:\n$p")
+  }
+
   test("anomaly: corpus pre-aggregates to the hourly table before the window") {
     val p = plan(RelationalQueries.eventsAnomaly.run(spark, dir))
     val firstAgg = p.indexOf("partial_count")

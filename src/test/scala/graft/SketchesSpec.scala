@@ -23,6 +23,48 @@ class SketchesSpec extends AnyFunSuite {
       .head().getMap[String, Long](0).toMap
   }
 
+  test("count-min entry: independent Scala replay matches cell-for-cell") {
+    // Re-derive the q_sketch_countmin output from first principles —
+    // MessageDigest + Long.parseLong(hex, 16) instead of Spark's
+    // md5/conv expression tree — and compare exactly. Catches a fold or
+    // bucketing slip the DuckDB oracle (a third derivation) would also
+    // catch, but locally and per-token.
+    val dir = SparkTestBase.sf0001
+    val texts = graft.core.Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+    val tokRe = "[a-z0-9]+".r
+    val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach(t => tokRe.findAllIn(t.toLowerCase).foreach(w =>
+      cnt.update(w, cnt.getOrElse(w, 0L) + 1L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(j: Int, tok: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$j:$tok").substring(0, 15), 16) % 1024L
+    val cells = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    cnt.foreach { case (tok, c) =>
+      (0 until 4).foreach { j =>
+        val k = (j, bucket(j, tok))
+        cells.update(k, cells.getOrElse(k, 0L) + c)
+      }
+    }
+    val n = cnt.values.sum
+    val want = cnt.filter { case (_, c) => c * 64 > n }
+      .map { case (tok, c) =>
+        tok -> ((c, (0 until 4).map(j => cells((j, bucket(j, tok)))).min))
+      }.toMap
+    assert(want.nonEmpty, "fixture has no heavy tokens — test is vacuous")
+    val got = Catalog.queries("q_sketch_countmin")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (tok, (c, est)) =>
+      assert(got(tok) == ((c, est, true)),
+        s"$tok: got ${got(tok)}, want ($c, $est, true)")
+      assert(est >= c, s"$tok: CM one-sided guarantee violated")
+    }
+  }
+
   test("guarantees hold on skewed random streams (Spark partial + merge)") {
     val rng = new Random(7)
     for (trial <- 1 to 3) {

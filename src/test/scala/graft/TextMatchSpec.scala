@@ -181,6 +181,45 @@ class TextMatchSpec extends AnyFunSuite {
     assert(kept == distinctLines)
   }
 
+  // --- boilerplateStrip -----------------------------------------------------
+
+  test("boilerplateStrip: df >= minDf lines vanish EVERYWHERE, rarer survive") {
+    val hot = (1 to 10).map(i => s"h$i").mkString(" ")  // df = 4 → stripped
+    val duo = (1 to 10).map(i => s"d$i").mkString(" ")  // df = 2 → kept
+    val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$hot $duo"),
+      (2L, s"$duo $hot"),
+      (3L, s"$hot $uniq"),
+      (4L, hot)) // fully boilerplate: nothing survives
+      .toDF("doc_id", "text")
+    val out = TextMatch.boilerplateStrip(docs, lineTokens = 10, minDf = 3)
+      .orderBy("doc_id").collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // unlike paragraphDedup, even the FIRST occurrence of the hot line drops
+    assert(out.toSeq == Seq(
+      Row(1L, 2L, 1L, md5hex(duo)),
+      Row(2L, 2L, 1L, md5hex(duo)),
+      Row(3L, 2L, 1L, md5hex(uniq)),
+      Row(4L, 1L, 0L, md5hex(""))))
+  }
+
+  test("boilerplateStrip: kept occurrences = occurrences of df<minDf lines") {
+    val docs = graft.core.Tables.documents(spark, SparkTestBase.sf0001)
+    val out = TextMatch.boilerplateStrip(docs, lineTokens = 10, minDf = 2)
+    val kept = out.agg(sum("n_kept")).head().getLong(0)
+    val lines = docs
+      .selectExpr("doc_id", """explode(transform(
+        sequence(0, (size(split(lower(text), ' ')) + 9) div 10 - 1),
+        j -> array_join(slice(split(lower(text), ' '), j*10+1, 10), ' '))) AS l""")
+    val want = lines.groupBy("l")
+      .agg(count(lit(1)).as("occ"), count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") < 2).agg(sum("occ")).head().getLong(0)
+    assert(kept == want)
+  }
+
   // --- phraseSearch -------------------------------------------------------
 
   test("phraseSearch: counts overlapping occurrences and 0-based positions") {

@@ -17,6 +17,47 @@ class TextModelSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val dir = SparkTestBase.sf0001
 
+  test("token entropy: exact at analytic anchors, orders repetition") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 16).map(i => s"t$i").mkString(" ")), // 16 distinct → 4 bits
+      (2L, Seq.fill(4)("a").mkString(" ")),           // constant → 0 bits
+      (3L, "a a a a b b c d"),                        // mixed, < 3 bits
+      (4L, (1 to 8).map(i => s"u$i").mkString(" ")))  // 8 distinct → 3 bits
+      .toDF("doc_id", "text")
+    val out = graft.ops.QualityModels.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // all-distinct and all-same docs hit qlog2's exact points (powers of
+    // two): H = log2(n) and H = 0 with NO fixed-point error
+    assert(out(1L) == ((16L, 4096L)))
+    assert(out(2L) == ((4L, 0L)))
+    assert(out(4L) == ((8L, 3072L)))
+    // mixed doc: 0 < H < all-distinct H for the same length (8 tokens)
+    val (n3, e3) = out(3L)
+    assert(n3 == 8L && e3 > 0L && e3 < 3072L,
+      s"mixed-repetition entropy out of range: $e3")
+    // float cross-check within qlog2's documented error (0.086 bits per
+    // log; two log applications compound through the weighted average)
+    val exact3 = {
+      val counts = Seq(4.0, 2.0, 1.0, 1.0)
+      val n = counts.sum
+      counts.map(c => -c / n * math.log(c / n) / math.log(2)).sum
+    }
+    assert(math.abs(e3 / 1024.0 - exact3) < 0.2,
+      s"fixed-point entropy ${e3 / 1024.0} vs exact $exact3")
+  }
+
+  test("entropy filter entry: keep flag matches the threshold rule") {
+    val rows = TextQueries.entropyFilter.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("entropy_q10") >= 4096L))
+    }
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"threshold is degenerate at sf0.001: $kept of ${rows.length} kept")
+  }
+
   test("lm score: columns cohere, counts conserve, flag matches the integer rule") {
     val rows = TextQueries.lmScore.run(spark, dir).collect()
     val nTok = Tables.documents(spark, dir)
