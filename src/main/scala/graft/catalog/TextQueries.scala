@@ -330,6 +330,82 @@ object TextQueries {
       SELECT doc_id, n_tok, entropy_q10, entropy_q10 >= 4096 AS keep
       FROM e ORDER BY doc_id"""))
 
+  /** PMI collocation extraction (Manning & Schütze ch. 5) — the classic
+    * corpus-analytics read a tokenizer/vocab team runs before committing
+    * to merges: adjacent token pairs whose co-occurrence beats
+    * independence,
+    *
+    *   PMI = log2(c_ab·N² / (B·c_a·c_b))
+    *       = qlog2(c_ab) + 2·qlog2(N) − qlog2(B) − qlog2(c_a) − qlog2(c_b)
+    *
+    * — a pure SUM of integer-count logs in
+    * [[graft.ops.QualityModels.qlog2]] fixed point, so the whole score
+    * (and the top-50 cut) sits inside the hash gate. min-count 5 (the
+    * standard sparse-PMI guard). Plan: one bigram agg + one unigram agg
+    * (both map-side partial — the two corpus exchanges), scalar totals
+    * broadcast, vocab-sized count joins, TakeOrdered(50) on
+    * (pmi desc, a, b) — deterministic total order, no global sort. */
+  val pmiCollocations = Q(
+    "text_pmi_collocations",
+    (s, dir) => {
+      import graft.ops.QualityModels.qlog2
+      val tok = Tables.documents(s, dir)
+        .select(split(lower(col("text")), " ").as("w"))
+      val uni = tok.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val bi = tok.filter(size(col("w")) >= 2)
+        .select(col("w"), explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+        .select(element_at(col("w"), col("i")).as("a"),
+          element_at(col("w"), col("i") + 1).as("b"))
+      val bcnt = bi.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val totals = tok.agg(
+        sum(size(col("w"))).cast("long").as("n"),
+        sum(greatest(size(col("w")) - 1, lit(0))).cast("long").as("bt"))
+      bcnt
+        .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+        .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("cab").as("n_pair"),
+          (qlog2(col("cab")) + lit(2L) * qlog2(col("n")) - qlog2(col("bt"))
+            - qlog2(col("ca")) - qlog2(col("cb"))).as("pmi_q10"))
+        .orderBy(col("pmi_q10").desc, col("a"), col("b"))
+        .limit(50)
+    },
+    Some("""
+      WITH tok AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+      ucnt AS (SELECT t, count(*)::BIGINT AS c
+               FROM (SELECT unnest(w) AS t FROM tok) GROUP BY t),
+      bi AS (SELECT w[i] AS a, w[i+1] AS b
+             FROM (SELECT w, unnest(range(1, len(w))) AS i
+                   FROM tok WHERE len(w) >= 2)),
+      bcnt AS (SELECT a, b, count(*)::BIGINT AS cab
+               FROM bi GROUP BY a, b HAVING count(*) >= 5),
+      tot AS (SELECT sum(len(w))::BIGINT AS n,
+                     sum(greatest(len(w) - 1, 0))::BIGINT AS bt FROM tok),
+      qt AS (SELECT n, bt,
+                    max(CASE WHEN (n >> k.k) >= 1 THEN k.k END) AS fln,
+                    max(CASE WHEN (bt >> k.k) >= 1 THEN k.k END) AS flb
+             FROM tot, generate_series(0, 50) k(k) GROUP BY n, bt),
+      j AS (SELECT bc.a, bc.b, bc.cab, ua.c AS ca, ub.c AS cb
+            FROM bcnt bc
+            JOIN ucnt ua ON ua.t = bc.a
+            JOIN ucnt ub ON ub.t = bc.b),
+      fl AS (SELECT a, b, cab, ca, cb,
+                    max(CASE WHEN (cab >> k.k) >= 1 THEN k.k END) AS flab,
+                    max(CASE WHEN (ca >> k.k) >= 1 THEN k.k END) AS flca,
+                    max(CASE WHEN (cb >> k.k) >= 1 THEN k.k END) AS flcb
+             FROM j, generate_series(0, 50) k(k)
+             GROUP BY a, b, cab, ca, cb)
+      SELECT a, b, cab AS n_pair,
+             CAST((flab*1024 + ((cab*1024) >> flab) - 1024)
+                + 2*(SELECT fln*1024 + ((n*1024) >> fln) - 1024 FROM qt)
+                - (SELECT flb*1024 + ((bt*1024) >> flb) - 1024 FROM qt)
+                - (flca*1024 + ((ca*1024) >> flca) - 1024)
+                - (flcb*1024 + ((cb*1024) >> flcb) - 1024) AS BIGINT)
+               AS pmi_q10
+      FROM fl ORDER BY pmi_q10 DESC, a, b LIMIT 50"""))
+
   def qs: Seq[Q] = Seq(tokenCount, quality, langId, tfidf, fingerprint,
-    lmScore, qualityClassifier, entropyFilter)
+    lmScore, qualityClassifier, entropyFilter, pmiCollocations)
 }

@@ -58,6 +58,37 @@ class TextModelSpec extends AnyFunSuite {
       s"threshold is degenerate at sf0.001: $kept of ${rows.length} kept")
   }
 
+  test("pmi collocations: exact at a power-of-two anchor, min-count guard") {
+    import spark.implicits._
+    // Planted corpus of 16 "x y" docs: c_xy = 16, c_x = c_y = 16, N = 32,
+    // B = 16 → PMI(x,y) = log2(16·32²/(16·16·16)) = 2.0 bits — every
+    // count a power of two, so qlog2 has ZERO fixed-point error and the
+    // entry must return exactly 2048. Written through a fixture-shaped
+    // temp dir so the test exercises the real entry end to end.
+    val docs = (1L to 16L).map(i => (i, "x y")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pmi").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = graft.catalog.TextQueries.pmiCollocations
+      .run(spark, tmp).collect()
+    // single qualifying pair: (x, y) — the min-count guard admits nothing
+    // else (no other adjacent pair exists)
+    assert(planted.length == 1)
+    val r = planted.head
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+    assert(r.getLong(2) == 16L)
+    assert(r.getLong(3) == 2048L,
+      s"PMI(x,y) must be exactly 2.0 bits at the power-of-two anchor, " +
+        s"got ${r.getLong(3)}")
+    // fixture-scale smoke: nonempty and every surviving pair meets the
+    // min-count guard
+    val rows = graft.catalog.TextQueries.pmiCollocations
+      .run(spark, SparkTestBase.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 5L))
+  }
+
   test("lm score: columns cohere, counts conserve, flag matches the integer rule") {
     val rows = TextQueries.lmScore.run(spark, dir).collect()
     val nTok = Tables.documents(spark, dir)
