@@ -265,13 +265,8 @@ object ProfileQueries {
       // doc_pipeline_curate)
       val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
-      val hashed = exact.select(col("token"), col("cnt"),
-        explode(sequence(lit(0), lit(depth - 1))).as("j"))
-        .withColumn("bucket",
-          conv(substring(md5(concat(col("j").cast("string"), lit(":"),
-            col("token")).cast("binary")), 1, 15), 16, 10)
-            .cast("long") % width)
-      val cells = hashed.groupBy("j", "bucket").agg(sum("cnt").as("cell"))
+      val hashed = graft.ops.Sketches.countMinHashed(exact, depth, width)
+      val cells = graft.ops.Sketches.countMinCells(hashed)
       val total = exact.agg(sum("cnt").as("n"))
       val heavy = exact.crossJoin(broadcast(total))
         .filter(col("cnt") * 64 > col("n"))

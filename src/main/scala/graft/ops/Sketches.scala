@@ -88,4 +88,33 @@ object Sketches {
     * MAP<STRING, BIGINT> of surviving counters. */
   def heavyHitters(m: Int, token: Column): Column =
     udaf(new MisraGries(m), ExpressionEncoder[String]())(token)
+
+  /** Count-Min row hashes over a `(token, cnt)` frame: one row per
+    * (token, j ∈ [0, depth)) with the token's row-j bucket — the
+    * md5-derived 60-bit hex fold mod `width` (the affine-MinHash
+    * cross-engine parity idiom, so a DuckDB oracle can replay every
+    * bucket). Shared by the `q_sketch_countmin` entry and the
+    * mergeability spec. */
+  def countMinHashed(
+      tokenCounts: org.apache.spark.sql.DataFrame,
+      depth: Int = 4, width: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    tokenCounts.select(col("token"), col("cnt"),
+      explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("token")).cast("binary")), 1, 15), 16, 10)
+          .cast("long") % width)
+  }
+
+  /** Count-Min cell table from [[countMinHashed]] output: (j, bucket) →
+    * summed count. LINEAR in the input counts — cells of disjoint shards
+    * ADD to the whole-corpus cells (the mergeable-summary property the
+    * 100 TB story rests on; gated in SketchesSpec), so daily/shard
+    * sketches re-aggregate without raw data. */
+  def countMinCells(
+      hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    hashed.groupBy("j", "bucket").agg(sum("cnt").as("cell"))
+  }
 }

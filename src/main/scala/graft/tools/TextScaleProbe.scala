@@ -95,20 +95,17 @@ object TextScaleProbe {
       // then a 4× explosion over the VOCABULARY (10k words here — fixed as
       // n grows), so wall tracks the token agg and the sketch stays
       // 4×1024 cells at any corpus size.
-      // (the catalog entry reads a parquet dir; the probe runs the same
-      // shape inline over the synthetic corpus)
+      // (the catalog entry reads a parquet dir; the probe runs the SAME
+      // kernel — graft.ops.Sketches.countMinHashed/Cells — over the
+      // synthetic corpus, so a drifted copy can't silently measure a
+      // different sketch)
       t0 = System.nanoTime()
       val tokp = data.select(explode(split(lower(col("text")), " "))
         .as("token"))
       val exactp = tokp.groupBy("token").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
-      val cm = exactp.select(col("token"), col("cnt"),
-        explode(sequence(lit(0), lit(3))).as("j"))
-        .withColumn("bucket",
-          conv(substring(md5(concat(col("j").cast("string"), lit(":"),
-            col("token")).cast("binary")), 1, 15), 16, 10)
-            .cast("long") % 1024)
-        .groupBy("j", "bucket").agg(sum("cnt").as("cell")).count()
+      val cm = graft.ops.Sketches.countMinCells(
+        graft.ops.Sketches.countMinHashed(exactp)).count()
       println(f"countmin n=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
         s"cells=$cm (sketch size fixed at 4x1024 regardless of corpus)")
 

@@ -65,6 +65,29 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min mergeability: shard cells SUM to the whole-corpus cells") {
+    // The 100 TB re-aggregation property: sketch(A ⊎ B) must equal
+    // sketch(A) ⊕ sketch(B) cell-wise — run the REAL Spark build three
+    // times (two disjoint shards + the union) and compare. Catches any
+    // non-linear step (a distinct, a cap) creeping into the build.
+    import spark.implicits._
+    val rng = new Random(11)
+    def stream(n: Int, salt: Int): Seq[String] =
+      Seq.fill(n)(s"w${salt}_${rng.nextInt(300)}")
+    val a = stream(5000, 0)
+    val b = stream(3000, 1) ++ a.take(1000) // overlap: shared tokens too
+    def cells(tokens: Seq[String]): Map[(Int, Long), Long] = {
+      val counts = spark.sparkContext.parallelize(tokens, 6).toDF("token")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      Sketches.countMinCells(Sketches.countMinHashed(counts)).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val (ca, cb, cu) = (cells(a), cells(b), cells(a ++ b))
+    val summed = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(cu == summed, "shard-cell sum differs from the union's cells")
+  }
+
   test("guarantees hold on skewed random streams (Spark partial + merge)") {
     val rng = new Random(7)
     for (trial <- 1 to 3) {
