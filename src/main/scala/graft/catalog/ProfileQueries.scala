@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
-import graft.core.Tables
+import graft.core.{Bounded, Tables}
 
 /** Data-profiling operators — the ANALYZE-style statistics pass a pipeline
   * runs over a freshly landed table before planning anything else. Shapes
@@ -207,9 +207,13 @@ object ProfileQueries {
         .groupBy("decile").agg(count(lit(1)).as("new_types"))
       val w = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perDecile.join(occ, "decile").join(newTypes, Seq("decile"), "left")
-        .select(col("decile"), col("n_docs"), col("n_occurrences"),
-          coalesce(col("new_types"), lit(0L)).as("new_types"))
+      Bounded.frame(
+        perDecile.join(occ, Seq("decile"), "left")
+          .join(newTypes, Seq("decile"), "left")
+          .select(col("decile"), col("n_docs"),
+            coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+            coalesce(col("new_types"), lit(0L)).as("new_types")),
+        16, "profile_vocab_growth decile grid")
         .withColumn("types_cum", sum("new_types").over(w))
         .orderBy("decile")
     },
@@ -226,11 +230,12 @@ object ProfileQueries {
       nt AS (SELECT decile, count(*)::BIGINT AS new_types FROM (
                SELECT tok, min(decile) AS decile FROM t GROUP BY tok)
              GROUP BY decile)
-      SELECT pd.decile, pd.n_docs, occ.n_occurrences,
+      SELECT pd.decile, pd.n_docs,
+             coalesce(occ.n_occurrences, 0)::BIGINT AS n_occurrences,
              coalesce(nt.new_types, 0)::BIGINT AS new_types,
              sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pd.decile
                ROWS UNBOUNDED PRECEDING)::BIGINT AS types_cum
-      FROM pd JOIN occ USING (decile) LEFT JOIN nt USING (decile)
+      FROM pd LEFT JOIN occ USING (decile) LEFT JOIN nt USING (decile)
       ORDER BY pd.decile"""))
 
   /** COUNT-MIN sketch gate — the frequency-ESTIMATION member of the

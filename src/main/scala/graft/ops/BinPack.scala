@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * alternative to `Curation.packSequences`' concat-and-chunk: documents
   * are bin-packed whole into fixed-capacity training sequences (no doc
   * ever spans a boundary), so the attention mask never needs cross-doc
-  * separators and the padding waste is the FFD guarantee (≤ 11/9·OPT + 1
-  * bins — Johnson '73) instead of the arbitrary overflow of start-offset
-  * chunking. This is the packing used by T5/LLaMA-style pipelines when
-  * sequence integrity matters.
+  * separators and the padding waste is the FFD guarantee PER SALT GROUP
+  * (≤ 11/9·OPT + 1 bins within each group — Johnson '73; globally the
+  * salted scheme can leave up to one extra partial bin per group, i.e.
+  * ≤ 11/9·OPT + g with g = ceil(n / groupTarget)) instead of the
+  * arbitrary overflow of start-offset chunking. This is the packing used
+  * by T5/LLaMA-style pipelines when sequence integrity matters.
   *
   * FFD is inherently sequential (each placement depends on every earlier
   * one), so the distributed form salts docs into bounded groups (md5 of

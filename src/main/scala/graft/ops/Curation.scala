@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Bounded
+
 /** Library surface for corpus curation: repetition/quality signals,
   * decontamination, PII scrubbing, quota sampling and sequence packing —
   * the passes a training-data pipeline composes between dedup and
@@ -201,7 +203,9 @@ object Curation {
       budget: Long, bucketDiv: Long, bestLow: Boolean,
       docId: String = "doc_id"): DataFrame = {
     val scored = docs.withColumn("qb", expr(s"$scoreCol div $bucketDiv"))
-    val hist = scored.groupBy("qb").agg(sum(tokensCol).as("bt"))
+    val hist = Bounded.frame(
+      scored.groupBy("qb").agg(sum(tokensCol).as("bt")),
+      1L << 16, "tokenBudgetSelect score-bucket histogram")
     val wh = Window.orderBy(if (bestLow) col("qb").asc else col("qb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist.withColumn("cum_pre", coalesce(sum("bt").over(wh), lit(0L)))
@@ -244,9 +248,11 @@ object Curation {
       docs: DataFrame, strata: String, tokensCol: String,
       budget: Long, epochs: Int = 1): DataFrame = {
     require(epochs >= 1, s"epochs >= 1, got $epochs")
-    val caps = docs.groupBy(strata)
-      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("avail"))
-      .withColumn("cap", col("avail") * epochs)
+    val caps = Bounded.frame(
+      docs.groupBy(strata)
+        .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("avail"))
+        .withColumn("cap", col("avail") * epochs),
+      1L << 16, "unimaxAlloc strata table")
     val wOrd = Window.orderBy(col("cap").asc, col(strata))
     val idx = caps
       .withColumn("i", row_number().over(wOrd).cast("long"))
@@ -293,7 +299,9 @@ object Curation {
       .withColumn("bucket", expr(s"n_tok div $bucketWidth"))
       .withColumn("h", md5(concat(lit("c"), col(docId).cast("string"))))
       .withColumn("hex", substring(col("h"), 1, 2))
-    val counts = base.groupBy("bucket", "hex").agg(count(lit(1)).as("n"))
+    val counts = Bounded.frame(
+      base.groupBy("bucket", "hex").agg(count(lit(1)).as("n")),
+      1L << 20, "curriculumOrder micro-bucket histogram")
     val wOff = Window.orderBy("bucket", "hex")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts

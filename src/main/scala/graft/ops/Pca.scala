@@ -67,10 +67,12 @@ object Pca {
     def outputEncoder = ExpressionEncoder[Array[Long]]()
   }
 
-  /** Truncating division toward zero — DuckDB's `//` semantics ON HUGEINT
-    * operands (BIGINT `//` floors, HUGEINT `//` truncates — verified
-    * empirically on 1.0.0; every division in this recurrence is HUGEINT
-    * on the oracle side, and Scala BigInt `/` truncates identically). */
+  /** Truncating division toward zero — DuckDB's `//` semantics (on the
+    * pinned 1.0.0, integer `//` truncates toward zero on BIGINT and
+    * HUGEINT alike — verified empirically: (-7)::BIGINT // 2 = -3, same
+    * as the projectHistogram/KMeansInt note; every division in this
+    * recurrence is HUGEINT on the oracle side, and Scala BigInt `/`
+    * truncates identically). */
   private def fd(a: BigInt, b: BigInt): BigInt = a / b
 
   /** The quantized component arrays `q` of `vectors(embedding)`. */

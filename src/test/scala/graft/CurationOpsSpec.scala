@@ -118,4 +118,18 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
   }
+
+  test("Bounded.frame enforces the bounded-window contract loudly") {
+    import spark.implicits._
+    val small = (0 until 8).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    // within bound: passes through with identical rows
+    val ok = graft.core.Bounded.frame(small, 8, "test frame")
+    assert(ok.collect().length == 8)
+    // over bound: a corpus-sized frame reaching an unpartitioned window
+    // must fail loudly, never silently single-partition-sort
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Bounded.frame(small, 7, "test frame")
+    }
+    assert(e.getMessage.contains("bounded-frame contract violated"))
+  }
 }

