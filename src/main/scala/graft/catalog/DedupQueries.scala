@@ -1885,18 +1885,20 @@ ${affineSigCtes("MATERIALIZED")},
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
       val sink = s"stream_embdedup_exec_sink_${DedupSinkIds.next()}"
-      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
-        val q = graft.streaming.StreamOps
-          .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
-            model, cuts)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try {
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-            mem.addData(chunk.toSeq)
-            q.processAllAvailable() // micro-batch boundary per chunk
-          }
-        } finally q.stop()
+      graft.streaming.StreamOps.withRocksDbStateStore(s) {
+        graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+          val q = graft.streaming.StreamOps
+            .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
+              model, cuts)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+              mem.addData(chunk.toSeq)
+              q.processAllAvailable() // micro-batch boundary per chunk
+            }
+          } finally q.stop()
+        }
       }
       s.table(sink)
         .select(col("vec_a"), col("vec_b"),

@@ -24,13 +24,30 @@ import graft.functions.Distances
   * exact kNN — the same oracle-twin trick as `ann_ivf_full_probe`. */
 object Pq {
 
-  /** [m][ksub][subdim] sub-codebooks. */
-  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+  /** [m][ksub][subdim] sub-codebooks, plus an optional coordinate
+    * permutation applied to every vector BEFORE the subspace split
+    * (null = identity). A permutation is orthogonal — it preserves every
+    * pairwise L2 distance exactly, so ground truth and the exact-rerank
+    * stage are untouched — but it changes which dims land in which
+    * subspace, i.e. how quantization error distributes. [[trainPermuted]]
+    * picks it by measured codes-only recall. */
+  final case class PqModel(
+      codebooks: Array[Array[Array[Double]]],
+      perm: Array[Int] = null) {
     def m: Int = codebooks.length
     def ksub: Int = codebooks.headOption.map(_.length).getOrElse(0)
     def subdim: Int =
       codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
   }
+
+  private[ops] def applyPerm(v: Array[Double], perm: Array[Int]): Array[Double] =
+    if (perm == null) v
+    else {
+      val o = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { o(i) = v(perm(i)); i += 1 }
+      o
+    }
 
   private val bcCache = new java.util.WeakHashMap[
     PqModel,
@@ -80,15 +97,17 @@ object Pq {
     * smaller centroid id (deterministic). */
   def encode(vectors: DataFrame, model: PqModel, vecId: String = "vec_id"): DataFrame = {
     val bc = broadcastBooks(vectors.sparkSession, model)
+    val perm = model.perm
     val enc = udf { (emb: Seq[Float]) =>
       val books = bc.value
       val m = books.length
       val subdim = books(0)(0).length
       // unbox once; per-centroid early abandonment (both exact — see
       // Ivf.assign, the same hot-loop discipline)
-      val p = new Array[Double](emb.length)
+      val p0 = new Array[Double](emb.length)
       var j0 = 0
-      while (j0 < p.length) { p(j0) = emb(j0); j0 += 1 }
+      while (j0 < p0.length) { p0(j0) = emb(j0); j0 += 1 }
+      val p = applyPerm(p0, perm)
       val out = new Array[Byte](m)
       var s = 0
       while (s < m) {

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues}
+
+/** One live prior in a near-dup bucket: (vec_id, embedding, event-time ms).
+  * `emb` is a primitive float array — the state encoder writes it as a
+  * packed binary column, dim·4 B per entry. */
+final case class LiveVec(id: Long, emb: Array[Float], ts: Long)
+
+/** Arbitrary-state processor behind [[StreamOps.embNearDupStream]] —
+  * keyed by (tree, leaf, sub) bucket, emitting (vec_a, vec_b, cos_1e4)
+  * for every within-horizon prior that cosine-matches a new arrival.
+  *
+  * STATE LAYOUT (the round-10→11 fix): the bucket's live set is a
+  * `ListState[LiveVec]`, and the hot write path is `appendList` of just
+  * the batch's NEW arrivals — an O(new) RocksDB merge — instead of the
+  * flatMapGroupsWithState value rewrite, which serialized the WHOLE live
+  * list back through the changelog on every touch. That rewrite was the
+  * measured growth term under an unbounded horizon (DedupScaleProbe
+  * `streamembdedup`: per-batch walls 3.7 → 11–17 s at dim 64, and flat
+  * at dim 8 where the same rewrite is 8× cheaper — the cost is value
+  * BYTES, not key count). With append-only writes the per-batch
+  * changelog is arrival-bound, horizon-independent.
+  *
+  * The full list is still READ once per touched bucket (the compare
+  * against every live prior is the operator's semantics), but reads are
+  * memtable/block-cache hits, not commit-path serialization.
+  *
+  * PHYSICAL EXPIRY, without the per-batch full-state timeout scan of
+  * flatMapGroupsWithState: each touch registers an event-time timer at
+  * (bucket max ts + 2 ms) — it fires exactly when the watermark passes
+  * the last entry's liveness bound (`ts >= wm - 1`, the same in-call
+  * prune rule as the batch compare), and the expired-timer handler
+  * drops dead entries (clearing the key when none survive). A hot
+  * bucket compacts opportunistically instead: when expired entries
+  * outnumber live ones at read time, the write path switches from
+  * append to a single compacting `put` — amortized O(1) per arrival.
+  *
+  * RING CAP: `occupancyCap` bounds the live list at the newest `cap`
+  * entries by (ts, id). This is the streaming enforcement of the SAME
+  * occupancy contract the batch path's `refineBuckets` median-split
+  * cuts establish (≈16 per sub-bucket at build time; the default cap is
+  * 4× that as drift headroom): occupancy past the frozen cuts is
+  * retrain-trigger territory by the documented hand-off, so beyond-cap
+  * priors age out oldest-first rather than growing the bucket without
+  * bound. The cap is what makes the 365-day-horizon probe leg flat —
+  * per-touch compare and trim work can never exceed cap·dim. */
+final class EmbNearDupProcessor(thr1e4: Long, occupancyCap: Int)
+    extends StatefulProcessor[
+      String, (String, java.sql.Timestamp, Long, Seq[Float]),
+      (Long, Long, Long)] {
+
+  @transient private var live: ListState[LiveVec] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    live = getHandle.getListState[LiveVec](
+      "live", Encoders.product[LiveVec], TTLConfig.NONE)
+
+  private def cos1e4(a: Array[Float], b: Array[Float]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0L
+    else math.round(dot / math.sqrt(na * nb) * 10000)
+  }
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, java.sql.Timestamp, Long, Seq[Float])],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val wm = math.max(timerValues.getCurrentWatermarkInMs(), 0L)
+    var nPrior = 0
+    val buf = scala.collection.mutable.ArrayBuffer.empty[LiveVec]
+    live.get().foreach { v =>
+      nPrior += 1
+      if (v.ts >= wm - 1) buf += v // in-call prune of expired priors
+    }
+    val nExpired = nPrior - buf.length
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[LiveVec]
+    rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
+      case (_, ts, id, emb) =>
+        val e = new Array[Float](emb.length)
+        var i = 0
+        while (i < emb.length) { e(i) = emb(i); i += 1 }
+        var j = 0
+        while (j < buf.length) {
+          val p = buf(j)
+          val c = cos1e4(p.emb, e)
+          if (c >= thr1e4 && p.id != id) out += ((p.id, id, c))
+          j += 1
+        }
+        val lv = LiveVec(id, e, ts.getTime)
+        buf += lv
+        fresh += lv
+    }
+    if (buf.nonEmpty) {
+      if (buf.length > occupancyCap || nExpired > buf.length) {
+        // trim to the newest `cap` by (ts, id) / compact out the expired
+        // majority: the only write paths that rewrite the list
+        val kept = buf.sortInPlace()(Ordering.by((v: LiveVec) => (v.ts, v.id)))
+          .takeRight(occupancyCap)
+        live.put(kept.toArray)
+      } else if (fresh.nonEmpty) {
+        live.appendList(fresh.toArray)
+      }
+      var maxTs = Long.MinValue
+      buf.foreach(v => if (v.ts > maxTs) maxTs = v.ts)
+      getHandle.registerTimer(maxTs + 2L)
+    } else if (nPrior > 0) {
+      live.clear() // every prior expired and nothing arrived live
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val wm = math.max(timerValues.getCurrentWatermarkInMs(), 0L)
+    val kept = live.get().filter(_.ts >= wm - 1).toArray
+    if (kept.isEmpty) live.clear() else live.put(kept)
+    Iterator.empty
+  }
+}

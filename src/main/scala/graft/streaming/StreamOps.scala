@@ -49,6 +49,25 @@ object StreamOps {
     }
   }
 
+  /** Run `body` with the RocksDB state-store provider, restoring the
+    * previous provider after. `transformWithState` (the arbitrary-state
+    * operator behind [[embNearDupStream]]) requires it — and it is the
+    * provider a long-lived production stream runs anyway (the default
+    * HDFS-backed store clones its whole in-memory map per batch version,
+    * an O(total state) tax per batch). The conf is read at query START,
+    * so wrapping `.start()` + the drain is sufficient. */
+  def withRocksDbStateStore[T](s: org.apache.spark.sql.SparkSession)
+      (body: => T): T = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+  }
+
   /** Event-time windowed aggregation with a watermark: events per hour per
     * type (count + value sum). On a stream this is incremental state with
     * late-data tolerance `lateness`; on a batch frame the watermark is a
@@ -259,21 +278,27 @@ object StreamOps {
     * Semantics hand-off: pairs farther apart than `lateness`, and
     * occupancy drift past the frozen cuts, are the batch pass's and the
     * retrain trigger's jobs respectively — this op's contract is the
-    * within-horizon continuous surface. The horizon is also what keeps
-    * the per-batch cost flat: a bucket's state value is its WHOLE live
-    * (vec_id, embedding) list, rewritten on every touch (and walked by
-    * the per-batch timeout scan), so unbounded occupancy grows batch
-    * walls linearly — DedupScaleProbe's streamembdedup leg measures
-    * flat walls under a 1-hour horizon vs ~2.6× growth over the same
-    * stream with a 365-day one.
+    * within-horizon continuous surface.
+    *
+    * State runs on `transformWithState` (requires the RocksDB provider —
+    * wrap query start in [[withRocksDbStateStore]]): per-bucket
+    * `ListState` with APPEND-ONLY hot-path writes, per-key event-time
+    * timers for physical expiry, opportunistic compaction, and a
+    * newest-`occupancyCap` ring bounding the bucket at 4× the batch
+    * path's refinement-cut occupancy target — see
+    * [[EmbNearDupProcessor]] for the full state-layout rationale and the
+    * measured growth term this replaced. DedupScaleProbe's
+    * `streamembdedup` leg gates the result: flat per-batch walls under
+    * BOTH a production 1-hour horizon and an unbounded 365-day one.
     *
     * Input: (ts TIMESTAMP, vec_id LONG, embedding ARRAY<FLOAT>). Output:
     * (vec_a, vec_b, cos_1e4 LONG). */
   def embNearDupStream(
       vectors: DataFrame, model: graft.index.LshForest.ForestModel,
       cuts: Map[(Int, Int), (Int, Array[Double])],
-      simThreshold: Double = 0.999, lateness: String = "7 days"): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      simThreshold: Double = 0.999, lateness: String = "7 days",
+      occupancyCap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import vectors.sparkSession.implicits._
     val sc = vectors.sparkSession.sparkContext
     val bcModel = sc.broadcast(model)
@@ -307,39 +332,9 @@ object StreamOps {
       .select(col("bucket"), col("ts"), col("vec_id"), col("embedding"))
       .as[(String, java.sql.Timestamp, Long, Seq[Float])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[(Long, Seq[Float], Long)], (Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, rows: Iterator[(String, java.sql.Timestamp, Long, Seq[Float])],
-            state: GroupState[Seq[(Long, Seq[Float], Long)]]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val wm = math.max(state.getCurrentWatermarkMs(), 0L)
-            var live = state.getOption.getOrElse(Seq.empty)
-              .filter(_._3 >= wm - 1) // in-call prune of expired priors
-            val out = Seq.newBuilder[(Long, Long, Long)]
-            def cos1e4(a: Seq[Float], b: Seq[Float]): Long = {
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-              while (i < a.length) {
-                dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-                nb += b(i).toDouble * b(i); i += 1
-              }
-              if (na == 0.0 || nb == 0.0) 0L
-              else math.round(dot / math.sqrt(na * nb) * 10000)
-            }
-            val thr1e4 = math.round(simThreshold * 10000)
-            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
-              case (_, ts, id, emb) =>
-                live.foreach { case (pid, pemb, _) =>
-                  val c = cos1e4(pemb, emb)
-                  if (c >= thr1e4 && pid != id) out += ((pid, id, c))
-                }
-                live :+= ((id, emb, ts.getTime))
-            }
-            state.update(live)
-            state.setTimeoutTimestamp(live.map(_._3).max + 1L, lateness)
-            out.result().iterator
-          }
-      }
+      .transformWithState(
+        new EmbNearDupProcessor(math.round(simThreshold * 10000), occupancyCap),
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF("vec_a", "vec_b", "cos_1e4")
   }
 

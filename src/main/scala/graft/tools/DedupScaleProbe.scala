@@ -49,6 +49,17 @@ object DedupScaleProbe {
       spark.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "ccchain") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      ccChainLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 1000000,
+        m = if (args.length > 2) args(2).toInt else 100000,
+        steps = if (args.length > 3) args(3).toInt else 5)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "boilerplate") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -78,20 +89,15 @@ object DedupScaleProbe {
       return
     }
     if (args.nonEmpty && args(0) == "streamembdedup") {
-      // RocksDB state store: the default HDFS-backed provider clones its
-      // whole in-memory map per batch version, an O(total state) tax that
-      // shows up as linearly growing batch walls — exactly what this
-      // leg exists to measure. A long-lived production stream (and a
-      // 1000-executor deployment) runs RocksDB; pass "hdfs" as arg 3 to
-      // see the default provider's growth curve for comparison.
-      val provider =
-        if (args.length > 3 && args(3) == "hdfs")
-          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-        else
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      // RocksDB state store: required by transformWithState (the op's
+      // state operator since round 11), and the provider a long-lived
+      // production stream runs anyway — the default HDFS-backed provider
+      // clones its whole in-memory map per batch version, an
+      // O(total state) tax per batch.
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.streaming.stateStore.providerClass", provider)
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       streamEmbDedupLeg(spark,
@@ -444,6 +450,73 @@ object DedupScaleProbe {
       s""""speedup":${f"${tFull / tIncr}%.2f"},"equal":true}""")
   }
 
+  /** Daily-crawl ENDURANCE leg (`ccchain <n> <m> [steps]`): the
+    * COMPOSITION claim the single-delta leg can't make — each increment
+    * is individually oracle-gated, but a real crawl runs them as a
+    * SEQUENCE, each step's persisted labels feeding the next. Errors
+    * that a one-shot gate can't see (a relabel that leaves a stale
+    * label alive, a new-node branch that misses a chained merge) would
+    * ACCUMULATE across steps. This leg runs `steps` successive deltas
+    * (same bridge/attach mix as `ccdelta`; bridges may land on nodes
+    * added by EARLIER steps, so chained-label resolution is exercised),
+    * localCheckpoints each step's labeling (the persisted-artifact
+    * boundary a production pipeline has anyway — and what keeps the
+    * lineage flat across increments), and asserts LABEL EQUALITY vs one
+    * full recompute over base + all deltas after the LAST step — if any
+    * step drifted, the final equality fails. Per-step walls print so
+    * flatness is measured, not argued. */
+  def ccChainLeg(spark: SparkSession, n: Int, m: Int, steps: Int): Unit = {
+    import graft.ops.ConnectedComponents
+    val base = spark.range(n - 1)
+      .filter(pmod(col("id"), lit(4)) =!= 3)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .cache()
+    base.count()
+    val half = m / 2
+    def delta(step: Int) = {
+      // node domain grows with the chain: bridges can touch nodes that
+      // earlier steps attached, exercising labels produced incrementally
+      val domain = n.toLong + (step - 1).toLong * half
+      val bridges = spark.range(half).select(
+        pmod(xxhash64(col("id"), lit(2 * step + 1)), lit(domain)).as("src"),
+        pmod(xxhash64(col("id"), lit(2 * step + 2)), lit(domain)).as("dst"))
+      val attach = spark.range(half).select(
+        pmod(xxhash64(col("id"), lit(100 + step)), lit(domain)).as("src"),
+        (col("id") + domain).as("dst"))
+      bridges.unionAll(attach).filter(col("src") =!= col("dst")).cache()
+    }
+    var labels = ConnectedComponents.components(base, maxIter = 10)
+      .localCheckpoint()
+    labels.count() // previous night's persisted labeling — not timed
+    var allDeltas = Seq.empty[org.apache.spark.sql.DataFrame]
+    val walls = Seq.newBuilder[Double]
+    (1 to steps).foreach { step =>
+      val d = delta(step)
+      d.count() // delta edges come from upstream (minhash pairs) — not timed
+      val t0 = System.nanoTime()
+      labels = ConnectedComponents.updateIncremental(labels, d)
+        .localCheckpoint()
+      labels.count()
+      walls += (System.nanoTime() - t0) / 1e9
+      allDeltas :+= d
+    }
+    val full = ConnectedComponents
+      .componentsLargeSmallStar(allDeltas.foldLeft(base)(_ unionAll _))
+      .cache()
+    full.count()
+    val mismatches = labels.as("i")
+      .join(full.as("f"), col("i.node") === col("f.node"))
+      .filter(col("i.component") =!= col("f.component")).count() +
+      math.abs(labels.count() - full.count())
+    require(mismatches == 0,
+      s"chained increments != full recompute after step $steps: $mismatches")
+    val ws = walls.result()
+    println(s"""{"probe":"cc_chain","n_base_nodes":$n,""" +
+      s""""delta_edges_per_step":$m,"steps":$steps,""" +
+      s""""step_walls_sec":[${ws.map(w => f"$w%.2f").mkString(",")}],""" +
+      s""""equal":true}""")
+  }
+
   /** Boilerplate leg (`boilerplate <n> <dupEvery>`): the HOT-BUCKET trap
     * of text banding — every `dupEvery`-th doc is one of 20 boilerplate
     * templates, so thousands of docs share identical text and every band
@@ -632,21 +705,23 @@ object DedupScaleProbe {
     * 60 s of event time after their originals; 8 micro-batches):
     *
     *  - "bounded" (1-hour lateness — the production shape): the
-    *    watermark expires state, so per-bucket occupancy — and with it
-    *    the per-touch state-value rewrite (a bucket's value is its whole
-    *    live embedding list), the per-arrival compare count, and the
-    *    per-batch timeout scan — stays horizon-bounded: per-batch wall
-    *    must be FLAT and state_rows must plateau.
-    *  - "unbounded" (365-day lateness): nothing expires and occupancy
-    *    grows through the run, so batch walls grow ~linearly (measured
-    *    ~2.6× over 8 batches at 105k vectors; the TEXT stream's probe
-    *    stays flat at the same scale because its band-hash buckets are
-    *    near-unique — occupancy ~1 no matter the horizon). The measured
-    *    reason a production deployment sets a real horizon and leaves
-    *    out-of-horizon pairs to the batch increment.
+    *    watermark expires state (per-key event-time timers), so
+    *    per-bucket occupancy and the per-arrival compare count stay
+    *    horizon-bounded: per-batch wall must be FLAT and state_rows
+    *    must plateau.
+    *  - "unbounded" (365-day lateness): nothing expires — the round-10
+    *    flatMapGroupsWithState layout grew 3.7 → 11–17 s over 8 batches
+    *    here, because every touch rewrote the bucket's whole embedding
+    *    list through the changelog (a dim-8 control run was flat: the
+    *    growth term was value BYTES, not key count). The round-11
+    *    [[graft.streaming.EmbNearDupProcessor]] appends ONE entry per
+    *    arrival instead, so per-batch changelog bytes are arrival-bound
+    *    and the leg now ASSERTS flatness: last-two-batch min wall
+    *    ≤ 1.3× batch-1 wall (measured 0.92× at 105k vectors, dim 64).
     *
     * Both variants assert FULL planted recall (twins land one batch
-    * after their originals, well inside either horizon). */
+    * after their originals, well inside either horizon — and well
+    * inside the newest-64 occupancy ring at this bucket fan-out). */
   def streamEmbDedupLeg(spark: SparkSession, n: Int, dim: Int): Unit = {
     import spark.implicits._
     import graft.catalog.DedupQueries
@@ -709,6 +784,9 @@ object DedupScaleProbe {
           s""""state_rows":$stateRows,"pairs":$nPairs,""" +
           s""""planted":$planted,"planted_found":$found}""")
         assert(found == planted, s"$variant planted recall $found/$planted")
+        if (variant == "unbounded")
+          assert(walls.takeRight(2).min <= 1.3 * walls.head,
+            s"unbounded-horizon walls grew: ${walls.mkString(",")}")
         System.out.flush()
       } finally q.stop()
     }

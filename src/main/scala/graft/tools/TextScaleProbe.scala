@@ -42,6 +42,15 @@ object TextScaleProbe {
                            as string))), ' ')"""))
       .select(col("doc_id"), col("text"))
 
+    if (args.nonEmpty && args(0) == "bpedeep") {
+      bpeDeepLeg(spark,
+        n = if (args.length > 1) args(1).toLong else 250000L,
+        nMerges = if (args.length > 2) args(2).toInt else 2048,
+        corpus)
+      spark.stop()
+      return
+    }
+
     val terms = Seq("w10", "w500", "w4000")
 
     for (n <- Seq(250000L, 1000000L)) {
@@ -232,5 +241,92 @@ object TextScaleProbe {
       System.out.flush()
     }
     spark.stop()
+  }
+
+  /** Production-merge-count BPE leg (`bpedeep <n> <nMerges>`): the
+    * catalog gate replays 24 merges through an unrolled DuckDB oracle —
+    * the ORACLE's bound, not the trainer's. Real tokenizers train
+    * thousands of merges, and the vocabulary-bound claim ("the merge
+    * loop never touches the corpus after the one word-frequency
+    * shuffle") is only proven past the oracle window by running there.
+    * This leg trains `nMerges` (default 2048) on the same 10k-vocab
+    * corpus at n and at an EXACT 4-copy 4n, self-gated without DuckDB:
+    *
+    *  - determinism: two independent trainings on the n-corpus must
+    *    produce byte-identical merge lists (SHA-256 of rank:l:r:cnt);
+    *  - scale invariance: the 4-copy corpus multiplies every word
+    *    frequency by exactly 4, so the greedy argmax (count DESC, l, r)
+    *    decides identically at every rank — the 4n merge list must equal
+    *    the n list with every cnt exactly 4×, and the total BPE token
+    *    count (sum freq·n_tok over the final states) must be exactly
+    *    4.000× — the same falsifiable cross-check the catalog's
+    *    tokens-scale gate uses;
+    *  - cost shape: train wall at 4n must track train wall at n (the
+    *    loop runs over the identical 10k-row distinct-word table), and
+    *    the marginal cost per merge round — measured as
+    *    (t(nMerges) − t(256)) / (nMerges − 256) on the n-corpus — IS
+    *    the driver-loop scheduling floor the SURVEY row reports: each
+    *    round is one fixed-size vocab-table job, so past the oracle
+    *    window the trainer pays scheduling, not data. */
+  def bpeDeepLeg(
+      spark: SparkSession, n: Long, nMerges: Int,
+      corpus: Long => org.apache.spark.sql.DataFrame): Unit = {
+    import graft.ops.Bpe
+    def digest(ms: Seq[Bpe.Merge]): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      ms.foreach(m => md.update(
+        s"${m.rank}:${m.left}:${m.right}:${m.cnt}\n".getBytes("UTF-8")))
+      md.digest().map(b => f"$b%02x").mkString
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def totalTokens(states: org.apache.spark.sql.DataFrame): Long = states
+      .select((col("freq") *
+        size(split(trim(col("state")), "  "))).as("t"))
+      .agg(sum("t")).head().getLong(0)
+
+    val base = corpus(n).localCheckpoint(eager = true)
+    val base4 = (0 until 4)
+      .map(k => base.select((col("doc_id") + k * n).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+
+    val (wf, wfSec) = time {
+      val w = Bpe.wordFreq(base).localCheckpoint(eager = true); w.count(); w
+    }
+    val (wf4, wf4Sec) = time {
+      val w = Bpe.wordFreq(base4).localCheckpoint(eager = true); w.count(); w
+    }
+    val vocab = wf.count()
+
+    // scheduling floor: short train to subtract the fixed setup cost
+    val ((m256, _), t256) = time(Bpe.train(wf, 256))
+    val ((m1, s1), t1) = time(Bpe.train(wf, nMerges))
+    val ((m2, _), t2) = time(Bpe.train(wf, nMerges)) // determinism rerun
+    val ((m4, s4), t4) = time(Bpe.train(wf4, nMerges))
+
+    val d1 = digest(m1)
+    assert(d1 == digest(m2), "rerun produced a different merge list")
+    assert(m1.take(256) == m256, "merge list is not prefix-stable")
+    assert(m1.map(m => (m.rank, m.left, m.right)) ==
+      m4.map(m => (m.rank, m.left, m.right)),
+      "4-copy corpus learned different merges")
+    assert(m1.zip(m4).forall { case (a, b) => b.cnt == 4 * a.cnt },
+      "4-copy corpus counts are not exactly 4x")
+    val tok1 = totalTokens(s1)
+    val tok4 = totalTokens(s4)
+    assert(tok4 == 4 * tok1,
+      s"total BPE tokens not exactly 4x: $tok4 vs 4*$tok1")
+
+    val floorMs = (t1 - t256) / (nMerges - 256) * 1000
+    println(s"""{"probe":"bpe_deep","n_docs":$n,"vocab":$vocab,""" +
+      s""""n_merges":$nMerges,"word_freq_sec":[${f"$wfSec%.2f"},${f"$wf4Sec%.2f"}],""" +
+      s""""train_sec_n":${f"$t1%.1f"},"train_sec_rerun":${f"$t2%.1f"},""" +
+      s""""train_sec_4n":${f"$t4%.1f"},"train_sec_256":${f"$t256%.1f"},""" +
+      s""""sched_floor_ms_per_merge":${f"$floorMs%.1f"},""" +
+      s""""total_tokens_n":$tok1,"tokens_scale":${f"${tok4.toDouble / tok1}%.3f"},""" +
+      s""""merges_digest":"${d1.take(16)}","deterministic":true,""" +
+      s""""scale_invariant":true}""")
+    System.out.flush()
   }
 }

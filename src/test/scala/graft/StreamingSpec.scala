@@ -662,13 +662,15 @@ class StreamingSpec extends AnyFunSuite {
         lateness: String, sink: String): Set[(Long, Long, Long)] = {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val mem = MemoryStream[(Timestamp, Long, Seq[Float])]
-      val q = StreamOps
-        .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
-          model, cuts, lateness = lateness)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
-      finally q.stop()
+      StreamOps.withRocksDbStateStore(spark) {
+        val q = StreamOps
+          .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
+            model, cuts, lateness = lateness)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
       spark.table(sink).distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
