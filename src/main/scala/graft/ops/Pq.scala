@@ -74,11 +74,17 @@ object Pq {
       vectors: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
       iters: Int = 10, sampleCap: Int = 4096,
       vecId: String = "vec_id"): PqModel = {
+    val (sample, subdim) = sampleFor(vectors, m, ksub, seed, sampleCap, vecId)
+    PqModel(booksFor(sample, m, subdim, ksub, iters))
+  }
+
+  private def sampleFor(
+      vectors: DataFrame, m: Int, ksub: Int, seed: Long, sampleCap: Int,
+      vecId: String): (Array[Array[Double]], Int) = {
     val dim0 = vectors.select(size(col("embedding"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(64)
     require(dim0 % m == 0, s"dim $dim0 not divisible into $m subspaces")
     require(ksub <= 256, s"ksub $ksub exceeds the one-byte code space")
-    val subdim = dim0 / m
     val cap = graft.index.LshForest.byteBoundedCap(sampleCap, dim0)
     val sample = vectors
       .select(col(vecId), Distances.asDouble(col("embedding")).as("emb"))
@@ -86,10 +92,146 @@ object Pq {
       .orderBy("h").limit(math.max(ksub, cap))
       .select("emb").collect()
       .map(_.getSeq[Double](0).toArray)
-    val books = Array.tabulate(m) { s =>
+    (sample, dim0 / m)
+  }
+
+  private def booksFor(
+      sample: Array[Array[Double]], m: Int, subdim: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { s =>
       Ivf.lloyd(sample.map(_.slice(s * subdim, (s + 1) * subdim)), ksub, iters)
     }
-    PqModel(books)
+
+  /** Candidate `p` of [[trainPermuted]]'s seeded Fisher–Yates family
+    * (candidate 0 = identity = null). Deterministic in (dim, seed, p). */
+  def seededPerm(dim: Int, seed: Long, p: Int): Array[Int] =
+    if (p == 0) null
+    else {
+      val perm = Array.tabulate(dim)(identity)
+      var x = seed * 1000003L + p
+      def next(): Long = {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      var i = dim - 1
+      while (i > 0) {
+        val j = math.floorMod(next(), i + 1L).toInt
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      perm
+    }
+
+  /** Codebooks for one FIXED permutation — [[trainPermuted]]'s
+    * per-candidate unit, exposed for probes measuring the selection
+    * family's ceiling. */
+  def trainWithPerm(
+      vectors: DataFrame, perm: Array[Int], m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L, iters: Int = 10, sampleCap: Int = 4096,
+      vecId: String = "vec_id"): PqModel = {
+    val (sample, subdim) = sampleFor(vectors, m, ksub, seed, sampleCap, vecId)
+    PqModel(booksFor(sample.map(applyPerm(_, perm)), m, subdim, ksub, iters),
+      perm)
+  }
+
+  /** OPQ-lite, the zero-float-parameter form: choose the coordinate
+    * PERMUTATION — out of `nPerms` seeded Fisher–Yates candidates,
+    * candidate 0 pinned to the identity so the search can never regress
+    * the unpermuted baseline ON THE SAMPLE — that maximizes MEASURED
+    * codes-only recall@10 over the build sample, then keep that
+    * candidate's codebooks and persist the permutation inside the model.
+    *
+    * Why a permutation: ADC quantizes `m` fixed coordinate groups
+    * independently, so WHICH dims share a subspace decides how
+    * quantization error distributes; full OPQ learns a rotation R by
+    * alternating SVD (Ge et al. 2013), but a permutation is the subset
+    * of rotations that stays integer-exact and replayable — it preserves
+    * every pairwise L2 EXACTLY (ground truth, rerank, and the
+    * full-budget twin's hash gate are all untouched) while still
+    * re-balancing subspace structure. Selection is entirely driver-side
+    * and sample-bounded: per candidate, per-subspace Lloyd on the
+    * permuted sample, sample self-encoding, and ADC recall@10 of
+    * `nEvalQueries` sample queries against exact (permutation-invariant,
+    * computed once) sample ground truth. Candidates evaluate in
+    * parallel; everything is seeded, so the winner is deterministic
+    * (ties break toward the smaller candidate index). */
+  def trainPermuted(
+      vectors: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      iters: Int = 10, sampleCap: Int = 4096, nPerms: Int = 16,
+      nEvalQueries: Int = 256, vecId: String = "vec_id"): PqModel = {
+    val (sample, subdim) = sampleFor(vectors, m, ksub, seed, sampleCap, vecId)
+    val dim = subdim * m
+    val n = sample.length
+    val nq = math.min(nEvalQueries, n)
+
+    def permOf(p: Int): Array[Int] = seededPerm(dim, seed, p)
+
+    // exact top-10 ground truth on the sample — L2 is permutation-
+    // invariant, so ONE ground truth serves every candidate
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    val gt: Array[Set[Int]] = Array.tabulate(nq) { q =>
+      (0 until n).filter(_ != q)
+        .map(i => (l2(sample(q), sample(i)), i))
+        .sorted.take(10).map(_._2).toSet
+    }
+
+    def hitsOf(perm: Array[Int]): Long = {
+      val ps = sample.map(applyPerm(_, perm))
+      val books = booksFor(ps, m, subdim, ksub, iters)
+      val codes = ps.map { v =>
+        Array.tabulate(m) { s =>
+          val cents = books(s)
+          var best = 0; var bestD = Double.MaxValue; var i = 0
+          while (i < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < subdim) {
+              val t = v(s * subdim + j) - cents(i)(j); d += t * t; j += 1
+            }
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          best
+        }
+      }
+      var hits = 0L
+      var q = 0
+      while (q < nq) {
+        val lut = Array.tabulate(m) { s =>
+          books(s).map { c =>
+            var d = 0.0; var j = 0
+            while (j < subdim) {
+              val t = ps(q)(s * subdim + j) - c(j); d += t * t; j += 1
+            }
+            d
+          }
+        }
+        val top = (0 until n).filter(_ != q)
+          .map { i =>
+            var d = 0.0; var s = 0
+            while (s < m) { d += lut(s)(codes(i)(s)); s += 1 }
+            (d, i)
+          }
+          .sorted.take(10)
+        hits += top.count { case (_, i) => gt(q).contains(i) }
+        q += 1
+      }
+      hits
+    }
+
+    val scores = java.util.stream.IntStream.range(0, nPerms).parallel()
+      .mapToObj { p: Int => (p, hitsOf(permOf(p))) }
+      .toArray.map(_.asInstanceOf[(Int, Long)])
+    val (bestP, _) = scores.minBy { case (p, h) => (-h, p) }
+    val winner = permOf(bestP)
+    PqModel(booksFor(sample.map(applyPerm(_, winner)), m, subdim, ksub, iters),
+      winner)
   }
 
   /** Compress the corpus: (vecId, codes BINARY) — one byte per subspace,
@@ -152,7 +294,7 @@ object Pq {
       .select(col(queryId).cast("string"), Distances.asDouble(col("embedding")))
       .collect()
       .map { r =>
-        val q = r.getSeq[Double](1).toArray
+        val q = applyPerm(r.getSeq[Double](1).toArray, model.perm)
         val lut = Array.tabulate(m) { s =>
           books(s).map { c =>
             var d = 0.0; var j = 0

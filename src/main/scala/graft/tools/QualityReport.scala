@@ -21,6 +21,7 @@ object QualityReport {
     "lsh_recall_at10",
     "ann_ivf_recall_at10",
     "ann_pq_adc_only_recall_at10",
+    "ann_pq16_adc_only_recall_at10",
     "ann_pq_rerank_recall_at10",
     "ann_ivfpq_recall_at10",
     "ann_sq_recall_at10",
