@@ -585,8 +585,10 @@ object CurationQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val target = docs.filter(col("doc_id") % 7 === 0)
       val wt = graft.ops.QualityModels.dsirWeights(docs, target)
-        .as[(Long, Long)].collect().toMap
-      val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+        .as[(Long, Long)].collect().toMap // ≤4096 hashed-bucket weights
+      val rows = StreamFeed
+        .collectCapped(docs.as[(Long, String)], "stream_dsir_exec")
+        .sortBy(_._1)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
@@ -621,12 +623,12 @@ object CurationQueries {
     "stream_cap_exec",
     (s, dir) => {
       import s.implicits._
-      val rows = Tables.documents(s, dir)
+      val rows = StreamFeed.collectCapped(Tables.documents(s, dir)
         .select(col("source"),
           timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
           col("doc_id").cast("string").as("id"))
-        .as[(String, java.sql.Timestamp, String)]
-        .collect().sortBy(_._3.toLong)
+        .as[(String, java.sql.Timestamp, String)], "stream_cap_exec")
+        .sortBy(_._3.toLong)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, java.sql.Timestamp, String)]

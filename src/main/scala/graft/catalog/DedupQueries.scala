@@ -583,8 +583,9 @@ ${affineSigCtes("MATERIALIZED")},
     "stream_cluster_exec",
     (s, dir) => {
       import s.implicits._
-      val pairs = PairsCache.get(s, dir).select("doc_a", "doc_b")
-        .orderBy("doc_a", "doc_b").collect()
+      val pairs = StreamFeed.collectCapped(
+        PairsCache.get(s, dir).select("doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b"), "stream_cluster_exec")
         .map(r => (r.getLong(0), r.getLong(1)))
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -1650,7 +1651,7 @@ ${affineSigCtes("MATERIALIZED")},
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.unionAll(
         docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      val rows = planted
+      val fed = planted
         .select(
           // +1e6 s: a row stamped exactly at epoch 0 is "late" against
           // Spark's initial watermark (also 0) and silently dropped
@@ -1658,7 +1659,8 @@ ${affineSigCtes("MATERIALIZED")},
             .as("ts"),
           col("doc_id"), col("text"))
         .as[(java.sql.Timestamp, Long, String)]
-        .collect().sortBy(_._2)
+      val rows = StreamFeed.collectCapped(fed, "stream_dedup_exec")
+        .sortBy(_._2)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
@@ -1714,13 +1716,13 @@ ${affineSigCtes("MATERIALIZED")},
         docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 100000).as("doc_id"),
             concat(col("text"), lit(" zzztwin")).as("text")))
-      val rows = planted
+      val rows = StreamFeed.collectCapped(planted
         .select(
           // +1e6 s base: epoch-0 rows are "late" vs the initial watermark
           timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
           col("doc_id"), col("text"))
-        .as[(java.sql.Timestamp, Long, String)]
-        .collect().sortBy(_._2)
+        .as[(java.sql.Timestamp, Long, String)], "stream_neardup_exec")
+        .sortBy(_._2)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
@@ -1798,12 +1800,12 @@ ${affineSigCtes("MATERIALIZED")},
         docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 100000).as("doc_id"),
             concat(col("text"), lit(" zzztwin")).as("text")))
-      val rows = planted
+      val rows = StreamFeed.collectCapped(planted
         .select(
           timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
           col("doc_id"), col("text"))
-        .as[(java.sql.Timestamp, Long, String)]
-        .collect().sortBy(_._2)
+        .as[(java.sql.Timestamp, Long, String)], "stream_neardup_fast_exec")
+        .sortBy(_._2)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
@@ -1874,13 +1876,13 @@ ${affineSigCtes("MATERIALIZED")},
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val model = EmbBaseIndexCache.model(dir, e)
       val cuts = cutsToMap(EmbBaseIndexCache.cuts(s, dir, e))
-      val rows = e.unionAll(
+      val rows = StreamFeed.collectCapped(e.unionAll(
         e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         .select(
           timestamp_micros((col("vec_id") + 1000000L) * 1000000L).as("ts"),
           col("vec_id"), col("embedding"))
-        .as[(java.sql.Timestamp, Long, Seq[Float])]
-        .collect().sortBy(_._2)
+        .as[(java.sql.Timestamp, Long, Seq[Float])], "stream_embdedup_exec")
+        .sortBy(_._2)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
@@ -1929,7 +1931,9 @@ ${affineSigCtes("MATERIALIZED")},
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" zzeval")).as("text"))
         .as[(Long, String)].collect().toSeq
-      val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+      val rows = StreamFeed
+        .collectCapped(docs.as[(Long, String)], "stream_decontam_exec")
+        .sortBy(_._1)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]

@@ -227,10 +227,9 @@ object RelationalQueries {
     "stream_hourly_exec",
     (s, dir) => {
       import s.implicits._
-      val rows = Tables.events(s, dir)
+      val rows = StreamFeed.collectCapped(Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-        .as[(java.sql.Timestamp, String, Double)]
-        .collect()
+        .as[(java.sql.Timestamp, String, Double)], "stream_hourly_exec")
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
@@ -1100,10 +1099,10 @@ object RelationalQueries {
       // out-of-order chunk would advance the watermark past older rows in
       // later chunks and the engine would silently drop them (the gate
       // must not rest on the fixture parquet happening to be ordered)
-      val rows = Tables.events(s, dir)
+      val rows = StreamFeed.collectCapped(Tables.events(s, dir)
         .select(col("ts"), col("event_type"))
-        .as[(java.sql.Timestamp, String)]
-        .collect().sortBy(_._1.getTime)
+        .as[(java.sql.Timestamp, String)], "stream_anomaly_exec")
+        .sortBy(_._1.getTime)
       val maxMs = rows.iterator.map(_._1.getTime).max
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -1425,9 +1424,9 @@ object RelationalQueries {
       // measured 17.8 s vs 6.4 s warm at sf0.1 for identical output);
       // orders straddling chunk boundaries still exercise the cross-batch
       // basket split, and the deterministic sort keeps the gate stable
-      val rows = BasketCache.get(s, dir)._1
+      val rows = StreamFeed.collectCapped(BasketCache.get(s, dir)._1
         .orderBy("l_orderkey", "l_partkey")
-        .as[(Long, Long)].collect()
+        .as[(Long, Long)], "stream_basket_exec")
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long)]
@@ -1967,10 +1966,9 @@ object RelationalQueries {
     "stream_sketch_exec",
     (s, dir) => {
       import s.implicits._
-      val rows = Tables.events(s, dir)
+      val rows = StreamFeed.collectCapped(Tables.events(s, dir)
         .select(col("ts"), col("user_id"))
-        .as[(java.sql.Timestamp, Long)]
-        .collect()
+        .as[(java.sql.Timestamp, Long)], "stream_sketch_exec")
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
@@ -2031,10 +2029,10 @@ object RelationalQueries {
     "stream_sessions_exec",
     (s, dir) => {
       import s.implicits._
-      val rows = Tables.events(s, dir)
+      val rows = StreamFeed.collectCapped(Tables.events(s, dir)
         .select(col("ts"), col("user_id"))
-        .as[(java.sql.Timestamp, Long)]
-        .collect().sortBy(_._1.getTime)
+        .as[(java.sql.Timestamp, Long)], "stream_sessions_exec")
+        .sortBy(_._1.getTime)
       def sentinel(hours: Int) = (
         new java.sql.Timestamp(rows.last._1.getTime + hours * 3600 * 1000L),
         -1L)
@@ -2094,10 +2092,10 @@ object RelationalQueries {
     "stream_funnel_exec",
     (s, dir) => {
       import s.implicits._
-      val rows = Tables.events(s, dir)
+      val rows = StreamFeed.collectCapped(Tables.events(s, dir)
         .select(col("ts"), col("user_id"), col("event_type"))
-        .as[(java.sql.Timestamp, Long, String)]
-        .collect().sortBy(_._1.getTime)
+        .as[(java.sql.Timestamp, Long, String)], "stream_funnel_exec")
+        .sortBy(_._1.getTime)
       def sentinel(hours: Int) = (
         new java.sql.Timestamp(rows.last._1.getTime + hours * 3600 * 1000L),
         -1L, "zz_sentinel")
@@ -2145,10 +2143,11 @@ object RelationalQueries {
     "stream_attribution_exec",
     (s, dir) => {
       import s.implicits._
-      val rows = Tables.events(s, dir)
+      val rows = StreamFeed.collectCapped(Tables.events(s, dir)
         .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
-        .as[(java.sql.Timestamp, Long, Long, String)]
-        .collect().sortBy(r => (r._1.getTime, r._3))
+        .as[(java.sql.Timestamp, Long, Long, String)],
+        "stream_attribution_exec")
+        .sortBy(r => (r._1.getTime, r._3))
       def sentinel(hours: Int) = (
         new java.sql.Timestamp(rows.last._1.getTime + hours * 3600 * 1000L),
         -1L, -1L, "zz_sentinel")
@@ -2211,9 +2210,10 @@ object RelationalQueries {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id").as("key"), col("ts"), col("us"),
           lit(1).as("side"), col("event_id").as("id"))
-      val rows = clicks.unionByName(purchases)
-        .as[(Long, java.sql.Timestamp, Long, Int, Long)]
-        .collect().sortBy(r => (r._3, r._4, r._5))
+      val rows = StreamFeed.collectCapped(clicks.unionByName(purchases)
+        .as[(Long, java.sql.Timestamp, Long, Int, Long)],
+        "stream_asof_exec")
+        .sortBy(r => (r._3, r._4, r._5))
       def sentinel(hours: Int) = {
         val us = rows.map(_._3).max + hours * 3600000000L
         (-1L, new java.sql.Timestamp(us / 1000L), us, 0, -1L)
@@ -2276,12 +2276,16 @@ object RelationalQueries {
       import s.implicits._
       val e = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val signups = e.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .as[(Long, java.sql.Timestamp, Long)].collect().sortBy(_._2.getTime)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .as[(Long, java.sql.Timestamp, Long)].collect().sortBy(_._2.getTime)
+      val signups = StreamFeed.collectCapped(
+        e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .as[(Long, java.sql.Timestamp, Long)],
+        "stream_range_exec signups").sortBy(_._2.getTime)
+      val purchases = StreamFeed.collectCapped(
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .as[(Long, java.sql.Timestamp, Long)],
+        "stream_range_exec purchases").sortBy(_._2.getTime)
       val allMs = (signups ++ purchases).map(_._2.getTime)
       val midMs = (allMs.min + allMs.max) / 2
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

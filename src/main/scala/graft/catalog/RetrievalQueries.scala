@@ -70,8 +70,10 @@ object RetrievalQueries {
     "stream_bm25_exec",
     (s, dir) => {
       import s.implicits._
-      val rows = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
+      val rows = StreamFeed.collectCapped(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .as[(Long, String)], "stream_bm25_exec")
+        .sortBy(_._1)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]

@@ -299,10 +299,11 @@ object TextScaleProbe {
     }
     val vocab = wf.count()
 
-    // scheduling floor: short train to subtract the fixed setup cost
-    val ((m256, _), t256) = time(Bpe.train(wf, 256))
+    // order matters: the first training pays JIT/codegen warmup, so the
+    // scheduling-floor pair (t2 vs t256) is measured on WARM trains only
     val ((m1, s1), t1) = time(Bpe.train(wf, nMerges))
     val ((m2, _), t2) = time(Bpe.train(wf, nMerges)) // determinism rerun
+    val ((m256, _), t256) = time(Bpe.train(wf, 256))
     val ((m4, s4), t4) = time(Bpe.train(wf4, nMerges))
 
     val d1 = digest(m1)
@@ -318,7 +319,7 @@ object TextScaleProbe {
     assert(tok4 == 4 * tok1,
       s"total BPE tokens not exactly 4x: $tok4 vs 4*$tok1")
 
-    val floorMs = (t1 - t256) / (nMerges - 256) * 1000
+    val floorMs = (t2 - t256) / (nMerges - 256) * 1000
     println(s"""{"probe":"bpe_deep","n_docs":$n,"vocab":$vocab,""" +
       s""""n_merges":$nMerges,"word_freq_sec":[${f"$wfSec%.2f"},${f"$wf4Sec%.2f"}],""" +
       s""""train_sec_n":${f"$t1%.1f"},"train_sec_rerun":${f"$t2%.1f"},""" +
