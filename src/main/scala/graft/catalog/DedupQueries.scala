@@ -727,6 +727,84 @@ ${affineSigCtes("MATERIALIZED")},
   /** Keep-list under the EXACT pair set (first-wins, same greedy semantics
     * as `dedup_minhash_keep`): with prefix filtering the drop set is
     * provably every doc that near-dups a lower id — no banding misses. */
+  /** Quality-aware cluster survivor selection — the KEEP policy real
+    * pipelines actually run where `dedup_ngram_keep`'s first-wins greedy
+    * keeps whichever duplicate happened to get the lower id: per near-dup
+    * CLUSTER (components over the exact pair graph; singletons label
+    * themselves), keep the member with the MOST tokens (the
+    * keep-the-longest rule — near-dup clusters usually contain truncated
+    * or boilerplate-wrapped copies of one canonical text), ties toward
+    * the smaller id. One components fixpoint on the pairs-sized graph,
+    * one left join to label the corpus, one cluster-keyed argmax
+    * (`max_by` via struct max — no window over the corpus). Oracle
+    * replays closure, labeling, token counts and the argmax, so the
+    * whole policy is inside the hash gate. */
+  val clusterKeepBest = Q(
+    "dedup_cluster_keep_best",
+    (s, dir) => {
+      val edges = NgramPairsCache.get(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = graft.ops.ConnectedComponents.components(edges)
+        .select(col("node").as("doc_id"), col("component").as("cid"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .cast("long").as("n_tok"))
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(max(struct(col("n_tok"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("cluster_id"), (-col("b.nid")).as("doc_id"),
+          col("b.n_tok").as("n_tok"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""${oracleNgramPipeline.replaceFirst("WITH", "WITH RECURSIVE")},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION SELECT doc_b, doc_a FROM vp
+              UNION SELECT doc_a, doc_a FROM vp
+              UNION SELECT doc_b, doc_b FROM vp),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+      lab AS (SELECT a AS doc_id, min(b) AS cid FROM reach GROUP BY a),
+      tok AS (SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                       AS n_tok
+              FROM documents),
+      lbl AS (SELECT t.doc_id, t.n_tok,
+                     coalesce(l.cid, t.doc_id)::BIGINT AS cluster_id
+              FROM tok t LEFT JOIN lab l USING (doc_id)),
+      mx AS (SELECT cluster_id, max(n_tok) AS m FROM lbl GROUP BY cluster_id)
+      SELECT f.cluster_id, min(f.doc_id)::BIGINT AS doc_id,
+             mx.m AS n_tok
+      FROM lbl f JOIN mx ON f.cluster_id = mx.cluster_id AND f.n_tok = mx.m
+      GROUP BY f.cluster_id, mx.m
+      ORDER BY f.cluster_id"""))
+
+  /** Verified-pair similarity HISTOGRAM — the distribution a dedup
+    * threshold is calibrated FROM: every banding-verified pair's true
+    * Jaccard, binned at 100 bp over the verified range. Bimodal mass
+    * near 1.0 = exact-ish re-posts (safe to drop); a fat shoulder at the
+    * threshold = near-miss continuum where the threshold choice actually
+    * changes the corpus. Pairs-sized aggregation over the shared cache
+    * (never corpus-sized); bp quantization rides the already-hash-matched
+    * round(jaccard, 4) values, so the bin edges are engine-exact. */
+  val jaccardHistogram = Q(
+    "dedup_jaccard_histogram",
+    (s, dir) => PairsCache.get(s, dir)
+      .select((round(col("jaccard") * 10000, 0).cast("long"))
+        .as("bp"))
+      .select(expr("bp div 100 * 100").as("bin_lo_bp"))
+      .groupBy("bin_lo_bp")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bin_lo_bp"),
+    Some(s"""$oraclePipeline
+      SELECT (round(round(jaccard, 4) * 10000)::BIGINT // 100 * 100)
+               AS bin_lo_bp,
+             count(*)::BIGINT AS n_pairs
+      FROM vp GROUP BY 1 ORDER BY bin_lo_bp"""))
+
   val ngramKeep = Q(
     "dedup_ngram_keep",
     (s, dir) => {
@@ -1963,6 +2041,7 @@ ${affineSigCtes("MATERIALIZED")},
     decontaminateFuzzy,
     minhashIncremental, minhashKeep,
     ngramJaccard, ngramKeep, containmentPairsQ, containmentKeep,
+    clusterKeepBest, jaccardHistogram,
     simhashPairs, embeddingNearDup, embeddingIncremental, clusterCc, clusterCcStar,
     clusterIncremental, softWeights, dedupProfile, splitLeakageAudit,
     sampleNegatives,
