@@ -1805,18 +1805,20 @@ ${affineSigCtes("MATERIALIZED")},
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
       val sink = s"stream_neardup_exec_sink_${DedupSinkIds.next()}"
-      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
-        val q = graft.streaming.StreamOps
-          .nearDupPairsStream(
-            mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try {
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-            mem.addData(chunk.toSeq)
-            q.processAllAvailable() // micro-batch boundary per chunk
-          }
-        } finally q.stop()
+      graft.streaming.StreamOps.withRocksDbStateStore(s) {
+        graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+          val q = graft.streaming.StreamOps
+            .nearDupPairsStream(
+              mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+              mem.addData(chunk.toSeq)
+              q.processAllAvailable() // micro-batch boundary per chunk
+            }
+          } finally q.stop()
+        }
       }
       s.table(sink)
         .select(col("doc_a"), col("doc_b"), col("n_agree").cast("long").as("n_agree"))
@@ -1888,19 +1890,21 @@ ${affineSigCtes("MATERIALIZED")},
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
       val sink = s"stream_neardup_fast_exec_sink_${DedupSinkIds.next()}"
-      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
-        val q = graft.streaming.StreamOps
-          .nearDupPairsStream(
-            mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days",
-            family = "affine")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try {
-          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-            mem.addData(chunk.toSeq)
-            q.processAllAvailable() // micro-batch boundary per chunk
-          }
-        } finally q.stop()
+      graft.streaming.StreamOps.withRocksDbStateStore(s) {
+        graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+          val q = graft.streaming.StreamOps
+            .nearDupPairsStream(
+              mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days",
+              family = "affine")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try {
+            rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+              mem.addData(chunk.toSeq)
+              q.processAllAvailable() // micro-batch boundary per chunk
+            }
+          } finally q.stop()
+        }
       }
       s.table(sink)
         .select(col("doc_a"), col("doc_b"), col("n_agree").cast("long").as("n_agree"))

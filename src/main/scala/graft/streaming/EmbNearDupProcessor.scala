@@ -127,3 +127,94 @@ final class EmbNearDupProcessor(thr1e4: Long, occupancyCap: Int)
     Iterator.empty
   }
 }
+
+/** One live prior in a TEXT near-dup band bucket: (doc_id, minhash
+  * signature rendered family-blind as strings, event-time ms). */
+final case class LiveSig(id: Long, sig: Array[String], ts: Long)
+
+/** [[EmbNearDupProcessor]]'s text sibling — the state operator behind
+  * [[StreamOps.nearDupPairsStream]], keyed by (band_id, band_hash)
+  * bucket, emitting (doc_a, doc_b, n_agree) for every live prior whose
+  * signature agrees with a new arrival in ≥ `minAgree` positions.
+  *
+  * Same layout, same rationale (see the vector processor's scaladoc):
+  * append-only ListState writes, per-key event-time timers, in-call
+  * prune + opportunistic compaction, and a newest-`occupancyCap` ring.
+  * Band buckets are near-unique for organic text (occupancy ~1), but a
+  * BOILERPLATE-heavy stream puts every copy of a template in ONE bucket
+  * — the streaming form of the batch side's hot-bucket trap (SURVEY
+  * §8.2 boilerplate leg). The ring bounds that bucket's state and
+  * per-arrival compare cost at the cap; the batch pass (which runs
+  * exact dedup BEFORE banding — the measured mitigation) remains the
+  * documented hand-off for beyond-cap duplication mass. */
+final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int)
+    extends StatefulProcessor[
+      String, (String, java.sql.Timestamp, Long, Seq[String]),
+      (Long, Long, Long)] {
+
+  @transient private var live: ListState[LiveSig] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    live = getHandle.getListState[LiveSig](
+      "live", Encoders.product[LiveSig], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, java.sql.Timestamp, Long, Seq[String])],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val wm = math.max(timerValues.getCurrentWatermarkInMs(), 0L)
+    var nPrior = 0
+    val buf = scala.collection.mutable.ArrayBuffer.empty[LiveSig]
+    live.get().foreach { v =>
+      nPrior += 1
+      if (v.ts >= wm - 1) buf += v // in-call prune of expired priors
+    }
+    val nExpired = nPrior - buf.length
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[LiveSig]
+    rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
+      case (_, ts, id, s) =>
+        val sa = s.toArray
+        var j = 0
+        while (j < buf.length) {
+          val p = buf(j)
+          var agree = 0
+          var k = 0
+          val n = math.min(p.sig.length, sa.length)
+          while (k < n) {
+            if (p.sig(k) == sa(k)) agree += 1
+            k += 1
+          }
+          if (agree >= minAgree && p.id != id) out += ((p.id, id, agree.toLong))
+          j += 1
+        }
+        val lv = LiveSig(id, sa, ts.getTime)
+        buf += lv
+        fresh += lv
+    }
+    if (buf.nonEmpty) {
+      if (buf.length > occupancyCap || nExpired > buf.length) {
+        val kept = buf.sortInPlace()(Ordering.by((v: LiveSig) => (v.ts, v.id)))
+          .takeRight(occupancyCap)
+        live.put(kept.toArray)
+      } else if (fresh.nonEmpty) {
+        live.appendList(fresh.toArray)
+      }
+      var maxTs = Long.MinValue
+      buf.foreach(v => if (v.ts > maxTs) maxTs = v.ts)
+      getHandle.registerTimer(maxTs + 2L)
+    } else if (nPrior > 0) {
+      live.clear()
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val wm = math.max(timerValues.getCurrentWatermarkInMs(), 0L)
+    val kept = live.get().filter(_.ts >= wm - 1).toArray
+    if (kept.isEmpty) live.clear() else live.put(kept)
+    Iterator.empty
+  }
+}

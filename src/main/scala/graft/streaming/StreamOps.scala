@@ -166,8 +166,14 @@ object StreamOps {
     *    bounds the batch join, so only near-colliding docs ever meet;
     *  - per bucket the state holds (doc_id, signature, event-time) for
     *    docs inside the watermark horizon — signatures only (512 B/doc at
-    *    16 perms), never text; entries expire via event-time timeout plus
-    *    an in-call prune, so state is bucket-occupancy within `lateness`;
+    *    16 perms), never text — as a transformWithState ListState with
+    *    APPEND-ONLY hot-path writes, per-key event-time timers, and a
+    *    newest-`occupancyCap` ring ([[SigNearDupProcessor]]; requires
+    *    the RocksDB provider — wrap query start in
+    *    [[withRocksDbStateStore]]). The ring matters exactly where text
+    *    banding degenerates: a boilerplate-heavy stream lands every
+    *    template copy in one bucket (the batch hot-bucket trap), and the
+    *    cap bounds its state and per-arrival compare cost;
     *  - a later arrival is compared against every live prior in the
     *    bucket; agreement >= minAgree emits the pair. Duplicate emissions
     *    from a pair sharing several bands are for the caller's
@@ -193,8 +199,8 @@ object StreamOps {
   def nearDupPairsStream(
       docs: DataFrame, nPerms: Int = 16, bandRows: Int = 4,
       minAgree: Int = 13, lateness: String = "7 days",
-      family: String = "md5"): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      family: String = "md5", occupancyCap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import docs.sparkSession.implicits._
     require(nPerms % bandRows == 0, "bands must tile the signature")
     require(family == "md5" || family == "affine",
@@ -224,33 +230,9 @@ object StreamOps {
       .as[(String, java.sql.Timestamp, Long, Seq[String])]
     fanned
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[(Long, Seq[String], Long)], (Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, rows: Iterator[(String, java.sql.Timestamp, Long, Seq[String])],
-            state: GroupState[Seq[(Long, Seq[String], Long)]]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val wm = math.max(state.getCurrentWatermarkMs(), 0L)
-            var live = state.getOption.getOrElse(Seq.empty)
-              .filter(_._3 >= wm - 1) // in-call prune of expired priors
-            val out = Seq.newBuilder[(Long, Long, Long)]
-            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
-              case (_, ts, id, s) =>
-                live.foreach { case (pid, psig, _) =>
-                  val agree = psig.iterator.zip(s.iterator).count {
-                    case (a, b) => a == b
-                  }
-                  if (agree >= minAgree && pid != id)
-                    out += ((pid, id, agree.toLong))
-                }
-                live :+= ((id, s, ts.getTime))
-            }
-            state.update(live)
-            state.setTimeoutTimestamp(
-              live.map(_._3).max + 1L, lateness)
-            out.result().iterator
-          }
-      }
+      .transformWithState(
+        new SigNearDupProcessor(minAgree, occupancyCap),
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF("doc_a", "doc_b", "n_agree")
   }
 

@@ -809,11 +809,13 @@ object DedupScaleProbe {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(java.sql.Timestamp, Long, String)]
-    val q = graft.streaming.StreamOps
-      .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
-        lateness = "365 days", family = family)
-      .writeStream.format("memory").queryName("probe_neardup_sink")
-      .outputMode("append").start()
+    val q = graft.streaming.StreamOps.withRocksDbStateStore(spark) {
+      graft.streaming.StreamOps
+        .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
+          lateness = "365 days", family = family)
+        .writeStream.format("memory").queryName("probe_neardup_sink")
+        .outputMode("append").start()
+    }
     val batchWalls = Seq.newBuilder[Double]
     try {
       rows.grouped(math.max(1, rows.length / 8 + 1)).foreach { chunk =>

@@ -623,10 +623,12 @@ class StreamingSpec extends AnyFunSuite {
       .as[(java.sql.Timestamp, Long, String)].collect().sortBy(_._2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
-    val q = graft.streaming.StreamOps
-      .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"))
-      .writeStream.format("memory").queryName("neardup_spec_sink")
-      .outputMode("append").start()
+    val q = StreamOps.withRocksDbStateStore(spark) {
+      graft.streaming.StreamOps
+        .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"))
+        .writeStream.format("memory").queryName("neardup_spec_sink")
+        .outputMode("append").start()
+    }
     try {
       rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
         mem.addData(chunk.toSeq)
@@ -692,6 +694,46 @@ class StreamingSpec extends AnyFunSuite {
       Seq((new Timestamp(40L * day + 1000L), 10L, vec(1)))),
       lateness = "1 hour", sink = "embdedup_spec_expired")
     assert(gotExpired.isEmpty, s"stale prior paired: $gotExpired")
+  }
+
+  test("embNearDupStream occupancy ring: beyond-cap priors age out " +
+      "oldest-first") {
+    val dim = 8
+    val e: Seq[Float] = (0 until dim).map(i => (i + 1).toFloat / 10f)
+    val base = Seq(0L -> e).toDF("vec_id", "embedding")
+    val model = graft.index.LshForest.build(base)
+    val cuts = Map.empty[(Int, Int), (Int, Array[Double])]
+    val t0 = 30L * 86400000L
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Seq[Float])]
+    StreamOps.withRocksDbStateStore(spark) {
+      val q = StreamOps
+        .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
+          model, cuts, lateness = "7 days", occupancyCap = 2)
+        .writeStream.format("memory").queryName("embdedup_spec_ring")
+        .outputMode("append").start()
+      try {
+        // three identical vectors fill the bucket past cap = 2 …
+        mem.addData(Seq(
+          (new Timestamp(t0), 0L, e),
+          (new Timestamp(t0 + 1000L), 1L, e),
+          (new Timestamp(t0 + 2000L), 2L, e)))
+        q.processAllAvailable()
+        // … then a probe: the two NEWEST priors pair, the evicted
+        // oldest (vec 0) does not
+        mem.addData(Seq((new Timestamp(t0 + 3000L), 10L, e)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val got = spark.table("embdedup_spec_ring").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-batch pairs saw all three priors (trim happens at write):
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) &&
+      got.contains((1L, 2L)), s"within-batch pairs missing: $got")
+    assert(got.contains((1L, 10L)) && got.contains((2L, 10L)),
+      s"newest priors must pair with the probe: $got")
+    assert(!got.contains((0L, 10L)),
+      s"evicted-oldest prior paired past the cap: $got")
   }
 
   test("funnelStream equals the batch funnel per user, across batches") {
