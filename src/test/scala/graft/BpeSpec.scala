@@ -78,6 +78,20 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.map(_.rank) == (1 to 8))
   }
 
+  test("driver tier equals the distributed tier, merges and states both") {
+    val wf = Bpe.wordFreq(docsDf)
+    val (md, sd) = Bpe.trainDriver(wf, 8)
+    val (mx, sx) = Bpe.trainDistributed(wf, 8)
+    assert(md == mx, "tiers learned different merge lists")
+    def states(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("word"), col("freq").cast("long"), col("state"))
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(states(sd) == states(sx), "tiers produced different states")
+    // dispatch: a tiny vocabulary takes the driver tier; forcing
+    // driverTierMax = 0 takes the distributed tier — same result
+    assert(Bpe.train(wf, 8)._1 == Bpe.train(wf, 8, driverTierMax = 0)._1)
+  }
+
   test("final states equal reference symbol vectors (replace semantics)") {
     val (_, states) = Bpe.train(Bpe.wordFreq(docsDf), nMerges = 8)
     val got = states.select(col("word"), split(trim(col("state")), "  "))

@@ -381,6 +381,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window belongs here:\n$p")
   }
 
+  test("cluster keep-best: aggregate argmax, no corpus window") {
+    val p = plan(
+      graft.catalog.DedupQueries.clusterKeepBest.run(spark, dir))
+    // the survivor is a groupBy struct-max per cluster — a ranking
+    // window here would sort the corpus inside every cluster partition
+    // (and an unpartitioned one would sort the whole corpus on one task)
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    // struct-typed max lowers to SortAggregate (still partial/map-side)
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"),
+      s"per-cluster argmax must be an aggregate:\n$p")
+  }
+
   test("count-min: downstream consumers read the checkpointed vocab, " +
     "not the corpus") {
     val p = plan(graft.catalog.ProfileQueries.countMin.run(spark, dir))
