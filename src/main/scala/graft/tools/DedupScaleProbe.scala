@@ -49,6 +49,19 @@ object DedupScaleProbe {
       spark.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "streamboiler") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      streamBoilerLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 50000,
+        dupEvery = if (args.length > 2) args(2).toInt else 20)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "ccchain") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -790,6 +803,85 @@ object DedupScaleProbe {
         System.out.flush()
       } finally q.stop()
     }
+  }
+
+  /** Boilerplate HOT-BUCKET streaming leg (`streamboiler <n> [dupEvery]`,
+    * round 11 — the claim behind SigNearDupProcessor's occupancy ring):
+    * every `dupEvery`-th doc is one of 4 identical templates, so all 16
+    * band buckets of a template collect EVERY copy — the streaming form
+    * of the batch hot-bucket trap, where the round-10 layout's state
+    * value (the bucket's whole signature list) grew with the copy count
+    * and each arrival's compare + rewrite cost grew with it, under a
+    * 365-day horizon that never expires anything. With the newest-64
+    * ring, per-arrival work and per-bucket state are capped, so:
+    *
+    *  - per-batch walls must be FLAT (last-two min ≤ 1.3× batch 2 —
+    *    batch 1 carries JIT), asserted;
+    *  - DETECTION stays complete under the cap: every template copy
+    *    except each template's first arrival must emit ≥ 1 pair (the
+    *    ring keeps "is this a duplicate?" answerable even while it
+    *    bounds pair ENUMERATION — the full C(m,2) closure is the batch
+    *    pass's job, which collapses it via exact-dedup-before-banding),
+    *    asserted exactly;
+    *  - emitted volume is reported next to the C(m,2) a capless run
+    *    would eventually enumerate. */
+  def streamBoilerLeg(spark: SparkSession, n: Int, dupEvery: Int): Unit = {
+    import spark.implicits._
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(dupEvery.toLong)) === 0,
+        concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          j => format_string("b%02d_%04d",
+            pmod(expr(s"id div $dupEvery"), lit(4L)),
+            j * lit(13)))))
+        .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(39)),
+          j => format_string("w%07d", pmod(xxhash64(col("id"), j), lit(2000000L))))))
+        .as("text"))
+    val rows = docs
+      .select(timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
+        col("doc_id"), col("text"))
+      .as[(java.sql.Timestamp, Long, String)].collect().sortBy(_._2)
+    val templateIds = rows.iterator.map(_._2).filter(_ % dupEvery == 0).toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamOps.withRocksDbStateStore(spark) {
+      graft.streaming.StreamOps
+        .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
+          lateness = "365 days", family = "affine")
+        .writeStream.format("memory").queryName("probe_boiler_sink")
+        .outputMode("append").start()
+    }
+    val batchWalls = Seq.newBuilder[Double]
+    try {
+      rows.grouped(math.max(1, rows.length / 8 + 1)).foreach { chunk =>
+        val t0 = System.nanoTime()
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+        batchWalls += (System.nanoTime() - t0) / 1e9
+      }
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      val emitted = spark.table("probe_boiler_sink").count()
+      val detected = spark.table("probe_boiler_sink")
+        .select("doc_b").distinct().as[Long].collect()
+        .count(templateIds.contains)
+      val m = templateIds.size / 4
+      val quadratic = 4L * m * (m - 1) / 2
+      val walls = batchWalls.result()
+      println(s"""{"probe":"stream_boiler","n_docs":${rows.length},""" +
+        s""""template_rows":${templateIds.size},""" +
+        s""""batch_walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""state_rows":$stateRows,"emitted_rows":$emitted,""" +
+        s""""capless_distinct_pairs":$quadratic,""" +
+        s""""detected_copies":$detected,""" +
+        s""""expected_copies":${templateIds.size - 4}}""")
+      assert(detected == templateIds.size - 4,
+        s"ring lost duplicate DETECTION: $detected of ${templateIds.size - 4}")
+      assert(walls.takeRight(2).min <= 1.3 * walls(1),
+        s"hot-bucket walls grew: ${walls.mkString(",")}")
+      System.out.flush()
+    } finally q.stop()
   }
 
   def streamNearDupLeg(spark: SparkSession, n: Int, family: String = "md5"): Unit = {

@@ -736,6 +736,40 @@ class StreamingSpec extends AnyFunSuite {
       s"evicted-oldest prior paired past the cap: $got")
   }
 
+  test("nearDupPairsStream occupancy ring: hot-bucket priors age out " +
+      "oldest-first") {
+    // four IDENTICAL texts land in the same band buckets (the
+    // boilerplate hot-bucket shape); cap 2 keeps only the newest two
+    val text = (0 until 40).map(i => s"tmpl$i").mkString(" ")
+    val t0 = 30L * 86400000L
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.withRocksDbStateStore(spark) {
+      StreamOps
+        .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
+          lateness = "7 days", occupancyCap = 2)
+        .writeStream.format("memory").queryName("neardup_spec_ring")
+        .outputMode("append").start()
+    }
+    try {
+      mem.addData(Seq(
+        (new Timestamp(t0), 0L, text),
+        (new Timestamp(t0 + 1000L), 1L, text),
+        (new Timestamp(t0 + 2000L), 2L, text)))
+      q.processAllAvailable()
+      mem.addData(Seq((new Timestamp(t0 + 3000L), 10L, text)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("neardup_spec_ring").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) &&
+      got.contains((1L, 2L)), s"within-batch pairs missing: $got")
+    assert(got.contains((1L, 10L)) && got.contains((2L, 10L)),
+      s"newest priors must pair with the probe: $got")
+    assert(!got.contains((0L, 10L)),
+      s"evicted-oldest prior paired past the cap: $got")
+  }
+
   test("funnelStream equals the batch funnel per user, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val W = 30L * 60 * 1000000 // 30-minute funnel window in µs
