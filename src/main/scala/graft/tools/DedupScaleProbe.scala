@@ -62,6 +62,16 @@ object DedupScaleProbe {
       spark.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "dailyloop") {
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      dailyLoopLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 120000,
+        days = if (args.length > 2) args(2).toInt else 4)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "ccchain") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -804,6 +814,92 @@ object DedupScaleProbe {
       } finally q.stop()
     }
   }
+
+  /** FULL daily-crawl loop endurance (`dailyloop <n> [days]`, round 11 —
+    * the composition claim across OPERATOR FAMILIES that ccchain makes
+    * for labels alone): each "day" lands n/days new docs (~6% of them
+    * one-word-edited twins of PREVIOUS-day docs, so pair discovery and
+    * label resolution must cross persisted-artifact boundaries), and the
+    * day's work is exactly production's increment —
+    *
+    *   delta banding (`bandsOf` on the day only) →
+    *   delta pairs (`minhashPairsDelta` vs the PERSISTED band table —
+    *     candidates are delta-involving only, verify is semi-joined to
+    *     named docs) →
+    *   label update (`updateIncremental` onto the persisted labeling,
+    *     starting from the EMPTY labeling on day 0 — one code path) →
+    *   band-table append (the persisted artifact the next day reads).
+    *
+    * After the LAST day, ONE full recompute over the whole corpus gates
+    * the composition: the unioned incremental pair set must EQUAL the
+    * full self-join's verified pair set (so no pair is lost or invented
+    * across artifact hand-offs), and the chained labeling must equal the
+    * full large/small-star labeling (so label drift does not
+    * accumulate). Per-day walls print — each day's cost tracks the day,
+    * not the history. */
+  def dailyLoopLeg(spark: SparkSession, n: Int, days: Int): Unit = {
+    import spark.implicits._
+    import graft.catalog.DedupQueries
+    import graft.ops.ConnectedComponents
+    val m = n / days
+    val corpus = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(17)) === 0 && col("id") >= m,
+        concat(textOf(col("id") - m), lit(" w_dup")))
+        .otherwise(textOf(col("id"))).as("text"))
+      .localCheckpoint(eager = true)
+
+    var labels = Seq.empty[(Long, Long)].toDF("node", "component")
+      .localCheckpoint(eager = true)
+    var bands: org.apache.spark.sql.DataFrame = null
+    var allPairs: org.apache.spark.sql.DataFrame = null
+    val walls = Seq.newBuilder[Double]
+    (0 until days).foreach { d =>
+      val day = corpus
+        .filter(col("doc_id") >= d.toLong * m && col("doc_id") < (d + 1).toLong * m)
+        .localCheckpoint(eager = true) // the day's crawl, not timed
+      val soFar = corpus.filter(col("doc_id") < (d + 1).toLong * m)
+      val t0 = System.nanoTime()
+      val deltaBands = DedupQueries.bandsOf(day).localCheckpoint(eager = true)
+      bands = if (bands == null) deltaBands
+        else bands.unionAll(deltaBands).localCheckpoint(eager = true)
+      val pairs = DedupQueries.minhashPairsDelta(soFar, bands, deltaBands)
+        .select("doc_a", "doc_b").localCheckpoint(eager = true)
+      labels = ConnectedComponents
+        .updateIncremental(labels, pairs, srcCol = "doc_a", dstCol = "doc_b")
+        .localCheckpoint(eager = true)
+      labels.count()
+      walls += (System.nanoTime() - t0) / 1e9
+      allPairs = if (allPairs == null) pairs else allPairs.unionAll(pairs)
+    }
+    // full recompute over the whole corpus: every pair + star labels
+    val fullBands = DedupQueries.bandsOf(corpus).localCheckpoint(eager = true)
+    val fullPairs = DedupQueries.minhashPairsDelta(corpus, fullBands, fullBands)
+      .select("doc_a", "doc_b").localCheckpoint(eager = true)
+    val pairDiff =
+      allPairs.exceptAll(fullPairs).count() + fullPairs.exceptAll(allPairs).count()
+    require(pairDiff == 0,
+      s"incremental pair union != full recompute: $pairDiff rows differ")
+    val fullLabels = ConnectedComponents.componentsLargeSmallStar(
+      fullPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))).cache()
+    val labelDiff = labels.as("i")
+      .join(fullLabels.as("f"), col("i.node") === col("f.node"))
+      .filter(col("i.component") =!= col("f.component")).count() +
+      math.abs(labels.count() - fullLabels.count())
+    require(labelDiff == 0,
+      s"chained labels != full recompute after day $days: $labelDiff")
+    val ws = walls.result()
+    println(s"""{"probe":"daily_loop","n_docs":$n,"days":$days,""" +
+      s""""docs_per_day":$m,"pairs":${fullPairs.count()},""" +
+      s""""day_walls_sec":[${ws.map(w => f"$w%.2f").mkString(",")}],""" +
+      s""""pairs_equal":true,"labels_equal":true}""")
+    System.out.flush()
+  }
+
+  /** The synthetic 40-word doc text used by the stream/daily legs. */
+  private def textOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(39)),
+      j => format_string("w%04d", pmod(xxhash64(id, j), lit(2000)))))
 
   /** Boilerplate HOT-BUCKET streaming leg (`streamboiler <n> [dupEvery]`,
     * round 11 — the claim behind SigNearDupProcessor's occupancy ring):
