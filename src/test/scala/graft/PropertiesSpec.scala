@@ -328,6 +328,37 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: BPE driver tier == distributed tier on random corpora") {
+    // the round-11 driver tier must land on the distributed loop's exact
+    // merge list and final states for ANY word-frequency table, not just
+    // the fixture — adversarial shapes: shared prefixes/suffixes, runs of
+    // one character (greedy-leftmost), heavy count ties (the (cnt DESC,
+    // l, r) tie-break is what a subtly different argmax breaks on)
+    val genWord = for {
+      len <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', '0'))
+    } yield cs.mkString
+    val genCorpus = for {
+      n <- Gen.chooseNum(5, 30)
+      ws <- Gen.listOfN(n, genWord)
+    } yield ws
+    forAllSeeded(genCorpus, trials = 6) { ws =>
+      val docs = ws.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val wf = graft.ops.Bpe.wordFreq(docs).localCheckpoint(true)
+      // stay under the corpus's merge capacity: distinct chars are few,
+      // so cap merges well below total symbol count
+      val nMerges = 4
+      val (md, sd) = graft.ops.Bpe.trainDriver(wf, nMerges)
+      val (mx, sx) = graft.ops.Bpe.trainDistributed(wf, nMerges)
+      assert(md == mx, s"merge lists differ for corpus $ws")
+      def states(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("word"), col("state"))
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+      assert(states(sd) == states(sx), s"states differ for corpus $ws")
+    }
+  }
+
   test("property: cross-multiplied chi-square threshold == float chi-square") {
     val genCell = Gen.chooseNum(1L, 2000L)
     val gen = for { a <- genCell; b <- genCell; c <- genCell; d <- genCell }
