@@ -309,7 +309,80 @@ object ProfileQueries {
       SELECT token, cnt, est, (est >= cnt) AS one_sided_ok
       FROM est ORDER BY token"""))
 
+  /** DATA-QUALITY EXPECTATIONS gate — the assertion pass a pipeline runs
+    * against every freshly landed table before anything downstream reads
+    * it (the Great-Expectations / dbt-test shape, engine-native): one
+    * corpus aggregation evaluates every check's violation count, and the
+    * verdict is pure integer arithmetic so the WHOLE gate — counts and
+    * pass/fail booleans — sits inside the hash gate. Hard checks pass at
+    * zero violations; the one soft check (empty text) passes at ≤ 1% via
+    * cross-multiplication (100·bad ≤ n — no float rate). Two corpus
+    * reads total (the conditional-sum pass + the exact distinct-id
+    * count), both map-side partial aggregations; the check table itself
+    * is a 7-row literal expansion, nothing per-row leaves the agg. */
+  val expectations = Q(
+    "profile_expectations",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val a = d.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("id_null"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("text_null"),
+        sum(when(col("text").isNotNull &&
+          length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("text_empty"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_null"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("src_null"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("chars_bad"),
+        count_distinct(col("doc_id")).as("id_distinct"))
+      a.select(col("n"), explode(array(
+        struct(lit("doc_id_not_null").as("check"),
+          col("id_null").as("n_bad"), lit(true).as("hard")),
+        struct(lit("doc_id_unique").as("check"),
+          (col("n") - col("id_distinct")).as("n_bad"), lit(true).as("hard")),
+        struct(lit("lang_not_null").as("check"),
+          col("lang_null").as("n_bad"), lit(true).as("hard")),
+        struct(lit("n_chars_consistent").as("check"),
+          col("chars_bad").as("n_bad"), lit(true).as("hard")),
+        struct(lit("source_not_null").as("check"),
+          col("src_null").as("n_bad"), lit(true).as("hard")),
+        struct(lit("text_nonempty_99pct").as("check"),
+          col("text_empty").as("n_bad"), lit(false).as("hard")),
+        struct(lit("text_not_null").as("check"),
+          col("text_null").as("n_bad"), lit(true).as("hard")))).as("c"))
+        .select(col("c.check").as("check"), col("n").as("n_rows"),
+          col("c.n_bad").as("n_bad"),
+          when(col("c.hard"), col("c.n_bad") === 0)
+            .otherwise(col("c.n_bad") * 100 <= col("n")).as("pass"))
+        .orderBy("check")
+    },
+    Some("""
+      WITH a AS (SELECT
+          count(*)::BIGINT AS n,
+          sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS id_null,
+          sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS text_null,
+          sum(CASE WHEN text IS NOT NULL AND length(trim(text)) = 0
+                   THEN 1 ELSE 0 END)::BIGINT AS text_empty,
+          sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_null,
+          sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS src_null,
+          sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)::BIGINT
+            AS chars_bad,
+          count(DISTINCT doc_id)::BIGINT AS id_distinct
+        FROM documents),
+      c AS (
+        SELECT 'doc_id_not_null' AS check, id_null AS n_bad, TRUE AS hard FROM a
+        UNION ALL SELECT 'doc_id_unique', n - id_distinct, TRUE FROM a
+        UNION ALL SELECT 'lang_not_null', lang_null, TRUE FROM a
+        UNION ALL SELECT 'n_chars_consistent', chars_bad, TRUE FROM a
+        UNION ALL SELECT 'source_not_null', src_null, TRUE FROM a
+        UNION ALL SELECT 'text_nonempty_99pct', text_empty, FALSE FROM a
+        UNION ALL SELECT 'text_not_null', text_null, TRUE FROM a)
+      SELECT c.check, a.n AS n_rows, c.n_bad,
+             CASE WHEN c.hard THEN c.n_bad = 0
+                  ELSE c.n_bad * 100 <= a.n END AS pass
+      FROM c, a ORDER BY c.check"""))
+
   def qs: Seq[Q] =
     Seq(tokenQuantiles, profileLineitem, heavyHitters, sketchQuantiles,
-      vocabGrowth, countMin)
+      vocabGrowth, countMin, expectations)
 }
