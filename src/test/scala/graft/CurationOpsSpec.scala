@@ -119,6 +119,17 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
   }
 
+  test("StreamFeed.collectCapped enforces the gate-feed cap loudly") {
+    import spark.implicits._
+    val small = (0 until 10).map(_.toLong).toDS()
+    assert(graft.catalog.StreamFeed
+      .collectCapped(small, "test feed", max = 10).length == 10)
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.StreamFeed.collectCapped(small, "test feed", max = 9)
+    }
+    assert(e.getMessage.contains("exec-gate feed exceeds 9 rows"))
+  }
+
   test("Bounded.frame enforces the bounded-window contract loudly") {
     import spark.implicits._
     val small = (0 until 8).map(i => (i.toLong, i.toLong)).toDF("k", "v")

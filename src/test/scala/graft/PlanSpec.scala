@@ -393,6 +393,18 @@ class PlanSpec extends AnyFunSuite {
       s"per-cluster argmax must be an aggregate:\n$p")
   }
 
+  test("expectations gate: one aggregation pass, no join, no window") {
+    val p = plan(
+      graft.catalog.ProfileQueries.expectations.run(spark, dir))
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    // every check rides the single conditional-sum aggregation (the
+    // distinct-id count expands inside the same agg); a second corpus
+    // scan means a check broke out of the shared pass
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected one corpus scan, saw $scans:\n$p")
+  }
+
   test("count-min: downstream consumers read the checkpointed vocab, " +
     "not the corpus") {
     val p = plan(graft.catalog.ProfileQueries.countMin.run(spark, dir))
