@@ -746,8 +746,14 @@ ${affineSigCtes("MATERIALIZED")},
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val labels = graft.ops.ConnectedComponents.components(edges)
         .select(col("node").as("doc_id"), col("component").as("cid"))
+      // coalesce(text, ''): a NULL text must tokenize to 0 on BOTH
+      // engines — Spark's size(regexp_extract_all(NULL)) yields NULL/-1
+      // while the oracle's equality join would drop the cluster (ADVICE
+      // r11); the fixture has no NULL text, but the entry must not rely
+      // on that
       val docs = Tables.documents(s, dir).select(col("doc_id"),
-        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        size(expr(
+          "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)"))
           .cast("long").as("n_tok"))
       docs.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"),
@@ -769,7 +775,8 @@ ${affineSigCtes("MATERIALIZED")},
         SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
       lab AS (SELECT a AS doc_id, min(b) AS cid FROM reach GROUP BY a),
       tok AS (SELECT doc_id,
-                     len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                     len(regexp_extract_all(lower(coalesce(text, '')),
+                         '[a-z0-9]+'))::BIGINT
                        AS n_tok
               FROM documents),
       lbl AS (SELECT t.doc_id, t.n_tok,

@@ -22,8 +22,24 @@ import org.apache.spark.storage.StorageLevel
   * reject corpus-sized inputs, not to tune the bound.
   */
 object Bounded {
+
+  /** Persisted guarded frames, oldest first. A long-lived session calling
+    * the guarded operators repeatedly would otherwise accumulate cached
+    * entries in the block manager indefinitely (each frame is small, but
+    * "small × unbounded calls" still leaks): beyond `MaxLive` frames the
+    * oldest is unpersisted. Every caller consumes its frame immediately
+    * after the guard, so an evicted old frame can at worst recompute its
+    * (aggregate-sized) input if something re-reads it much later. */
+  private val MaxLive = 32
+  private val liveFrames = new java.util.ArrayDeque[DataFrame]()
+
   def frame(df: DataFrame, max: Long, what: String): DataFrame = {
     val mat = df.persist(StorageLevel.MEMORY_AND_DISK)
+    liveFrames.synchronized {
+      liveFrames.addLast(mat)
+      while (liveFrames.size() > MaxLive)
+        liveFrames.removeFirst().unpersist(blocking = false)
+    }
     val n = mat.count()
     require(n <= max,
       s"$what: bounded-frame contract violated — $n rows > $max; this " +

@@ -113,8 +113,11 @@ object Bpe {
     * tier; everything else stops paying the scheduler. */
   def train(wf: DataFrame, nMerges: Int,
       driverTierMax: Long = 1L << 20): (Seq[Merge], DataFrame) = {
-    val vocab = wf.limit(
-      math.min(driverTierMax + 1, Int.MaxValue.toLong).toInt).count()
+    // clamp BEFORE the +1: a driverTierMax near Long.MaxValue must not
+    // overflow to a negative limit (which would count 0 rows and silently
+    // collect any vocabulary to the driver)
+    val probe = math.min(driverTierMax, Int.MaxValue.toLong - 1) + 1
+    val vocab = wf.limit(probe.toInt).count()
     if (vocab <= driverTierMax) trainDriver(wf, nMerges)
     else trainDistributed(wf, nMerges)
   }
@@ -242,6 +245,162 @@ object Bpe {
       .select(col(docId),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-row ENCODE kernel — the trainer-feed step at production merge
+  // count. `tokenizeCounts` replays the merge list as nMerges chained
+  // `replace` expressions over the distinct-word table: exactly right for
+  // the 24-merge DuckDB oracle window, but at 8,192 merges that is 8,192
+  // chained column stages (1k+ checkpointed plan segments). The kernel
+  // below applies the WHOLE table to one word in O(applies · |word|) —
+  // rank-map lookups instead of plan stages — so corpus tokenization at
+  // production merge count is one narrow map pass.
+  // ---------------------------------------------------------------------
+
+  /** Greedy BPE encode of ONE word — provably the same semantics as
+    * [[applyMerges]]'s sequential replay (BpeSpec gates token-for-token
+    * equality on the oracle-anchored 24-merge path and on adversarial
+    * random corpora):
+    *
+    *  - a rank CURSOR walks the merge list: each step finds the
+    *    minimum-rank pair PRESENT with rank > cursor, applies one full
+    *    leftmost non-overlapping pass (identical to the literal-replace
+    *    semantics), and advances the cursor. This is sequential replay
+    *    with the absent ranks skipped — NOT the HF-style global
+    *    min-rank-first loop, which can diverge when the same token
+    *    string is reachable by two merge paths (applying a later rank
+    *    can create an occurrence of an EARLIER-rank pair, which a
+    *    sequential replay would never revisit);
+    *  - cost is O(applied merges · |word|) with O(|word|) rank-map
+    *    lookups per step — independent of the merge-table size, which
+    *    is the whole point at 8,192+ merges. */
+  def encodeWord(
+      word: String, rank: java.util.HashMap[String, Integer]): Array[String] = {
+    var toks = new Array[String](word.length + 1)
+    var i = 0
+    while (i < word.length) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    toks(word.length) = "</w>"
+    var cursor = 0
+    var done = false
+    while (!done && toks.length > 1) {
+      // min present rank > cursor
+      var best = Int.MaxValue
+      var j = 0
+      while (j + 1 < toks.length) {
+        val r = rank.get(toks(j) + " " + toks(j + 1))
+        if (r != null && r > cursor && r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // one leftmost non-overlapping pass of the rank-`best` merge
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var k = 0
+        while (k < toks.length) {
+          if (k + 1 < toks.length && {
+            val r = rank.get(toks(k) + " " + toks(k + 1))
+            r != null && r.intValue() == best
+          }) {
+            out += toks(k) + toks(k + 1)
+            k += 2
+          } else {
+            out += toks(k)
+            k += 1
+          }
+        }
+        toks = out.toArray
+        cursor = best
+      }
+    }
+    toks
+  }
+
+  /** Rank map for [[encodeWord]]: `"left right"` → rank (symbols never
+    * contain spaces, so the space join is unambiguous). */
+  def rankMap(merges: Seq[Merge]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.foreach(mg => m.put(mg.left + " " + mg.right, mg.rank))
+    m
+  }
+
+  /** Per-JVM word → token-string cache, keyed by merge-table identity:
+    * real corpora repeat words heavily (Zipf), so the kernel pays the
+    * encode loop once per DISTINCT word per executor — the same economy
+    * `tokenizeCounts` gets from its distinct-word table, without the
+    * per-merge plan stages. Bounded (entries are dropped, not evicted,
+    * past the cap) so a pathological open vocabulary cannot grow it
+    * without bound. */
+  private object EncodeCache {
+    private val MaxEntries = 1 << 20
+    private val maps = new java.util.concurrent.ConcurrentHashMap[
+      Long, java.util.concurrent.ConcurrentHashMap[String, String]]()
+    def get(tableId: Long): java.util.concurrent.ConcurrentHashMap[String, String] =
+      maps.computeIfAbsent(tableId,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    def put(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+        word: String, enc: String): Unit =
+      if (cache.size() < MaxEntries) cache.put(word, enc)
+  }
+
+  /** Per-doc tokenization by the per-row kernel: (doc_id, n_words,
+    * n_bpe_tokens, tok_md5) where `tok_md5` digests the doc's full token
+    * SEQUENCE (tokens space-joined in word order) — the determinism
+    * observable the scale gates pin. One narrow map pass, no shuffle, no
+    * join: the production trainer-feed shape at 8,192+ merges (the
+    * replay-based [[tokenizeCounts]] stays as the 24-merge cross-engine
+    * oracle anchor). The merge table ships once per executor via
+    * broadcast; `tableId` keys the per-JVM distinct-word cache. */
+  def tokenizeKernel(
+      docs: DataFrame, merges: Seq[Merge],
+      docId: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val bcMerges = sc.broadcast(merges.toArray)
+    // collision-proof cache key (a JVM mixing two merge tables through a
+    // colliding weak hash would cross-tokenize): 64 md5 bits of the table
+    val tableId = java.lang.Long.parseUnsignedLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        merges.map(m => s"${m.rank}|${m.left}|${m.right}").mkString("\n"))
+        .substring(0, 16), 16)
+    val wordRe = java.util.regex.Pattern.compile(WordPattern)
+    val encodeUdf = udf { (text: String) =>
+      val rank = KernelRanks.get(tableId, bcMerges.value)
+      val cache = EncodeCache.get(tableId)
+      val m = wordRe.matcher(
+        if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+      var nWords = 0L
+      var nToks = 0L
+      val sb = new java.lang.StringBuilder()
+      while (m.find()) {
+        val w = m.group()
+        var enc = cache.get(w)
+        if (enc == null) {
+          enc = encodeWord(w, rank).mkString(" ")
+          EncodeCache.put(cache, w, enc)
+        }
+        nWords += 1
+        var sp = 1L // token count = spaces + 1
+        var i = 0
+        while (i < enc.length) { if (enc.charAt(i) == ' ') sp += 1; i += 1 }
+        nToks += sp
+        if (sb.length() > 0) sb.append(' ')
+        sb.append(enc)
+      }
+      (nWords, nToks, org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(sb.toString))
+    }
+    docs.select(col(docId), encodeUdf(col(textCol)).as("r"))
+      .select(col(docId), col("r._1").as("n_words"),
+        col("r._2").as("n_bpe_tokens"), col("r._3").as("tok_md5"))
+  }
+
+  /** Per-JVM rank-map cache (built once per executor per merge table). */
+  private object KernelRanks {
+    private val maps = new java.util.concurrent.ConcurrentHashMap[
+      Long, java.util.HashMap[String, Integer]]()
+    def get(tableId: Long, merges: Array[Merge])
+        : java.util.HashMap[String, Integer] =
+      maps.computeIfAbsent(tableId, _ => rankMap(merges.toSeq))
   }
 
   // ---------------------------------------------------------------------

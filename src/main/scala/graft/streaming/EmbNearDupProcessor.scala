@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{
   ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues}
+  TimeMode, TimerValues, ValueState}
+import org.apache.spark.util.LongAccumulator
 
 /** One live prior in a near-dup bucket: (vec_id, embedding, event-time ms).
   * `emb` is a primitive float array — the state encoder writes it as a
@@ -30,34 +31,74 @@ final case class LiveVec(id: Long, emb: Array[Float], ts: Long)
   * memtable/block-cache hits, not commit-path serialization.
   *
   * PHYSICAL EXPIRY, without the per-batch full-state timeout scan of
-  * flatMapGroupsWithState: each touch registers an event-time timer at
-  * (bucket max ts + 2 ms) — it fires exactly when the watermark passes
-  * the last entry's liveness bound (`ts >= wm - 1`, the same in-call
-  * prune rule as the batch compare), and the expired-timer handler
-  * drops dead entries (clearing the key when none survive). A hot
-  * bucket compacts opportunistically instead: when expired entries
-  * outnumber live ones at read time, the write path switches from
-  * append to a single compacting `put` — amortized O(1) per arrival.
+  * flatMapGroupsWithState: the bucket carries exactly ONE registered
+  * event-time timer at (bucket max ts + 2 ms) — it fires exactly when
+  * the watermark passes the last entry's liveness bound (`ts >= wm - 1`,
+  * the same in-call prune rule as the batch compare), and the
+  * expired-timer handler drops dead entries (clearing the key when none
+  * survive). The registered expiry lives in a `ValueState[Long]` next to
+  * the list: a touch that advances the bucket's max ts DELETES the prior
+  * timer and registers the new one (round-12 discipline — previously
+  * every touched batch stacked a fresh timer, so a bucket touched in k
+  * batches carried up to k live timers, each early one firing as a
+  * partial prune). A hot bucket compacts opportunistically instead:
+  * when expired entries outnumber live ones at read time, the write
+  * path switches from append to a single compacting `put` — amortized
+  * O(1) per arrival.
   *
-  * RING CAP: `occupancyCap` bounds the live list at the newest `cap`
-  * entries by (ts, id). This is the streaming enforcement of the SAME
-  * occupancy contract the batch path's `refineBuckets` median-split
+  * RING CAP: `occupancyCap` bounds the live set at the newest `cap`
+  * entries by (ts, id) — and since round 12 the ring is enforced
+  * PER ARRIVAL, not per batch write, so the compare set an arrival sees
+  * is the newest-cap live priors regardless of how the stream was
+  * chunked into micro-batches: identical in-order streams framed
+  * differently emit identical pair sets (previously same-batch arrivals
+  * compared against the full untrimmed buffer while later-batch arrivals
+  * saw only the newest cap). This is the streaming enforcement of the
+  * SAME occupancy contract the batch path's `refineBuckets` median-split
   * cuts establish (≈16 per sub-bucket at build time; the default cap is
   * 4× that as drift headroom): occupancy past the frozen cuts is
   * retrain-trigger territory by the documented hand-off, so beyond-cap
   * priors age out oldest-first rather than growing the bucket without
   * bound. The cap is what makes the 365-day-horizon probe leg flat —
-  * per-touch compare and trim work can never exceed cap·dim. */
-final class EmbNearDupProcessor(thr1e4: Long, occupancyCap: Int)
+  * per-touch compare and trim work can never exceed cap·dim.
+  *
+  * DROP OBSERVABILITY: every live prior the ring evicts increments
+  * `dropCounter` (when wired) — the signal a production stream watches
+  * to see the cap biting (a silent drop is a recall loss invisible
+  * until the batch pass runs). Organic streams assert it stays ZERO;
+  * the boilerplate hot-bucket probe asserts it goes nonzero. */
+final class EmbNearDupProcessor(thr1e4: Long, occupancyCap: Int,
+    dropCounter: Option[LongAccumulator] = None)
     extends StatefulProcessor[
       String, (String, java.sql.Timestamp, Long, Seq[Float]),
       (Long, Long, Long)] {
 
   @transient private var live: ListState[LiveVec] = _
+  @transient private var timerTs: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     live = getHandle.getListState[LiveVec](
       "live", Encoders.product[LiveVec], TTLConfig.NONE)
+    timerTs = getHandle.getValueState[Long](
+      "timerTs", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** Keep the bucket's single registered timer at `target` — delete the
+    * previously registered one first (never stack timers per touch). */
+  private def ensureTimer(target: Long): Unit = {
+    val prev = if (timerTs.exists()) timerTs.get() else Long.MinValue
+    if (target > prev) {
+      if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+      getHandle.registerTimer(target)
+      timerTs.update(target)
+    }
+  }
+
+  private def clearTimer(): Unit =
+    if (timerTs.exists()) {
+      getHandle.deleteTimer(timerTs.get())
+      timerTs.clear()
+    }
 
   private def cos1e4(a: Array[Float], b: Array[Float]): Long = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -81,6 +122,9 @@ final class EmbNearDupProcessor(thr1e4: Long, occupancyCap: Int)
       if (v.ts >= wm - 1) buf += v // in-call prune of expired priors
     }
     val nExpired = nPrior - buf.length
+    buf.sortInPlace()(Ordering.by((v: LiveVec) => (v.ts, v.id)))
+    var dropped = 0L
+    while (buf.length > occupancyCap) { buf.remove(0); dropped += 1 }
     val out = Seq.newBuilder[(Long, Long, Long)]
     val fresh = scala.collection.mutable.ArrayBuffer.empty[LiveVec]
     rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
@@ -96,24 +140,31 @@ final class EmbNearDupProcessor(thr1e4: Long, occupancyCap: Int)
           j += 1
         }
         val lv = LiveVec(id, e, ts.getTime)
-        buf += lv
+        // sorted insert (arrivals are (ts, id)-ordered, so this is an
+        // append unless a live prior from an earlier batch is newer)
+        var at = buf.length
+        while (at > 0 && Ordering.Tuple2[Long, Long]
+            .gt((buf(at - 1).ts, buf(at - 1).id), (lv.ts, lv.id))) at -= 1
+        buf.insert(at, lv)
         fresh += lv
+        if (buf.length > occupancyCap) { // per-arrival ring trim
+          buf.remove(0)
+          dropped += 1
+        }
     }
+    if (dropped > 0) dropCounter.foreach(_.add(dropped))
     if (buf.nonEmpty) {
-      if (buf.length > occupancyCap || nExpired > buf.length) {
-        // trim to the newest `cap` by (ts, id) / compact out the expired
-        // majority: the only write paths that rewrite the list
-        val kept = buf.sortInPlace()(Ordering.by((v: LiveVec) => (v.ts, v.id)))
-          .takeRight(occupancyCap)
-        live.put(kept.toArray)
+      if (dropped > 0 || nExpired > buf.length) {
+        // ring evictions / an expired majority rewrite the list; the
+        // hot path below stays an O(new) append
+        live.put(buf.toArray)
       } else if (fresh.nonEmpty) {
         live.appendList(fresh.toArray)
       }
-      var maxTs = Long.MinValue
-      buf.foreach(v => if (v.ts > maxTs) maxTs = v.ts)
-      getHandle.registerTimer(maxTs + 2L)
+      ensureTimer(buf(buf.length - 1).ts + 2L)
     } else if (nPrior > 0) {
       live.clear() // every prior expired and nothing arrived live
+      clearTimer()
     }
     out.result().iterator
   }
@@ -122,8 +173,18 @@ final class EmbNearDupProcessor(thr1e4: Long, occupancyCap: Int)
       key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
     val wm = math.max(timerValues.getCurrentWatermarkInMs(), 0L)
+    if (timerTs.exists() && timerTs.get() == expiredTimerInfo.getExpiryTimeInMs)
+      timerTs.clear() // the single registered timer just fired
     val kept = live.get().filter(_.ts >= wm - 1).toArray
-    if (kept.isEmpty) live.clear() else live.put(kept)
+    if (kept.isEmpty) live.clear()
+    else {
+      // stale-timer partial prune (restored checkpoints can carry
+      // pre-discipline stacked timers): keep state + re-arm the bound
+      live.put(kept)
+      var maxTs = Long.MinValue
+      kept.foreach(v => if (v.ts > maxTs) maxTs = v.ts)
+      ensureTimer(maxTs + 2L)
+    }
     Iterator.empty
   }
 }
@@ -138,8 +199,11 @@ final case class LiveSig(id: Long, sig: Array[String], ts: Long)
   * signature agrees with a new arrival in ≥ `minAgree` positions.
   *
   * Same layout, same rationale (see the vector processor's scaladoc):
-  * append-only ListState writes, per-key event-time timers, in-call
-  * prune + opportunistic compaction, and a newest-`occupancyCap` ring.
+  * append-only ListState writes, ONE registered event-time timer per
+  * key (ValueState-tracked, deleted/re-armed only when the bucket max
+  * ts advances), in-call prune + opportunistic compaction, a
+  * newest-`occupancyCap` ring enforced PER ARRIVAL (batch-framing-
+  * invariant output), and ring evictions counted into `dropCounter`.
   * Band buckets are near-unique for organic text (occupancy ~1), but a
   * BOILERPLATE-heavy stream puts every copy of a template in ONE bucket
   * — the streaming form of the batch side's hot-bucket trap (SURVEY
@@ -147,16 +211,36 @@ final case class LiveSig(id: Long, sig: Array[String], ts: Long)
   * per-arrival compare cost at the cap; the batch pass (which runs
   * exact dedup BEFORE banding — the measured mitigation) remains the
   * documented hand-off for beyond-cap duplication mass. */
-final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int)
+final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int,
+    dropCounter: Option[LongAccumulator] = None)
     extends StatefulProcessor[
       String, (String, java.sql.Timestamp, Long, Seq[String]),
       (Long, Long, Long)] {
 
   @transient private var live: ListState[LiveSig] = _
+  @transient private var timerTs: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     live = getHandle.getListState[LiveSig](
       "live", Encoders.product[LiveSig], TTLConfig.NONE)
+    timerTs = getHandle.getValueState[Long](
+      "timerTs", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def ensureTimer(target: Long): Unit = {
+    val prev = if (timerTs.exists()) timerTs.get() else Long.MinValue
+    if (target > prev) {
+      if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+      getHandle.registerTimer(target)
+      timerTs.update(target)
+    }
+  }
+
+  private def clearTimer(): Unit =
+    if (timerTs.exists()) {
+      getHandle.deleteTimer(timerTs.get())
+      timerTs.clear()
+    }
 
   override def handleInputRows(
       key: String,
@@ -170,6 +254,9 @@ final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int)
       if (v.ts >= wm - 1) buf += v // in-call prune of expired priors
     }
     val nExpired = nPrior - buf.length
+    buf.sortInPlace()(Ordering.by((v: LiveSig) => (v.ts, v.id)))
+    var dropped = 0L
+    while (buf.length > occupancyCap) { buf.remove(0); dropped += 1 }
     val out = Seq.newBuilder[(Long, Long, Long)]
     val fresh = scala.collection.mutable.ArrayBuffer.empty[LiveSig]
     rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
@@ -189,22 +276,27 @@ final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int)
           j += 1
         }
         val lv = LiveSig(id, sa, ts.getTime)
-        buf += lv
+        var at = buf.length
+        while (at > 0 && Ordering.Tuple2[Long, Long]
+            .gt((buf(at - 1).ts, buf(at - 1).id), (lv.ts, lv.id))) at -= 1
+        buf.insert(at, lv)
         fresh += lv
+        if (buf.length > occupancyCap) { // per-arrival ring trim
+          buf.remove(0)
+          dropped += 1
+        }
     }
+    if (dropped > 0) dropCounter.foreach(_.add(dropped))
     if (buf.nonEmpty) {
-      if (buf.length > occupancyCap || nExpired > buf.length) {
-        val kept = buf.sortInPlace()(Ordering.by((v: LiveSig) => (v.ts, v.id)))
-          .takeRight(occupancyCap)
-        live.put(kept.toArray)
+      if (dropped > 0 || nExpired > buf.length) {
+        live.put(buf.toArray)
       } else if (fresh.nonEmpty) {
         live.appendList(fresh.toArray)
       }
-      var maxTs = Long.MinValue
-      buf.foreach(v => if (v.ts > maxTs) maxTs = v.ts)
-      getHandle.registerTimer(maxTs + 2L)
+      ensureTimer(buf(buf.length - 1).ts + 2L)
     } else if (nPrior > 0) {
       live.clear()
+      clearTimer()
     }
     out.result().iterator
   }
@@ -213,8 +305,16 @@ final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int)
       key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
     val wm = math.max(timerValues.getCurrentWatermarkInMs(), 0L)
+    if (timerTs.exists() && timerTs.get() == expiredTimerInfo.getExpiryTimeInMs)
+      timerTs.clear()
     val kept = live.get().filter(_.ts >= wm - 1).toArray
-    if (kept.isEmpty) live.clear() else live.put(kept)
+    if (kept.isEmpty) live.clear()
+    else {
+      live.put(kept)
+      var maxTs = Long.MinValue
+      kept.foreach(v => if (v.ts > maxTs) maxTs = v.ts)
+      ensureTimer(maxTs + 2L)
+    }
     Iterator.empty
   }
 }

@@ -55,18 +55,35 @@ object StreamOps {
     * provider a long-lived production stream runs anyway (the default
     * HDFS-backed store clones its whole in-memory map per batch version,
     * an O(total state) tax per batch). The conf is read at query START,
-    * so wrapping `.start()` + the drain is sufficient. */
+    * so wrapping `.start()` + the drain is sufficient.
+    *
+    * The session conf is SHARED mutable state: a concurrent query start
+    * on the same session while this wrapper holds the temporary provider
+    * (or an overlapping wrap restoring it mid-body) could start under the
+    * wrong provider and fail at runtime. All wraps therefore serialize on
+    * a JVM-wide reentrant lock — nesting on one thread stays legal, and
+    * when the session's provider is ALREADY RocksDB the wrapper is a pure
+    * pass-through (no mutation, no lock contention window). */
   def withRocksDbStateStore[T](s: org.apache.spark.sql.SparkSession)
       (body: => T): T = {
     val k = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(k)
-    s.conf.set(k,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => s.conf.set(k, v)
-      case None => s.conf.unset(k)
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    if (s.conf.getOption(k).contains(rocks)) body
+    else {
+      rocksLock.lock()
+      try {
+        val prev = s.conf.getOption(k)
+        s.conf.set(k, rocks)
+        try body finally prev match {
+          case Some(v) => s.conf.set(k, v)
+          case None => s.conf.unset(k)
+        }
+      } finally rocksLock.unlock()
     }
   }
+
+  private val rocksLock = new java.util.concurrent.locks.ReentrantLock()
 
   /** Event-time windowed aggregation with a watermark: events per hour per
     * type (count + value sum). On a stream this is incremental state with
@@ -199,7 +216,9 @@ object StreamOps {
   def nearDupPairsStream(
       docs: DataFrame, nPerms: Int = 16, bandRows: Int = 4,
       minAgree: Int = 13, lateness: String = "7 days",
-      family: String = "md5", occupancyCap: Int = 64): DataFrame = {
+      family: String = "md5", occupancyCap: Int = 64,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import docs.sparkSession.implicits._
     require(nPerms % bandRows == 0, "bands must tile the signature")
@@ -231,7 +250,7 @@ object StreamOps {
     fanned
       .groupByKey(_._1)
       .transformWithState(
-        new SigNearDupProcessor(minAgree, occupancyCap),
+        new SigNearDupProcessor(minAgree, occupancyCap, dropCounter),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("doc_a", "doc_b", "n_agree")
   }
@@ -279,7 +298,9 @@ object StreamOps {
       vectors: DataFrame, model: graft.index.LshForest.ForestModel,
       cuts: Map[(Int, Int), (Int, Array[Double])],
       simThreshold: Double = 0.999, lateness: String = "7 days",
-      occupancyCap: Int = 64): DataFrame = {
+      occupancyCap: Int = 64,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import vectors.sparkSession.implicits._
     val sc = vectors.sparkSession.sparkContext
@@ -315,7 +336,8 @@ object StreamOps {
       .as[(String, java.sql.Timestamp, Long, Seq[Float])]
       .groupByKey(_._1)
       .transformWithState(
-        new EmbNearDupProcessor(math.round(simThreshold * 10000), occupancyCap),
+        new EmbNearDupProcessor(
+          math.round(simThreshold * 10000), occupancyCap, dropCounter),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("vec_a", "vec_b", "cos_1e4")
   }

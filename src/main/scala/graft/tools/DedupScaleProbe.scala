@@ -744,7 +744,18 @@ object DedupScaleProbe {
     *
     * Both variants assert FULL planted recall (twins land one batch
     * after their originals, well inside either horizon — and well
-    * inside the newest-64 occupancy ring at this bucket fan-out). */
+    * inside the newest-64 occupancy ring at this bucket fan-out), and
+    * (round 12) both report the ring's per-batch DROPPED-PRIORS counts
+    * and assert they are ZERO — the organic stream never saturates a
+    * bucket, so a nonzero drop here would be a silent recall loss (the
+    * boilerplate leg asserts the inverse: its hot bucket MUST drop).
+    *
+    * A third RESTART variant (round 12, the production-resilience
+    * composition): the unbounded-horizon stream on a real checkpoint +
+    * parquet sink, KILLED after batch 4 of 8 and restarted from the
+    * checkpoint — the restored RocksDB ListState/timers must resume
+    * flat walls and the final pair set must EQUAL the uninterrupted
+    * unbounded run's (both asserted). */
   def streamEmbDedupLeg(spark: SparkSession, n: Int, dim: Int): Unit = {
     import spark.implicits._
     import graft.catalog.DedupQueries
@@ -773,24 +784,30 @@ object DedupScaleProbe {
       .sortBy(r => (r._1.getTime, r._2))
     val planted = (n + 19) / 20
 
+    var unboundedPairs: Set[(Long, Long)] = Set.empty
     for ((variant, lateness) <- Seq(
         ("bounded", "1 hour"), ("unbounded", "365 days"))) {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
       val sink = s"probe_embdedup_sink_$variant"
+      val dropAcc = spark.sparkContext.longAccumulator(s"ring_drops_$variant")
       val q = graft.streaming.StreamOps
         .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
-          model, cuts, lateness = lateness)
+          model, cuts, lateness = lateness, dropCounter = Some(dropAcc))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       val batchWalls = Seq.newBuilder[Double]
+      val batchDrops = Seq.newBuilder[Long]
+      var prevDrops = 0L
       try {
         rows.grouped(math.max(1, rows.length / 8 + 1)).foreach { chunk =>
           val t0 = System.nanoTime()
           mem.addData(chunk.toSeq)
           q.processAllAvailable()
           batchWalls += (System.nanoTime() - t0) / 1e9
+          batchDrops += dropAcc.value - prevDrops
+          prevDrops = dropAcc.value
         }
         val stateRows = Option(q.lastProgress)
           .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
@@ -800,18 +817,83 @@ object DedupScaleProbe {
         val found = out
           .filter(col("vec_b") === col("vec_a") + n && col("vec_a") % 20 === 0)
           .count()
+        if (variant == "unbounded")
+          unboundedPairs = out.collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
         val walls = batchWalls.result()
+        val drops = batchDrops.result()
         println(s"""{"probe":"stream_embdedup","variant":"$variant",""" +
           s""""n_vectors":${rows.length},"dim":$dim,""" +
           s""""batch_walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+          s""""batch_ring_drops":[${drops.mkString(",")}],""" +
           s""""state_rows":$stateRows,"pairs":$nPairs,""" +
           s""""planted":$planted,"planted_found":$found}""")
         assert(found == planted, s"$variant planted recall $found/$planted")
+        assert(dropAcc.value == 0L,
+          s"$variant organic stream dropped ${dropAcc.value} priors — the " +
+            "ring cap is biting where it must not")
         if (variant == "unbounded")
           assert(walls.takeRight(2).min <= 1.3 * walls.head,
             s"unbounded-horizon walls grew: ${walls.mkString(",")}")
         System.out.flush()
       } finally q.stop()
+    }
+
+    // RESTART variant: unbounded horizon on a durable checkpoint + parquet
+    // sink, killed after batch 4 of 8, restarted from the checkpoint.
+    {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_probe_restart_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_restart_out").toString
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+      val dropAcc = spark.sparkContext.longAccumulator("ring_drops_restart")
+      def start() = graft.streaming.StreamOps
+        .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
+          model, cuts, lateness = "365 days", dropCounter = Some(dropAcc))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val chunks = rows.grouped(math.max(1, rows.length / 8 + 1)).toSeq
+      val batchWalls = Seq.newBuilder[Double]
+      def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+          cs: Seq[Seq[(java.sql.Timestamp, Long, Seq[Float])]]): Unit =
+        cs.foreach { chunk =>
+          val t0 = System.nanoTime()
+          mem.addData(chunk)
+          q.processAllAvailable()
+          batchWalls += (System.nanoTime() - t0) / 1e9
+        }
+      val q1 = start()
+      try feed(q1, chunks.take(4).map(_.toSeq)) finally q1.stop() // KILL
+      val q2 = start() // restart from the checkpoint
+      try feed(q2, chunks.drop(4).map(_.toSeq)) finally q2.stop()
+      val out = spark.read.parquet(outDir)
+        .select("vec_a", "vec_b").distinct().cache()
+      val restartPairs = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = out
+        .filter(col("vec_b") === col("vec_a") + n && col("vec_a") % 20 === 0)
+        .count()
+      val walls = batchWalls.result()
+      println(s"""{"probe":"stream_embdedup","variant":"restart",""" +
+        s""""n_vectors":${rows.length},"dim":$dim,"killed_after_batch":4,""" +
+        s""""batch_walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""pairs":${restartPairs.size},"planted":$planted,""" +
+        s""""planted_found":$found,"ring_drops":${dropAcc.value},""" +
+        s""""equals_uninterrupted":${restartPairs == unboundedPairs}}""")
+      assert(found == planted, s"restart planted recall $found/$planted")
+      assert(restartPairs == unboundedPairs,
+        s"restarted pair set diverged from the uninterrupted run: " +
+          s"${(restartPairs -- unboundedPairs).take(5)} extra, " +
+          s"${(unboundedPairs -- restartPairs).take(5)} missing")
+      // flat walls must RESUME post-restart (batch 5 pays query re-init;
+      // the tail must sit back inside the uninterrupted band)
+      assert(walls.takeRight(2).min <= 1.3 * walls.head,
+        s"post-restart walls grew: ${walls.mkString(",")}")
+      System.out.flush()
     }
   }
 
@@ -941,20 +1023,26 @@ object DedupScaleProbe {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val dropAcc = spark.sparkContext.longAccumulator("ring_drops_boiler")
     val q = graft.streaming.StreamOps.withRocksDbStateStore(spark) {
       graft.streaming.StreamOps
         .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
-          lateness = "365 days", family = "affine")
+          lateness = "365 days", family = "affine",
+          dropCounter = Some(dropAcc))
         .writeStream.format("memory").queryName("probe_boiler_sink")
         .outputMode("append").start()
     }
     val batchWalls = Seq.newBuilder[Double]
+    val batchDrops = Seq.newBuilder[Long]
+    var prevDrops = 0L
     try {
       rows.grouped(math.max(1, rows.length / 8 + 1)).foreach { chunk =>
         val t0 = System.nanoTime()
         mem.addData(chunk.toSeq)
         q.processAllAvailable()
         batchWalls += (System.nanoTime() - t0) / 1e9
+        batchDrops += dropAcc.value - prevDrops
+        prevDrops = dropAcc.value
       }
       val stateRows = Option(q.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
@@ -965,9 +1053,11 @@ object DedupScaleProbe {
       val m = templateIds.size / 4
       val quadratic = 4L * m * (m - 1) / 2
       val walls = batchWalls.result()
+      val drops = batchDrops.result()
       println(s"""{"probe":"stream_boiler","n_docs":${rows.length},""" +
         s""""template_rows":${templateIds.size},""" +
         s""""batch_walls_sec":[${walls.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""batch_ring_drops":[${drops.mkString(",")}],""" +
         s""""state_rows":$stateRows,"emitted_rows":$emitted,""" +
         s""""capless_distinct_pairs":$quadratic,""" +
         s""""detected_copies":$detected,""" +
@@ -976,6 +1066,11 @@ object DedupScaleProbe {
         s"ring lost duplicate DETECTION: $detected of ${templateIds.size - 4}")
       assert(walls.takeRight(2).min <= 1.3 * walls(1),
         s"hot-bucket walls grew: ${walls.mkString(",")}")
+      // the cap MUST report drops here — each template's 16 band buckets
+      // collect every copy, far past the 64-entry ring; a zero counter
+      // would mean the drop observability is broken
+      assert(dropAcc.value > 0L,
+        "hot-bucket stream reported zero ring drops — observability broken")
       System.out.flush()
     } finally q.stop()
   }

@@ -51,6 +51,15 @@ object TextScaleProbe {
       return
     }
 
+    if (args.nonEmpty && args(0) == "bpeapply") {
+      bpeApplyLeg(spark,
+        n = if (args.length > 1) args(1).toLong else 250000L,
+        nMerges = if (args.length > 2) args(2).toInt else 8192,
+        corpus)
+      spark.stop()
+      return
+    }
+
     val terms = Seq("w10", "w500", "w4000")
 
     for (n <- Seq(250000L, 1000000L)) {
@@ -328,6 +337,74 @@ object TextScaleProbe {
       s""""total_tokens_n":$tok1,"tokens_scale":${f"${tok4.toDouble / tok1}%.3f"},""" +
       s""""merges_digest":"${d1.take(16)}","deterministic":true,""" +
       s""""scale_invariant":true}""")
+    System.out.flush()
+  }
+
+  /** Production-merge-count tokenizer APPLY leg (`bpeapply <n> <nMerges>`,
+    * round 12): bpedeep proved TRAINING past the 24-merge oracle window;
+    * this leg proves the ENCODE path there — the actual trainer-feed step,
+    * `Bpe.tokenizeKernel`'s per-row cursor encode applying the full
+    * `nMerges` (default 8,192) table to every document. Self-gated without
+    * DuckDB, like bpedeep:
+    *
+    *  - replay equivalence at production scale: the kernel's corpus total
+    *    token count must EQUAL sum(freq · n_tok) over the trainer's own
+    *    final states — two independent derivations (per-row cursor encode
+    *    vs the vocabulary-table literal-replace replay) of one number,
+    *    asserted exactly (BpeSpec gates the same equality word-for-word);
+    *  - determinism: two kernel passes over the corpus must produce the
+    *    identical order-free digest of (doc_id, tok_md5) pairs;
+    *  - 4-copy invariance: on an exact 4-copy corpus every copy of a doc
+    *    must encode to the IDENTICAL token-sequence digest and the corpus
+    *    total must be exactly 4.000×, asserted;
+    *  - cost shape: wall at 4n vs n reported — the pass is one narrow map
+    *    whose distinct-word cache is saturated by the shared vocabulary,
+    *    so wall tracks the scan. */
+  def bpeApplyLeg(
+      spark: SparkSession, n: Long, nMerges: Int,
+      corpus: Long => org.apache.spark.sql.DataFrame): Unit = {
+    import graft.ops.Bpe
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = corpus(n).localCheckpoint(eager = true)
+    val base4 = (0 until 4)
+      .map(k => base.select((col("doc_id") + k * n).as("doc_id"), col("text")))
+      .reduce(_ unionAll _).localCheckpoint(eager = true)
+    val wf = Bpe.wordFreq(base).localCheckpoint(eager = true)
+    val ((merges, states), trainSec) = time(Bpe.train(wf, nMerges))
+    val replayTotal = states
+      .select((col("freq") * size(split(trim(col("state")), "  "))).as("t"))
+      .agg(sum("t")).head().getLong(0)
+
+    def digestAndTotals(df: org.apache.spark.sql.DataFrame)
+        : (Long, Long, Long) = {
+      val r = Bpe.tokenizeKernel(df, merges)
+        .agg(expr("bit_xor(xxhash64(doc_id, tok_md5))"),
+          sum("n_bpe_tokens"), sum("n_words")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val ((d1, tok1, _), applySec) = time(digestAndTotals(base))
+    val ((d2, _, _), applySec2) = time(digestAndTotals(base))
+    val ((_, tok4, _), applySec4) = time(digestAndTotals(base4))
+    assert(tok1 == replayTotal,
+      s"kernel total $tok1 != trainer-replay total $replayTotal")
+    assert(d1 == d2, "kernel rerun produced a different corpus digest")
+    assert(tok4 == 4 * tok1, s"4-copy tokens not exactly 4x: $tok4 vs 4*$tok1")
+    // every copy of a doc encodes to the identical token-sequence digest
+    val divergent = Bpe.tokenizeKernel(base4, merges)
+      .groupBy(pmod(col("doc_id"), lit(n)).as("g"))
+      .agg(countDistinct("tok_md5").as("nd"))
+      .filter(col("nd") =!= 1).count()
+    assert(divergent == 0L, s"$divergent doc groups encode non-identically")
+    println(s"""{"probe":"bpe_apply","n_docs":$n,"n_merges":$nMerges,""" +
+      s""""train_sec":${f"$trainSec%.1f"},""" +
+      s""""apply_sec_n":${f"$applySec%.1f"},""" +
+      s""""apply_sec_n_rerun":${f"$applySec2%.1f"},""" +
+      s""""apply_sec_4n":${f"$applySec4%.1f"},""" +
+      s""""total_tokens_n":$tok1,"tokens_scale":${f"${tok4.toDouble / tok1}%.3f"},""" +
+      s""""kernel_eq_replay_total":true,"deterministic":true,""" +
+      s""""copies_identical":true}""")
     System.out.flush()
   }
 }

@@ -144,6 +144,64 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("saturated"))
   }
 
+  test("encode kernel equals replay states word for word — fixture corpus " +
+      "and adversarial dense-alphabet corpora") {
+    // the cursor-encode kernel (Bpe.encodeWord) must be SEQUENTIAL-REPLAY
+    // equivalent, not merely HF-style min-rank-first: dense tiny alphabets
+    // maximize the multi-path-token shapes (the same token string reachable
+    // via two merge orders) where a global min-rank loop can diverge
+    val (merges, states) = Bpe.train(Bpe.wordFreq(docsDf), nMerges = 8)
+    val rank = Bpe.rankMap(merges)
+    states.select(col("word"), split(trim(col("state")), "  "))
+      .as[(String, Seq[String])].collect().foreach { case (w, st) =>
+        assert(Bpe.encodeWord(w, rank).toSeq == st, s"word '$w'")
+      }
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val alpha = if (trial % 2 == 0) "ab" else "abc"
+      val words = (0 until 200)
+        .map(_ => (0 to rng.nextInt(7))
+          .map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+        .filter(_.nonEmpty)
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, (w + " ") * (1 + i % 3)) }
+        .toDF("doc_id", "text")
+      val (m2, s2) = Bpe.trainDriver(Bpe.wordFreq(docs), nMerges = 10)
+      val r2 = Bpe.rankMap(m2)
+      s2.select(col("word"), split(trim(col("state")), "  "))
+        .as[(String, Seq[String])].collect().foreach { case (w, st) =>
+          assert(Bpe.encodeWord(w, r2).toSeq == st,
+            s"trial $trial word '$w': kernel ${Bpe.encodeWord(w, r2).toSeq} " +
+              s"vs replay $st")
+        }
+    }
+  }
+
+  test("tokenizeKernel equals tokenizeCounts per doc; tok_md5 digests the " +
+      "token sequence") {
+    val (merges, _) = Bpe.train(Bpe.wordFreq(docsDf), nMerges = 8)
+    val replay = Bpe.tokenizeCounts(docsDf, merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val kernel = Bpe.tokenizeKernel(docsDf, merges)
+    val counts = kernel.select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(counts == replay,
+      "per-row kernel diverged from the oracle-anchored replay path")
+    val digests = kernel.select(col("doc_id"), col("tok_md5"))
+      .as[(Long, String)].collect().toMap
+    // wordless and empty docs digest the empty token stream identically
+    assert(digests(2L) == digests(3L))
+    // docs with different token sequences must not collide
+    assert(digests(0L) != digests(1L))
+    // the digest is the md5 of the space-joined token stream: recompute
+    // doc 1's from encodeWord directly
+    val rank = Bpe.rankMap(merges)
+    val want = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      refWords(corpus(1)._2)
+        .map(w => Bpe.encodeWord(w, rank).mkString(" ")).mkString(" "))
+    assert(digests(1L) == want)
+  }
+
   test("trained states plan depth is bounded by checkpointing") {
     val (_, states) = Bpe.train(Bpe.wordFreq(docsDf), nMerges = 8)
     // train returns a localCheckpoint, so lineage must not grow with

@@ -727,7 +727,8 @@ class StreamingSpec extends AnyFunSuite {
     }
     val got = spark.table("embdedup_spec_ring").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // within-batch pairs saw all three priors (trim happens at write):
+    // each arrival compares against the (≤ cap) newest live priors at its
+    // moment — the per-arrival ring (round 12, batch-framing-invariant):
     assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) &&
       got.contains((1L, 2L)), s"within-batch pairs missing: $got")
     assert(got.contains((1L, 10L)) && got.contains((2L, 10L)),
@@ -762,6 +763,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     val got = spark.table("neardup_spec_ring").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-arrival ring: arrival i compares against the ≤ cap newest priors
     assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) &&
       got.contains((1L, 2L)), s"within-batch pairs missing: $got")
     assert(got.contains((1L, 10L)) && got.contains((2L, 10L)),
@@ -880,5 +882,207 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy("h").collect().map(r => r.getLong(1)).toSeq
       assert(got == Seq(3L, 1L))
     } finally q.stop()
+  }
+
+  // -----------------------------------------------------------------------
+  // Checkpoint-restart recovery for the transformWithState operators (the
+  // round-11 rewrite's untested surface): stop each near-dup stream
+  // mid-feed, restart a NEW query from the SAME checkpoint, and assert the
+  // union of emitted pairs is identical to the uninterrupted run — the
+  // RocksDB ListState (live priors), the ValueState'd timer bookkeeping,
+  // and the registered timers must all restore. The post-restart chunks
+  // include BOTH a pair against pre-restart state (state restored) and a
+  // watermark jump + stale twin that must NOT pair (expiry still enforced
+  // after restore).
+  // -----------------------------------------------------------------------
+
+  private def tmpCkpt(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ckpt_$tag").toString
+
+  test("embNearDupStream: checkpoint restart restores state + timers; " +
+      "pair set equals the uninterrupted run") {
+    val dim = 8
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(i => (((seed * 31 + i) * 2654435761L % 2001) - 1000)
+        .toFloat / 1000f)
+    val base = Seq(0L -> vec(1), 1L -> vec(2), 2L -> vec(3))
+      .toDF("vec_id", "embedding")
+    val model = graft.index.LshForest.build(base)
+    val cuts = Map.empty[(Int, Int), (Int, Array[Double])]
+    val day = 86400000L
+    val t0 = 30L * day
+    // chunks 1–2 feed priors; chunk 3 pairs a twin against a CHUNK-1 prior
+    // (crosses the restart boundary); chunk 4 jumps the watermark 40 days
+    // and then offers a twin of vec 0 — expired under the 7-day horizon,
+    // so it must NOT pair whether or not the query was restarted.
+    val chunks: Seq[Seq[(Timestamp, Long, Seq[Float])]] = Seq(
+      Seq((new Timestamp(t0), 0L, vec(1)), (new Timestamp(t0 + 1000L), 1L, vec(2))),
+      Seq((new Timestamp(t0 + 2000L), 2L, vec(3))),
+      Seq((new Timestamp(t0 + 3000L), 10L, vec(1)),
+        (new Timestamp(t0 + 4000L), 11L, vec(2))),
+      // the watermark jump gets its OWN batch (the watermark only advances
+      // at batch end), so the stale twin in the LAST chunk meets an
+      // already-advanced watermark: priors expired, no pair — timers + the
+      // in-call prune must both survive the restore
+      Seq((new Timestamp(t0 + 70L * day), 50L, vec(9))),
+      Seq((new Timestamp(t0 + 70L * day + 1000L), 12L, vec(1))))
+
+    def run(stopAfter: Option[Int], tag: String): Set[(Long, Long, Long)] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = tmpCkpt(tag)
+      val outDir = tmpCkpt(s"${tag}_out")
+      val mem = MemoryStream[(Timestamp, Long, Seq[Float])]
+      // parquet FILE sink: the memory sink refuses checkpoint recovery;
+      // the file sink's metadata log is the production recovery surface
+      def start() = StreamOps
+        .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
+          model, cuts, lateness = "7 days")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      StreamOps.withRocksDbStateStore(spark) {
+        val q1 = start()
+        val boundary = stopAfter.getOrElse(chunks.length)
+        try chunks.take(boundary).foreach { c =>
+          mem.addData(c); q1.processAllAvailable()
+        } finally q1.stop()
+        if (boundary < chunks.length) {
+          val q2 = start() // SAME checkpoint dir — recovery path
+          try chunks.drop(boundary).foreach { c =>
+            mem.addData(c); q2.processAllAvailable()
+          } finally q2.stop()
+        }
+      }
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+
+    val uninterrupted = run(None, "full")
+    val restarted = run(Some(2), "half")
+    assert(uninterrupted == Set((0L, 10L, 10000L), (1L, 11L, 10000L)),
+      s"unexpected uninterrupted pairs: $uninterrupted")
+    assert(restarted == uninterrupted,
+      s"restart changed the pair set: $restarted vs $uninterrupted")
+  }
+
+  test("nearDupPairsStream: checkpoint restart restores state + timers; " +
+      "pair set equals the uninterrupted run") {
+    val day = 86400000L
+    val t0 = 30L * day
+    def doc(i: Int): String =
+      (0 until 40).map(w => s"w${i}x$w").mkString(" ")
+    def twin(i: Int): String = doc(i) + " zzztwin"
+    val chunks: Seq[Seq[(Timestamp, Long, String)]] = Seq(
+      Seq((new Timestamp(t0), 0L, doc(1)), (new Timestamp(t0 + 1000L), 1L, doc(2))),
+      Seq((new Timestamp(t0 + 2000L), 2L, doc(3))),
+      Seq((new Timestamp(t0 + 3000L), 10L, twin(1)),
+        (new Timestamp(t0 + 4000L), 11L, twin(2))),
+      // watermark jump in its own batch, then the stale twin (see the
+      // vector test's comment)
+      Seq((new Timestamp(t0 + 70L * day), 50L, doc(9))),
+      Seq((new Timestamp(t0 + 70L * day + 1000L), 12L, twin(1))))
+
+    def run(stopAfter: Option[Int], tag: String): Set[(Long, Long)] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = tmpCkpt(tag)
+      val outDir = tmpCkpt(s"${tag}_out")
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      def start() = StreamOps
+        .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
+          lateness = "7 days")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      StreamOps.withRocksDbStateStore(spark) {
+        val q1 = start()
+        val boundary = stopAfter.getOrElse(chunks.length)
+        try chunks.take(boundary).foreach { c =>
+          mem.addData(c); q1.processAllAvailable()
+        } finally q1.stop()
+        if (boundary < chunks.length) {
+          val q2 = start()
+          try chunks.drop(boundary).foreach { c =>
+            mem.addData(c); q2.processAllAvailable()
+          } finally q2.stop()
+        }
+      }
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    val uninterrupted = run(None, "full")
+    val restarted = run(Some(2), "half")
+    assert(uninterrupted == Set((0L, 10L), (1L, 11L)),
+      s"unexpected uninterrupted pairs: $uninterrupted")
+    assert(restarted == uninterrupted,
+      s"restart changed the pair set: $restarted vs $uninterrupted")
+  }
+
+  test("nearDupPairsStream ring is batch-framing-invariant: one batch vs " +
+      "three batches emit the identical pair set") {
+    // six identical texts through a cap-2 ring: with the per-arrival trim
+    // (round 12) the compare set an arrival sees is the newest cap live
+    // priors REGARDLESS of micro-batch chunking — previously same-batch
+    // arrivals compared against the full untrimmed buffer (ADVICE r11).
+    val text = (0 until 40).map(i => s"tmpl$i").mkString(" ")
+    val t0 = 30L * 86400000L
+    val rows = (0 until 6).map(i =>
+      (new Timestamp(t0 + i * 1000L), i.toLong, text))
+
+    def run(framing: Seq[Seq[(Timestamp, Long, String)]],
+        sink: String): Set[(Long, Long)] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      StreamOps.withRocksDbStateStore(spark) {
+        val q = StreamOps
+          .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
+            lateness = "7 days", occupancyCap = 2)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try framing.foreach { c => mem.addData(c); q.processAllAvailable() }
+        finally q.stop()
+      }
+      spark.table(sink).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    val one = run(Seq(rows), "sig_framing_one")
+    val three = run(rows.grouped(2).toSeq, "sig_framing_three")
+    assert(one == three, s"framing-dependent output: $one vs $three")
+    // the ring semantics themselves: each arrival pairs with exactly the
+    // 2 newest priors
+    val expect = (0 until 6).flatMap(b =>
+      Seq(b - 2, b - 1).filter(_ >= 0).map(a => (a.toLong, b.toLong))).toSet
+    assert(one == expect, s"ring compare set wrong: $one vs $expect")
+  }
+
+  test("ring-cap drop counter: zero on an organic stream, nonzero when the " +
+      "cap bites") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 30L * 86400000L
+    def run(texts: Seq[String], sink: String): Long = {
+      val acc = spark.sparkContext.longAccumulator(s"drops_$sink")
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      StreamOps.withRocksDbStateStore(spark) {
+        val q = StreamOps
+          .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
+            lateness = "7 days", occupancyCap = 2, dropCounter = Some(acc))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try texts.zipWithIndex.grouped(2).foreach { c =>
+          mem.addData(c.map { case (txt, i) =>
+            (new Timestamp(t0 + i * 1000L), i.toLong, txt)
+          })
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      acc.value
+    }
+    val organic = run((0 until 6).map(i =>
+      (0 until 40).map(w => s"doc${i}w$w").mkString(" ")), "drops_organic")
+    assert(organic == 0L, s"organic stream must not drop priors: $organic")
+    val hot = (0 until 40).map(i => s"tmpl$i").mkString(" ")
+    val boiler = run(Seq.fill(6)(hot), "drops_boiler")
+    assert(boiler > 0L, "cap-2 ring over 6 identical texts must report drops")
   }
 }
