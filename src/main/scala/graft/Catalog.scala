@@ -29,6 +29,7 @@ object Catalog {
       catalog.EmbedQueries.qs ++
       catalog.MultimodalQueries.qs ++
       catalog.TextMatchQueries.qs ++
+      catalog.HtmlQueries.qs ++
       catalog.MaintenanceQueries.qs ++
       catalog.GraphQueries.qs ++
       catalog.SourceQueries.qs

@@ -57,6 +57,16 @@ object GenOracleFixtures {
         }
     }
 
+  /** Expected extraction for the 24 adversarial soup pages, computed
+    * through the SAME Html.blocks/extract path the catalog entry runs
+    * (shared extractStats) — `text_html_extract_soup` oracle. */
+  def htmlExtractRows: Seq[(Long, Int, Int, String)] =
+    graft.ops.HtmlFixtures.corpus.map { case (id, html) =>
+      val (nBlocks, nKept, _, main) =
+        graft.catalog.HtmlQueries.extractStats(html)
+      (id, nBlocks, nKept, main)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "fixtures"
@@ -125,7 +135,13 @@ object GenOracleFixtures {
           bitsUdf(col("embedding")).as("bits")),
       s"$outDir/embedding_bits.parquet")
 
-    println(s"[fixtures] wrote 7 fixture parquets to $outDir (bits from $sfDir)")
+    // Frozen expected extraction for the adversarial HTML soup corpus,
+    // through the SAME parser the catalog entry runs.
+    writeOne(
+      htmlExtractRows.toDF("page_id", "n_blocks", "n_kept", "main_text"),
+      s"$outDir/html_extract_expected.parquet")
+
+    println(s"[fixtures] wrote 8 fixture parquets to $outDir (bits from $sfDir)")
     spark.stop()
   }
 

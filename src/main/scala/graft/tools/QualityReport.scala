@@ -41,12 +41,23 @@ object QualityReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Static context so the artifact is self-explaining round over round:
+    // the 8 B adc-only number is an INFORMATION FLOOR, not a regression —
+    // PqPermProbe pinned the permutation-lever ceiling (scoring all 24
+    // seeded candidates directly on corpus recall — overfit by
+    // construction, an upper bound for ANY selector) at 0.52 at sf0.1;
+    // the shipped codes-only answer is the 16 B tier. See SURVEY §8 r11.
+    val context: Map[String, String] = Map(
+      "ann_pq_adc_only_recall_at10" ->
+        (""""permutation_ceiling_sf0.1": 0.52, """ +
+          """"ceiling_source": "PqPermProbe (overfit upper bound)", """ +
+          """"shipped_codes_only_tier": "ann_pq16_adc_only_recall_at10""""))
     def report(sfDir: String): String = {
       val entries = observables.map { name =>
         val row = graft.SparkEntry.queries(name)(spark, sfDir).collect().head
-        val cols = row.schema.fields.zipWithIndex.map { case (f, i) =>
+        val cols = (row.schema.fields.zipWithIndex.map { case (f, i) =>
           s""""${f.name}": ${row.get(i)}"""
-        }.mkString("{", ", ", "}")
+        } ++ context.get(name)).mkString("{", ", ", "}")
         s""""$name": $cols"""
       }
       // MRL is the one ANN family whose per-query hit counts are

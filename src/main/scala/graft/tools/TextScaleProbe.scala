@@ -60,6 +60,12 @@ object TextScaleProbe {
       return
     }
 
+    if (args.nonEmpty && args(0) == "htmlscale") {
+      htmlScaleLeg(spark, n = if (args.length > 1) args(1).toLong else 250000L)
+      spark.stop()
+      return
+    }
+
     val terms = Seq("w10", "w500", "w4000")
 
     for (n <- Seq(250000L, 1000000L)) {
@@ -360,6 +366,83 @@ object TextScaleProbe {
     *  - cost shape: wall at 4n vs n reported — the pass is one narrow map
     *    whose distinct-word cache is saturated by the shared vocabulary,
     *    so wall tracks the scan. */
+  /** HTML extraction at corpus scale (`htmlscale <n>`, round 12): the
+    * sf0.01 DuckDB gate proves the parser lands exactly on the
+    * wrapDocument generative contract; this leg proves the same
+    * equivalence at n and 4n rows INSIDE Spark (contract twin = the
+    * chunk-and-filter pipeline in pure SQL functions — split/slice/
+    * filter/array_join, no UDF) and measures the extraction wall:
+    *
+    *  - route equivalence: per-doc xxhash64 of the parser's extracted
+    *    main text bit-xor'd across the corpus must EQUAL the SQL twin's
+    *    (two independent derivations — a byte-level markup scan vs a
+    *    token-slice expression — of the same strings), plus exact
+    *    kept-count equality; the 43-token docs leave a 3-token tail
+    *    chunk (< 25 chars) so the length filter BITES on every doc;
+    *  - determinism: two parser passes produce the identical digest;
+    *  - cost shape: wall at 4n vs n reported and asserted ≤ 6× — the
+    *    pass is one zero-shuffle projection, so wall tracks the scan. */
+  def htmlScaleLeg(spark: SparkSession, n: Long): Unit = {
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // 43 words/doc: 4 full 10-token chunks (kept) + a 3-token tail
+    // (~17 chars < MinChars, dropped) — both verdicts on every row.
+    def htmlCorpus(m: Long) = spark.range(m).toDF("doc_id")
+      .withColumn("text",
+        expr("""array_join(transform(sequence(0, 42), j ->
+          concat('w', cast((doc_id * 31 + j * j * 7 + doc_id % 97) % 10000
+                           as string))), ' ')"""))
+      .select(col("doc_id"), col("text"))
+
+    val exUdf = udf((t: String) =>
+      graft.catalog.HtmlQueries.extractStats(graft.ops.Html.wrapDocument(t)))
+    def parserRoute(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.select(col("doc_id"), exUdf(col("text")).as("r"))
+        .select(col("doc_id"), col("r._2").cast("long").as("n_kept"),
+          col("r._4").as("main"))
+        .agg(expr("bit_xor(xxhash64(doc_id, main))"), sum("n_kept"),
+          count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def twinRoute(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.select(col("doc_id"), expr(
+        """filter(transform(
+             sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1),
+             j -> array_join(slice(split(text, ' '), j*10+1, 10), ' ')),
+           c -> length(c) >= 25)""").as("chunks"))
+        .select(col("doc_id"), size(col("chunks")).cast("long").as("n_kept"),
+          array_join(col("chunks"), "\n").as("main"))
+        .agg(expr("bit_xor(xxhash64(doc_id, main))"), sum("n_kept")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val base = htmlCorpus(n).localCheckpoint(eager = true)
+    val base4 = htmlCorpus(4 * n).localCheckpoint(eager = true)
+    val ((d1, kept1, rows1), sec1) = time(parserRoute(base))
+    val ((d1b, _, _), sec1b) = time(parserRoute(base))
+    val (td1, tkept1) = twinRoute(base)
+    val ((d4, kept4, _), sec4) = time(parserRoute(base4))
+    val (td4, tkept4) = twinRoute(base4)
+    assert(d1 == d1b, "parser rerun produced a different corpus digest")
+    assert(d1 == td1 && kept1 == tkept1,
+      s"parser route != SQL contract twin at n=$n: " +
+        s"digest $d1 vs $td1, kept $kept1 vs $tkept1")
+    assert(d4 == td4 && kept4 == tkept4,
+      s"parser route != SQL contract twin at n=${4 * n}")
+    assert(kept1 == 4 * rows1, s"expected 4 kept chunks/doc, got $kept1/$rows1")
+    assert(sec4 <= 6 * sec1 + 2.0,
+      f"extraction wall superlinear: $sec1%.1f s at n, $sec4%.1f s at 4n")
+    println(s"""{"probe":"html_scale","n_docs":$n,""" +
+      s""""extract_sec_n":${f"$sec1%.1f"},""" +
+      s""""extract_sec_n_rerun":${f"$sec1b%.1f"},""" +
+      s""""extract_sec_4n":${f"$sec4%.1f"},""" +
+      s""""wall_scale":${f"${sec4 / math.max(sec1, 1e-9)}%.2f"},""" +
+      s""""kept_chunks_n":$kept1,""" +
+      s""""parser_eq_contract_twin":true,"deterministic":true}""")
+    System.out.flush()
+  }
+
   def bpeApplyLeg(
       spark: SparkSession, n: Long, nMerges: Int,
       corpus: Long => org.apache.spark.sql.DataFrame): Unit = {

@@ -92,4 +92,13 @@ class FixtureOracleSpec extends AnyFunSuite {
     val bad = live.collect { case (id, v) if frozen(id) != v => id }
     assert(bad.isEmpty, s"stale fixture rows for vec_ids: ${bad.take(5).toList}")
   }
+
+  test("html extraction fixture matches a live parse of the soup corpus") {
+    val live = GenOracleFixtures.htmlExtractRows.sortBy(_._1)
+    val frozen = spark.read
+      .parquet(Fixtures.path("html_extract_expected.parquet"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(frozen == live,
+      "stale html_extract_expected.parquet — rerun GenOracleFixtures")
+  }
 }
