@@ -126,6 +126,34 @@ class HtmlSpec extends AnyFunSuite {
       == ((6, 0, 0, "")))
   }
 
+  test("crawl cascade strips cross-doc hot chunks and verdicts correctly") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val boiler = "shared boilerplate chunk appearing on many pages"
+    def uniq(i: Int) = s"unique prose chunk number $i with enough characters"
+    // pages 0-3: the shared chunk (df=5 >= 3, stripped everywhere) + two
+    // unique prose chunks each; page 4: the shared chunk + a too-short one
+    // — after the strip it has NOTHING left and must be verdict-dropped
+    val pages = ((0 until 4).map(i =>
+      (i.toLong, s"<p>$boiler</p><p>${uniq(i)}</p><p>${uniq(i + 10)}</p>")) :+
+      (4L, s"<p>$boiler</p><p>tiny</p>"))
+      .toDF("doc_id", "page")
+    val out = graft.catalog.HtmlQueries.crawlFrom(pages)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))
+      .toMap
+    for (i <- 0L until 4L) {
+      val (nBlocks, nKept, nAfter, md5v, keep) = out(i)
+      assert(nBlocks == 3 && nKept == 3 && nAfter == 2 && keep == 1L)
+      assert(md5v == java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${uniq(i.toInt)}\n${uniq(i.toInt + 10)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    }
+    val (b4, k4, a4, m4, keep4) = out(4L)
+    assert(b4 == 2 && k4 == 1 && a4 == 0 && keep4 == 0L)
+    assert(m4 == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+  }
+
   test("soup corpus: every page keeps some prose and drops all chrome links") {
     for ((id, html) <- HtmlFixtures.corpus) {
       val bs = Html.blocks(html)

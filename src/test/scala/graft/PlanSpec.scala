@@ -381,6 +381,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window belongs here:\n$p")
   }
 
+  test("html extract: one zero-shuffle projection per doc, no join, no window") {
+    val p = plan(graft.catalog.HtmlQueries.extract.run(spark, dir))
+    // markup must never leave the executor: the whole parse→segment→
+    // verdict pipeline is a map pass; the only exchange is the output sort
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    assert(!p.contains("Join"), s"extraction must not join:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("Sort"),
+      s"expected only the output sort:\n$p")
+  }
+
+  test("crawl cascade: hot chunks broadcast into a LeftAnti, no corpus window") {
+    val p = plan(graft.catalog.HtmlQueries.crawl.run(spark, dir))
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"cross-doc strip must be a broadcast anti-join against the hot set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the chunks frame shuffled for the strip:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
   test("cluster keep-best: aggregate argmax, no corpus window") {
     val p = plan(
       graft.catalog.DedupQueries.clusterKeepBest.run(spark, dir))

@@ -1085,4 +1085,126 @@ class StreamingSpec extends AnyFunSuite {
     val boiler = run(Seq.fill(6)(hot), "drops_boiler")
     assert(boiler > 0L, "cap-2 ring over 6 identical texts must report drops")
   }
+
+  // -----------------------------------------------------------------------
+  // Checkpoint-restart recovery for the flatMapGroupsWithState operators
+  // (round 12 — completing the recovery story the transformWithState tests
+  // above started): the HDFS-backed state store must restore buffered
+  // rows, counters, shadow-pruned history AND timeout bookkeeping so a
+  // restarted query emits exactly what the uninterrupted one does.
+  // -----------------------------------------------------------------------
+
+  test("asofStream: checkpoint restart restores buffered lefts/rights and " +
+      "shadow pruning; output equals the uninterrupted run") {
+    val t0 = 30L * 86400000L
+    def r(ms: Long, id: Long) = (1L, new Timestamp(t0 + ms), (t0 + ms) * 1000L, 0, id)
+    def l(ms: Long, id: Long) = (1L, new Timestamp(t0 + ms), (t0 + ms) * 1000L, 1, id)
+    val h = 3600000L // 1 hour
+    // chunks 1-2 buffer rights 100/101 and left 1 (nothing ripe under the
+    // 1h lateness); RESTART; chunk 3 buffers left 2; chunk 4's far-future
+    // right advances the watermark so both lefts ripen against RESTORED
+    // rights (left 1 -> right 100, left 2 -> right 101) and the past
+    // rights collapse to the single latest (101); chunk 5's left must
+    // still match that shadow-pruned survivor after another advance.
+    val chunks: Seq[Seq[(Long, Timestamp, Long, Int, Long)]] = Seq(
+      Seq(r(0L, 100L), l(10000L, 1L)),
+      Seq(r(20000L, 101L)),
+      Seq(l(30000L, 2L)),
+      Seq(r(2 * h, 999L)),
+      Seq(l(90 * 60000L, 3L)),
+      Seq(r(4 * h, 998L)))
+
+    def run(stopAfter: Option[Int], tag: String)
+        : Set[(Long, Long, Option[Long], Option[Long])] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_asof_$tag").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_asof_${tag}_out").toString
+      val mem = MemoryStream[(Long, Timestamp, Long, Int, Long)]
+      def start() = StreamOps
+        .asofStream(mem.toDF().toDF("key", "ts", "us", "side", "id"),
+          lateness = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      val boundary = stopAfter.getOrElse(chunks.length)
+      try chunks.take(boundary).foreach { c =>
+        mem.addData(c); q1.processAllAvailable()
+      } finally q1.stop()
+      if (boundary < chunks.length) {
+        val q2 = start()
+        try chunks.drop(boundary).foreach { c =>
+          mem.addData(c); q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      spark.read.parquet(outDir).collect()
+        .map(row => (row.getLong(2),
+          row.getLong(1) / 1000L - t0,
+          Option(row.get(3)).map(_.asInstanceOf[Long]),
+          Option(row.get(4)).map(_.asInstanceOf[Long] / 1000L - t0))).toSet
+    }
+
+    val uninterrupted = run(None, "full")
+    val restarted = run(Some(2), "half")
+    assert(uninterrupted == Set(
+      (1L, 10000L, Some(100L), Some(0L)),
+      (2L, 30000L, Some(101L), Some(20000L)),
+      (3L, 90L * 60000L, Some(101L), Some(20000L))),
+      s"unexpected uninterrupted matches: $uninterrupted")
+    assert(restarted == uninterrupted,
+      s"restart changed the as-of output: $restarted vs $uninterrupted")
+  }
+
+  test("capPerKey: checkpoint restart restores per-key budgets and their " +
+      "expiry; output equals the uninterrupted run") {
+    val t0 = 30L * 86400000L
+    val h = 3600000L
+    // cap 2: key a consumes its full budget PRE-restart, so post-restart
+    // a3 must drop on the RESTORED counter (a fresh one would pass it);
+    // key b has 1 left and passes b2; the watermark jump then expires
+    // both counters and a4 rides a fresh budget.
+    val chunks: Seq[Seq[(String, Timestamp, String)]] = Seq(
+      Seq(("a", new Timestamp(t0), "a1"), ("b", new Timestamp(t0 + 1000L), "b1")),
+      Seq(("a", new Timestamp(t0 + 2000L), "a2")),
+      Seq(("a", new Timestamp(t0 + 3000L), "a3"),
+        ("b", new Timestamp(t0 + 4000L), "b2")),
+      Seq(("c", new Timestamp(t0 + 3 * h), "c1")),
+      Seq(("a", new Timestamp(t0 + 3 * h + 1000L), "a4")))
+
+    def run(stopAfter: Option[Int], tag: String): Set[String] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_cap_$tag").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_cap_${tag}_out").toString
+      val mem = MemoryStream[(String, Timestamp, String)]
+      def start() = StreamOps
+        .capPerKey(mem.toDF().toDF("key", "ts", "id"), cap = 2,
+          lateness = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      val boundary = stopAfter.getOrElse(chunks.length)
+      try chunks.take(boundary).foreach { c =>
+        mem.addData(c); q1.processAllAvailable()
+      } finally q1.stop()
+      if (boundary < chunks.length) {
+        val q2 = start()
+        try chunks.drop(boundary).foreach { c =>
+          mem.addData(c); q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      spark.read.parquet(outDir).collect().map(_.getString(2)).toSet
+    }
+
+    val uninterrupted = run(None, "full")
+    val restarted = run(Some(2), "half")
+    assert(uninterrupted == Set("a1", "b1", "a2", "b2", "c1", "a4"),
+      s"unexpected survivors: $uninterrupted")
+    assert(restarted == uninterrupted,
+      s"restart changed the cap survivors: $restarted vs $uninterrupted")
+  }
 }
