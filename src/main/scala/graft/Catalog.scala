@@ -30,6 +30,7 @@ object Catalog {
       catalog.MultimodalQueries.qs ++
       catalog.TextMatchQueries.qs ++
       catalog.HtmlQueries.qs ++
+      catalog.UrlQueries.qs ++
       catalog.MaintenanceQueries.qs ++
       catalog.GraphQueries.qs ++
       catalog.SourceQueries.qs

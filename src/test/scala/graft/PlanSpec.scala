@@ -400,6 +400,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window belongs here:\n$p")
   }
 
+  test("url dedup: keeper table broadcasts, no window, no shuffle join") {
+    val p = plan(graft.catalog.UrlQueries.urlDedup.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the groups-sized keeper table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the urls frame shuffled for first-wins:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
   test("cluster keep-best: aggregate argmax, no corpus window") {
     val p = plan(
       graft.catalog.DedupQueries.clusterKeepBest.run(spark, dir))

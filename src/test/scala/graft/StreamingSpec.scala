@@ -1207,4 +1207,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(restarted == uninterrupted,
       s"restart changed the cap survivors: $restarted vs $uninterrupted")
   }
+
+  test("topKStream: checkpoint restart restores the bounded leaderboard " +
+      "buffers (Update mode via foreachBatch)") {
+    // k=3; chunk 3 (post-restart) must EVICT a pre-restart candidate —
+    // only possible if the restored buffer still holds all three.
+    // foreachBatch appends (batch_id, rows); the final leaderboard per
+    // query is its rows at that query's LAST update batch, and distinct()
+    // absorbs a replayed post-kill batch (same batch_id appended twice).
+    val chunks: Seq[Seq[(Long, Long, Double)]] = Seq(
+      Seq((1L, 101L, 5.0), (1L, 102L, 3.0), (2L, 110L, 1.0)),
+      Seq((1L, 103L, 4.0)),
+      Seq((1L, 104L, 2.0)),
+      Seq((2L, 111L, 0.5)))
+
+    def run(stopAfter: Option[Int], tag: String)
+        : Map[Long, Seq[(Long, Double, Long)]] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_topk_$tag").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_topk_${tag}_out").toString
+      val mem = MemoryStream[(Long, Long, Double)]
+      def start() = StreamOps
+        .topKStream(mem.toDF().toDF("query_id", "vec_id", "dist"), k = 3)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          df.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(outDir)
+        }.start()
+      val q1 = start()
+      val boundary = stopAfter.getOrElse(chunks.length)
+      try chunks.take(boundary).foreach { c =>
+        mem.addData(c); q1.processAllAvailable()
+      } finally q1.stop()
+      if (boundary < chunks.length) {
+        val q2 = start()
+        try chunks.drop(boundary).foreach { c =>
+          mem.addData(c); q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      val rows = spark.read.parquet(outDir).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))) // (qid, vid, dist, rk, batch_id)
+      rows.groupBy(_._1).map { case (qid, rs) =>
+        val last = rs.map(_._5).max
+        qid -> rs.filter(_._5 == last).sortBy(_._4)
+          .map(t => (t._2, t._3, t._4)).toSeq
+      }
+    }
+
+    val expected = Map(
+      1L -> Seq((104L, 2.0, 1L), (102L, 3.0, 2L), (103L, 4.0, 3L)),
+      2L -> Seq((111L, 0.5, 1L), (110L, 1.0, 2L)))
+    val uninterrupted = run(None, "full")
+    val restarted = run(Some(2), "half")
+    assert(uninterrupted == expected,
+      s"unexpected final leaderboards: $uninterrupted")
+    assert(restarted == uninterrupted,
+      s"restart changed the leaderboards: $restarted vs $uninterrupted")
+  }
 }
