@@ -41,8 +41,13 @@ object HtmlQueries {
     "text_html_extract",
     (s, dir) => {
       val exUdf = udf((t: String) => extractStats(Html.wrapDocument(t)))
+      // coalesce(text, ''): a NULL-text doc must chunk to the same empty
+      // page on BOTH engines (the oracle's string_split(NULL) would
+      // otherwise drop the row entirely) — same invariant as
+      // dedup_cluster_keep_best's
       Tables.documents(s, dir)
-        .select(col("doc_id"), exUdf(col("text")).as("r"))
+        .select(col("doc_id"),
+          exUdf(coalesce(col("text"), lit(""))).as("r"))
         .select(col("doc_id"),
           col("r._1").cast("long").as("n_blocks"),
           col("r._2").cast("long").as("n_kept"),
@@ -55,7 +60,7 @@ object HtmlQueries {
     // count = 6 chrome blocks (title, nav, 3 aside <li>, footer) +
     // nonempty chunks. See Html.wrapDocument for the census.
     Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+      WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
                  FROM documents),
       b AS (SELECT doc_id, toks, ((len(toks) + 9) // 10)::BIGINT AS n_chunks
             FROM w),
@@ -115,6 +120,9 @@ object HtmlQueries {
     val base = pages.select(col("doc_id"), keptUdf(col(pageCol)).as("r"))
       .select(col("doc_id"), col("r._1").cast("long").as("n_blocks"),
         col("r._2").as("kept"))
+      .localCheckpoint(eager = true) // parse markup once, not per consumer
+    // (three consumers below: the df count, the anti-join probe side, and
+    // the final per-doc stats — the multimodal decode-once convention)
     val chunks = base.select(col("doc_id"),
       posexplode(col("kept")).as(Seq("pos", "chunk")))
     // cross-doc boilerplate: any extracted chunk on >= minDf pages is
@@ -161,10 +169,11 @@ object HtmlQueries {
     (s, dir) => {
       val pageUdf = udf((t: String) => Html.wrapDocument(t))
       crawlFrom(Tables.documents(s, dir)
-        .select(col("doc_id"), pageUdf(col("text")).as("page")))
+        .select(col("doc_id"),
+          pageUdf(coalesce(col("text"), lit(""))).as("page")))
     },
     Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+      WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
                  FROM documents),
       b AS (SELECT doc_id, toks, ((len(toks) + 9) // 10)::BIGINT AS n_chunks
             FROM w),

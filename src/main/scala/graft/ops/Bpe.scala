@@ -333,11 +333,18 @@ object Bpe {
     * without bound. */
   private object EncodeCache {
     private val MaxEntries = 1 << 20
+    private val MaxTables = 4
     private val maps = new java.util.concurrent.ConcurrentHashMap[
       Long, java.util.concurrent.ConcurrentHashMap[String, String]]()
-    def get(tableId: Long): java.util.concurrent.ConcurrentHashMap[String, String] =
+    def get(tableId: Long): java.util.concurrent.ConcurrentHashMap[String, String] = {
+      // MaxEntries caps ONE table's cache; this caps the map of tables —
+      // a long-lived executor retraining daily would otherwise pin every
+      // historical vocabulary forever (cleared wholesale: pure memo, the
+      // only cost of losing warm entries is re-encoding distinct words)
+      if (maps.size() >= MaxTables && !maps.containsKey(tableId)) maps.clear()
       maps.computeIfAbsent(tableId,
         _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
     def put(cache: java.util.concurrent.ConcurrentHashMap[String, String],
         word: String, enc: String): Unit =
       if (cache.size() < MaxEntries) cache.put(word, enc)
@@ -396,11 +403,15 @@ object Bpe {
 
   /** Per-JVM rank-map cache (built once per executor per merge table). */
   private object KernelRanks {
+    private val MaxTables = 4
     private val maps = new java.util.concurrent.ConcurrentHashMap[
       Long, java.util.HashMap[String, Integer]]()
     def get(tableId: Long, merges: Array[Merge])
-        : java.util.HashMap[String, Integer] =
+        : java.util.HashMap[String, Integer] = {
+      // same table-count bound as EncodeCache (retrain-loop leak guard)
+      if (maps.size() >= MaxTables && !maps.containsKey(tableId)) maps.clear()
       maps.computeIfAbsent(tableId, _ => rankMap(merges.toSeq))
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -150,15 +150,26 @@ object Html {
           val name = html.substring(t0, j).toLowerCase
           if (name.isEmpty) { appendChar('<'); i += 1 } // "</>" / "< x": stray
           else {
-            // to tag end; a quoted attribute value may contain '>'
+            // to tag end; a quoted attribute value may contain '>', and a
+            // '/' inside an UNQUOTED value (<a href=/about/>) is part of
+            // the value — not a self-close marker (HTML5 tokenizer rules)
             var q: Char = 0
+            var expectValue = false
+            var inUnquoted = false
             while (j < n && (q != 0 || html.charAt(j) != '>')) {
               val cj = html.charAt(j)
               if (q != 0) { if (cj == q) q = 0 }
-              else if (cj == '"' || cj == '\'') q = cj
+              else if (expectValue && !cj.isWhitespace) {
+                if (cj == '"' || cj == '\'') q = cj else inUnquoted = true
+                expectValue = false
+              }
+              else if (cj == '=' && !inUnquoted) expectValue = true
+              else if (cj.isWhitespace) inUnquoted = false
+              else if ((cj == '"' || cj == '\'') && !inUnquoted) q = cj
               j += 1
             }
-            val selfClose = j > t0 && j < n && html.charAt(j - 1) == '/'
+            val selfClose =
+              j > t0 && j < n && html.charAt(j - 1) == '/' && !inUnquoted
             i = if (j < n) j + 1 else n
             if (!closing && (name == "script" || name == "style") && !selfClose) {
               // raw-text element: nothing inside is markup or content —

@@ -61,26 +61,30 @@ object StreamOps {
     * on the same session while this wrapper holds the temporary provider
     * (or an overlapping wrap restoring it mid-body) could start under the
     * wrong provider and fail at runtime. All wraps therefore serialize on
-    * a JVM-wide reentrant lock — nesting on one thread stays legal, and
-    * when the session's provider is ALREADY RocksDB the wrapper is a pure
-    * pass-through (no mutation, no lock contention window). */
+    * a JVM-wide reentrant lock — nesting on one thread stays legal. The
+    * already-RocksDB check happens INSIDE the lock: an unlocked fast path
+    * could observe another wrap's TEMPORARY setting and then start its
+    * query after that wrap restored the original provider — the exact
+    * race the lock exists to close. (A session configured RocksDB
+    * permanently pays lock serialization here; production sets the
+    * provider in the session builder and never calls this wrapper.) */
   def withRocksDbStateStore[T](s: org.apache.spark.sql.SparkSession)
       (body: => T): T = {
     val k = "spark.sql.streaming.stateStore.providerClass"
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    if (s.conf.getOption(k).contains(rocks)) body
-    else {
-      rocksLock.lock()
-      try {
-        val prev = s.conf.getOption(k)
+    rocksLock.lock()
+    try {
+      val prev = s.conf.getOption(k)
+      if (prev.contains(rocks)) body
+      else {
         s.conf.set(k, rocks)
         try body finally prev match {
           case Some(v) => s.conf.set(k, v)
           case None => s.conf.unset(k)
         }
-      } finally rocksLock.unlock()
-    }
+      }
+    } finally rocksLock.unlock()
   }
 
   private val rocksLock = new java.util.concurrent.locks.ReentrantLock()

@@ -346,26 +346,6 @@ object TextScaleProbe {
     System.out.flush()
   }
 
-  /** Production-merge-count tokenizer APPLY leg (`bpeapply <n> <nMerges>`,
-    * round 12): bpedeep proved TRAINING past the 24-merge oracle window;
-    * this leg proves the ENCODE path there — the actual trainer-feed step,
-    * `Bpe.tokenizeKernel`'s per-row cursor encode applying the full
-    * `nMerges` (default 8,192) table to every document. Self-gated without
-    * DuckDB, like bpedeep:
-    *
-    *  - replay equivalence at production scale: the kernel's corpus total
-    *    token count must EQUAL sum(freq · n_tok) over the trainer's own
-    *    final states — two independent derivations (per-row cursor encode
-    *    vs the vocabulary-table literal-replace replay) of one number,
-    *    asserted exactly (BpeSpec gates the same equality word-for-word);
-    *  - determinism: two kernel passes over the corpus must produce the
-    *    identical order-free digest of (doc_id, tok_md5) pairs;
-    *  - 4-copy invariance: on an exact 4-copy corpus every copy of a doc
-    *    must encode to the IDENTICAL token-sequence digest and the corpus
-    *    total must be exactly 4.000×, asserted;
-    *  - cost shape: wall at 4n vs n reported — the pass is one narrow map
-    *    whose distinct-word cache is saturated by the shared vocabulary,
-    *    so wall tracks the scan. */
   /** HTML extraction at corpus scale (`htmlscale <n>`, round 12): the
     * sf0.01 DuckDB gate proves the parser lands exactly on the
     * wrapDocument generative contract; this leg proves the same
@@ -443,6 +423,26 @@ object TextScaleProbe {
     System.out.flush()
   }
 
+  /** Production-merge-count tokenizer APPLY leg (`bpeapply <n> <nMerges>`,
+    * round 12): bpedeep proved TRAINING past the 24-merge oracle window;
+    * this leg proves the ENCODE path there — the actual trainer-feed step,
+    * `Bpe.tokenizeKernel`'s per-row cursor encode applying the full
+    * `nMerges` (default 8,192) table to every document. Self-gated without
+    * DuckDB, like bpedeep:
+    *
+    *  - replay equivalence at production scale: the kernel's corpus total
+    *    token count must EQUAL sum(freq · n_tok) over the trainer's own
+    *    final states — two independent derivations (per-row cursor encode
+    *    vs the vocabulary-table literal-replace replay) of one number,
+    *    asserted exactly (BpeSpec gates the same equality word-for-word);
+    *  - determinism: two kernel passes over the corpus must produce the
+    *    identical order-free digest of (doc_id, tok_md5) pairs;
+    *  - 4-copy invariance: on an exact 4-copy corpus every copy of a doc
+    *    must encode to the IDENTICAL token-sequence digest and the corpus
+    *    total must be exactly 4.000×, asserted;
+    *  - cost shape: wall at 4n vs n reported — the pass is one narrow map
+    *    whose distinct-word cache is saturated by the shared vocabulary,
+    *    so wall tracks the scan. */
   def bpeApplyLeg(
       spark: SparkSession, n: Long, nMerges: Int,
       corpus: Long => org.apache.spark.sql.DataFrame): Unit = {

@@ -102,6 +102,25 @@ class HtmlSpec extends AnyFunSuite {
     assert(!Html.blocks(s"<p>${"a" * 24}</p>").head.keep)
   }
 
+  test("unquoted attribute values ending in '/' are not self-closing (HTML5)") {
+    // real crawls write <a href=/about/> unquoted: the '/' is part of the
+    // VALUE, so the anchor must OPEN and its text must count as link chars
+    // — a self-close misparse here keeps link-dense nav as main content
+    val nav = "<nav><a href=/>Home</a> <a href=/about/>About us</a> " +
+      "<a href=/contact/>Contact page</a></nav>"
+    val b = Html.blocks(nav).head
+    assert(b.text == "Home About us Contact page")
+    assert(b.linkBp == 10000 && !b.keep)
+    // genuinely self-closed forms still work
+    assert(Html.blocks("<p>alpha beta<br/>gamma delta</p>").map(_.text)
+      == Vector("alpha beta", "gamma delta"))
+    // a '/' inside a QUOTED value before '>' is not self-closing either,
+    // and a true <a/> self-close opens no link context
+    assert(Html.blocks(s"<p>${"x" * 30} <a/>${"y" * 30}</p>").head.linkBp == 0)
+    assert(Html.blocks(s"""<p>${"x" * 30} <a href="/y/">${"y" * 10}</a></p>""")
+      .head.linkNonWs == 10)
+  }
+
   test("stray < in prose and trailing < are literal text") {
     assert(Html.blocks("<p>1 < 2 and x <3 end<</p>").head.text
       == "1 < 2 and x <3 end<")
