@@ -339,9 +339,15 @@ object Bpe {
     def get(tableId: Long): java.util.concurrent.ConcurrentHashMap[String, String] = {
       // MaxEntries caps ONE table's cache; this caps the map of tables —
       // a long-lived executor retraining daily would otherwise pin every
-      // historical vocabulary forever (cleared wholesale: pure memo, the
-      // only cost of losing warm entries is re-encoding distinct words)
-      if (maps.size() >= MaxTables && !maps.containsKey(tableId)) maps.clear()
+      // historical vocabulary forever. Evict ONE arbitrary table rather
+      // than clearing wholesale: with > MaxTables tables active
+      // concurrently in a JVM, a full clear on every miss would thrash
+      // every other table's warm entries (pure memo either way — the only
+      // cost of losing entries is re-encoding distinct words).
+      if (maps.size() >= MaxTables && !maps.containsKey(tableId)) {
+        val it = maps.keys()
+        if (it.hasMoreElements) maps.remove(it.nextElement())
+      }
       maps.computeIfAbsent(tableId,
         _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
     }

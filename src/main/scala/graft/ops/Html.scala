@@ -171,9 +171,14 @@ object Html {
             val selfClose =
               j > t0 && j < n && html.charAt(j - 1) == '/' && !inUnquoted
             i = if (j < n) j + 1 else n
-            if (!closing && (name == "script" || name == "style") && !selfClose) {
+            if (!closing && (name == "script" || name == "style")) {
               // raw-text element: nothing inside is markup or content —
-              // "</p>" bait in a JS string must not end a block
+              // "</p>" bait in a JS string must not end a block. selfClose
+              // is deliberately IGNORED here: per the HTML5 tokenizer a
+              // solidus on a raw-text start tag (`<script src="x" />`,
+              // XHTML style, common in crawls) still opens the element,
+              // so the scan runs to the matching close tag — honoring the
+              // marker would leak the script body into extracted text.
               val close = "</" + name
               val e = indexOfIgnoreCase(html, close, i)
               if (e < 0) i = n
@@ -222,22 +227,43 @@ object Html {
     * ≥ 25-char chunks, and the DuckDB oracle replays this generative
     * contract in pure SQL (chunking + length filter) with no frozen
     * fixture: block count = 6 chrome blocks + nonempty chunks. Chunking
-    * splits on single spaces to match the oracle's `string_split`. */
+    * splits on single spaces to match the oracle's `string_split`.
+    *
+    * SINGLE-SPACE INVARIANT: the contract only holds for text whose
+    * tokens are separated by exactly one space with no tabs/newlines and
+    * no leading/trailing space — the parser collapses whitespace runs and
+    * trims block edges, while the oracle's `string_split`/`len` see the
+    * raw string, so any other whitespace would make the two sides diverge.
+    * Enforced here so a future fixture regeneration fails with a clear
+    * message instead of a bare md5 mismatch (both SFs verified clean). */
   def wrapDocument(text: String): String = {
+    require(text == null || (!text.contains("  ") &&
+        !text.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        !text.startsWith(" ") && !text.endsWith(" ")),
+      "wrapDocument generative contract requires single-space-separated " +
+        "tokens (no whitespace runs/tabs/newlines/edge spaces); got: " +
+        text.take(80))
     val toks = if (text == null) Array("") else text.split(" ", -1)
     val paras = toks.grouped(10)
       .map(g => s"<p>${escapeText(g.mkString(" "))}</p>").mkString
+    PageHead + paras + PageTail
+  }
+
+  /** [[wrapDocument]]'s fixed chrome, split at the `<article>` paragraph
+    * insertion point and exposed so the `q_source_warc` oracle can
+    * reconstruct the page generatively in SQL (the strings interpolate
+    * into a single-quoted SQL literal — they must never contain `'`). */
+  val PageHead: String =
     "<!DOCTYPE html><html><head><title>Synthetic Page</title>" +
       "<script type=\"text/javascript\">var n = 1 < 2; var bait = \"</p>\";</script>" +
       "<style>.nav a { color: #00f; }</style></head><body>" +
       "<!-- chrome below must be dropped by length or link density -->" +
       "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
-      "<a href=\"/contact\">Contact</a></nav>" +
-      s"<article>$paras</article>" +
-      "<aside><ul><li><a href=\"/r1\">Related article one</a></li>" +
+      "<a href=\"/contact\">Contact</a></nav><article>"
+  val PageTail: String =
+    "</article><aside><ul><li><a href=\"/r1\">Related article one</a></li>" +
       "<li><a href=\"/r2\">Related article two</a></li>" +
       "<li><a href=\"/r3\">More related</a></li></ul></aside>" +
       "<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a>" +
       " &#169; 2026 Example Corp</footer></body></html>"
-  }
 }

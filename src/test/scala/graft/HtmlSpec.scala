@@ -60,6 +60,20 @@ class HtmlSpec extends AnyFunSuite {
       "before", "after paragraph text long enough to keep"))
   }
 
+  test("self-close marker on script/style still opens the raw-text mode") {
+    // HTML5: the solidus on <script src="x" /> is ignored — the element
+    // opens and everything to </script> is raw text, so the JS body must
+    // NOT leak into extracted blocks (XHTML-style markup is common in
+    // real crawls). Same for <style/>.
+    val h = "<p>before paragraph text long enough to keep</p>" +
+      "<script src=\"x.js\" />var leaked = \"this is not content\";</script>" +
+      "<style />p { color: red } .leak { z: 1 }</style>" +
+      "<p>after paragraph text long enough to keep</p>"
+    assert(Html.blocks(h).map(_.text) == Vector(
+      "before paragraph text long enough to keep",
+      "after paragraph text long enough to keep"))
+  }
+
   test("unclosed <p> flushes at the next block tag") {
     val bs = Html.blocks(
       "<p>first paragraph never closed but long enough to keep" +
