@@ -1812,11 +1812,15 @@ ${affineSigCtes("MATERIALIZED")},
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
       val sink = s"stream_neardup_exec_sink_${DedupSinkIds.next()}"
+      // drop observability: ring evictions from this run surface in the
+      // QUALITY artifact via StreamDropStats (expected 0 on the fixture)
+      val drops = s.sparkContext.longAccumulator("stream_neardup_exec_drops")
       graft.streaming.StreamOps.withRocksDbStateStore(s) {
         graft.streaming.StreamOps.withShufflePartitions(s, 8) {
           val q = graft.streaming.StreamOps
             .nearDupPairsStream(
-              mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days")
+              mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days",
+              dropCounter = Some(drops))
             .writeStream.format("memory").queryName(sink)
             .outputMode("append").start()
           try {
@@ -1827,6 +1831,7 @@ ${affineSigCtes("MATERIALIZED")},
           } finally q.stop()
         }
       }
+      graft.streaming.StreamDropStats.record("stream_neardup_exec", drops.value)
       s.table(sink)
         .select(col("doc_a"), col("doc_b"), col("n_agree").cast("long").as("n_agree"))
         .distinct().orderBy("doc_a", "doc_b")
@@ -1897,12 +1902,14 @@ ${affineSigCtes("MATERIALIZED")},
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
       val sink = s"stream_neardup_fast_exec_sink_${DedupSinkIds.next()}"
+      val drops =
+        s.sparkContext.longAccumulator("stream_neardup_fast_exec_drops")
       graft.streaming.StreamOps.withRocksDbStateStore(s) {
         graft.streaming.StreamOps.withShufflePartitions(s, 8) {
           val q = graft.streaming.StreamOps
             .nearDupPairsStream(
               mem.toDF().toDF("ts", "doc_id", "text"), lateness = "7 days",
-              family = "affine")
+              family = "affine", dropCounter = Some(drops))
             .writeStream.format("memory").queryName(sink)
             .outputMode("append").start()
           try {
@@ -1913,6 +1920,8 @@ ${affineSigCtes("MATERIALIZED")},
           } finally q.stop()
         }
       }
+      graft.streaming.StreamDropStats
+        .record("stream_neardup_fast_exec", drops.value)
       s.table(sink)
         .select(col("doc_a"), col("doc_b"), col("n_agree").cast("long").as("n_agree"))
         .distinct().orderBy("doc_a", "doc_b")
@@ -1976,11 +1985,12 @@ ${affineSigCtes("MATERIALIZED")},
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
       val sink = s"stream_embdedup_exec_sink_${DedupSinkIds.next()}"
+      val drops = s.sparkContext.longAccumulator("stream_embdedup_exec_drops")
       graft.streaming.StreamOps.withRocksDbStateStore(s) {
         graft.streaming.StreamOps.withShufflePartitions(s, 8) {
           val q = graft.streaming.StreamOps
             .embNearDupStream(mem.toDF().toDF("ts", "vec_id", "embedding"),
-              model, cuts)
+              model, cuts, dropCounter = Some(drops))
             .writeStream.format("memory").queryName(sink)
             .outputMode("append").start()
           try {
@@ -1991,6 +2001,7 @@ ${affineSigCtes("MATERIALIZED")},
           } finally q.stop()
         }
       }
+      graft.streaming.StreamDropStats.record("stream_embdedup_exec", drops.value)
       s.table(sink)
         .select(col("vec_a"), col("vec_b"),
           col("cos_1e4").cast("long").as("cos_1e4"))

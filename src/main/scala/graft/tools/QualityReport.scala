@@ -70,8 +70,22 @@ object QualityReport {
       val mrl = f""""ann_mrl_recall_at10": {"recall_at_10": ${
         mrlHits.toDouble / (10.0 * mrlRows.length)}%.4f, "n_queries": ${
         mrlRows.length}, "hash_gated": true}"""
+      // Ring-drop observability (VERDICT r12 ask 5): run the three
+      // streaming near-dup gates and surface their occupancy-ring drop
+      // totals next to the recall observables. Expected 0 on the fixture
+      // corpora — a nonzero here means the cap started biting (recall
+      // silently degrades at the bitten buckets), which was previously
+      // visible only by re-running probes outside the round artifacts.
+      val dropGates = Seq(
+        "stream_neardup_exec", "stream_neardup_fast_exec",
+        "stream_embdedup_exec")
+      val ringDrops = dropGates.map { name =>
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        s""""$name": ${graft.streaming.StreamDropStats.get(name)
+          .map(_.toString).getOrElse("null")}"""
+      }.mkString("{", ", ", "}")
       s"""{"sf": "$sfDir", "observables": ${
-        (entries :+ mrl).mkString("{", ", ", "}")}}"""
+        (entries :+ mrl).mkString("{", ", ", "}")}, "ring_drops": $ringDrops}"""
     }
     val json =
       if (sfDirs.size == 1) report(sfDirs.head)
