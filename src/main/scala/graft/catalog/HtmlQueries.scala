@@ -18,7 +18,12 @@ import graft.ops.{Html, HtmlFixtures}
   *    (chunking + ≥ 25-char filter) rather than the parser — so the
   *    extraction pipeline (tag scan, script skip, entity decode,
   *    density/length verdicts) must land exactly on what the contract
-  *    promises, cross-engine, at every SF.
+  *    promises, cross-engine, at every SF. The contract requires
+  *    single-space-separated document text (no whitespace runs, tabs,
+  *    newlines, or edge spaces — the parser normalizes whitespace, the
+  *    SQL sees it raw); [[Html.wrapDocument]] enforces this with a clear
+  *    failure message so a fixture change can never surface as a bare
+  *    md5 mismatch.
   *  - `text_html_extract_soup` runs the parser over 24 adversarial
   *    tag-soup pages ([[HtmlFixtures]]) whose expected extraction is
   *    frozen by GenOracleFixtures and staleness-gated in
@@ -123,14 +128,29 @@ object HtmlQueries {
       .localCheckpoint(eager = true) // parse markup once, not per consumer
     // (three consumers below: the df count, the anti-join probe side, and
     // the final per-doc stats — the multimodal decode-once convention)
-    val chunks = base.select(col("doc_id"),
-      posexplode(col("kept")).as(Seq("pos", "chunk")))
     // cross-doc boilerplate: any extracted chunk on >= minDf pages is
     // site chrome the DENSITY rule can't see (repeated PROSE, not links)
-    val hot = chunks.groupBy("chunk")
+    val hot = base
+      .select(col("doc_id"), explode(col("kept")).as("chunk"))
+      .groupBy("chunk")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select("chunk")
+    assembleClean(base, hot, minChunks)
+  }
+
+  /** The cascade's post-parse stages, shared by the batch [[crawlFrom]]
+    * and the `stream_crawl_exec` serving layer (which supplies `hot`
+    * from the MAINTAINED chunk-df rollup instead of recomputing it):
+    * hot-chunk broadcast anti-join, line-order-preserving reassembly,
+    * and the ≥ `minChunks` keep verdict. `base` is (doc_id, n_blocks,
+    * kept) — already parsed, markup long gone. */
+  private[graft] def assembleClean(
+      base: org.apache.spark.sql.DataFrame,
+      hot: org.apache.spark.sql.DataFrame,
+      minChunks: Int): org.apache.spark.sql.DataFrame = {
+    val chunks = base.select(col("doc_id"),
+      posexplode(col("kept")).as(Seq("pos", "chunk")))
     val clean = chunks.join(broadcast(hot), Seq("chunk"), "left_anti")
     val reassembled = clean.groupBy("doc_id")
       .agg(count(lit(1)).as("n_after"),
@@ -206,5 +226,100 @@ object HtmlQueries {
       FROM b JOIN nb USING (doc_id) LEFT JOIN agg USING (doc_id)
       ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(extract, soup, crawl)
+  /** The crawl cascade STARTING FROM ARCHIVE BYTES — [[crawl]] with its
+    * page input read through the record-framed archive source
+    * ([[graft.sources.Warc]]) instead of synthesized in-plan: raw
+    * concatenated records → Content-Length framing → (url, html) rows →
+    * the identical extraction/hot-chunk/reassembly cascade. Same oracle
+    * as `doc_pipeline_crawl`, so the gate proves the archive roundtrip is
+    * invisible to the pipeline — the last untested stage boundary
+    * (raw bytes → page rows) is now inside a hash gate. */
+  val crawlWarc = Q(
+    "doc_pipeline_crawl_warc",
+    (s, dir) => crawlFrom(
+      graft.sources.Warc.readWarc(s, graft.sources.Warc.warcFixture(s, dir))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("html").as("page"))),
+    crawl.oracle)
+
+  private object CrawlRunIds {
+    private val n = new java.util.concurrent.atomic.AtomicLong(0)
+    def next(): Long = n.incrementAndGet()
+  }
+
+  /** The crawl front-end under REAL micro-batch streaming execution
+    * (VERDICT r12 ask 4) — every stage of `doc_pipeline_crawl`, but
+    * continuous: each document is fetched once under its clean url and
+    * REFETCHED in a later micro-batch under a noisy variant
+    * (`HTTPS://WWW.…:443//doc//<id>/?utm_source=feed#frag`) that
+    * [[graft.ops.Url.canonicalize]] maps to the same canonical form —
+    * so stage 0's keyed first-wins state must drop every refetch across
+    * batch boundaries before its markup is parsed. Survivors flow
+    * through per-row extraction into the maintenance sink
+    * ([[graft.streaming.StreamOps.maintainCrawl]]): an append-only
+    * parsed-page store plus the incrementally-maintained chunk-df
+    * rollup (the `stream_bm25_exec` maintained-store pattern). Serving
+    * reads both and finishes the cascade via the SAME [[assembleClean]]
+    * stage as the batch entry. Oracle: `doc_pipeline_crawl`'s, verbatim
+    * — the continuously-maintained front-end must land on the identical
+    * hash as the batch rebuild (refetches contribute nothing, the
+    * rollup's summed per-batch dfs equal the batch cascade's
+    * count_distinct). Restart coverage lives in StreamingSpec (kill
+    * mid-feed, resume from the checkpoint, same hash). */
+  val streamCrawlExec = Q(
+    "stream_crawl_exec",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val pageUdf = udf((t: String) => Html.wrapDocument(t))
+      val fetches = docs.select(col("doc_id"),
+          concat(lit("https://www.example.com/doc/"), col("doc_id")).as("url"),
+          pageUdf(col("text")).as("page"))
+        .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("HTTPS://WWW.Example.com:443//doc//"), col("doc_id"),
+            lit("/?utm_source=feed#frag")).as("url"),
+          pageUdf(col("text")).as("page")))
+      val rows = StreamFeed.collectCapped(fetches
+        .select(
+          // refetch shares its original's event time (+1e6 s epoch-0
+          // guard) — arrival ORDER, not time, separates the batches
+          timestamp_micros((col("doc_id") % 100000 + 1000000L) * 1000000L)
+            .as("ts"),
+          col("doc_id"), col("url"), col("page"))
+        .as[(java.sql.Timestamp, Long, String, String)], "stream_crawl_exec")
+        .sortBy(_._2)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String, String)]
+      val runId = CrawlRunIds.next()
+      val docStore = s"/tmp/graft_stream_crawl/docs_$runId"
+      val dfStore = s"/tmp/graft_stream_crawl/df_$runId"
+      val ckpt = s"/tmp/graft_stream_crawl/ckpt_$runId"
+      Seq(docStore, dfStore, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps.maintainCrawl(
+          graft.streaming.StreamOps.crawlIngestStream(
+            mem.toDF().toDF("ts", "doc_id", "url", "page"), lateness = "7 days"),
+          docStore, dfStore, ckpt)
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
+      val base = graft.streaming.StreamOps.currentCrawlDocs(s, docStore).get
+      val hot = graft.streaming.StreamOps.currentRollup(s, dfStore).get
+        .filter(col("n") >= 3).select("chunk")
+      assembleClean(base, hot, minChunks = 2)
+    },
+    crawl.oracle)
+
+  def qs: Seq[Q] = Seq(extract, soup, crawl, crawlWarc, streamCrawlExec)
 }

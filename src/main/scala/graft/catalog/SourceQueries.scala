@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Catalog.Q
-import graft.sources.TextSources
+import graft.sources.{TextSources, Warc}
 
 /** Format round-trip gates (`sources/TextSources.scala`): the documents
   * corpus is written to JSONL / CSV once per JVM, read back through the
@@ -54,5 +54,52 @@ object SourceQueries {
       fidelity(TextSources.readOrc(s, TextSources.orcFixture(s, dir))),
     Some(fidelityOracle))
 
-  def qs: Seq[Q] = Seq(jsonlRoundtrip, csvRoundtrip, orcRoundtrip)
+  /** Record-framed crawl-archive ingest ([[graft.sources.Warc]]) — the
+    * "raw archive bytes → page rows" stage upstream of the whole crawl
+    * cascade. The fixture archive is GENERATIVE (url/date/payload all
+    * deterministic functions of the documents table — see
+    * [[graft.sources.Warc.warcFixture]]), so the DuckDB oracle
+    * reconstructs every record field from the original parquet: the url
+    * by concatenation, the fetch time from the doc_id-derived epoch, and
+    * the payload by replaying [[graft.ops.Html.wrapDocument]]'s page
+    * synthesis in SQL (chunking, entity escape, fixed chrome strings) —
+    * any byte lost or reframed anywhere in write → concatenate → scan →
+    * Content-Length parse → UTF-8 decode flips the md5. */
+  val warcRoundtrip = Q(
+    "q_source_warc",
+    (s: SparkSession, dir: String) =>
+      Warc.readWarc(s, Warc.warcFixture(s, dir))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("url"),
+          unix_seconds(col("fetch_ts")).as("fetch_unix"),
+          octet_length(col("html")).cast("long").as("n_bytes"),
+          md5(col("html").cast("binary")).as("html_md5"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, toks, ((len(toks) + 9) // 10)::BIGINT AS n_chunks
+            FROM w),
+      chunks AS (SELECT doc_id, j AS chunk_no,
+                        array_to_string(toks[(j*10+1):(j*10+10)], ' ') AS chunk
+                 FROM b, unnest(range(0, n_chunks)) t(j)),
+      paras AS (SELECT doc_id,
+                       string_agg('<p>' || replace(replace(replace(chunk,
+                           '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                         || '</p>', '' ORDER BY chunk_no) AS paras
+                FROM chunks GROUP BY doc_id),
+      page AS (SELECT w.doc_id,
+                      '${graft.ops.Html.PageHead}' || coalesce(p.paras, '')
+                        || '${graft.ops.Html.PageTail}' AS page
+               FROM w LEFT JOIN paras p USING (doc_id))
+      SELECT doc_id,
+             'https://www.example.com/doc/' || doc_id AS url,
+             (1000000 + doc_id)::BIGINT AS fetch_unix,
+             strlen(page)::BIGINT AS n_bytes,
+             md5(page) AS html_md5
+      FROM page ORDER BY doc_id"""))
+
+  def qs: Seq[Q] = Seq(jsonlRoundtrip, csvRoundtrip, orcRoundtrip, warcRoundtrip)
 }

@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Html
+
+/** Record-framed crawl-archive source — the "raw bytes → page rows" stage
+  * a real pipeline runs BEFORE url dedup and extraction (reference
+  * analogue: the CLI's file ingestion, main.rs:331-334, which meets
+  * documents as raw files; a web-scale pipeline meets them as WARC
+  * archives). The format here is the WARC SHAPE without needing real WARC
+  * fixtures: concatenated records per file, each
+  *
+  * {{{
+  * WARC/1.0\r\n
+  * WARC-Target-URI: <url>\r\n
+  * WARC-Date: <iso-8601>\r\n
+  * Content-Length: <payload bytes>\r\n
+  * \r\n
+  * <payload>\r\n\r\n
+  * }}}
+  *
+  * Framing is by `Content-Length` ONLY — a payload containing `WARC/1.0`
+  * or header-looking lines must not desynchronize the parser (the
+  * archive-format property that makes HTML payloads safe to embed).
+  * Unparseable garbage between records is skipped by scanning to the next
+  * record magic, and a record whose declared length overruns the file is
+  * dropped (truncated tail fetch) — both lenient paths a crawl demands.
+  *
+  * 100 TB shape: archives arrive as many ~1 GB files and the FILE is the
+  * parallelism unit (`binaryFile` scan → per-file record parse in a
+  * flatMap), exactly how production WARC readers split work; record
+  * parsing is linear in file bytes, markup never shuffles, and everything
+  * downstream (canonical-url dedup, extraction) stays map-side. The
+  * whole-file read model matches the format: WARC members are not
+  * mid-file splittable without an index.
+  */
+object Warc {
+
+  val Magic = "WARC/1.0"
+
+  final case class Record(url: String, fetchTs: java.sql.Timestamp, html: String)
+
+  /** Parse one archive's bytes into records (lenient, Content-Length
+    * framed). Header names are case-insensitive; unknown headers are
+    * ignored; a record missing Content-Length or a parseable date is
+    * skipped (scan resumes at the next magic). */
+  def parseRecords(bytes: Array[Byte]): Iterator[Record] = new Iterator[Record] {
+    private val magic = Magic.getBytes(StandardCharsets.US_ASCII)
+    private var pos = 0
+    private var nextRec: Record = _
+    advance()
+
+    private def indexOfMagic(from: Int): Int = {
+      var i = math.max(from, 0)
+      val last = bytes.length - magic.length
+      while (i <= last) {
+        var j = 0
+        while (j < magic.length && bytes(i + j) == magic(j)) j += 1
+        if (j == magic.length) return i
+        i += 1
+      }
+      -1
+    }
+
+    /** The next CRLF (or lone LF) at/after `from`; returns (lineEnd,
+      * nextLineStart) or null past the end. */
+    private def lineEnd(from: Int): (Int, Int) = {
+      var i = from
+      while (i < bytes.length) {
+        if (bytes(i) == '\n') {
+          val e = if (i > from && bytes(i - 1) == '\r') i - 1 else i
+          return (e, i + 1)
+        }
+        i += 1
+      }
+      null
+    }
+
+    private def advance(): Unit = {
+      nextRec = null
+      while (nextRec == null && pos < bytes.length) {
+        val at = indexOfMagic(pos)
+        if (at < 0) { pos = bytes.length; return }
+        // header block: lines to the first empty line
+        var cur = lineEnd(at) match { case null => bytes.length case (_, n) => n }
+        var url: String = null
+        var date: String = null
+        var len = -1L
+        var ok = cur < bytes.length
+        var done = false
+        while (ok && !done) {
+          lineEnd(cur) match {
+            case null => ok = false
+            case (e, n) =>
+              if (e == cur) { done = true; cur = n } // empty line: headers end
+              else {
+                val line = new String(bytes, cur, e - cur, StandardCharsets.UTF_8)
+                val c = line.indexOf(':')
+                if (c > 0) {
+                  val k = line.substring(0, c).trim.toLowerCase
+                  val v = line.substring(c + 1).trim
+                  k match {
+                    case "warc-target-uri" => url = v
+                    case "warc-date" => date = v
+                    case "content-length" =>
+                      len = try v.toLong catch { case _: NumberFormatException => -1L }
+                    case _ => () // unknown headers flow through
+                  }
+                }
+                cur = n
+              }
+          }
+        }
+        if (!ok || len < 0 || url == null || date == null ||
+            cur + len > bytes.length) {
+          pos = at + magic.length // malformed/truncated: rescan past magic
+        } else {
+          val payload =
+            new String(bytes, cur, len.toInt, StandardCharsets.UTF_8)
+          val ts =
+            try java.sql.Timestamp.from(java.time.Instant.parse(date))
+            catch { case _: Throwable => null }
+          pos = cur + len.toInt
+          if (ts == null) pos = at + magic.length
+          else nextRec = Record(url, ts, payload)
+        }
+      }
+    }
+
+    override def hasNext: Boolean = nextRec != null
+    override def next(): Record = {
+      val r = nextRec; advance(); r
+    }
+  }
+
+  /** Archive files under `path` → (url, fetch_ts, html) rows. One task
+    * per archive file (the WARC parallelism unit); `binaryFile` streams
+    * whole files, so executor memory bounds archive size exactly as real
+    * WARC processing does (~1 GB members). */
+  def readWarc(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(b => parseRecords(b).map(r => (r.url, r.fetchTs, r.html)))
+      .toDF("url", "fetch_ts", "html")
+  }
+
+  /** One record's bytes (fixture writer side of [[parseRecords]]). */
+  def recordBytes(url: String, isoDate: String, payload: Array[Byte]): Array[Byte] = {
+    val header = (s"$Magic\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\nWARC-Date: $isoDate\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val out = new Array[Byte](header.length + payload.length + 4)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(payload, 0, out, header.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  private val cache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Per-JVM archive fixture: the documents corpus as 8 concatenated
+    * archive files under /tmp — url `https://www.example.com/doc/<id>`,
+    * date epoch `1000000 + doc_id` seconds, payload the deterministic
+    * [[Html.wrapDocument]] page — so the DuckDB oracle can reconstruct
+    * every record field generatively from the original parquet (no frozen
+    * fixture). Task-side local-file writes: test scaffolding, not the
+    * production write path (a crawler writes archives, engines read them). */
+  def warcFixture(s: SparkSession, dir: String): String =
+    cache.getOrElseUpdate(s"warc|$dir", {
+      val p = "/tmp/graft_sources/warc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val f = new java.io.File(p)
+      org.apache.commons.io.FileUtils.deleteQuietly(f)
+      f.mkdirs()
+      Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .repartition(8, col("doc_id"))
+        .foreachPartition { (it: Iterator[Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(s"$p/part-$pid.warc"))
+          try it.foreach { r =>
+            val id = r.getLong(0)
+            val iso = java.time.Instant.ofEpochSecond(1000000L + id).toString
+            out.write(recordBytes(
+              s"https://www.example.com/doc/$id", iso,
+              Html.wrapDocument(r.getString(1))
+                .getBytes(StandardCharsets.UTF_8)))
+          } finally out.close()
+        }
+      p
+    })
+}

@@ -60,21 +60,36 @@ object StreamOps {
     * The session conf is SHARED mutable state: a concurrent query start
     * on the same session while this wrapper holds the temporary provider
     * (or an overlapping wrap restoring it mid-body) could start under the
-    * wrong provider and fail at runtime. All wraps therefore serialize on
-    * a JVM-wide reentrant lock — nesting on one thread stays legal. The
-    * already-RocksDB check happens INSIDE the lock: an unlocked fast path
-    * could observe another wrap's TEMPORARY setting and then start its
-    * query after that wrap restored the original provider — the exact
-    * race the lock exists to close. (A session configured RocksDB
-    * permanently pays lock serialization here; production sets the
-    * provider in the session builder and never calls this wrapper.) */
+    * wrong provider and fail at runtime. Wraps coordinate on a JVM-wide
+    * read-write lock: a wrap that MUTATES the conf holds the write lock
+    * for set → body → restore, while a wrap that finds RocksDB already
+    * configured runs its body under a READ lock — so a session
+    * permanently configured for RocksDB (production: provider set in the
+    * session builder) keeps concurrent streaming, and the already-rocks
+    * observation is still race-free (no mutating wrap is mid-flight while
+    * any read lock is held, so the observed value is the session's own
+    * stable setting, never another wrap's temporary). Nesting on one
+    * thread stays legal: write→write is reentrant, and a nested wrap
+    * under a held write lock sees rocks already set and takes the read
+    * lock, which the lock permits alongside its own write hold. A
+    * read-to-write upgrade cannot arise — under a read lock the provider
+    * IS RocksDB, so nested wraps always take the pass-through path. */
   def withRocksDbStateStore[T](s: org.apache.spark.sql.SparkSession)
       (body: => T): T = {
     val k = "spark.sql.streaming.stateStore.providerClass"
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    rocksLock.lock()
+    val read = rocksLock.readLock()
+    read.lock()
+    // finally runs AFTER `body` is evaluated, so the pass-through body
+    // executes entirely under the read lock.
+    try { if (s.conf.getOption(k).contains(rocks)) return body }
+    finally read.unlock()
+    val write = rocksLock.writeLock()
+    write.lock()
     try {
+      // re-read under the write lock: the conf may have changed between
+      // the read-locked check and acquiring the write lock
       val prev = s.conf.getOption(k)
       if (prev.contains(rocks)) body
       else {
@@ -84,10 +99,11 @@ object StreamOps {
           case None => s.conf.unset(k)
         }
       }
-    } finally rocksLock.unlock()
+    } finally write.unlock()
   }
 
-  private val rocksLock = new java.util.concurrent.locks.ReentrantLock()
+  private val rocksLock =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   /** Event-time windowed aggregation with a watermark: events per hour per
     * type (count + value sum). On a stream this is incremental state with
@@ -797,6 +813,91 @@ object StreamOps {
         if (!batch.isEmpty) applyRollupBatch(batch, id, storePath, keys, sumCols)
       }
       .start()
+
+  /** Streaming crawl front-end, stages 0–1 (VERDICT r12 ask 4): URL
+    * canonical FIRST-WINS dedup ([[graft.ops.Url.canonicalize]] — the
+    * same per-row kernel as the batch `dedup_url_canonical`, keyed state
+    * in the `dropDuplicatesWithinWatermark` shape so a refetch of the
+    * same page under scheme/host/port/tracking-param noise is dropped
+    * before its markup is ever parsed), then per-row main-content
+    * extraction ([[graft.ops.Html.blocks]] — map-side, markup never
+    * shuffles or enters state; state holds canonical urls only, expiring
+    * past the watermark). Emits (doc_id, canon_url, n_blocks, kept) —
+    * the per-page parse result the maintenance sink absorbs.
+    * Duplicates farther apart than `lateness` hand off to the batch
+    * `dedup_url_canonical` pass (the [[dedupByContentStream]] policy). */
+  def crawlIngestStream(
+      pages: DataFrame, lateness: String = "7 days"): DataFrame = {
+    val canonUdf = udf((u: String) => graft.ops.Url.canonicalize(u))
+    val keptUdf = udf((h: String) => {
+      val bs = graft.ops.Html.blocks(h)
+      (bs.size, bs.filter(_.keep).map(_.text))
+    })
+    pages
+      .withColumn("canon_url", canonUdf(col("url")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("canon_url")
+      .select(col("doc_id"), col("canon_url"), keptUdf(col("page")).as("r"))
+      .select(col("doc_id"), col("canon_url"),
+        col("r._1").cast("long").as("n_blocks"), col("r._2").as("kept"))
+  }
+
+  /** Apply one micro-batch of parsed pages to the two crawl stores —
+    * [[applyRollupBatch]]'s idempotency contract on both:
+    *
+    *  - `docStore`: APPEND-ONLY epoch dirs (`v=<batchId>`, `_SUCCESS`
+    *    committed, replay no-ops) holding each page's parse result; no
+    *    GC — every committed epoch is live data, the postings-store
+    *    shape, compaction is a separate maintenance concern;
+    *  - `dfStore`: the chunk document-frequency ROLLUP (`chunk` → n),
+    *    maintained via the incremental-view algebra — per-epoch cost
+    *    tracks the batch's chunk delta, never the accumulated corpus.
+    *
+    * The per-batch `distinct()` makes n a true document frequency: a
+    * chunk repeated within one page counts once, and a page's chunks
+    * land in exactly one epoch (the row exists once past url dedup), so
+    * summing per-batch counts across epochs equals the batch cascade's
+    * `count_distinct(doc_id)`. */
+  def applyCrawlBatch(
+      batch: DataFrame, batchId: Long, docStore: String,
+      dfStore: String): Unit = {
+    val s = batch.sparkSession
+    if (!committedVersions(s, docStore).exists(_ >= batchId))
+      batch.write.mode("overwrite").parquet(s"$docStore/v=$batchId")
+    val delta = batch
+      .select(col("doc_id"), explode(col("kept")).as("chunk"))
+      .distinct()
+      .select(col("chunk"))
+    applyRollupBatch(delta, batchId, dfStore, Seq("chunk"), Seq.empty)
+  }
+
+  /** Streaming maintenance for the crawl front-end: each micro-batch of
+    * [[crawlIngestStream]] output lands in the doc store and folds into
+    * the chunk-df rollup. The serving layer reads both
+    * ([[currentCrawlDocs]] + [[currentRollup]]) and finishes the cascade
+    * (hot-chunk anti-join, reassembly, verdict) — emitting final docs
+    * from inside the stream is impossible in append mode because a chunk
+    * becoming hot retroactively changes pages emitted epochs ago (the
+    * same argument as [[maintainComponents]]). */
+  def maintainCrawl(
+      ingested: DataFrame, docStore: String, dfStore: String,
+      checkpoint: String): StreamingQuery =
+    ingested.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) applyCrawlBatch(batch, id, docStore, dfStore)
+      }
+      .start()
+
+  /** Every committed page parse in the doc store (union of committed
+    * epochs), if any batch has committed. */
+  def currentCrawlDocs(
+      s: org.apache.spark.sql.SparkSession,
+      docStore: String): Option[DataFrame] = {
+    val vs = committedVersions(s, docStore)
+    if (vs.isEmpty) None
+    else Some(s.read.parquet(vs.map(v => s"$docStore/v=$v"): _*))
+  }
 
   /** The current maintained component labeling at `storePath` (latest
     * committed version), if any batch has ever committed. */

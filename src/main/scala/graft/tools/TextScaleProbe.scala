@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text/retrieval operators at corpus scale — the probe backing SURVEY
@@ -62,6 +62,12 @@ object TextScaleProbe {
 
     if (args.nonEmpty && args(0) == "htmlscale") {
       htmlScaleLeg(spark, n = if (args.length > 1) args(1).toLong else 250000L)
+      spark.stop()
+      return
+    }
+
+    if (args.nonEmpty && args(0) == "crawlscale") {
+      crawlScaleLeg(spark, n = if (args.length > 1) args(1).toLong else 1000000L)
       spark.stop()
       return
     }
@@ -420,6 +426,111 @@ object TextScaleProbe {
       s""""wall_scale":${f"${sec4 / math.max(sec1, 1e-9)}%.2f"},""" +
       s""""kept_chunks_n":$kept1,""" +
       s""""parser_eq_contract_twin":true,"deterministic":true}""")
+    System.out.flush()
+  }
+
+  /** Archive-scale crawl-cascade shuffle probe (`crawlscale <n>`, round
+    * 13): the claim "markup never shuffles" as a MEASURED number. n
+    * synthetic pages (default 1M) in the wrapDocument shape — ~500 B of
+    * chrome markup per page around ~250 B of prose, every 5th page
+    * prefixed with a shared 10-token boilerplate chunk so the hot-chunk
+    * stage (df ≥ 3) has real work — run the full `doc_pipeline_crawl`
+    * cascade while a SparkListener sums task shuffle-WRITE bytes:
+    *
+    *  - markup >= 2x extracted text (the synthesis really is
+    *    markup-heavy, like a crawl);
+    *  - total shuffle bytes <= 4x RAW extracted-text bytes (the df agg
+    *    and the reassembly each shuffle extracted CHUNKS, nothing more —
+    *    wire bytes are lz4-compressed, so this is a loose ceiling);
+    *  - the COUNTERFACTUAL discriminator (compression-proof, the
+    *    unclustered-basket-probe pattern): the same cascade behind a
+    *    `repartition` of the raw pages — the naive "balance the input
+    *    first" plan a non-Spark-first port would write, which pushes
+    *    every markup byte through the wire exactly once — must shuffle
+    *    >= 1.4x the cascade's own volume, both sides identically
+    *    compressed;
+    *  - correctness spot-gate: the boilerplate chunk is stripped from
+    *    every page (sum(n_after) = 3n exactly, all verdicts keep), on
+    *    BOTH plans.
+    *
+    * At 100 TB the cascade's network cost is therefore bounded by the
+    * extracted-prose fraction of the crawl (~10-25% of bytes), not the
+    * crawl itself. */
+  def crawlScaleLeg(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // 30 unique tokens/doc (3 exact 10-token chunks, each >= 25 chars);
+    // every 5th doc gets the shared boilerplate PREFIX chunk (10 tokens,
+    // chunk-aligned so it is bit-identical across docs)
+    val boiler = (0 until 10).map(i => s"boilertoken$i").mkString(" ")
+    val pages = spark.range(n).toDF("doc_id")
+      .withColumn("text",
+        expr("""array_join(transform(sequence(0, 29), j ->
+          concat('u', cast(doc_id as string), 'x',
+                 cast((j * j * 7 + doc_id % 97) % 10000 as string))), ' ')"""))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")))
+    val sized = pages
+      .withColumn("page",
+        udf((t: String) => graft.ops.Html.wrapDocument(t)).apply(col("text")))
+    val sizes = sized
+      .agg(sum(octet_length(col("page"))), sum(octet_length(col("text"))))
+      .head()
+    val (markupBytes, textBytes) = (sizes.getLong(0), sizes.getLong(1))
+
+    def measure(pagesDf: org.apache.spark.sql.DataFrame): (Long, Double, Row) = {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val agg = graft.catalog.HtmlQueries.crawlFrom(pagesDf)
+        .agg(sum("n_after"), sum("keep"), count(lit(1))).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously: poll until stable
+      var prev = -1L
+      var spins = 0
+      while (prev != shuffleBytes.get() && spins < 40) {
+        prev = shuffleBytes.get(); Thread.sleep(250); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      (shuffleBytes.get(), wall, agg)
+    }
+
+    val pagesOnly = sized.select(col("doc_id"), col("page"))
+    val (shuf, wall, agg) = measure(pagesOnly)
+    // counterfactual: markup through the wire exactly once before parse
+    val (shufBad, wallBad, aggBad) =
+      measure(pagesOnly.repartition(64, col("doc_id")))
+
+    for ((a, tag) <- Seq(agg -> "cascade", aggBad -> "counterfactual")) {
+      assert(a.getLong(2) == n && a.getLong(1) == n,
+        s"$tag dropped pages: ${a.getLong(2)} rows, ${a.getLong(1)} kept")
+      assert(a.getLong(0) == 3 * n,
+        s"$tag boilerplate not stripped exactly: " +
+          s"sum(n_after)=${a.getLong(0)} != ${3 * n}")
+    }
+    assert(markupBytes >= 2 * textBytes,
+      s"synthesis not markup-heavy: markup $markupBytes, text $textBytes")
+    assert(shuf <= 4 * textBytes,
+      s"shuffle exceeds 4x extracted text: $shuf vs text $textBytes")
+    assert(shufBad >= (1.4 * shuf).toLong,
+      s"markup-shuffling counterfactual not distinguishable: $shufBad vs $shuf" +
+        " — markup may be riding the cascade's shuffles")
+    println(s"""{"probe":"crawl_scale","n_pages":$n,""" +
+      s""""markup_bytes":$markupBytes,"extracted_text_bytes":$textBytes,""" +
+      s""""shuffle_write_bytes":$shuf,""" +
+      s""""shuffle_write_bytes_markup_shuffled":$shufBad,""" +
+      s""""counterfactual_ratio":${f"${shufBad.toDouble / math.max(shuf, 1L)}%.2f"},""" +
+      s""""shuffle_vs_text":${f"${shuf.toDouble / textBytes}%.2f"},""" +
+      s""""cascade_sec":${f"$wall%.1f"},""" +
+      s""""cascade_sec_markup_shuffled":${f"$wallBad%.1f"},""" +
+      s""""boiler_stripped_exact":true,"markup_never_shuffles":true}""")
     System.out.flush()
   }
 

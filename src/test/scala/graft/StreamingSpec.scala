@@ -1268,4 +1268,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(restarted == uninterrupted,
       s"restart changed the leaderboards: $restarted vs $uninterrupted")
   }
+
+  test("crawl front-end stream: checkpoint restart keeps url-dedup state " +
+      "and both stores; serving equals the uninterrupted run") {
+    // 6 pages: a boilerplate chunk shared by pages 0-2 (df 3, hot) plus
+    // unique prose; pages 3-5 unique prose only. Refetches of pages 0 and
+    // 3 arrive under noisy url variants in LATER chunks — page 0's
+    // refetch lands AFTER the restart boundary while its original landed
+    // before it, so dropping it proves the dedup state restored.
+    val boiler = Seq.fill(6)("shared").mkString(" ") // 40 chars, kept
+    def uniq(i: Long) = s"unique prose for page $i padded to length"
+    def page(i: Long) =
+      if (i <= 2) s"<p>$boiler</p><p>${uniq(i)}</p>" else s"<p>${uniq(i)}</p>"
+    val day = 86400000L
+    def row(id: Long, noisy: Boolean): (Timestamp, Long, String, String) = (
+      new Timestamp(30L * day + id * 1000L),
+      if (noisy) id + 100 else id,
+      if (noisy) s"HTTPS://WWW.Example.com:443//doc//$id/?utm_source=x#f"
+      else s"https://www.example.com/doc/$id",
+      page(id))
+    // refetches live in their own later chunk so every drop is CROSS-batch
+    // (intra-batch survivor choice between two doc_ids would be racy);
+    // with the restart boundary after chunk 2, both originals land before
+    // the stop and both refetches after it — dropping them proves the
+    // url-dedup state restored from the checkpoint.
+    val chunks: Seq[Seq[(Timestamp, Long, String, String)]] = Seq(
+      Seq(row(0, noisy = false), row(1, noisy = false), row(2, noisy = false)),
+      Seq(row(3, noisy = false)),
+      Seq(row(0, noisy = true), row(3, noisy = true)),
+      Seq(row(4, noisy = false), row(5, noisy = false)))
+
+    def run(stopAfter: Option[Int], tag: String)
+        : Seq[(Long, Long, Long, Long, String, Long)] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = tmpCkpt(tag)
+      val docStore = tmpCkpt(s"${tag}_docs")
+      val dfStore = tmpCkpt(s"${tag}_df")
+      val mem = MemoryStream[(Timestamp, Long, String, String)]
+      def start() = StreamOps.maintainCrawl(
+        StreamOps.crawlIngestStream(
+          mem.toDF().toDF("ts", "doc_id", "url", "page"), lateness = "7 days"),
+        docStore, dfStore, ckpt)
+      val q1 = start()
+      val boundary = stopAfter.getOrElse(chunks.length)
+      try chunks.take(boundary).foreach { c =>
+        mem.addData(c); q1.processAllAvailable()
+      } finally q1.stop()
+      if (boundary < chunks.length) {
+        val q2 = start() // SAME checkpoint + stores — recovery path
+        try chunks.drop(boundary).foreach { c =>
+          mem.addData(c); q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      val base = StreamOps.currentCrawlDocs(spark, docStore).get
+      val hot = StreamOps.currentRollup(spark, dfStore).get
+        .filter(col("n") >= 3).select("chunk")
+      graft.catalog.HtmlQueries.assembleClean(base, hot, minChunks = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getLong(5))).toSeq
+    }
+
+    val uninterrupted = run(None, "crawl_full")
+    val restarted = run(Some(2), "crawl_half")
+    // exactly the 6 originals survive (both refetches dropped by url
+    // state); pages 0-2 lose the hot boilerplate chunk, keep their prose
+    assert(uninterrupted.map(_._1) == (0L to 5L).toSeq,
+      s"unexpected surviving docs: ${uninterrupted.map(_._1)}")
+    for ((docId, nBlocks, nKept, nAfter, _, keep) <- uninterrupted) {
+      val expBlocks = if (docId <= 2) 2L else 1L
+      assert(nBlocks == expBlocks && nKept == expBlocks && nAfter == 1L &&
+        keep == 1L, s"doc $docId: ($nBlocks, $nKept, $nAfter, $keep)")
+    }
+    assert(restarted == uninterrupted,
+      s"restart changed the served cascade:\n$restarted\nvs\n$uninterrupted")
+  }
 }
