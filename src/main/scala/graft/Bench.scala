@@ -159,20 +159,25 @@ object Bench {
     // as fit, most expensive first (the perf-relevant tail of the
     // distribution), plus a pointer to the complete map.
     val MaxLine = 1800
-    // The head counts against MaxLine too: a run with many/long errors
-    // would otherwise blow the budget through the uncapped errJson and
-    // reproduce the very truncation this cap exists to prevent — exactly
-    // the runs where the artifact matters most. Stdout gets at most 5
-    // errors at 100 chars each plus the full count; the complete messages
-    // are in BENCH_LOCAL.json.
-    val errStdout = errors.take(5)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(100))}" }
-      .mkString("{", ",", "}")
     // over_2x on stdout is capped like errors (full list in BENCH_LOCAL):
-    // the count is always present, so a clean run shows n_over_2x:0.
-    val over2xStdout = over2x.take(8).mkString("[", ",", "]")
-    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","loadavg":$loadJson,"n_other_java":$nJava,"baseline":$baseJson,"n_over_2x":${over2x.size},"over_2x":$over2xStdout,"n_errors":${errors.size},"errors":$errStdout,"sf":"$sfDir","queries":{"""
+    // the counts are always present, so a clean run shows n_over_2x:0.
+    // The head itself must fit the budget: a bad run with escape-heavy
+    // error messages PLUS many breach entries could push an uncapped head
+    // past MaxLine and reproduce the mid-line truncation the cap exists
+    // to prevent — so the head degrades (drop the over_2x list, then
+    // shrink errors) until it fits; the full detail is in BENCH_LOCAL.
     val tailPart = "}}"
+    def buildHead(nOver: Int, nErr: Int, errChars: Int): String = {
+      val errStdout = errors.take(nErr)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(errChars))}" }
+        .mkString("{", ",", "}")
+      val over2xStdout = over2x.take(nOver).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","loadavg":$loadJson,"n_other_java":$nJava,"baseline":$baseJson,"n_over_2x":${over2x.size},"over_2x":$over2xStdout,"n_errors":${errors.size},"errors":$errStdout,"sf":"$sfDir","queries":{"""
+    }
+    val head = Seq((8, 5, 100), (0, 5, 100), (0, 3, 60), (0, 0, 0))
+      .map((buildHead _).tupled)
+      .find(_.length + tailPart.length <= MaxLine)
+      .getOrElse(buildHead(0, 0, 0))
     val entries = results.sortBy(-_._2).map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
     val sb = new StringBuilder(head)
     var first = true

@@ -32,6 +32,15 @@ import graft.ops.{Html, HtmlFixtures}
   */
 object HtmlQueries {
 
+  /** Cascade thresholds, stated once: a chunk on ≥ [[CrawlMinDf]] pages
+    * is cross-doc boilerplate; a page keeps iff ≥ [[CrawlMinChunks]]
+    * chunks survive the strip. The batch entry, the streaming gate's
+    * serving layer, and the shared SQL oracle all read these — two
+    * independent statements of the thresholds silently diverging was a
+    * review finding. */
+  val CrawlMinDf = 3
+  val CrawlMinChunks = 2
+
   /** Shared result shape: (n_blocks, n_kept, n_chars, main_text) — also
     * used by GenOracleFixtures (fixture rows bit-identical to the catalog
     * entry by construction) and HtmlSpec. */
@@ -116,12 +125,9 @@ object HtmlQueries {
     * first; the spec feeds hand-built pages). */
   private[graft] def crawlFrom(
       pages: org.apache.spark.sql.DataFrame,
-      minDf: Int = 3, minChunks: Int = 2,
+      minDf: Int = CrawlMinDf, minChunks: Int = CrawlMinChunks,
       pageCol: String = "page"): org.apache.spark.sql.DataFrame = {
-    val keptUdf = udf((h: String) => {
-      val bs = Html.blocks(h)
-      (bs.size, bs.filter(_.keep).map(_.text))
-    })
+    val keptUdf = udf((h: String) => Html.parseStats(h))
     val base = pages.select(col("doc_id"), keptUdf(col(pageCol)).as("r"))
       .select(col("doc_id"), col("r._1").cast("long").as("n_blocks"),
         col("r._2").as("kept"))
@@ -192,7 +198,7 @@ object HtmlQueries {
         .select(col("doc_id"),
           pageUdf(coalesce(col("text"), lit(""))).as("page")))
     },
-    Some("""
+    Some(s"""
       WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
                  FROM documents),
       b AS (SELECT doc_id, toks, ((len(toks) + 9) // 10)::BIGINT AS n_chunks
@@ -210,7 +216,7 @@ object HtmlQueries {
              FROM chunks GROUP BY doc_id),
       hot AS (SELECT chunk FROM (
                 SELECT chunk, count(DISTINCT doc_id) AS df
-                FROM keptc GROUP BY chunk) WHERE df >= 3),
+                FROM keptc GROUP BY chunk) WHERE df >= $CrawlMinDf),
       clean AS (SELECT k.doc_id, k.chunk_no, k.chunk
                 FROM keptc k LEFT JOIN hot h ON h.chunk = k.chunk
                 WHERE h.chunk IS NULL),
@@ -221,7 +227,7 @@ object HtmlQueries {
       SELECT b.doc_id, nb.n_blocks, nb.n_kept,
              coalesce(agg.n_after, 0) AS n_after,
              coalesce(agg.main_md5, md5('')) AS main_md5,
-             (CASE WHEN coalesce(agg.n_after, 0) >= 2
+             (CASE WHEN coalesce(agg.n_after, 0) >= $CrawlMinChunks
                    THEN 1 ELSE 0 END)::BIGINT AS keep
       FROM b JOIN nb USING (doc_id) LEFT JOIN agg USING (doc_id)
       ORDER BY doc_id"""))
@@ -316,8 +322,8 @@ object HtmlQueries {
       }
       val base = graft.streaming.StreamOps.currentCrawlDocs(s, docStore).get
       val hot = graft.streaming.StreamOps.currentRollup(s, dfStore).get
-        .filter(col("n") >= 3).select("chunk")
-      assembleClean(base, hot, minChunks = 2)
+        .filter(col("n") >= CrawlMinDf).select("chunk")
+      assembleClean(base, hot, minChunks = CrawlMinChunks)
     },
     crawl.oracle)
 

@@ -212,6 +212,15 @@ object Html {
   def extract(html: String): String =
     blocks(html).iterator.filter(_.keep).map(_.text).mkString("\n")
 
+  /** (block count, kept block texts) — the per-page parse result BOTH the
+    * batch crawl cascade and the streaming front-end consume; one shared
+    * kernel so the two gates (which share one oracle) cannot silently
+    * diverge on the keep rule. */
+  def parseStats(html: String): (Int, Seq[String]) = {
+    val bs = blocks(html)
+    (bs.size, bs.filter(_.keep).map(_.text))
+  }
+
   /** Minimal escape so arbitrary text survives the markup roundtrip
     * (decode ∘ escape = identity on the three specials). */
   def escapeText(s: String): String =

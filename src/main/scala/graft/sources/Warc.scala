@@ -116,9 +116,17 @@ object Warc {
               }
           }
         }
-        if (!ok || len < 0 || url == null || date == null ||
+        if (ok && len >= 0 && url != null && date != null &&
             cur + len > bytes.length) {
-          pos = at + magic.length // malformed/truncated: rescan past magic
+          // WELL-FORMED header but the declared payload overruns the file:
+          // a truncated tail fetch. Everything after the header is known
+          // to be payload — rescanning into it could resurrect embedded
+          // record bait as ghost records (the desync the Content-Length
+          // framing exists to prevent), so the record is dropped and the
+          // scan STOPS.
+          pos = bytes.length
+        } else if (!ok || len < 0 || url == null || date == null) {
+          pos = at + magic.length // malformed: rescan past this magic
         } else {
           val payload =
             new String(bytes, cur, len.toInt, StandardCharsets.UTF_8)

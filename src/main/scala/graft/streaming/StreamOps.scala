@@ -72,8 +72,15 @@ object StreamOps {
     * thread stays legal: write→write is reentrant, and a nested wrap
     * under a held write lock sees rocks already set and takes the read
     * lock, which the lock permits alongside its own write hold. A
-    * read-to-write upgrade cannot arise — under a read lock the provider
-    * IS RocksDB, so nested wraps always take the pass-through path. */
+    * read-to-write upgrade cannot arise for one session — under a read
+    * lock that session's provider IS RocksDB, so nested wraps on it take
+    * the pass-through path. The one shape that would need an upgrade is
+    * CROSS-SESSION nesting: a pass-through body (session A, read lock
+    * held) wrapping a DIFFERENT session B that is not yet RocksDB.
+    * ReentrantReadWriteLock cannot upgrade, so that acquire would
+    * self-deadlock — guarded below with a loud IllegalStateException
+    * (wrap B before A, or configure B's provider in its builder; no
+    * caller in this codebase nests across sessions). */
   def withRocksDbStateStore[T](s: org.apache.spark.sql.SparkSession)
       (body: => T): T = {
     val k = "spark.sql.streaming.stateStore.providerClass"
@@ -85,6 +92,13 @@ object StreamOps {
     // executes entirely under the read lock.
     try { if (s.conf.getOption(k).contains(rocks)) return body }
     finally read.unlock()
+    if (rocksLock.getReadHoldCount > 0)
+      throw new IllegalStateException(
+        "withRocksDbStateStore: cross-session nesting — this thread is " +
+          "inside a pass-through wrap (read lock held) and the inner " +
+          "session's provider is not RocksDB; acquiring the write lock " +
+          "here would self-deadlock (no read->write upgrade). Wrap the " +
+          "non-RocksDB session first, or set its provider in the builder.")
     val write = rocksLock.writeLock()
     write.lock()
     try {
@@ -829,10 +843,7 @@ object StreamOps {
   def crawlIngestStream(
       pages: DataFrame, lateness: String = "7 days"): DataFrame = {
     val canonUdf = udf((u: String) => graft.ops.Url.canonicalize(u))
-    val keptUdf = udf((h: String) => {
-      val bs = graft.ops.Html.blocks(h)
-      (bs.size, bs.filter(_.keep).map(_.text))
-    })
+    val keptUdf = udf((h: String) => graft.ops.Html.parseStats(h))
     pages
       .withColumn("canon_url", canonUdf(col("url")))
       .withWatermark("ts", lateness)
@@ -885,7 +896,14 @@ object StreamOps {
     ingested.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) applyCrawlBatch(batch, id, docStore, dfStore)
+        // persist: the batch plan (Html parse UDF + the url-dedup state
+        // read) is driven by THREE actions below (isEmpty, the doc-store
+        // write, the rollup delta) — uncached it would re-run the parse
+        // and the stateful operator per action
+        batch.persist()
+        try {
+          if (!batch.isEmpty) applyCrawlBatch(batch, id, docStore, dfStore)
+        } finally batch.unpersist()
       }
       .start()
 

@@ -57,6 +57,18 @@ class WarcSpec extends AnyFunSuite {
       concat(junk, good1, badLen, junk, noDate, good2, truncated)).toVector
     assert(out.map(_.url) == Vector("https://a/1", "https://a/2"))
     assert(out.map(_.html) == Vector("first good page", "second good page"))
+    // a truncated record whose PARTIAL payload contains a complete bait
+    // record must not resurrect it as a ghost: past a well-formed header
+    // everything is known payload, so the scan stops instead of rescanning
+    val bait = rec("https://evil/ghost", 1000009L, "<p>ghost</p>")
+    val cutWithBait = concat(
+      ("WARC/1.0\r\nWARC-Target-URI: https://a/cut2\r\n" +
+        "WARC-Date: 1970-01-12T13:46:40Z\r\nContent-Length: 9999\r\n\r\n")
+        .getBytes(StandardCharsets.US_ASCII),
+      bait)
+    val out2 = Warc.parseRecords(concat(good1, cutWithBait)).toVector
+    assert(out2.map(_.url) == Vector("https://a/1"),
+      s"ghost record resurrected from truncated payload: ${out2.map(_.url)}")
   }
 
   test("unknown headers flow through; case-insensitive names; lone LF") {
