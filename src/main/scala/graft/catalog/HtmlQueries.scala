@@ -245,8 +245,7 @@ object HtmlQueries {
     (s, dir) => crawlFrom(
       graft.sources.Warc.readWarc(s, graft.sources.Warc.warcFixture(s, dir))
         .select(
-          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
-            .as("doc_id"),
+          graft.sources.Warc.docIdFromUrl(col("url")).as("doc_id"),
           col("html").as("page"))),
     crawl.oracle)
 
@@ -327,5 +326,67 @@ object HtmlQueries {
     },
     crawl.oracle)
 
-  def qs: Seq[Q] = Seq(extract, soup, crawl, crawlWarc, streamCrawlExec)
+  /** The FULL production crawl shape end to end: archive files arriving
+    * CONTINUOUSLY — [[graft.sources.Warc.readWarcStream]] (Structured
+    * Streaming file source over the archive format; each newly-dropped
+    * file is discovered, checkpoint-logged, and parsed exactly once) →
+    * per-record (url, fetch_ts, html) rows → the SAME in-stream front-end
+    * as `stream_crawl_exec` (canonical-url first-wins state, map-side
+    * extraction, maintained doc + chunk-df stores) → serving through the
+    * batch cascade's assembly. The fixture's 8 archive files are copied
+    * into the landing directory in 2 waves with a micro-batch boundary
+    * per wave, so file DISCOVERY (not a MemoryStream) drives the stream
+    * across a real batch boundary (two waves prove the cross-batch
+    * composition; each extra wave costs a full rollup-version rewrite —
+    * the versioned-parquet store's documented per-epoch price — so the
+    * gate stays at the minimum epoch count that still exercises it).
+    * Oracle: `doc_pipeline_crawl`'s, verbatim — raw bytes landing
+    * continuously must hash-land on the batch rebuild. This is the
+    * composition of the round's two features: q_source_warc proves the
+    * framing, stream_crawl_exec proves the front-end, this gate proves
+    * they compose. */
+  val streamCrawlWarcExec = Q(
+    "stream_crawl_warc_exec",
+    (s, dir) => {
+      val fixture = graft.sources.Warc.warcFixture(s, dir)
+      val runId = CrawlRunIds.next()
+      val landing = s"/tmp/graft_stream_crawl/landing_$runId"
+      val docStore = s"/tmp/graft_stream_crawl/wdocs_$runId"
+      val dfStore = s"/tmp/graft_stream_crawl/wdf_$runId"
+      val ckpt = s"/tmp/graft_stream_crawl/wckpt_$runId"
+      Seq(landing, docStore, dfStore, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      new java.io.File(landing).mkdirs()
+      val parsed = graft.sources.Warc.readWarcStream(s, landing)
+        .select(
+          col("fetch_ts").as("ts"),
+          graft.sources.Warc.docIdFromUrl(col("url")).as("doc_id"),
+          col("url"), col("html").as("page"))
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps.maintainCrawl(
+          graft.streaming.StreamOps.crawlIngestStream(parsed, lateness = "7 days"),
+          docStore, dfStore, ckpt)
+        try {
+          val parts = new java.io.File(fixture).listFiles()
+            .filter(_.getName.endsWith(".warc")).sortBy(_.getName)
+          parts.grouped(math.max(1, parts.length / 2)).foreach { wave =>
+            wave.foreach { f =>
+              java.nio.file.Files.copy(f.toPath,
+                new java.io.File(landing, f.getName).toPath)
+            }
+            q.processAllAvailable() // micro-batch boundary per wave
+          }
+        } finally q.stop()
+      }
+      val base = graft.streaming.StreamOps.currentCrawlDocs(s, docStore).get
+      val hot = graft.streaming.StreamOps.currentRollup(s, dfStore).get
+        .filter(col("n") >= CrawlMinDf).select("chunk")
+      assembleClean(base, hot, minChunks = CrawlMinChunks)
+    },
+    crawl.oracle)
+
+  def qs: Seq[Q] =
+    Seq(extract, soup, crawl, crawlWarc, streamCrawlExec, streamCrawlWarcExec)
 }

@@ -70,8 +70,7 @@ object SourceQueries {
     (s: SparkSession, dir: String) =>
       Warc.readWarc(s, Warc.warcFixture(s, dir))
         .select(
-          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long")
-            .as("doc_id"),
+          Warc.docIdFromUrl(col("url")).as("doc_id"),
           col("url"),
           unix_seconds(col("fetch_ts")).as("fetch_unix"),
           octet_length(col("html")).cast("long").as("n_bytes"),

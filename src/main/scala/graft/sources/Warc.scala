@@ -159,6 +159,34 @@ object Warc {
       .toDF("url", "fetch_ts", "html")
   }
 
+  /** STREAMING archive ingestion — the production shape: a crawler keeps
+    * dropping finished archive files into a landing directory and the
+    * pipeline discovers them continuously (Structured Streaming file
+    * source over the same `binaryFile` format as [[readWarc]] — the file
+    * remains the parallelism unit, each newly-discovered archive is
+    * parsed once in the micro-batch that picks it up, and the source's
+    * checkpointed file log makes discovery exactly-once across
+    * restarts). Emits the same (url, fetch_ts, html) rows as the batch
+    * reader, ready for [[graft.streaming.StreamOps.crawlIngestStream]]. */
+  def readWarcStream(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val binaryFileSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    s.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(b => parseRecords(b).map(r => (r.url, r.fetchTs, r.html)))
+      .toDF("url", "fetch_ts", "html")
+  }
+
+  /** doc_id from a fixture url (`…/doc/<id>`), NULL for anything else —
+    * `nullif` before the cast because under ANSI mode a junk url's empty
+    * regex match would otherwise kill the query instead of yielding an
+    * unidentifiable row (junk urls are a normal crawl condition). */
+  def docIdFromUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nullif(regexp_extract(url, "/doc/(\\d+)$", 1), lit("")).cast("long")
+
   /** One record's bytes (fixture writer side of [[parseRecords]]). */
   def recordBytes(url: String, isoDate: String, payload: Array[Byte]): Array[Byte] = {
     val header = (s"$Magic\r\nWARC-Type: response\r\n" +

@@ -86,6 +86,77 @@ class WarcSpec extends AnyFunSuite {
       Html.PageHead + "<p>alpha beta</p>" + Html.PageTail)
   }
 
+  test("streaming archive source: file discovery drives the crawl front-end, " +
+      "and a checkpoint restart keeps url-dedup state across archives") {
+    val spark = SparkTestBase.spark
+    val boiler = Seq.fill(6)("shared").mkString(" ")
+    def uniq(i: Long) = s"unique prose for page $i padded to length"
+    def page(i: Long) =
+      if (i <= 2) s"<p>$boiler</p><p>${uniq(i)}</p>" else s"<p>${uniq(i)}</p>"
+    def pageRec(id: Long, noisy: Boolean): Array[Byte] = Warc.recordBytes(
+      if (noisy) s"HTTPS://WWW.Example.com:443//doc//$id/?utm_source=x#f"
+      else s"https://www.example.com/doc/$id",
+      java.time.Instant.ofEpochSecond(1000000L + id).toString,
+      page(id).getBytes(StandardCharsets.UTF_8))
+    // archive A: pages 0-2; archive B: pages 3-5 PLUS a refetch of page 0
+    // under a noisy url variant — B lands after the restart, so dropping
+    // the refetch proves the url-dedup state recovered from the
+    // checkpoint together with the file source's discovery log
+    val archiveA = concat((0L to 2L).map(pageRec(_, noisy = false)): _*)
+    val archiveB = concat(
+      ((3L to 5L).map(pageRec(_, noisy = false)) :+ pageRec(0L, noisy = true)): _*)
+
+    def serve(docStore: String, dfStore: String) = {
+      val base = graft.streaming.StreamOps.currentCrawlDocs(spark, docStore).get
+      val hot = graft.streaming.StreamOps.currentRollup(spark, dfStore).get
+        .filter(org.apache.spark.sql.functions.col("n") >= 3).select("chunk")
+      graft.catalog.HtmlQueries.assembleClean(base, hot, minChunks = 1)
+        .collect().map(_.toSeq).toVector
+    }
+
+    def run(restartBetween: Boolean, tag: String): Vector[Seq[Any]] = {
+      val root = Files.createTempDirectory(s"warcstream_$tag").toString
+      val landing = s"$root/landing"; new java.io.File(landing).mkdirs()
+      val (docStore, dfStore, ckpt) =
+        (s"$root/docs", s"$root/df", s"$root/ckpt")
+      def start() = graft.streaming.StreamOps.maintainCrawl(
+        graft.streaming.StreamOps.crawlIngestStream(
+          Warc.readWarcStream(spark, landing)
+            .select(
+              org.apache.spark.sql.functions.col("fetch_ts").as("ts"),
+              Warc.docIdFromUrl(
+                org.apache.spark.sql.functions.col("url")).as("doc_id"),
+              org.apache.spark.sql.functions.col("url"),
+              org.apache.spark.sql.functions.col("html").as("page")),
+          lateness = "7 days"),
+        docStore, dfStore, ckpt)
+      val q1 = start()
+      try {
+        Files.write(new java.io.File(landing, "a.warc").toPath, archiveA)
+        q1.processAllAvailable()
+        if (!restartBetween) {
+          Files.write(new java.io.File(landing, "b.warc").toPath, archiveB)
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      if (restartBetween) {
+        val q2 = start() // SAME checkpoint — file log + state recovery
+        try {
+          Files.write(new java.io.File(landing, "b.warc").toPath, archiveB)
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      serve(docStore, dfStore)
+    }
+
+    val uninterrupted = run(restartBetween = false, "full")
+    val restarted = run(restartBetween = true, "half")
+    assert(uninterrupted.map(_.head) == (0L to 5L).toVector,
+      s"unexpected surviving docs: ${uninterrupted.map(_.head)}")
+    assert(restarted == uninterrupted,
+      s"restart changed the served cascade:\n$restarted\nvs\n$uninterrupted")
+  }
+
   test("Spark read path + cascade composition: archive bytes ≡ direct pages") {
     val spark = SparkTestBase.spark
     import spark.implicits._
@@ -109,9 +180,8 @@ class WarcSpec extends AnyFunSuite {
     val viaArchive = graft.catalog.HtmlQueries.crawlFrom(
       Warc.readWarc(spark, dir.getAbsolutePath)
         .select(
-          org.apache.spark.sql.functions.regexp_extract(
-            org.apache.spark.sql.functions.col("url"), "/doc/(\\d+)$", 1)
-            .cast("long").as("doc_id"),
+          Warc.docIdFromUrl(
+            org.apache.spark.sql.functions.col("url")).as("doc_id"),
           org.apache.spark.sql.functions.col("html").as("page")))
       .collect().map(_.toSeq).toVector
     val direct = graft.catalog.HtmlQueries.crawlFrom(
