@@ -320,7 +320,7 @@ object HtmlQueries {
         } finally q.stop()
       }
       val base = graft.streaming.StreamOps.currentCrawlDocs(s, docStore).get
-      val hot = graft.streaming.StreamOps.currentRollup(s, dfStore).get
+      val hot = graft.streaming.StreamOps.currentChunkDf(s, dfStore).get
         .filter(col("n") >= CrawlMinDf).select("chunk")
       assembleClean(base, hot, minChunks = CrawlMinChunks)
     },
@@ -381,7 +381,7 @@ object HtmlQueries {
         } finally q.stop()
       }
       val base = graft.streaming.StreamOps.currentCrawlDocs(s, docStore).get
-      val hot = graft.streaming.StreamOps.currentRollup(s, dfStore).get
+      val hot = graft.streaming.StreamOps.currentChunkDf(s, dfStore).get
         .filter(col("n") >= CrawlMinDf).select("chunk")
       assembleClean(base, hot, minChunks = CrawlMinChunks)
     },

@@ -854,15 +854,22 @@ object StreamOps {
   }
 
   /** Apply one micro-batch of parsed pages to the two crawl stores —
-    * [[applyRollupBatch]]'s idempotency contract on both:
+    * BOTH append-only epoch dirs (`v=<batchId>`, `_SUCCESS` committed,
+    * replay no-ops; no GC — every committed epoch is live data, the
+    * postings-store shape, compaction is a separate maintenance
+    * concern):
     *
-    *  - `docStore`: APPEND-ONLY epoch dirs (`v=<batchId>`, `_SUCCESS`
-    *    committed, replay no-ops) holding each page's parse result; no
-    *    GC — every committed epoch is live data, the postings-store
-    *    shape, compaction is a separate maintenance concern;
-    *  - `dfStore`: the chunk document-frequency ROLLUP (`chunk` → n),
-    *    maintained via the incremental-view algebra — per-epoch cost
-    *    tracks the batch's chunk delta, never the accumulated corpus.
+    *  - `docStore`: each page's parse result;
+    *  - `dfStore`: the batch's chunk document-frequency DELTA
+    *    (`chunk` → n within this batch). Deliberately NOT the
+    *    [[applyRollupBatch]] versioned-rollup shape: the chunk-df
+    *    rollup is DISTINCT-CHUNKS-sized — corpus-scale, unlike a
+    *    normal aggregate's groups — so rewriting the merged rollup
+    *    every epoch would cost O(accumulated corpus) per batch at
+    *    100 TB. Appending the delta keeps per-epoch maintenance
+    *    O(|batch|) (the crawlstream probe measures the walls flat);
+    *    [[currentChunkDf]] re-aggregates at serving, where a
+    *    corpus-sized read is inherent anyway.
     *
     * The per-batch `distinct()` makes n a true document frequency: a
     * chunk repeated within one page counts once, and a page's chunks
@@ -875,17 +882,31 @@ object StreamOps {
     val s = batch.sparkSession
     if (!committedVersions(s, docStore).exists(_ >= batchId))
       batch.write.mode("overwrite").parquet(s"$docStore/v=$batchId")
-    val delta = batch
-      .select(col("doc_id"), explode(col("kept")).as("chunk"))
-      .distinct()
-      .select(col("chunk"))
-    applyRollupBatch(delta, batchId, dfStore, Seq("chunk"), Seq.empty)
+    if (!committedVersions(s, dfStore).exists(_ >= batchId))
+      batch
+        .select(col("doc_id"), explode(col("kept")).as("chunk"))
+        .distinct()
+        .groupBy("chunk").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$dfStore/v=$batchId")
+  }
+
+  /** The maintained chunk document-frequency view: per-epoch deltas
+    * summed across every committed epoch — (chunk, n) with n the number
+    * of distinct pages carrying the chunk. One aggregation over
+    * delta-sized epoch files at serving time. */
+  def currentChunkDf(
+      s: org.apache.spark.sql.SparkSession,
+      dfStore: String): Option[DataFrame] = {
+    val vs = committedVersions(s, dfStore)
+    if (vs.isEmpty) None
+    else Some(s.read.parquet(vs.map(v => s"$dfStore/v=$v"): _*)
+      .groupBy("chunk").agg(sum(col("n")).as("n")))
   }
 
   /** Streaming maintenance for the crawl front-end: each micro-batch of
     * [[crawlIngestStream]] output lands in the doc store and folds into
     * the chunk-df rollup. The serving layer reads both
-    * ([[currentCrawlDocs]] + [[currentRollup]]) and finishes the cascade
+    * ([[currentCrawlDocs]] + [[currentChunkDf]]) and finishes the cascade
     * (hot-chunk anti-join, reassembly, verdict) — emitting final docs
     * from inside the stream is impossible in append mode because a chunk
     * becoming hot retroactively changes pages emitted epochs ago (the

@@ -72,6 +72,12 @@ object TextScaleProbe {
       return
     }
 
+    if (args.nonEmpty && args(0) == "crawlstream") {
+      crawlStreamLeg(spark, n = if (args.length > 1) args(1).toLong else 100000L)
+      spark.stop()
+      return
+    }
+
     val terms = Seq("w10", "w500", "w4000")
 
     for (n <- Seq(250000L, 1000000L)) {
@@ -531,6 +537,117 @@ object TextScaleProbe {
       s""""cascade_sec":${f"$wall%.1f"},""" +
       s""""cascade_sec_markup_shuffled":${f"$wallBad%.1f"},""" +
       s""""boiler_stripped_exact":true,"markup_never_shuffles":true}""")
+    System.out.flush()
+  }
+
+  /** Streaming crawl front-end endurance leg (`crawlstream <n>`, round
+    * 13): the claim behind `applyCrawlBatch`'s append-only chunk-df
+    * store — per-epoch maintenance cost tracks the BATCH, not the
+    * accumulated corpus. n pages (default 100k, crawlscale's synthesis)
+    * stream through `crawlIngestStream` → `maintainCrawl` as 8 equal
+    * micro-batches with per-batch walls recorded; the leg asserts the
+    * LATE batches stay flat (batch 8 ≤ 1.6× batch 2 + 1 s slack — batch
+    * 1 carries stream-start codegen) and the final serving read lands
+    * exactly on the cascade contract (boilerplate stripped from every
+    * page, sum(n_after) = 3n, all keeps). The COUNTERFACTUAL — the same
+    * feed maintaining the chunk-df as a versioned MERGED rollup
+    * (`applyRollupBatch`, the shape a naive incremental-view port would
+    * use) — is measured alongside: its epoch k rewrites a rollup of
+    * O(all distinct chunks so far), so its late-batch walls GROW with
+    * the accumulated corpus where the append store's stay flat (both
+    * series reported; at 100 TB the difference is the whole game). */
+  def crawlStreamLeg(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val boiler = (0 until 10).map(i => s"boilertoken$i").mkString(" ")
+    val rows = spark.range(n).toDF("doc_id")
+      .withColumn("text",
+        expr("""array_join(transform(sequence(0, 29), j ->
+          concat('u', cast(doc_id as string), 'x',
+                 cast((j * j * 7 + doc_id % 97) % 10000 as string))), ' ')"""))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")))
+      .select(
+        timestamp_micros((col("doc_id") + 1000000L) * 1000000L).as("ts"),
+        col("doc_id"),
+        concat(lit("https://www.example.com/doc/"), col("doc_id")).as("url"),
+        udf((t: String) => graft.ops.Html.wrapDocument(t)).apply(col("text"))
+          .as("page"))
+      .as[(java.sql.Timestamp, Long, String, String)]
+      .collect().sortBy(_._2)
+
+    def feed(maintain: (org.apache.spark.sql.DataFrame, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery, tag: String)
+        : (Seq[Double], String, String) = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String, String)]
+      val root = java.nio.file.Files
+        .createTempDirectory(s"crawlstream_$tag").toString
+      val walls = Seq.newBuilder[Double]
+      val q = graft.streaming.StreamOps.withShufflePartitions(spark, 8) {
+        maintain(graft.streaming.StreamOps.crawlIngestStream(
+          mem.toDF().toDF("ts", "doc_id", "url", "page"),
+          lateness = "7 days"), root)
+      }
+      try {
+        rows.grouped(math.max(1, rows.length / 8)).foreach { chunk =>
+          val t0 = System.nanoTime()
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+          walls += (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      (walls.result(), s"$root/docs", s"$root/df")
+    }
+
+    // append-only epoch store (the shipped shape)
+    val (flat, docStore, dfStore) = feed((in, root) =>
+      graft.streaming.StreamOps.maintainCrawl(
+        in, s"$root/docs", s"$root/df", s"$root/ckpt"), "append")
+    // counterfactual: versioned MERGED rollup per epoch
+    val (merged, _, _) = feed((in, root) =>
+      in.writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.persist()
+          try if (!batch.isEmpty) {
+            batch.write.mode("overwrite").parquet(s"$root/docs/v=$id")
+            graft.streaming.StreamOps.applyRollupBatch(
+              batch.select(col("doc_id"), explode(col("kept")).as("chunk"))
+                .distinct().select(col("chunk")),
+              id, s"$root/df", Seq("chunk"), Seq.empty)
+          } finally batch.unpersist()
+        }.start(), "merged")
+
+    val base = graft.streaming.StreamOps.currentCrawlDocs(spark, docStore).get
+    val hot = graft.streaming.StreamOps.currentChunkDf(spark, dfStore).get
+      .filter(col("n") >= graft.catalog.HtmlQueries.CrawlMinDf).select("chunk")
+    val agg = graft.catalog.HtmlQueries
+      .assembleClean(base, hot, graft.catalog.HtmlQueries.CrawlMinChunks)
+      .agg(sum("n_after"), sum("keep"), count(lit(1))).head()
+    assert(agg.getLong(2) == n && agg.getLong(1) == n,
+      s"serving dropped pages: ${agg.getLong(2)} rows, ${agg.getLong(1)} kept")
+    assert(agg.getLong(0) == 3 * n,
+      s"boilerplate not stripped exactly: ${agg.getLong(0)} != ${3 * n}")
+    assert(flat.last <= 1.6 * flat(1) + 1.0,
+      f"append-store late batch not flat: ${flat.mkString(", ")}")
+    // steady-state cost (batch 1 carries stream-start codegen on both):
+    // the merged-rollup shape does strictly more IO every epoch — the
+    // gap grows with accumulated corpus, so it is REPORTED rather than
+    // hard-asserted (at fixture scale it can sit inside box noise; the
+    // flatness assert above is the leg's load-bearing claim)
+    val steadyFlat = flat.drop(1).sum
+    val steadyMerged = merged.drop(1).sum
+    def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    println(s"""{"probe":"crawl_stream","n_pages":$n,"n_batches":${flat.size},""" +
+      s""""batch_walls_append":${fmt(flat)},""" +
+      s""""batch_walls_merged_rollup":${fmt(merged)},""" +
+      s""""steady_state_sec_append":${f"$steadyFlat%.1f"},""" +
+      s""""steady_state_sec_merged":${f"$steadyMerged%.1f"},""" +
+      s""""merged_over_append":${f"${steadyMerged / steadyFlat}%.2f"},""" +
+      s""""late_over_early_append":${f"${flat.last / flat(1)}%.2f"},""" +
+      s""""late_over_early_merged":${f"${merged.last / merged(1)}%.2f"},""" +
+      s""""serving_contract_exact":true,"per_epoch_cost_tracks_delta":true}""")
     System.out.flush()
   }
 

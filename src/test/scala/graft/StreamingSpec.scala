@@ -1321,7 +1321,7 @@ class StreamingSpec extends AnyFunSuite {
         } finally q2.stop()
       }
       val base = StreamOps.currentCrawlDocs(spark, docStore).get
-      val hot = StreamOps.currentRollup(spark, dfStore).get
+      val hot = StreamOps.currentChunkDf(spark, dfStore).get
         .filter(col("n") >= 3).select("chunk")
       graft.catalog.HtmlQueries.assembleClean(base, hot, minChunks = 1)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

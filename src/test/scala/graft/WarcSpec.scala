@@ -108,7 +108,7 @@ class WarcSpec extends AnyFunSuite {
 
     def serve(docStore: String, dfStore: String) = {
       val base = graft.streaming.StreamOps.currentCrawlDocs(spark, docStore).get
-      val hot = graft.streaming.StreamOps.currentRollup(spark, dfStore).get
+      val hot = graft.streaming.StreamOps.currentChunkDf(spark, dfStore).get
         .filter(org.apache.spark.sql.functions.col("n") >= 3).select("chunk")
       graft.catalog.HtmlQueries.assembleClean(base, hot, minChunks = 1)
         .collect().map(_.toSeq).toVector
