@@ -319,10 +319,7 @@ object HtmlQueries {
           }
         } finally q.stop()
       }
-      val base = graft.streaming.StreamOps.currentCrawlDocs(s, docStore).get
-      val hot = graft.streaming.StreamOps.currentChunkDf(s, dfStore).get
-        .filter(col("n") >= CrawlMinDf).select("chunk")
-      assembleClean(base, hot, minChunks = CrawlMinChunks)
+      serveCrawl(s, docStore, dfStore)
     },
     crawl.oracle)
 
@@ -333,13 +330,14 @@ object HtmlQueries {
     * per-record (url, fetch_ts, html) rows → the SAME in-stream front-end
     * as `stream_crawl_exec` (canonical-url first-wins state, map-side
     * extraction, maintained doc + chunk-df stores) → serving through the
-    * batch cascade's assembly. The fixture's 8 archive files are copied
-    * into the landing directory in 2 waves with a micro-batch boundary
-    * per wave, so file DISCOVERY (not a MemoryStream) drives the stream
-    * across a real batch boundary (two waves prove the cross-batch
-    * composition; each extra wave costs a full rollup-version rewrite —
-    * the versioned-parquet store's documented per-epoch price — so the
-    * gate stays at the minimum epoch count that still exercises it).
+    * batch cascade's assembly. The fixture's 8 archive files LAND in the
+    * watched directory in 2 waves (atomic tmp-then-rename placement —
+    * the file-source contract; a plain copy racing a listing would
+    * truncate records silently) with a micro-batch boundary per wave, so
+    * file DISCOVERY (not a MemoryStream) drives the stream across a real
+    * batch boundary — the minimum wave count that exercises the
+    * cross-batch composition (each wave is an epoch in both stores plus
+    * per-batch stream overhead, so the gate stays at two).
     * Oracle: `doc_pipeline_crawl`'s, verbatim — raw bytes landing
     * continuously must hash-land on the batch rebuild. This is the
     * composition of the round's two features: q_source_warc proves the
@@ -373,19 +371,29 @@ object HtmlQueries {
             .filter(_.getName.endsWith(".warc")).sortBy(_.getName)
           parts.grouped(math.max(1, parts.length / 2)).foreach { wave =>
             wave.foreach { f =>
-              java.nio.file.Files.copy(f.toPath,
-                new java.io.File(landing, f.getName).toPath)
+              graft.sources.Warc.landArchive(landing, f.getName,
+                java.nio.file.Files.readAllBytes(f.toPath))
             }
             q.processAllAvailable() // micro-batch boundary per wave
           }
         } finally q.stop()
       }
-      val base = graft.streaming.StreamOps.currentCrawlDocs(s, docStore).get
-      val hot = graft.streaming.StreamOps.currentChunkDf(s, dfStore).get
-        .filter(col("n") >= CrawlMinDf).select("chunk")
-      assembleClean(base, hot, minChunks = CrawlMinChunks)
+      serveCrawl(s, docStore, dfStore)
     },
     crawl.oracle)
+
+  /** The crawl serving layer, stated once (gates, specs, and the
+    * crawlstream probe all read it): every committed parsed page +
+    * the summed chunk-df deltas -> hot-chunk strip -> assembly. */
+  def serveCrawl(
+      s: org.apache.spark.sql.SparkSession, docStore: String,
+      dfStore: String, minDf: Int = CrawlMinDf,
+      minChunks: Int = CrawlMinChunks): org.apache.spark.sql.DataFrame = {
+    val base = graft.streaming.StreamOps.currentCrawlDocs(s, docStore).get
+    val hot = graft.streaming.StreamOps.currentChunkDf(s, dfStore).get
+      .filter(col("n") >= minDf).select("chunk")
+    assembleClean(base, hot, minChunks)
+  }
 
   def qs: Seq[Q] =
     Seq(extract, soup, crawl, crawlWarc, streamCrawlExec, streamCrawlWarcExec)

@@ -150,11 +150,17 @@ object Warc {
     * per archive file (the WARC parallelism unit); `binaryFile` streams
     * whole files, so executor memory bounds archive size exactly as real
     * WARC processing does (~1 GB members). */
-  def readWarc(s: SparkSession, path: String): DataFrame = {
+  def readWarc(s: SparkSession, path: String): DataFrame =
+    bytesToRows(s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc").load(path))
+
+  /** Archive bytes → (url, fetch_ts, html) rows — the ONE bytes-to-rows
+    * contract, shared by the batch and streaming readers so they cannot
+    * diverge. */
+  private def bytesToRows(loaded: DataFrame): DataFrame = {
+    val s = loaded.sparkSession
     import s.implicits._
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").load(path)
-      .select(col("content")).as[Array[Byte]]
+    loaded.select(col("content")).as[Array[Byte]]
       .flatMap(b => parseRecords(b).map(r => (r.url, r.fetchTs, r.html)))
       .toDF("url", "fetch_ts", "html")
   }
@@ -169,15 +175,24 @@ object Warc {
     * restarts). Emits the same (url, fetch_ts, html) rows as the batch
     * reader, ready for [[graft.streaming.StreamOps.crawlIngestStream]]. */
   def readWarcStream(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
     val binaryFileSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
-    s.readStream.format("binaryFile")
+    bytesToRows(s.readStream.format("binaryFile")
       .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.warc").load(path)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap(b => parseRecords(b).map(r => (r.url, r.fetchTs, r.html)))
-      .toDF("url", "fetch_ts", "html")
+      .option("pathGlobFilter", "*.warc").load(path))
+  }
+
+  /** Land an archive's bytes in a watched directory ATOMICALLY: the file
+    * source's contract requires files to appear in place whole (a listing
+    * that races a plain write would read a truncated archive, and the
+    * lenient parser would silently drop its tail records into the
+    * exactly-once file log). Written under a `.tmp` name the `*.warc`
+    * glob ignores, then renamed into place. */
+  def landArchive(landingDir: String, name: String, bytes: Array[Byte]): Unit = {
+    val tmp = new java.io.File(landingDir, s"$name.tmp").toPath
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, new java.io.File(landingDir, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** doc_id from a fixture url (`…/doc/<id>`), NULL for anything else —
@@ -185,7 +200,9 @@ object Warc {
     * regex match would otherwise kill the query instead of yielding an
     * unidentifiable row (junk urls are a normal crawl condition). */
   def docIdFromUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    nullif(regexp_extract(url, "/doc/(\\d+)$", 1), lit("")).cast("long")
+    // {1,18}: 18 digits always fit a Long — an absurdly long digit run
+    // (junk again) must yield NULL, not an ANSI CAST_OVERFLOW
+    nullif(regexp_extract(url, "/doc/(\\d{1,18})$", 1), lit("")).cast("long")
 
   /** One record's bytes (fixture writer side of [[parseRecords]]). */
   def recordBytes(url: String, isoDate: String, payload: Array[Byte]): Array[Byte] = {

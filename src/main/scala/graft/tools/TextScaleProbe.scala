@@ -557,6 +557,10 @@ object TextScaleProbe {
     * the accumulated corpus where the append store's stay flat (both
     * series reported; at 100 TB the difference is the whole game). */
   def crawlStreamLeg(spark: SparkSession, n: Long): Unit = {
+    // >= 40: below this the 8-batch split degenerates (flat(1) needs a
+    // second batch) and fewer than 3 boiler pages never reach CrawlMinDf,
+    // failing the serving assert for reasons unrelated to the store
+    require(n >= 40, s"crawlstream needs n >= 40, got $n")
     import spark.implicits._
     val boiler = (0 until 10).map(i => s"boilertoken$i").mkString(" ")
     val rows = spark.range(n).toDF("doc_id")
@@ -619,11 +623,7 @@ object TextScaleProbe {
           } finally batch.unpersist()
         }.start(), "merged")
 
-    val base = graft.streaming.StreamOps.currentCrawlDocs(spark, docStore).get
-    val hot = graft.streaming.StreamOps.currentChunkDf(spark, dfStore).get
-      .filter(col("n") >= graft.catalog.HtmlQueries.CrawlMinDf).select("chunk")
-    val agg = graft.catalog.HtmlQueries
-      .assembleClean(base, hot, graft.catalog.HtmlQueries.CrawlMinChunks)
+    val agg = graft.catalog.HtmlQueries.serveCrawl(spark, docStore, dfStore)
       .agg(sum("n_after"), sum("keep"), count(lit(1))).head()
     assert(agg.getLong(2) == n && agg.getLong(1) == n,
       s"serving dropped pages: ${agg.getLong(2)} rows, ${agg.getLong(1)} kept")

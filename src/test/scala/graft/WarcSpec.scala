@@ -106,13 +106,9 @@ class WarcSpec extends AnyFunSuite {
     val archiveB = concat(
       ((3L to 5L).map(pageRec(_, noisy = false)) :+ pageRec(0L, noisy = true)): _*)
 
-    def serve(docStore: String, dfStore: String) = {
-      val base = graft.streaming.StreamOps.currentCrawlDocs(spark, docStore).get
-      val hot = graft.streaming.StreamOps.currentChunkDf(spark, dfStore).get
-        .filter(org.apache.spark.sql.functions.col("n") >= 3).select("chunk")
-      graft.catalog.HtmlQueries.assembleClean(base, hot, minChunks = 1)
-        .collect().map(_.toSeq).toVector
-    }
+    def serve(docStore: String, dfStore: String) =
+      graft.catalog.HtmlQueries.serveCrawl(spark, docStore, dfStore,
+        minDf = 3, minChunks = 1).collect().map(_.toSeq).toVector
 
     def run(restartBetween: Boolean, tag: String): Vector[Seq[Any]] = {
       val root = Files.createTempDirectory(s"warcstream_$tag").toString
@@ -132,17 +128,17 @@ class WarcSpec extends AnyFunSuite {
         docStore, dfStore, ckpt)
       val q1 = start()
       try {
-        Files.write(new java.io.File(landing, "a.warc").toPath, archiveA)
+        Warc.landArchive(landing, "a.warc", archiveA)
         q1.processAllAvailable()
         if (!restartBetween) {
-          Files.write(new java.io.File(landing, "b.warc").toPath, archiveB)
+          Warc.landArchive(landing, "b.warc", archiveB)
           q1.processAllAvailable()
         }
       } finally q1.stop()
       if (restartBetween) {
         val q2 = start() // SAME checkpoint — file log + state recovery
         try {
-          Files.write(new java.io.File(landing, "b.warc").toPath, archiveB)
+          Warc.landArchive(landing, "b.warc", archiveB)
           q2.processAllAvailable()
         } finally q2.stop()
       }
