@@ -80,9 +80,16 @@ object QualityReport {
         "stream_neardup_exec", "stream_neardup_fast_exec",
         "stream_embdedup_exec")
       val ringDrops = dropGates.map { name =>
-        graft.SparkEntry.queries(name)(spark, sfDir).count()
-        s""""$name": ${graft.streaming.StreamDropStats.get(name)
-          .map(_.toString).getOrElse("null")}"""
+        // A gate failure (stream env / RocksDB issue) must not lose the
+        // recall observables already computed above: emit null for that
+        // gate's drop total and keep the rest of the artifact.
+        val v =
+          try {
+            graft.SparkEntry.queries(name)(spark, sfDir).count()
+            graft.streaming.StreamDropStats.get(name)
+              .map(_.toString).getOrElse("null")
+          } catch { case _: Throwable => "null" }
+        s""""$name": $v"""
       }.mkString("{", ", ", "}")
       s"""{"sf": "$sfDir", "observables": ${
         (entries :+ mrl).mkString("{", ", ", "}")}, "ring_drops": $ringDrops}"""
