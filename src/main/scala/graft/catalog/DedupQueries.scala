@@ -619,6 +619,98 @@ ${affineSigCtes("MATERIALIZED")},
     },
     Some(minhashClosureOracle))
 
+  /** Extraction replay for the crawl→dedup composition oracle: the
+    * crawl's kept-chunk reassembly as CTEs producing
+    * crawl_docs(doc_id, text) — documents chunked to 10-token paragraphs
+    * (the [[graft.ops.Html.wrapDocument]] page contract), ≥ 25-char
+    * chunks kept and space-rejoined (the extraction keep rule,
+    * `text_html_extract`'s oracle verbatim); docs with no kept chunks
+    * drop — they have no text to dedup on either engine. */
+  private val crawlDocsCtes = s"""
+      ctoks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                FROM documents),
+      cchunks AS (SELECT doc_id, j AS chunk_no,
+                         array_to_string(toks[(j*10+1):(j*10+10)], ' ') AS chunk
+                  FROM (SELECT doc_id, toks,
+                               ((len(toks) + 9) // 10)::BIGINT AS n_chunks
+                        FROM ctoks), unnest(range(0, n_chunks)) t(j)),
+      crawl_docs AS (SELECT doc_id,
+                            string_agg(chunk, ' ' ORDER BY chunk_no) AS text
+                     FROM cchunks WHERE len(chunk) >= 25 GROUP BY doc_id)"""
+
+  /** [[minhashClosureOracle]] over the CRAWL-EXTRACTED corpus: same band
+    * pipeline + transitive closure, shingling crawl_docs instead of raw
+    * documents. */
+  private val crawlClosureOracle = minhashClosureOracle
+    .replaceFirst("FROM documents\\)", "FROM crawl_docs)")
+    .replaceFirst("WITH RECURSIVE", s"WITH RECURSIVE $crawlDocsCtes,")
+
+  /** The STREAMING crawl → near-dup handoff, composed end to end (VERDICT
+    * r13 ask 6): pages arrive in 4 micro-batches through the real crawl
+    * front-end (url-canonical first-wins state — every page is also
+    * REFETCHED under a noisy url variant, and a leaked refetch would band
+    * at Jaccard 1.0 against its original and break the hash — then
+    * map-side extraction), and each epoch's NEW pages flow through
+    * [[graft.streaming.StreamOps.applyCrawlDedupBatch]]: band-store
+    * epoch append, delta banding against the maintained band table,
+    * candidate verify against the doc store's texts, verified pairs
+    * folded into the component store incrementally. The final maintained
+    * labels must hash-land on the FULL-RECOMPUTE closure over the
+    * crawl-extracted corpus — crawl-epoch → delta-pairs →
+    * incremental-labels ≡ recompute, continuously. */
+  val streamCrawlDedupExec = Q(
+    "stream_crawl_dedup_exec",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val pageUdf = udf((t: String) => graft.ops.Html.wrapDocument(t))
+      val fetches = docs.select(col("doc_id"),
+          concat(lit("https://www.example.com/doc/"), col("doc_id")).as("url"),
+          pageUdf(col("text")).as("page"))
+        .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("HTTPS://WWW.Example.com:443//doc//"), col("doc_id"),
+            lit("/?utm_source=feed#frag")).as("url"),
+          pageUdf(col("text")).as("page")))
+      val rows = StreamFeed.collectCapped(fetches
+        .select(
+          timestamp_micros((col("doc_id") % 100000 + 1000000L) * 1000000L)
+            .as("ts"),
+          col("doc_id"), col("url"), col("page"))
+        .as[(java.sql.Timestamp, Long, String, String)],
+        "stream_crawl_dedup_exec")
+        .sortBy(_._2)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String, String)]
+      val runId = DedupSinkIds.next()
+      val root = s"/tmp/graft_stream_crawldedup/run_$runId"
+      val (docStore, bandStore, labelStore, ckpt) =
+        (s"$root/docs", s"$root/bands", s"$root/labels", s"$root/ckpt")
+      Seq(docStore, bandStore, labelStore, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      graft.streaming.StreamOps.withShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps.maintainCrawlDedup(
+          graft.streaming.StreamOps.crawlIngestStream(
+            mem.toDF().toDF("ts", "doc_id", "url", "page"),
+            lateness = "7 days"),
+          docStore, bandStore, labelStore, ckpt,
+          bandsOf, minhashPairsDelta)
+        try {
+          rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable() // micro-batch boundary per chunk
+          }
+        } finally q.stop()
+      }
+      graft.streaming.StreamOps.currentComponents(s, labelStore).get
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(crawlClosureOracle))
+
   /** Keep-list under first-wins semantics: drop every doc that near-dups a
     * lower id (greedy, matches I10's first-inserted-wins). */
   val minhashKeep = Q(
@@ -2068,6 +2160,6 @@ ${affineSigCtes("MATERIALIZED")},
     clusterIncremental, softWeights, dedupProfile, splitLeakageAudit,
     sampleNegatives,
     semanticPairs, semanticKeep, streamDedupExec, streamNearDupExec,
-    streamNearDupFastExec, streamClusterExec, streamEmbDedupExec,
-    streamDecontamExec)
+    streamNearDupFastExec, streamClusterExec, streamCrawlDedupExec,
+    streamEmbDedupExec, streamDecontamExec)
 }

@@ -1423,17 +1423,25 @@ object RelationalQueries {
       // UNclustered feed makes every batch touch every order's state:
       // measured 17.8 s vs 6.4 s warm at sf0.1 for identical output);
       // orders straddling chunk boundaries still exercise the cross-batch
-      // basket split, and the deterministic sort keeps the gate stable
+      // basket split, and the deterministic sort keeps the gate stable.
+      // Event time = epoch + orderkey seconds (ascending with the feed, so
+      // nothing arrives late): the orderkey span (~7 days at sf0.1) stays
+      // far inside the 30-day retirement TTL, so no basket retires
+      // mid-run and the emission set is identical to the pre-TTL gate —
+      // retirement itself is spec- and probe-gated (StreamingSpec /
+      // PipelineScaleProbe basketstream).
       val rows = StreamFeed.collectCapped(BasketCache.get(s, dir)._1
+        .select(col("l_orderkey"), col("l_partkey"),
+          timestamp_seconds(col("l_orderkey")).as("ts"))
         .orderBy("l_orderkey", "l_partkey")
-        .as[(Long, Long)], "stream_basket_exec")
+        .as[(Long, Long, java.sql.Timestamp)], "stream_basket_exec")
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long)]
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
       val sink = s"stream_basket_exec_sink_${StreamSinkIds.next()}"
       graft.streaming.StreamOps.withShufflePartitions(s, 8) {
         val q = graft.streaming.StreamOps
-          .basketPairsStream(mem.toDF().toDF("order_id", "part_id"))
+          .basketPairsStream(mem.toDF().toDF("order_id", "part_id", "ts"))
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try {

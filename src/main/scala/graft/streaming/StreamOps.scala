@@ -510,30 +510,53 @@ object StreamOps {
     * n12 without ever re-reading history.
     *
     * State is one sorted part array per OPEN order (baskets are small —
-    * bounded by basket size, not corpus size). This gate keeps state for
-    * the run (the fixture's orders never close); production keys carry an
-    * order-completion event or a processing-time TTL to retire them. */
-  def basketPairsStream(items: DataFrame): DataFrame = {
+    * bounded by basket size, not corpus size) and RETIRES on event time:
+    * once the watermark passes an order's last item plus `lateness`, its
+    * basket state is removed (the capPerKey/asofStream timeout idiom), so
+    * state tracks the open-order horizon, not the stream's whole order
+    * history — at 100 TB an open-ended order keyspace under NoTimeout is
+    * unbounded state. Retirement semantics: a part arriving for a RETIRED
+    * order starts a fresh basket — it does NOT re-emit pairs against the
+    * forgotten items (StreamingSpec gates this), matching the business
+    * meaning of the TTL ("the order closed; a late refill is a new
+    * transaction"). Rows later than `lateness` behind the watermark are
+    * dropped by the engine's late-row filter before they reach state —
+    * the standard watermark contract. */
+  def basketPairsStream(
+      items: DataFrame, lateness: String = "30 days"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import items.sparkSession.implicits._
-    items.select(col("order_id").cast("long"), col("part_id").cast("long"))
-      .as[(Long, Long)]
+    items.select(col("order_id").cast("long"), col("part_id").cast("long"),
+        col("ts"))
+      .withWatermark("ts", lateness)
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], (Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[(Long, Long)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
             state: GroupState[Array[Long]]) =>
-          val seen = scala.collection.mutable.TreeSet
-            .from(state.getOption.getOrElse(Array.empty[Long]))
-          val out = Seq.newBuilder[(Long, Long)]
-          rows.map(_._2).toSeq.distinct.sorted.foreach { p =>
-            if (!seen.contains(p)) {
-              seen.foreach(q => out += (if (p < q) (p, q) else (q, p)))
-              seen += p
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val seen = scala.collection.mutable.TreeSet
+              .from(state.getOption.getOrElse(Array.empty[Long]))
+            val out = Seq.newBuilder[(Long, Long)]
+            rs.map(_._2).distinct.sorted.foreach { p =>
+              if (!seen.contains(p)) {
+                seen.foreach(q => out += (if (p < q) (p, q) else (q, p)))
+                seen += p
+              }
             }
+            state.update(seen.toArray)
+            // retire `lateness` past the order's last activity; the max()
+            // keeps the timeout ahead of the watermark when this order's
+            // items are much older than the stream's frontier (the API
+            // rejects a timeout at-or-below the current watermark)
+            val lastMs = rs.map(_._3.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastMs, state.getCurrentWatermarkMs()) + 1L, lateness)
+            out.result().iterator
           }
-          state.update(seen.toArray)
-          out.result().iterator
       }
       .toDF("p1", "p2")
   }
@@ -855,9 +878,9 @@ object StreamOps {
 
   /** Apply one micro-batch of parsed pages to the two crawl stores —
     * BOTH append-only epoch dirs (`v=<batchId>`, `_SUCCESS` committed,
-    * replay no-ops; no GC — every committed epoch is live data, the
-    * postings-store shape, compaction is a separate maintenance
-    * concern):
+    * replay no-ops through live dirs AND compaction manifests; epoch
+    * sprawl is reclaimed by [[compactCrawlStores]], the postings-store
+    * LSM step):
     *
     *  - `docStore`: each page's parse result;
     *  - `dfStore`: the batch's chunk document-frequency DELTA
@@ -880,9 +903,9 @@ object StreamOps {
       batch: DataFrame, batchId: Long, docStore: String,
       dfStore: String): Unit = {
     val s = batch.sparkSession
-    if (!committedVersions(s, docStore).exists(_ >= batchId))
+    if (!crawlAbsorbed(s, docStore, batchId))
       batch.write.mode("overwrite").parquet(s"$docStore/v=$batchId")
-    if (!committedVersions(s, dfStore).exists(_ >= batchId))
+    if (!crawlAbsorbed(s, dfStore, batchId))
       batch
         .select(col("doc_id"), explode(col("kept")).as("chunk"))
         .distinct()
@@ -890,16 +913,111 @@ object StreamOps {
         .write.mode("overwrite").parquet(s"$dfStore/v=$batchId")
   }
 
+  /** Crawl-store epoch state: committed `v=` dirs minus those a committed
+    * compaction superseded, plus the full superseded-name set — the
+    * postings store's `epochState` shape (Retrieval.scala) over the crawl
+    * stores' `v=` naming. Replay checks must consult the superseded set:
+    * a superseded dir may already be GC'd, and the manifest is what
+    * remembers its batch id. */
+  private def crawlEpochState(
+      s: org.apache.spark.sql.SparkSession, storePath: String)
+      : (Seq[org.apache.hadoop.fs.Path], Set[String]) = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (Seq.empty, Set.empty)
+    val committed = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath)
+    val superseded = committed.flatMap { d =>
+      val m = new org.apache.hadoop.fs.Path(d, "_SUPERSEDES")
+      if (!fs.exists(m)) Nil
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in).getLines().toList
+        finally in.close()
+      }
+    }.toSet
+    (committed.filterNot(d => superseded.contains(d.getName)), superseded)
+  }
+
+  /** Has the crawl store at `storePath` already absorbed `batchId` (or a
+    * later epoch)? True via a live numeric dir OR an id a compaction
+    * manifest remembers — foreachBatch's replay contract across GC. */
+  private def crawlAbsorbed(
+      s: org.apache.spark.sql.SparkSession, storePath: String,
+      batchId: Long): Boolean = {
+    val (live, superseded) = crawlEpochState(s, storePath)
+    (live.map(_.getName) ++ superseded)
+      .flatMap(_.stripPrefix("v=").toLongOption)
+      .exists(_ >= batchId)
+  }
+
+  /** COMPACT one crawl store — the postings-store LSM step
+    * ([[graft.ops.Retrieval.compactPostings]]) over `v=` naming: merge
+    * every live epoch through `merge` into one staged dir with a
+    * `_SUPERSEDES` manifest naming the sources (prior manifests carried
+    * forward transitively, so a replayed ancient batch id still no-ops
+    * after its dir is GC'd), rename atomically into the `v=` namespace,
+    * then reclaim dirs superseded a full cycle ago (the retention window:
+    * a reader that resolved the store just before this commit may still
+    * be scanning THIS compaction's sources). */
+  private def compactEpochStore(
+      s: org.apache.spark.sql.SparkSession, storePath: String,
+      merge: DataFrame => DataFrame): Boolean = {
+    val (live, priorSuperseded) = crawlEpochState(s, storePath)
+    if (live.size <= 1) return false
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      storePath, s"compact_staging_${System.nanoTime()}")
+    merge(s.read.parquet(live.map(_.toString): _*))
+      .write.mode("overwrite").parquet(staging.toString)
+    val names = (live.map(_.getName).toSet ++ priorSuperseded).toSeq.sorted
+    val manifest = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_SUPERSEDES"))
+    try manifest.write(names.mkString("\n").getBytes("UTF-8"))
+    finally manifest.close()
+    val target = new org.apache.hadoop.fs.Path(
+      storePath, s"v=compact_${System.nanoTime()}")
+    require(fs.rename(staging, target), s"compaction rename failed: $target")
+    priorSuperseded.foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(storePath, name), true)
+    }
+    true
+  }
+
+  /** Compact BOTH crawl stores (VERDICT r13 ask 4 — without this, a year
+    * of 5-minute micro-batches is ~100k epoch dirs and every serving read
+    * pays O(epochs) listing + small-file overhead). The doc store merges
+    * rows as-is; the chunk-df store merges WITH the additive rollup
+    * (`groupBy(chunk).sum(n)`) — the deltas' merge algebra — so a
+    * compacted store is also pre-aggregated and the serving re-aggregate
+    * touches one distinct-chunks-sized partition set. Serving results are
+    * unchanged by construction (sum is associative); HtmlStoreSpec gates
+    * the hash pre/post, double-compaction, and replayed-ancient-batch
+    * no-op. Returns true when either store compacted. */
+  def compactCrawlStores(
+      s: org.apache.spark.sql.SparkSession, docStore: String,
+      dfStore: String): Boolean = {
+    val a = compactEpochStore(s, docStore, identity)
+    val b = compactEpochStore(s, dfStore,
+      df => df.groupBy("chunk").agg(sum(col("n")).as("n")))
+    a || b
+  }
+
   /** The maintained chunk document-frequency view: per-epoch deltas
-    * summed across every committed epoch — (chunk, n) with n the number
-    * of distinct pages carrying the chunk. One aggregation over
-    * delta-sized epoch files at serving time. */
+    * summed across every live epoch (committed minus superseded) —
+    * (chunk, n) with n the number of distinct pages carrying the chunk.
+    * One aggregation over delta-sized epoch files at serving time;
+    * [[compactCrawlStores]] keeps the epoch count bounded. */
   def currentChunkDf(
       s: org.apache.spark.sql.SparkSession,
       dfStore: String): Option[DataFrame] = {
-    val vs = committedVersions(s, dfStore)
-    if (vs.isEmpty) None
-    else Some(s.read.parquet(vs.map(v => s"$dfStore/v=$v"): _*)
+    val dirs = crawlEpochState(s, dfStore)._1.map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs: _*)
       .groupBy("chunk").agg(sum(col("n")).as("n")))
   }
 
@@ -928,15 +1046,89 @@ object StreamOps {
       }
       .start()
 
-  /** Every committed page parse in the doc store (union of committed
-    * epochs), if any batch has committed. */
+  /** Every committed page parse in the doc store (union of live epochs —
+    * committed minus superseded), if any batch has committed. */
   def currentCrawlDocs(
       s: org.apache.spark.sql.SparkSession,
       docStore: String): Option[DataFrame] = {
-    val vs = committedVersions(s, docStore)
-    if (vs.isEmpty) None
-    else Some(s.read.parquet(vs.map(v => s"$docStore/v=$v"): _*))
+    val dirs = crawlEpochState(s, docStore)._1.map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(s.read.parquet(dirs: _*))
   }
+
+  /** One micro-batch of the crawl → near-dup HANDOFF (VERDICT r13 ask 6 —
+    * the dailyloop probe shape as one continuously-maintained
+    * composition): the epoch's parsed pages land in the doc store, their
+    * reassembled text is banded into an append-only BAND-store epoch
+    * (production's persisted band table, carried forward between
+    * increments), the delta's bands bucket-join the full band table for
+    * candidates, candidates verify by true Jaccard against the doc
+    * store's texts (semi-join-pruned to pair endpoints), and the verified
+    * delta pairs fold into the component store via
+    * [[applyComponentsBatch]]'s incremental update. Per-epoch cost is
+    * O(|batch| banding + delta-involving candidates + touched
+    * components) — the base corpus is never re-banded and the pair graph
+    * never recomputed. The union over epochs of delta-involving pairs is
+    * exactly the full pair set, so the final labels equal a full
+    * recompute (the `stream_crawl_dedup_exec` gate's closure-oracle
+    * claim).
+    *
+    * `bandsOf` maps (doc_id, text) to banded signatures and `pairsDelta`
+    * is the (allDocs, allBands, deltaBands) → verified-pairs stage — both
+    * injected by the caller (the catalog owns the MinHash family
+    * constants; the store choreography lives here). Idempotent per store:
+    * a replayed epoch no-ops on whichever writes already committed. */
+  def applyCrawlDedupBatch(
+      batch: DataFrame, batchId: Long, docStore: String,
+      bandStore: String, labelStore: String,
+      bandsOf: DataFrame => DataFrame,
+      pairsDelta: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
+    val s = batch.sparkSession
+    if (!crawlAbsorbed(s, docStore, batchId))
+      batch.write.mode("overwrite").parquet(s"$docStore/v=$batchId")
+    def textsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), array_join(col("kept"), " ").as("text"))
+      .filter(length(col("text")) > 0) // no kept chunks -> nothing to dedup
+    if (!crawlAbsorbed(s, bandStore, batchId))
+      bandsOf(textsOf(batch))
+        .write.mode("overwrite").parquet(s"$bandStore/v=$batchId")
+    if (committedVersions(s, labelStore).exists(_ >= batchId)) return
+    val deltaBands = s.read.parquet(s"$bandStore/v=$batchId")
+    val allBands = s.read.parquet(
+      crawlEpochState(s, bandStore)._1.map(_.toString): _*)
+    val allDocs = textsOf(currentCrawlDocs(s, docStore).get)
+    val pairs = pairsDelta(allDocs, allBands, deltaBands)
+    applyComponentsBatch(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      batchId, labelStore)
+  }
+
+  /** Streaming maintenance for the crawl → near-dup composition: each
+    * micro-batch of [[crawlIngestStream]] output (url-deduped, parsed —
+    * so a refetch can never band against its original) flows through
+    * [[applyCrawlDedupBatch]]. Serving reads
+    * [[currentComponents]](labelStore) for the maintained duplicate
+    * clusters and [[currentCrawlDocs]](docStore) for the corpus. */
+  def maintainCrawlDedup(
+      ingested: DataFrame, docStore: String, bandStore: String,
+      labelStore: String, checkpoint: String,
+      bandsOf: DataFrame => DataFrame,
+      pairsDelta: (DataFrame, DataFrame, DataFrame) => DataFrame)
+      : StreamingQuery =
+    ingested.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // persist: the parse-UDF + url-dedup-state plan is driven by four
+        // actions (isEmpty, doc-store write, banding, verify) — the
+        // maintainCrawl lesson
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            applyCrawlDedupBatch(batch, id, docStore, bandStore, labelStore,
+              bandsOf, pairsDelta)
+        } finally batch.unpersist()
+      }
+      .start()
 
   /** The current maintained component labeling at `storePath` (latest
     * committed version), if any batch has ever committed. */

@@ -37,6 +37,16 @@ object PipelineScaleProbe {
       spark0.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "basketstream") {
+      val spark0 = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8").getOrCreate()
+      spark0.sparkContext.setLogLevel("ERROR")
+      basketStreamLeg(spark0,
+        nPerEpoch = if (args.length > 1) args(1).toInt else 2000,
+        epochs = if (args.length > 2) args(2).toInt else 24)
+      spark0.stop()
+      return
+    }
     val sizes =
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(250000L, 1000000L)
     val spark = SparkSession.builder().master("local[8]")
@@ -173,6 +183,69 @@ object PipelineScaleProbe {
       System.out.flush()
     }
     spark.stop()
+  }
+
+  /** Basket-stream bounded-state leg (`basketstream <nPerEpoch> <epochs>`,
+    * round 14 — the claim behind basketPairsStream's event-time
+    * retirement): a long-running order stream must hold state for the
+    * OPEN-ORDER horizon only, never the whole order history. Feeds
+    * `epochs` micro-batches of `nPerEpoch` fresh orders each (4 items per
+    * order, event time advancing one hour per epoch, TTL 4 hours), tracks
+    * the state-store row count per epoch from the query progress, and
+    * asserts (a) emission correctness — every order's C(4,2)=6 pairs emit
+    * exactly once, so retirement never costs output; (b) the PLATEAU —
+    * late-epoch state stays within noise of mid-run state and far below
+    * the NoTimeout counterfactual (epochs·nPerEpoch, which is also
+    * reported from the pre-retirement history for contrast). */
+  def basketStreamLeg(spark: SparkSession, nPerEpoch: Int, epochs: Int): Unit = {
+    import spark.implicits._
+    require(epochs >= 12, s"basketstream needs >= 12 epochs, got $epochs")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sink = "basketstream_probe_sink"
+    val stateRows = Seq.newBuilder[Long]
+    val q = graft.streaming.StreamOps
+      .basketPairsStream(mem.toDF().toDF("order_id", "part_id", "ts"),
+        lateness = "4 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      (0 until epochs).foreach { e =>
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        val rows = (0 until nPerEpoch).flatMap { i =>
+          val order = (e.toLong * nPerEpoch) + i
+          (0 until 4).map(j =>
+            (order, order * 10 + j,
+              new java.sql.Timestamp(t0 + e * 3600000L + (i % 60) * 1000L)))
+        }
+        mem.addData(rows)
+        q.processAllAvailable()
+        stateRows += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    val emitted = spark.table(sink).count()
+    val expected = epochs.toLong * nPerEpoch * 6
+    assert(emitted == expected,
+      s"retirement cost emissions: $emitted pairs != $expected")
+    val st = stateRows.result()
+    // retirement fires 2x lateness behind the event-time frontier: the
+    // watermark itself lags `lateness` and the timeout adds `lateness`
+    // past the order's last activity — so the open horizon is ~8 epochs
+    // (2 x 4h / 1h-per-epoch) plus the current one; NoTimeout would be
+    // epochs·nPerEpoch and growing (measured plateau: 16,033 at 24x2000)
+    val horizonBound = 9L * nPerEpoch
+    assert(st.last <= horizonBound,
+      s"state did not retire: ${st.last} rows > $horizonBound " +
+        s"(history: ${st.mkString(",")})")
+    assert(st.last <= st(epochs / 2) * 3 / 2 + nPerEpoch,
+      s"state still growing past mid-run: ${st.mkString(",")}")
+    println(s"""{"probe":"basket_stream_state","n_per_epoch":$nPerEpoch,""" +
+      s""""epochs":$epochs,"pairs_emitted":$emitted,""" +
+      s""""state_rows_by_epoch":${st.mkString("[", ",", "]")},""" +
+      s""""no_timeout_counterfactual":${epochs.toLong * nPerEpoch},""" +
+      s""""plateau":true,"emissions_exact":true}""")
+    System.out.flush()
   }
 
   /** DSIR leg (`dsir <n>`, the scale claim behind `sample_dsir_select` /

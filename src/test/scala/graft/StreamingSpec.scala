@@ -70,15 +70,17 @@ class StreamingSpec extends AnyFunSuite {
   test("basket pairs stream: cross-batch splits and re-sent items emit " +
     "each pair exactly once") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, Long)]
-    val q = StreamOps.basketPairsStream(mem.toDF().toDF("order_id", "part_id"))
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamOps.basketPairsStream(
+        mem.toDF().toDF("order_id", "part_id", "ts"))
       .writeStream.format("memory").queryName("basket_pairs_test")
       .outputMode("append").start()
     try {
       // order 1 split across batches; order 2 whole; duplicates re-sent
-      mem.addData((1L, 10L), (1L, 20L), (2L, 10L))
+      mem.addData((1L, 10L, ts(0)), (1L, 20L, ts(1)), (2L, 10L, ts(2)))
       q.processAllAvailable()
-      mem.addData((1L, 30L), (1L, 10L), (2L, 20L), (2L, 10L))
+      mem.addData((1L, 30L, ts(3)), (1L, 10L, ts(4)), (2L, 20L, ts(5)),
+        (2L, 10L, ts(6)))
       q.processAllAvailable()
       val got = spark.table("basket_pairs_test")
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -86,6 +88,42 @@ class StreamingSpec extends AnyFunSuite {
       // the re-sent (1,10)/(2,10) must add nothing
       assert(got == Seq((10L, 20L), (10L, 20L), (10L, 30L), (20L, 30L)),
         s"got $got")
+    } finally q.stop()
+  }
+
+  test("basket pairs stream: a retired order's state is removed, and a " +
+    "late refill starts a fresh basket without re-emitting old pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    // 1-hour TTL so the test can retire order 1 by advancing event time
+    val q = StreamOps.basketPairsStream(
+        mem.toDF().toDF("order_id", "part_id", "ts"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("basket_retire_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L, ts(0)), (1L, 20L, ts(5)))
+      q.processAllAvailable()
+      // another order far in the future drives the watermark past order
+      // 1's last activity + TTL; the next batch fires its timeout
+      mem.addData((9L, 70L, ts(300)))
+      q.processAllAvailable()
+      mem.addData((9L, 80L, ts(301)))
+      q.processAllAvailable()
+      // order 1 re-arrives with a CURRENT timestamp (not late): its old
+      // basket {10,20} is forgotten — part 30 must emit NO pairs
+      mem.addData((1L, 30L, ts(302)))
+      q.processAllAvailable()
+      // a second fresh part pairs only within the NEW basket
+      mem.addData((1L, 40L, ts(303)))
+      q.processAllAvailable()
+      val got = spark.table("basket_retire_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((10L, 20L), (30L, 40L), (70L, 80L)), s"got $got")
+      // state is bounded: only the live orders (1 fresh, 9) hold state
+      val p = q.lastProgress
+      val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"expected <=2 state rows after retirement, " +
+        s"got $stateRows")
     } finally q.stop()
   }
 
@@ -1341,5 +1379,47 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(restarted == uninterrupted,
       s"restart changed the served cascade:\n$restarted\nvs\n$uninterrupted")
+  }
+
+  test("crawl store compaction: serving unchanged, single-epoch no-op, " +
+      "double compaction carries manifests, replayed ancient batch no-ops") {
+    val docStore = tmpCkpt("compactcrawl_docs")
+    val dfStore = tmpCkpt("compactcrawl_df")
+    // batch rows in crawlIngestStream's output shape; every doc carries a
+    // shared boilerplate chunk (goes hot once df >= 3) plus a unique chunk
+    def batchDf(ids: Seq[Long]) = ids.map(i =>
+        (i, s"https://example.com/doc/$i", 2L,
+          Seq(s"unique chunk for $i", "shared boilerplate chunk")))
+      .toDF("doc_id", "canon_url", "n_blocks", "kept")
+    (0L to 3L).foreach(b => StreamOps.applyCrawlBatch(
+      batchDf(Seq(2 * b, 2 * b + 1)), b, docStore, dfStore))
+    def serve(): Seq[(Long, Long, Long)] =
+      graft.catalog.HtmlQueries.serveCrawl(
+          spark, docStore, dfStore, minDf = 3, minChunks = 1)
+        .select("doc_id", "n_after", "keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val before = serve()
+    assert(before.map(_._1) == (0L to 7L).toSeq &&
+      before.forall(r => r._2 == 1L && r._3 == 1L),
+      s"unexpected pre-compaction serving: $before")
+    // compaction must not change serving, and a single-live-epoch store
+    // must refuse to re-compact
+    assert(StreamOps.compactCrawlStores(spark, docStore, dfStore))
+    assert(serve() == before, "compaction changed serving")
+    assert(!StreamOps.compactCrawlStores(spark, docStore, dfStore),
+      "single-epoch stores must not re-compact")
+    // append past the compaction, then compact AGAIN: the second pass GCs
+    // the first's sources, and its manifest must carry their ids forward
+    StreamOps.applyCrawlBatch(batchDf(Seq(8L, 9L)), 4L, docStore, dfStore)
+    val grown = serve()
+    assert(grown.map(_._1) == (0L to 9L).toSeq, s"append lost: $grown")
+    assert(StreamOps.compactCrawlStores(spark, docStore, dfStore))
+    assert(serve() == grown, "double compaction changed serving")
+    // the original numeric dirs are GC'd now; a replayed ANCIENT batch id
+    // must still no-op through the transitive manifest — these rows would
+    // add doc 99 if wrongly applied
+    StreamOps.applyCrawlBatch(batchDf(Seq(99L)), 1L, docStore, dfStore)
+    assert(serve() == grown, "ancient epoch id re-applied after compaction")
   }
 }
