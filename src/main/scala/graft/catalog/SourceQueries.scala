@@ -65,17 +65,20 @@ object SourceQueries {
     * synthesis in SQL (chunking, entity escape, fixed chrome strings) —
     * any byte lost or reframed anywhere in write → concatenate → scan →
     * Content-Length parse → UTF-8 decode flips the md5. */
+  private def warcFidelity(parsed: DataFrame): DataFrame =
+    parsed
+      .select(
+        Warc.docIdFromUrl(col("url")).as("doc_id"),
+        col("url"),
+        unix_seconds(col("fetch_ts")).as("fetch_unix"),
+        octet_length(col("html")).cast("long").as("n_bytes"),
+        md5(col("html").cast("binary")).as("html_md5"))
+      .orderBy("doc_id")
+
   val warcRoundtrip = Q(
     "q_source_warc",
     (s: SparkSession, dir: String) =>
-      Warc.readWarc(s, Warc.warcFixture(s, dir))
-        .select(
-          Warc.docIdFromUrl(col("url")).as("doc_id"),
-          col("url"),
-          unix_seconds(col("fetch_ts")).as("fetch_unix"),
-          octet_length(col("html")).cast("long").as("n_bytes"),
-          md5(col("html").cast("binary")).as("html_md5"))
-        .orderBy("doc_id"),
+      warcFidelity(Warc.readWarc(s, Warc.warcFixture(s, dir))),
     Some(s"""
       WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
                  FROM documents),
@@ -100,5 +103,21 @@ object SourceQueries {
              md5(page) AS html_md5
       FROM page ORDER BY doc_id"""))
 
-  def qs: Seq[Q] = Seq(jsonlRoundtrip, csvRoundtrip, orcRoundtrip, warcRoundtrip)
+  /** REAL-LAYOUT archive ingest (`.warc.gz`, VERDICT r13 ask 5): the same
+    * corpus in the Common Crawl shape — gzip-per-member compression, HTTP
+    * response envelopes around every payload, interleaved `WARC-Type:
+    * request` records ([[graft.sources.Warc.warcGzFixture]]). The parser
+    * must decompress concatenated members, strip the HTTP headers, and
+    * skip the non-response records EXACTLY, because the oracle is
+    * `q_source_warc`'s generative SQL verbatim — any leaked header byte,
+    * lost member, or resurrected request record flips a row's md5. */
+  val warcGzRoundtrip = Q(
+    "q_source_warc_gz",
+    (s: SparkSession, dir: String) =>
+      warcFidelity(Warc.readWarc(s, Warc.warcGzFixture(s, dir))),
+    warcRoundtrip.oracle)
+
+  def qs: Seq[Q] =
+    Seq(jsonlRoundtrip, csvRoundtrip, orcRoundtrip, warcRoundtrip,
+      warcGzRoundtrip)
 }

@@ -48,8 +48,68 @@ object Warc {
   /** Parse one archive's bytes into records (lenient, Content-Length
     * framed). Header names are case-insensitive; unknown headers are
     * ignored; a record missing Content-Length or a parseable date is
-    * skipped (scan resumes at the next magic). */
-  def parseRecords(bytes: Array[Byte]): Iterator[Record] = new Iterator[Record] {
+    * skipped (scan resumes at the next magic). Real-crawl compatibility
+    * (the Common Crawl layout, VERDICT r13 ask 5):
+    *
+    *  - gzip archives (`.warc.gz` — one gzip MEMBER per record,
+    *    members concatenated) are detected by magic and decompressed
+    *    first; `GZIPInputStream` reads concatenated members natively,
+    *    and a corrupt/truncated tail keeps everything decompressed so
+    *    far (the truncated-fetch leniency, now at the compression layer);
+    *  - records carrying a `WARC-Type` other than `response` (request,
+    *    warcinfo, metadata, …) are skipped — their payload boundary is
+    *    still honored, so skipping can never desync the framing;
+    *  - a payload that is an HTTP RESPONSE (starts with `HTTP/`) is
+    *    split at its first blank line and only the BODY becomes the
+    *    html — real response records store status line + headers before
+    *    the entity. */
+  def parseRecords(bytes: Array[Byte]): Iterator[Record] =
+    parseFramed(if (isGzip(bytes)) gunzipAll(bytes) else bytes)
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** Decompress concatenated gzip members; a corrupt or truncated tail
+    * keeps what already decompressed (lenient, like the record framing). */
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
+    finally in.close()
+    out.toByteArray
+  }
+
+  /** (offset, length) of the html within a payload at [off, off+len):
+    * the whole payload unless it is an HTTP response, in which case the
+    * entity body after the first blank line (CRLFCRLF or LFLF); a
+    * headers-only response yields an empty body. */
+  private def httpBodyRange(bytes: Array[Byte], off: Int, len: Int): (Int, Int) = {
+    val http = "HTTP/".getBytes(StandardCharsets.US_ASCII)
+    if (len < http.length ||
+        !http.indices.forall(i => bytes(off + i) == http(i))) (off, len)
+    else {
+      var i = off
+      val end = off + len
+      while (i < end) {
+        if (bytes(i) == '\n') {
+          val after =
+            if (i + 2 < end && bytes(i + 1) == '\r' && bytes(i + 2) == '\n') i + 3
+            else if (i + 1 < end && bytes(i + 1) == '\n') i + 2
+            else -1
+          if (after >= 0) return (after, end - after)
+        }
+        i += 1
+      }
+      (end, 0) // headers only, no blank line: empty body
+    }
+  }
+
+  private def parseFramed(bytes: Array[Byte]): Iterator[Record] = new Iterator[Record] {
     private val magic = Magic.getBytes(StandardCharsets.US_ASCII)
     private var pos = 0
     private var nextRec: Record = _
@@ -90,6 +150,7 @@ object Warc {
         var cur = lineEnd(at) match { case null => bytes.length case (_, n) => n }
         var url: String = null
         var date: String = null
+        var wtype: String = null
         var len = -1L
         var ok = cur < bytes.length
         var done = false
@@ -107,6 +168,7 @@ object Warc {
                   k match {
                     case "warc-target-uri" => url = v
                     case "warc-date" => date = v
+                    case "warc-type" => wtype = v
                     case "content-length" =>
                       len = try v.toLong catch { case _: NumberFormatException => -1L }
                     case _ => () // unknown headers flow through
@@ -127,15 +189,24 @@ object Warc {
           pos = bytes.length
         } else if (!ok || len < 0 || url == null || date == null) {
           pos = at + magic.length // malformed: rescan past this magic
+        } else if (wtype != null && !wtype.equalsIgnoreCase("response")) {
+          // non-response record (request/warcinfo/metadata): the payload
+          // boundary is known, so skip it whole — never emit, never desync
+          pos = cur + len.toInt
         } else {
+          val (bodyOff, bodyLen) = httpBodyRange(bytes, cur, len.toInt)
           val payload =
-            new String(bytes, cur, len.toInt, StandardCharsets.UTF_8)
+            new String(bytes, bodyOff, bodyLen, StandardCharsets.UTF_8)
           val ts =
             try java.sql.Timestamp.from(java.time.Instant.parse(date))
             catch { case _: Throwable => null }
+          // The payload boundary is KNOWN (valid Content-Length framing), so
+          // an unparseable date drops the record but still skips past the
+          // framed payload — rescanning from the magic would walk INTO the
+          // payload and could resurrect embedded 'WARC/1.0' bait as ghost
+          // records, the exact desync the truncated-tail path prevents.
           pos = cur + len.toInt
-          if (ts == null) pos = at + magic.length
-          else nextRec = Record(url, ts, payload)
+          if (ts != null) nextRec = Record(url, ts, payload)
         }
       }
     }
@@ -149,10 +220,17 @@ object Warc {
   /** Archive files under `path` → (url, fetch_ts, html) rows. One task
     * per archive file (the WARC parallelism unit); `binaryFile` streams
     * whole files, so executor memory bounds archive size exactly as real
-    * WARC processing does (~1 GB members). */
+    * WARC processing does (~1 GB members). Plain `.warc` and gzipped
+    * `.warc.gz` archives both match; the parser detects the compression
+    * by magic per file. */
   def readWarc(s: SparkSession, path: String): DataFrame =
     bytesToRows(s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").load(path))
+      .option("pathGlobFilter", ArchiveGlob).load(path))
+
+  /** Both real-world archive extensions; NOT `*.warc*`, which would match
+    * [[landArchive]]'s in-flight `.tmp` names and break the streaming
+    * source's atomic-landing contract. */
+  private val ArchiveGlob = "*.{warc,warc.gz}"
 
   /** Archive bytes → (url, fetch_ts, html) rows — the ONE bytes-to-rows
     * contract, shared by the batch and streaming readers so they cannot
@@ -179,7 +257,7 @@ object Warc {
       "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
     bytesToRows(s.readStream.format("binaryFile")
       .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.warc").load(path))
+      .option("pathGlobFilter", ArchiveGlob).load(path))
   }
 
   /** Land an archive's bytes in a watched directory ATOMICALLY: the file
@@ -205,8 +283,16 @@ object Warc {
     nullif(regexp_extract(url, "/doc/(\\d{1,18})$", 1), lit("")).cast("long")
 
   /** One record's bytes (fixture writer side of [[parseRecords]]). */
-  def recordBytes(url: String, isoDate: String, payload: Array[Byte]): Array[Byte] = {
-    val header = (s"$Magic\r\nWARC-Type: response\r\n" +
+  def recordBytes(url: String, isoDate: String, payload: Array[Byte]): Array[Byte] =
+    recordBytesTyped("response", url, isoDate, payload)
+
+  /** [[recordBytes]] with an explicit `WARC-Type` — the writer side for
+    * the non-response record kinds a real archive interleaves (request,
+    * warcinfo, metadata) that the parser must skip without desync. */
+  def recordBytesTyped(
+      wtype: String, url: String, isoDate: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val header = (s"$Magic\r\nWARC-Type: $wtype\r\n" +
       s"WARC-Target-URI: $url\r\nWARC-Date: $isoDate\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n")
       .getBytes(StandardCharsets.UTF_8)
@@ -216,6 +302,29 @@ object Warc {
     out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
     out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
     out
+  }
+
+  /** Deterministic HTTP response envelope (writer side of
+    * [[httpBodyRange]]): status line + two headers + blank line + body —
+    * what a real crawl archive stores as a response record's payload. */
+  def httpWrap(body: Array[Byte]): Array[Byte] = {
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out
+  }
+
+  /** One gzip MEMBER holding `record` — the `.warc.gz` layout gzips each
+    * record independently and concatenates the members, which is what
+    * makes per-record random access possible with an offset index. */
+  def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record); gz.close()
+    bos.toByteArray
   }
 
   private val cache = scala.collection.concurrent.TrieMap[String, String]()
@@ -247,6 +356,45 @@ object Warc {
               s"https://www.example.com/doc/$id", iso,
               Html.wrapDocument(r.getString(1))
                 .getBytes(StandardCharsets.UTF_8)))
+          } finally out.close()
+        }
+      p
+    })
+
+  /** Per-JVM REAL-LAYOUT archive fixture (`q_source_warc_gz`): the same
+    * corpus as [[warcFixture]] but in the Common Crawl shape — 8
+    * `.warc.gz` files, one gzip member per record, every response payload
+    * wrapped in a deterministic HTTP envelope ([[httpWrap]]), and every
+    * 5th document FOLLOWED by a `WARC-Type: request` record (the
+    * interleaved non-response kind the parser must skip). The content
+    * that survives parsing is byte-identical to the plain fixture's, so
+    * the gate reuses `q_source_warc`'s generative DuckDB oracle verbatim
+    * — compression, HTTP stripping and type filtering must all be exact
+    * inverses of this writer. */
+  def warcGzFixture(s: SparkSession, dir: String): String =
+    cache.getOrElseUpdate(s"warcgz|$dir", {
+      val p = "/tmp/graft_sources/warcgz_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val f = new java.io.File(p)
+      org.apache.commons.io.FileUtils.deleteQuietly(f)
+      f.mkdirs()
+      Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .repartition(8, col("doc_id"))
+        .foreachPartition { (it: Iterator[Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(s"$p/part-$pid.warc.gz"))
+          try it.foreach { r =>
+            val id = r.getLong(0)
+            val url = s"https://www.example.com/doc/$id"
+            val iso = java.time.Instant.ofEpochSecond(1000000L + id).toString
+            out.write(gzipMember(recordBytes(url, iso,
+              httpWrap(Html.wrapDocument(r.getString(1))
+                .getBytes(StandardCharsets.UTF_8)))))
+            if (id % 5 == 0)
+              out.write(gzipMember(recordBytesTyped("request", url, iso,
+                s"GET /doc/$id HTTP/1.1\r\nHost: www.example.com\r\n\r\n"
+                  .getBytes(StandardCharsets.US_ASCII))))
           } finally out.close()
         }
       p

@@ -71,6 +71,84 @@ class WarcSpec extends AnyFunSuite {
       s"ghost record resurrected from truncated payload: ${out2.map(_.url)}")
   }
 
+  test("date-parse failure skips the FRAMED payload: embedded bait cannot " +
+      "resurrect as a ghost record") {
+    // well-formed framing, unparseable date; the payload is a complete
+    // bait record — rescanning from the magic would emit it
+    val bait = rec("https://evil/ghost", 1000009L, "<p>ghost</p>")
+    val badDate = concat(
+      ("WARC/1.0\r\nWARC-Target-URI: https://a/baddate\r\n" +
+        s"WARC-Date: not-a-date\r\nContent-Length: ${bait.length}\r\n\r\n")
+        .getBytes(StandardCharsets.US_ASCII),
+      bait)
+    val good = rec("https://a/after", 1000010L, "after page")
+    val out = Warc.parseRecords(concat(badDate, good)).toVector
+    assert(out.map(_.url) == Vector("https://a/after"),
+      s"ghost resurrected from date-failed record: ${out.map(_.url)}")
+  }
+
+  test("gzip archives: concatenated members round-trip; a corrupt tail " +
+      "member keeps everything before it") {
+    val payloads = Seq("first gz page", "second gz page é世界", "")
+    val members = payloads.zipWithIndex.map { case (p, i) =>
+      Warc.gzipMember(rec(s"https://gz/p/$i", 1000000L + i, p))
+    }
+    val out = Warc.parseRecords(concat(members: _*)).toVector
+    assert(out.map(_.html) == payloads.toVector)
+    assert(out.map(_.url) ==
+      payloads.indices.map(i => s"https://gz/p/$i").toVector)
+    // cut the LAST member in half: earlier members must survive whole
+    val cut = concat(members(0), members(1),
+      members(2).take(members(2).length / 2))
+    val out2 = Warc.parseRecords(cut).toVector
+    assert(out2.map(_.html) == payloads.take(2).toVector,
+      s"truncated gz tail corrupted earlier members: ${out2.map(_.url)}")
+  }
+
+  test("HTTP response payloads: envelope stripped exactly; headers-only " +
+      "yields empty body; non-response records skip without desync") {
+    val body = "<p>the real page</p>"
+    val resp = rec("https://h/1", 1000001L,
+      new String(Warc.httpWrap(body.getBytes(StandardCharsets.UTF_8)),
+        StandardCharsets.UTF_8))
+    // a request record BETWEEN responses, with header-looking payload
+    val req = Warc.recordBytesTyped("request", "https://h/1",
+      java.time.Instant.ofEpochSecond(1000001L).toString,
+      "GET /1 HTTP/1.1\r\nHost: h\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+    val headersOnly = rec("https://h/2", 1000002L,
+      "HTTP/1.1 304 Not Modified\r\nETag: xyz\r\n\r\n")
+    // LF-LF separator variant (lenient servers emit it)
+    val lfOnly = rec("https://h/3", 1000003L,
+      "HTTP/1.1 200 OK\nContent-Type: text/html\n\nlf body")
+    // non-HTTP payload flows through untouched
+    val plain = rec("https://h/4", 1000004L, "no envelope here")
+    val out = Warc.parseRecords(
+      concat(resp, req, headersOnly, lfOnly, plain)).toVector
+    assert(out.map(_.url) ==
+      Vector("https://h/1", "https://h/2", "https://h/3", "https://h/4"))
+    assert(out.map(_.html) ==
+      Vector(body, "", "lf body", "no envelope here"))
+  }
+
+  test("mixed archive directory: .warc and .warc.gz both read; in-flight " +
+      ".tmp names ignored") {
+    val spark = SparkTestBase.spark
+    val dir = Files.createTempDirectory("warcmix").toFile
+    val plainRec = rec("https://mix/plain", 1000001L, "plain archive page")
+    val gzRec = Warc.gzipMember(rec("https://mix/gz", 1000002L, "gz archive page"))
+    Files.write(new java.io.File(dir, "a.warc").toPath, plainRec)
+    Files.write(new java.io.File(dir, "b.warc.gz").toPath, gzRec)
+    // a landing-in-progress temp file must be invisible to the glob
+    Files.write(new java.io.File(dir, "c.warc.tmp").toPath,
+      rec("https://mix/tmp", 1000003L, "must not appear"))
+    val got = Warc.readWarc(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(2))).sorted.toVector
+    assert(got == Vector(
+      ("https://mix/gz", "gz archive page"),
+      ("https://mix/plain", "plain archive page")), s"got $got")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("unknown headers flow through; case-insensitive names; lone LF") {
     val b = ("WARC/1.0\nwarc-target-uri: https://a/x\nX-Custom: whatever\n" +
       "WARC-DATE: 1970-01-12T13:46:40Z\ncontent-length: 4\n\npage\r\n\r\n")
