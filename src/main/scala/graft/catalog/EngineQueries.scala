@@ -88,12 +88,17 @@ object EngineQueries {
     /** Same corpus through the PLUGGABLE index kind: the engine built and
       * queried over an IVF-PQ codes index instead of the LSH forest. */
     def ensureIvfPq(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
-      cache.getOrElseUpdate(s"$dir|ivfpq_", {
-        val p = "/tmp/graft_engine/v1_ivfpq_" +
+      ensureKind(s, dir, "ivfpq")
+    /** Same corpus through ANY pluggable index kind (ivfpq / sq8 / pq). */
+    def ensureKind(
+        s: org.apache.spark.sql.SparkSession, dir: String,
+        kind: String): ZebraEngine =
+      cache.getOrElseUpdate(s"$dir|${kind}_", {
+        val p = s"/tmp/graft_engine/v1_${kind}_" +
           dir.replaceAll("[^A-Za-z0-9.]", "_")
         ZebraEngine.destroy(p)
         val eng = ZebraEngine.create(
-          s, p, EngineConfig(dim = 64, indexKind = "ivfpq"))
+          s, p, EngineConfig(dim = 64, indexKind = kind))
         eng.insertRecords(Tables.embeddings(s, dir)
           .select(format_string("v%06d", col("vec_id")).as("id"), col("embedding")))
         eng.refreshIndex()
@@ -184,7 +189,48 @@ object EngineQueries {
       WHERE rn <= 10
       ORDER BY query_id, id"""))
 
+  /** Shared full-budget kNN oracle for the pluggable-index entries: at an
+    * exhaustive candidate budget every index kind must degenerate to the
+    * SAME exact-kNN answer — one oracle, N engine index implementations. */
+  private val fullBudgetOracle = Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 2),
+           d AS (SELECT q.query_id, printf('v%06d', a.vec_id) AS id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY q.query_id, a.vec_id)
+      SELECT query_id, id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, id) AS rn FROM d)
+      WHERE rn <= 10
+      ORDER BY query_id, id""")
+
+  private def fullBudgetQuery(kind: String)
+      : (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, dir) => {
+      val eng = EngineCache.ensureKind(s, dir, kind)
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      eng.queryVectors(queries, k = 10, searchK = Some(Int.MaxValue))
+        .orderBy("query_id", "id")
+    }
+
+  /** COMPRESSED-SCAN serving tiers in the PRODUCT API (VERDICT r13 ask
+    * 7): the engine lifecycle over an SQ8 codes index (exact per-dim
+    * bounds, 4x compression) and a PQ16 codes index (16-byte codes +
+    * codebook ADC) — shortlist from the codes-only scan, exact rerank, at
+    * exhaustive budget ≡ exact kNN on the same oracle hash the LSH and
+    * IVF-PQ kinds land on. The memory-bound regime's serving knob is now
+    * `EngineConfig(indexKind = "sq8" | "pq")`, not a catalog-only path;
+    * recall at production budgets stays observable via the existing
+    * ann_sq/ann_pq entries (same kernels). */
+  val engineSqFull = Q(
+    "engine_sq_full_budget", fullBudgetQuery("sq8"), fullBudgetOracle)
+
+  val enginePqFull = Q(
+    "engine_pq_full_budget", fullBudgetQuery("pq"), fullBudgetOracle)
+
   def qs: Seq[Q] =
     Seq(dedupExact, removeAntiJoin, engineRoundtrip, engineIndexedFull,
-      engineIvfPqFull)
+      engineIvfPqFull, engineSqFull, enginePqFull)
 }

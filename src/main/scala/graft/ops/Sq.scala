@@ -82,6 +82,36 @@ object Sq {
     SimSearch.exactTopK(queries, decode(codes, model, vecId), k,
       queryId = queryId, vecId = vecId)
 
+  /** SQ top-k WITH exact rerank — [[graft.ops.Pq.topK]]'s two-stage shape
+    * for the scalar family: a compressed-scan shortlist of `rerank`
+    * candidates per query under `metric` over the RECONSTRUCTED vectors,
+    * then exact rescoring of just the shortlist against the raw vectors
+    * (broadcast shortlist join). `rerank` ≥ corpus size makes the result
+    * exactly [[SimSearch.exactTopK]] under any metric — the engine's
+    * full-budget contract. */
+  def topKRerank(
+      queries: DataFrame, codes: DataFrame, vectors: DataFrame,
+      model: SqModel, k: Int, rerank: Int,
+      metric: Distances.Metric = Distances.L2Squared,
+      queryId: String = "query_id", vecId: String = "vec_id",
+      roundTo: Int = 4): DataFrame = {
+    require(rerank >= k, "rerank budget must be at least k")
+    val shortlist = SimSearch.exactTopK(
+      queries, decode(codes, model, vecId), rerank, metric = metric,
+      queryId = queryId, vecId = vecId)
+      .select(col(queryId), col(vecId))
+    val q = queries.select(
+      col(queryId), Distances.asDouble(col("embedding")).as("q_emb"))
+    val v = vectors.select(
+      col(vecId), Distances.asDouble(col("embedding")).as("v_emb"))
+    val scored = shortlist
+      .join(v, Seq(vecId))
+      .join(broadcast(q), Seq(queryId))
+      .withColumn("dist",
+        SimSearch.quantize(metric, metric(col("q_emb"), col("v_emb")), roundTo))
+    SimSearch.takeTopK(scored, k, queryId, vecId)
+  }
+
   /** Per-JVM model + persisted code table (the family cache pattern). */
   object Cache {
     private val cache =
