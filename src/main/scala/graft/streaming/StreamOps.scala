@@ -675,6 +675,14 @@ object StreamOps {
     * query saw traffic. No timeout — a leaderboard outlives any horizon
     * by design (k · |queries| rows of state, not stream-sized).
     *
+    * Why NoTimeout is SAFE here (and was not in baskets): the keyspace is
+    * the REGISTERED monitoring queries — an operator-curated set, bounded
+    * by who is watching, not by stream traffic — and each key's state is
+    * a hard ≤ k buffer. Retiring an idle query would also be wrong: its
+    * leaderboard must still reflect all history when traffic resumes.
+    * Per-ORDER keys (baskets) arrive unboundedly and die after checkout —
+    * THAT shape needs the event-time TTL basketPairsStream now has.
+    *
     * Input: (query_id LONG, vec_id LONG, dist DOUBLE) — pre-scored, so
     * stream and batch share arithmetic bit-for-bit; parity with
     * `SimSearch.takeTopK` over the full history is gated in
@@ -747,7 +755,17 @@ object StreamOps {
     * Delivery contract: batches must arrive in non-decreasing seq order
     * per key (the CDC-log contract; out-of-order seqs would need an
     * event-time buffer like asofStream's). Payload shape specialized to
-    * (st STRING, price DOUBLE) like the other stateful ops. */
+    * (st STRING, price DOUBLE) like the other stateful ops.
+    *
+    * Why NoTimeout is SAFE here (and was not in baskets): state is O(1)
+    * per key — the single open version — and the keyspace is the
+    * DIMENSION's (suppliers/customers/SKUs: the entity table SCD2
+    * historizes, bounded by the business, not by traffic). Retiring a
+    * key would also be WRONG: its open version must close whenever the
+    * next change arrives, years later included. Contrast basketPairsStream
+    * pre-r14: per-ORDER keys arrive forever and each is dead after
+    * checkout — traffic-bounded keys need the TTL, dimension-bounded
+    * keys need the open row. */
   def scd2Stream(log: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import log.sparkSession.implicits._

@@ -78,6 +78,14 @@ object TextScaleProbe {
       return
     }
 
+    if (args.nonEmpty && args(0) == "crawlcompact") {
+      crawlCompactLeg(spark,
+        epochs = if (args.length > 1) args(1).toInt else 100,
+        perEpoch = if (args.length > 2) args(2).toInt else 500)
+      spark.stop()
+      return
+    }
+
     val terms = Seq("w10", "w500", "w4000")
 
     for (n <- Seq(250000L, 1000000L)) {
@@ -648,6 +656,90 @@ object TextScaleProbe {
       s""""late_over_early_append":${f"${flat.last / flat(1)}%.2f"},""" +
       s""""late_over_early_merged":${f"${merged.last / merged(1)}%.2f"},""" +
       s""""serving_contract_exact":true,"per_epoch_cost_tracks_delta":true}""")
+    System.out.flush()
+  }
+
+  /** Crawl-store compaction leg (`crawlcompact <epochs> <perEpoch>`,
+    * round 14 — the measurement behind `compactCrawlStores`): a year of
+    * 5-minute micro-batches is ~100k epoch dirs, and every serving read
+    * pays O(epochs) listing + per-dir parquet footer overhead. Builds
+    * ~100 epochs through the real `applyCrawlBatch` path, measures the
+    * `serveCrawl` read wall against the epoch sprawl, compacts both
+    * stores, re-measures — asserting the SERVED RESULT is bit-identical
+    * pre/post (the compaction contract) and reporting the wall ratio and
+    * the live-dir collapse (epochs → 1 per store). The chunk-df store's
+    * compaction also pre-aggregates, so the serving re-aggregate reads a
+    * distinct-chunks-sized table instead of epochs × delta rows. */
+  def crawlCompactLeg(spark: SparkSession, epochs: Int, perEpoch: Int): Unit = {
+    import spark.implicits._
+    require(epochs >= 10, s"crawlcompact needs >= 10 epochs, got $epochs")
+    val root = java.nio.file.Files.createTempDirectory("crawlcompact").toString
+    val (docStore, dfStore) = (s"$root/docs", s"$root/df")
+    // batch rows in crawlIngestStream's output shape: every doc carries a
+    // shared boilerplate chunk (hot once df >= CrawlMinDf) + unique prose
+    def batchDf(e: Int) = spark.range(perEpoch)
+      .select((col("id") + e.toLong * perEpoch).as("doc_id"))
+      .withColumn("canon_url",
+        concat(lit("https://x.example/doc/"), col("doc_id")))
+      .withColumn("n_blocks", lit(2L))
+      .withColumn("kept", array(
+        concat(lit("unique prose for page "), col("doc_id"),
+          lit(" padded out to length")),
+        lit("shared boilerplate chunk repeated on every page")))
+    (0 until epochs).foreach(e =>
+      graft.streaming.StreamOps.applyCrawlBatch(
+        batchDf(e), e.toLong, docStore, dfStore))
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def liveDirs(store: String): Int = {
+      // live = committed minus manifest-superseded (the reader's view;
+      // superseded dirs linger on disk one retention cycle)
+      val f = new java.io.File(store)
+      val committed = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("v=") &&
+          new java.io.File(d, "_SUCCESS").exists())
+      val superseded = committed.flatMap { d =>
+        val m = new java.io.File(d, "_SUPERSEDES")
+        if (!m.exists()) Nil
+        else {
+          val src = scala.io.Source.fromFile(m)
+          try src.getLines().toList finally src.close()
+        }
+      }.toSet
+      committed.count(d => !superseded.contains(d.getName))
+    }
+    def serve(): (Long, Long, Long) = {
+      val r = graft.catalog.HtmlQueries
+        .serveCrawl(spark, docStore, dfStore, minDf = 3, minChunks = 1)
+        .agg(count(lit(1)), sum("n_after"), sum("keep")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // warm both plans once (codegen + footer caches), then measure
+    serve()
+    val (before, preSec) = time(serve())
+    val dirsBefore = (liveDirs(docStore), liveDirs(dfStore))
+    val (compacted, compactSec) = time(
+      graft.streaming.StreamOps.compactCrawlStores(spark, docStore, dfStore))
+    assert(compacted, "compaction did not run")
+    val (after, postSec) = time(serve())
+    val dirsAfter = (liveDirs(docStore), liveDirs(dfStore))
+    assert(after == before,
+      s"compaction changed serving: $after vs $before")
+    assert(before._1 == epochs.toLong * perEpoch && before._3 == before._1,
+      s"unexpected corpus: $before")
+    // replayed ancient epoch must still no-op through the manifests
+    graft.streaming.StreamOps.applyCrawlBatch(
+      batchDf(0), 0L, docStore, dfStore)
+    assert(serve() == before, "ancient epoch re-applied after compaction")
+    println(s"""{"probe":"crawl_compact","epochs":$epochs,""" +
+      s""""docs":${epochs.toLong * perEpoch},""" +
+      s""""live_dirs_before":[${dirsBefore._1},${dirsBefore._2}],""" +
+      s""""live_dirs_after":[${dirsAfter._1},${dirsAfter._2}],""" +
+      f""""serve_sec_before":$preSec%.2f,"serve_sec_after":$postSec%.2f,""" +
+      f""""speedup":${preSec / postSec}%.2f,""" +
+      f""""compact_sec":$compactSec%.2f,""" +
+      s""""serving_identical":true,"ancient_replay_noop":true}""")
     System.out.flush()
   }
 
