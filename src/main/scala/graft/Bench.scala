@@ -19,12 +19,22 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Throwable => Seq.empty[Double] }
-    val self = ProcessHandle.current().pid()
+    // Exclude self AND every ancestor process: a Bench forked by sbt has
+    // the sbt launcher JVM as its parent, and counting it made every
+    // driver-run artifact read box_loaded:true — a brand that always
+    // fires distinguishes nothing (and pre-excuses real regressions as
+    // box noise).
+    val excluded = {
+      var pids = Set.empty[Long]
+      var cur = java.util.Optional.of(ProcessHandle.current())
+      while (cur.isPresent) { pids += cur.get.pid(); cur = cur.get.parent() }
+      pids
+    }
     val nJava =
       try new java.io.File("/proc").listFiles()
         .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
         .count { f =>
-          f.getName.toLong != self && {
+          !excluded.contains(f.getName.toLong) && {
             try java.nio.file.Files.readString(
               java.nio.file.Paths.get(s"/proc/${f.getName}/comm")).trim == "java"
             catch { case _: Throwable => false }

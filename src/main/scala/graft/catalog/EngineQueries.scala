@@ -132,63 +132,6 @@ object EngineQueries {
       WHERE rn <= 10
       ORDER BY query_id, id"""))
 
-  /** The flagship lifecycle END TO END through the INDEX (reference
-    * core.rs:267-313): insert_records → build_index → route → bucket join →
-    * rerank → top-k. `engine_roundtrip` exercises the brute-force branch of
-    * `query_vectors` (no index built); this entry refreshes the index and
-    * queries at an exhaustive candidate budget, where the forest path
-    * degenerates to exact kNN — so the RNG-dependent indexed branch gets a
-    * deterministic DuckDB hash gate (same trick as `lsh_knn_full_budget`). */
-  val engineIndexedFull = Q(
-    "engine_indexed_full_budget",
-    (s, dir) => {
-      val eng = EngineCache.ensureIndexed(s, dir)
-      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 2)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      eng.queryVectors(queries, k = 10, searchK = Some(Int.MaxValue))
-        .orderBy("query_id", "id")
-    },
-    Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                 FROM embeddings WHERE vec_id < 2),
-           d AS (SELECT q.query_id, printf('v%06d', a.vec_id) AS id,
-                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
-                 FROM embeddings a, q, generate_series(1, 64) t(i)
-                 GROUP BY q.query_id, a.vec_id)
-      SELECT query_id, id, dist
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY dist, id) AS rn FROM d)
-      WHERE rn <= 10
-      ORDER BY query_id, id"""))
-
-  /** The SAME lifecycle and query contract through the engine's pluggable
-    * index kind: insert_records → IVF-PQ index (coarse cells × 8-byte
-    * codes) → partition-pruned ADC probe → exact rerank, at exhaustive
-    * budget — the pipeline degenerates to exact kNN and lands on the same
-    * hash as engine_indexed_full_budget does through the LSH forest. One
-    * oracle, two engine index implementations. */
-  val engineIvfPqFull = Q(
-    "engine_ivfpq_full_budget",
-    (s, dir) => {
-      val eng = EngineCache.ensureIvfPq(s, dir)
-      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 2)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      eng.queryVectors(queries, k = 10, searchK = Some(Int.MaxValue))
-        .orderBy("query_id", "id")
-    },
-    Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-                 FROM embeddings WHERE vec_id < 2),
-           d AS (SELECT q.query_id, printf('v%06d', a.vec_id) AS id,
-                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
-                 FROM embeddings a, q, generate_series(1, 64) t(i)
-                 GROUP BY q.query_id, a.vec_id)
-      SELECT query_id, id, dist
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY dist, id) AS rn FROM d)
-      WHERE rn <= 10
-      ORDER BY query_id, id"""))
-
   /** Shared full-budget kNN oracle for the pluggable-index entries: at an
     * exhaustive candidate budget every index kind must degenerate to the
     * SAME exact-kNN answer — one oracle, N engine index implementations. */
@@ -215,15 +158,39 @@ object EngineQueries {
         .orderBy("query_id", "id")
     }
 
-  /** COMPRESSED-SCAN serving tiers in the PRODUCT API (VERDICT r13 ask
-    * 7): the engine lifecycle over an SQ8 codes index (exact per-dim
-    * bounds, 4x compression) and a PQ16 codes index (16-byte codes +
-    * codebook ADC) — shortlist from the codes-only scan, exact rerank, at
-    * exhaustive budget ≡ exact kNN on the same oracle hash the LSH and
-    * IVF-PQ kinds land on. The memory-bound regime's serving knob is now
-    * `EngineConfig(indexKind = "sq8" | "pq")`, not a catalog-only path;
-    * recall at production budgets stays observable via the existing
-    * ann_sq/ann_pq entries (same kernels). */
+  /** The flagship lifecycle END TO END through the INDEX (reference
+    * core.rs:267-313): insert_records → build_index → route → bucket join →
+    * rerank → top-k. `engine_roundtrip` exercises the brute-force branch of
+    * `query_vectors` (no index built); this entry refreshes the index and
+    * queries at an exhaustive candidate budget, where the forest path
+    * degenerates to exact kNN — so the RNG-dependent indexed branch gets a
+    * deterministic DuckDB hash gate (same trick as `lsh_knn_full_budget`).
+    * Kept on `ensureIndexed` (not `ensureKind`) because the LSH build is
+    * the DEFAULT kind — the same engine shape `engine_roundtrip` queries
+    * unindexed. */
+  val engineIndexedFull = Q(
+    "engine_indexed_full_budget",
+    (s, dir) => {
+      val eng = EngineCache.ensureIndexed(s, dir)
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      eng.queryVectors(queries, k = 10, searchK = Some(Int.MaxValue))
+        .orderBy("query_id", "id")
+    },
+    fullBudgetOracle)
+
+  /** The SAME lifecycle and query contract through the engine's pluggable
+    * index kinds: IVF-PQ (coarse cells × codes → partition-pruned ADC
+    * probe → exact rerank), SQ8 (exact per-dim bounds, 4x-compressed
+    * codes-only shortlist scan), and PQ16 (16-byte codes + codebook ADC) —
+    * each at exhaustive budget degenerates to exact kNN and lands on the
+    * shared oracle hash. The compressed tiers are the 100 TB memory lever
+    * surfaced in the PRODUCT API (`EngineConfig(indexKind = ...)`, VERDICT
+    * r13 ask 7); recall at production budgets stays observable via the
+    * existing ann_sq/ann_pq entries (same kernels). */
+  val engineIvfPqFull = Q(
+    "engine_ivfpq_full_budget", fullBudgetQuery("ivfpq"), fullBudgetOracle)
+
   val engineSqFull = Q(
     "engine_sq_full_budget", fullBudgetQuery("sq8"), fullBudgetOracle)
 

@@ -72,7 +72,11 @@ object Warc {
   /** Decompress concatenated gzip members; a corrupt or truncated tail
     * keeps what already decompressed (lenient, like the record framing). */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    // pre-size for small archives, but cap: bytes.length * 4 overflows Int
+    // past 512 MiB (real members run ~1 GB) and would eagerly allocate 4x
+    // the compressed size even when the payload is smaller
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64L, math.min(bytes.length.toLong * 4, 16L * 1024 * 1024)).toInt)
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes), 64 * 1024)
     val buf = new Array[Byte](64 * 1024)
@@ -178,35 +182,40 @@ object Warc {
               }
           }
         }
-        if (ok && len >= 0 && url != null && date != null &&
-            cur + len > bytes.length) {
-          // WELL-FORMED header but the declared payload overruns the file:
-          // a truncated tail fetch. Everything after the header is known
-          // to be payload — rescanning into it could resurrect embedded
-          // record bait as ghost records (the desync the Content-Length
-          // framing exists to prevent), so the record is dropped and the
-          // scan STOPS.
+        // A header is FRAMED when its length parsed AND at least one real
+        // WARC header identifies it (type, uri, or date) — warcinfo
+        // records carry no Target-URI, so requiring the uri here would
+        // route every real archive's leading warcinfo to the rescan path
+        // and let its payload resurrect embedded bait as ghost records.
+        // Length-only junk that happens to follow a magic is NOT framed
+        // and rescans.
+        val framed = ok && len >= 0 &&
+          (wtype != null || url != null || date != null)
+        if (!framed) {
+          pos = at + magic.length // unframed: rescan past this magic
+        } else if (cur + len > bytes.length) {
+          // framed header but the declared payload overruns the file: a
+          // truncated tail fetch. Everything after the header is known to
+          // be payload — rescanning into it could resurrect embedded
+          // record bait as ghost records, so the scan STOPS.
           pos = bytes.length
-        } else if (!ok || len < 0 || url == null || date == null) {
-          pos = at + magic.length // malformed: rescan past this magic
-        } else if (wtype != null && !wtype.equalsIgnoreCase("response")) {
-          // non-response record (request/warcinfo/metadata): the payload
-          // boundary is known, so skip it whole — never emit, never desync
-          pos = cur + len.toInt
         } else {
-          val (bodyOff, bodyLen) = httpBodyRange(bytes, cur, len.toInt)
-          val payload =
-            new String(bytes, bodyOff, bodyLen, StandardCharsets.UTF_8)
-          val ts =
-            try java.sql.Timestamp.from(java.time.Instant.parse(date))
-            catch { case _: Throwable => null }
-          // The payload boundary is KNOWN (valid Content-Length framing), so
-          // an unparseable date drops the record but still skips past the
-          // framed payload — rescanning from the magic would walk INTO the
-          // payload and could resurrect embedded 'WARC/1.0' bait as ghost
-          // records, the exact desync the truncated-tail path prevents.
+          // The payload boundary is KNOWN (valid Content-Length framing),
+          // so whatever disqualifies the record below — non-response type,
+          // missing uri/date, unparseable date — drops it but still skips
+          // past the framed payload; rescanning from the magic would walk
+          // INTO the payload (the ghost-record desync).
           pos = cur + len.toInt
-          if (ts != null) nextRec = Record(url, ts, payload)
+          val isResponse = wtype == null || wtype.equalsIgnoreCase("response")
+          if (isResponse && url != null && date != null) {
+            val (bodyOff, bodyLen) = httpBodyRange(bytes, cur, len.toInt)
+            val payload =
+              new String(bytes, bodyOff, bodyLen, StandardCharsets.UTF_8)
+            val ts =
+              try java.sql.Timestamp.from(java.time.Instant.parse(date))
+              catch { case _: Throwable => null }
+            if (ts != null) nextRec = Record(url, ts, payload)
+          }
         }
       }
     }

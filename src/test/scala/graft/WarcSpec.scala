@@ -87,6 +87,39 @@ class WarcSpec extends AnyFunSuite {
       s"ghost resurrected from date-failed record: ${out.map(_.url)}")
   }
 
+  test("URI-less warcinfo records (the real Common Crawl header record) " +
+      "skip their framed payload — embedded bait cannot resurrect") {
+    // real warcinfo: WARC-Type + WARC-Date + Content-Length, NO Target-URI;
+    // its payload embeds a complete bait record
+    val bait = rec("https://evil/ghost", 1000009L, "<p>ghost</p>")
+    val warcinfo = concat(
+      ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "WARC-Date: 1970-01-12T13:46:40Z\r\n" +
+        s"Content-Length: ${bait.length}\r\n\r\n")
+        .getBytes(StandardCharsets.US_ASCII),
+      bait)
+    val good = rec("https://a/real", 1000010L, "real page")
+    val out = Warc.parseRecords(concat(warcinfo, good)).toVector
+    assert(out.map(_.url) == Vector("https://a/real"),
+      s"warcinfo payload leaked records: ${out.map(_.url)}")
+    // and a URI-less warcinfo TRUNCATED at the tail stops the scan rather
+    // than rescanning into its partial payload
+    val cut = concat(
+      ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "WARC-Date: 1970-01-12T13:46:40Z\r\nContent-Length: 9999\r\n\r\n")
+        .getBytes(StandardCharsets.US_ASCII),
+      bait)
+    val out2 = Warc.parseRecords(concat(good, cut)).toVector
+    assert(out2.map(_.url) == Vector("https://a/real"),
+      s"ghost from truncated warcinfo: ${out2.map(_.url)}")
+    // length-only junk after a magic is NOT framed: the scan recovers
+    val junkLen = "WARC/1.0\r\nContent-Length: 9999\r\n\r\n"
+      .getBytes(StandardCharsets.US_ASCII)
+    val out3 = Warc.parseRecords(concat(junkLen, good)).toVector
+    assert(out3.map(_.url) == Vector("https://a/real"),
+      s"length-only junk swallowed the archive: ${out3.map(_.url)}")
+  }
+
   test("gzip archives: concatenated members round-trip; a corrupt tail " +
       "member keeps everything before it") {
     val payloads = Seq("first gz page", "second gz page é世界", "")
