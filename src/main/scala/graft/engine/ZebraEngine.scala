@@ -554,6 +554,32 @@ final class ZebraEngine private (
     }
   }
 
+  private def trainedOnFile = s"$path/trained_on.txt"
+
+  /** Staleness maintenance for the flat quantized kinds — the
+    * [[maintainIvfPqIfNeeded]] analog for sq8/pq: incremental ingest
+    * encodes through FROZEN quantizers, which stay CORRECT (SQ8's affine
+    * map is linearly exact even out-of-range; PQ codes always decode to
+    * their nearest trained centroid) but drift in QUALITY as the corpus
+    * outgrows the fit — PQ codebooks quantize a distribution they were
+    * never fit on, SQ8's step widens when new data exceeds the trained
+    * extremes. There is no incremental half-measure (refitting either
+    * quantizer re-encodes every stored code anyway), so the trigger goes
+    * straight to [[refreshIndex]]. Fires past `growthFactor`× the corpus
+    * size the quantizer was fit on (recorded in a `trained_on` sidecar at
+    * build time; pre-sidecar indexes read as always-stale — the
+    * trainedOn=0 convention). Returns true when a retrain happened. */
+  def maintainQuantizedIfNeeded(growthFactor: Double = 4.0): Boolean = {
+    if (config.indexKind != "sq8" && config.indexKind != "pq") return false
+    if (!hasData(indexDir)) return false
+    val trainedOn =
+      try new String(Files.readAllBytes(Paths.get(trainedOnFile)),
+        StandardCharsets.UTF_8).trim.toLong
+      catch { case _: Throwable => 0L }
+    if (trainedOn > 0L && count() < growthFactor * trainedOn) false
+    else { refreshIndex(); true }
+  }
+
   /** Build (or rebuild — leaf-split compaction) the configured index. */
   def refreshIndex(): Unit = config.indexKind match {
     case "sq8" =>
@@ -563,6 +589,9 @@ final class ZebraEngine private (
       graft.ops.Sq.encode(vectors, model, vecId = "id")
         .write.mode(SaveMode.Overwrite).parquet(indexDir)
       saveModel(model)
+      Files.write(Paths.get(trainedOnFile),
+        count().toString.getBytes(StandardCharsets.UTF_8))
+      ()
     case "pq" =>
       // PQ16 when the dimension allows (16 bytes/vector), halving m until
       // it divides — the codebooks train on a bounded seeded sample
@@ -571,6 +600,9 @@ final class ZebraEngine private (
       graft.ops.Pq.encode(vectors, model, vecId = "id")
         .write.mode(SaveMode.Overwrite).parquet(indexDir)
       saveModel(model)
+      Files.write(Paths.get(trainedOnFile),
+        count().toString.getBytes(StandardCharsets.UTF_8))
+      ()
     case "ivfpq" =>
       // nlist ~ sqrt(n): cells stay ~sqrt(n)-sized, the classic IVF rule
       val n = count()
@@ -647,6 +679,7 @@ final class ZebraEngine private (
     deleteRecursively(new File(vectorsDir))
     deleteRecursively(new File(indexDir))
     new File(modelFile).delete()
+    new File(trainedOnFile).delete()
     seqWatermark = -1L
     countCache = -1L
   }

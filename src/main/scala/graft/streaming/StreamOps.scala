@@ -1049,7 +1049,7 @@ object StreamOps {
     * same argument as [[maintainComponents]]). */
   def maintainCrawl(
       ingested: DataFrame, docStore: String, dfStore: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 0): StreamingQuery =
     ingested.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1059,7 +1059,23 @@ object StreamOps {
         // and the stateful operator per action
         batch.persist()
         try {
-          if (!batch.isEmpty) applyCrawlBatch(batch, id, docStore, dfStore)
+          if (!batch.isEmpty) {
+            applyCrawlBatch(batch, id, docStore, dfStore)
+            // In-line LSM maintenance (compactEvery > 0): every Nth epoch
+            // folds the live epoch dirs into one, bounding the serving
+            // read at O(N) dirs instead of O(all epochs). Serving results
+            // are unchanged by construction (the compaction contract) and
+            // a crash between the batch commit and the compaction leaves
+            // only uncompacted epochs — the next trigger absorbs them, so
+            // the replay story is untouched. Default OFF: the gate
+            // catalogs measure the raw append path, and an operator may
+            // prefer a separate maintenance schedule (compactCrawlStores
+            // is callable on its own).
+            if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+              compactCrawlStores(batch.sparkSession, docStore, dfStore)
+              ()
+            }
+          }
         } finally batch.unpersist()
       }
       .start()

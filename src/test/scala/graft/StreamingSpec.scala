@@ -1381,6 +1381,46 @@ class StreamingSpec extends AnyFunSuite {
       s"restart changed the served cascade:\n$restarted\nvs\n$uninterrupted")
   }
 
+  test("maintainCrawl auto-compaction: every Nth epoch folds the stores " +
+      "in-line, serving equals the compaction-free run") {
+    val boiler = Seq.fill(6)("shared").mkString(" ")
+    def page(i: Long) =
+      s"<p>$boiler</p><p>unique prose for page $i padded to length</p>"
+    def chunkOf(ids: Seq[Long]): Seq[(Timestamp, Long, String, String)] =
+      ids.map(i => (new Timestamp(30L * 86400000L + i * 1000L), i,
+        s"https://www.example.com/doc/$i", page(i)))
+    // 6 micro-batches of 2 pages; compactEvery = 2 fires on epochs 2 and 4
+    val chunks = (0 until 6).map(b => chunkOf(Seq(2L * b, 2L * b + 1)))
+    def run(compactEvery: Int, tag: String): (Vector[Seq[Any]], Int) = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val (docStore, dfStore, ckpt) = (tmpCkpt(s"${tag}_docs"),
+        tmpCkpt(s"${tag}_df"), tmpCkpt(s"${tag}_ckpt"))
+      val mem = MemoryStream[(Timestamp, Long, String, String)]
+      val q = StreamOps.maintainCrawl(
+        StreamOps.crawlIngestStream(
+          mem.toDF().toDF("ts", "doc_id", "url", "page"), lateness = "7 days"),
+        docStore, dfStore, ckpt, compactEvery = compactEvery)
+      try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+      val served = graft.catalog.HtmlQueries.serveCrawl(
+          spark, docStore, dfStore, minDf = 3, minChunks = 1)
+        .collect().map(_.toSeq).toVector
+      val nDirs = Option(new java.io.File(docStore).listFiles())
+        .getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.startsWith("v="))
+      (served, nDirs)
+    }
+    val (plain, plainDirs) = run(0, "autocompact_off")
+    val (compacted, compactedDirs) = run(2, "autocompact_on")
+    assert(plain.map(_.head) == (0L to 11L).toVector)
+    assert(compacted == plain,
+      s"auto-compaction changed serving:\n$compacted\nvs\n$plain")
+    // 6 epochs uncompacted; with compactEvery=2 the on-disk dir count is
+    // bounded (compact dirs + post-compaction epochs + one retention cycle)
+    assert(plainDirs == 6, s"expected 6 raw epochs, got $plainDirs")
+    assert(compactedDirs < 6, s"auto-compaction never fired: $compactedDirs dirs")
+  }
+
   test("crawl store compaction: serving unchanged, single-epoch no-op, " +
       "double compaction carries manifests, replayed ancient batch no-ops") {
     val docStore = tmpCkpt("compactcrawl_docs")
