@@ -89,8 +89,40 @@ object Bench {
     } catch { case _: Throwable => None }
   }
 
+  /** Pre-flight quiesce wait: spin (10 s polls) until the 1-min loadavg
+    * drops below 1.0 AND no other non-ancestor JVM is live, capped at
+    * `maxWaitSec`. Returns seconds waited. Rationale: the round-12/13/14
+    * driver artifacts were all taken on a box still draining the verify
+    * sweep's load tail (loadavg 3-8 at start), and each read as a 2x
+    * "breach" that evaporated on a quiesced re-run — branding a loaded
+    * run (box_loaded) explains the artifact after the fact, but waiting
+    * out the tail makes the artifact clean BY CONSTRUCTION. The cap keeps
+    * a genuinely-busy box from stalling the driver forever; a run that
+    * exhausts the cap still starts (and is branded loaded as before). */
+  private[graft] def quiesceWait(maxWaitSec: Double): Double = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    var (load, nJava) = boxCondition()
+    var logged = 0.0
+    while ((load.headOption.exists(_ >= 1.0) || nJava > 0) && elapsed < maxWaitSec) {
+      if (elapsed - logged >= 30 || logged == 0.0) {
+        System.err.println(
+          f"[Bench] quiesce wait: loadavg=${load.mkString(",")} other_java=$nJava elapsed=$elapsed%.0fs (cap $maxWaitSec%.0fs)")
+        logged = elapsed
+      }
+      Thread.sleep(10000)
+      val c = boxCondition(); load = c._1; nJava = c._2
+    }
+    elapsed
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Quiesce BEFORE capturing box condition: the recorded condition must
+    // describe the box at timing start, not at process start. Overridable
+    // (SPARK_GRAFT_QUIESCE_MAX_S=0 disables) for local iteration runs.
+    val waitedS = quiesceWait(
+      sys.env.get("SPARK_GRAFT_QUIESCE_MAX_S").map(_.toDouble).getOrElse(600.0))
     val (loadavg, nJava) = boxCondition()
     // Pre-flight: a loaded box cannot produce a regression signal. The
     // round-12 and round-13 artifacts were both taken at loadavg ~3-8 with
@@ -190,8 +222,9 @@ object Bench {
     }.getOrElse(Seq.empty)
     val loadJson = loadavg.map(sec).mkString("[", ",", "]")
     val baseJson = baseline.map(b => jstr(b._1)).getOrElse("null")
+    val waitJson = sec(waitedS)
     val condJson =
-      s""""loadavg":$loadJson,"n_other_java":$nJava,"box_loaded":$boxLoaded,"baseline":$baseJson,"over_2x":${over2x.mkString("[", ",", "]")}"""
+      s""""loadavg":$loadJson,"n_other_java":$nJava,"box_loaded":$boxLoaded,"waited_s":$waitJson,"baseline":$baseJson,"over_2x":${over2x.mkString("[", ",", "]")}"""
     val fullLine =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",$condJson,"queries":$qs,"errors":$errJson,"fixture_pinned":["dist_hamming"],"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
@@ -215,7 +248,7 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(errChars))}" }
         .mkString("{", ",", "}")
       val over2xStdout = over2x.take(nOver).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","loadavg":$loadJson,"n_other_java":$nJava,"box_loaded":$boxLoaded,"baseline":$baseJson,"n_over_2x":${over2x.size},"over_2x":$over2xStdout,"n_errors":${errors.size},"errors":$errStdout,"sf":"$sfDir","queries":{"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries_full":"BENCH_LOCAL.json","loadavg":$loadJson,"n_other_java":$nJava,"box_loaded":$boxLoaded,"waited_s":$waitJson,"baseline":$baseJson,"n_over_2x":${over2x.size},"over_2x":$over2xStdout,"n_errors":${errors.size},"errors":$errStdout,"sf":"$sfDir","queries":{"""
     }
     val head = Seq((8, 5, 100), (0, 5, 100), (0, 3, 60), (0, 0, 0))
       .map((buildHead _).tupled)

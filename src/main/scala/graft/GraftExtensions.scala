@@ -20,10 +20,18 @@ import graft.functions.VectorDistance
   * reference's pluggable `Metric` trait being usable everywhere a distance
   * is needed (space::Metric, reference src/distance.rs:19). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // The kNN index rewrite (SURVEY §4.2 custom piece 3): naive
+    // ORDER-BY-distance-LIMIT-k SQL over a registered corpus hits the LSH
+    // index path. No-op until KnnIndexRegistry.register names a corpus;
+    // opt-out via spark.graft.knn.rewrite.enabled=false. For sessions
+    // built without this extension, graft.plans.KnnIndexRewrite.install
+    // adds the same rule through spark.experimental.
+    ext.injectOptimizerRule(s => new graft.plans.KnnIndexRewrite(s))
+  }
 }
 
 object GraftFunctions {

@@ -27,8 +27,16 @@ object IndexQueries {
     def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
         opts: LshForest.Options = LshForest.Options())
         : (org.apache.spark.sql.DataFrame, LshForest.ForestModel) = {
+      val (path, model) = ensurePath(s, dir, opts)
+      (dfCache.getOrElseUpdate((s, path), LshForest.loadIndex(s, path)), model)
+    }
+    /** [[ensure]] returning the index's on-disk PATH instead of the loaded
+      * frame — what [[graft.plans.KnnIndexRegistry]] registration needs. */
+    def ensurePath(s: org.apache.spark.sql.SparkSession, dir: String,
+        opts: LshForest.Options = LshForest.Options())
+        : (String, LshForest.ForestModel) = {
       val key = s"$dir|${opts.numTrees}|${opts.maxNodeSize}|${opts.seed}"
-      val (path, model) = cache.getOrElseUpdate(key, {
+      cache.getOrElseUpdate(key, {
         val e = Tables.embeddings(s, dir)
         val m = LshForest.build(e, opts)
         val p = "/tmp/graft_lsh/v1_" +
@@ -37,7 +45,6 @@ object IndexQueries {
         LshForest.writeIndex(e, m, p)
         (p, m)
       })
-      (dfCache.getOrElseUpdate((s, path), LshForest.loadIndex(s, path)), model)
     }
   }
 
@@ -233,6 +240,50 @@ object IndexQueries {
     },
     None)
 
+  /** The Catalyst kNN REWRITE (SURVEY §4.2 custom piece 3, VERDICT r14
+    * ask 4): the NAIVE brute-force plan — project distance-to-literal,
+    * ORDER BY it, LIMIT k, no index API in sight — over a corpus
+    * registered with [[graft.plans.KnnIndexRegistry]], rewritten by
+    * [[graft.plans.KnnIndexRewrite]] into the probe → pruned-bucket-join
+    * → rerank path. Registered at the exhaustive budget, so the rewritten
+    * plan is bit-equal to brute force and the entry hash-lands on the same
+    * generative oracle the full-budget twins use; KnnRewriteSpec asserts
+    * the PLAN transformation (bucket join present, corpus sort gone) at a
+    * serving budget. The entry itself stays falsifiable the recallGated
+    * way: if the rule ever stops firing (optimized plan has no join — the
+    * naive plan is join-free), a poison row changes the recorded hash. */
+  val knnRewriteIdx = Q(
+    "knn_rewrite_index",
+    (s, dir) => {
+      import s.implicits._
+      val (path, model) = LshCache.ensurePath(s, dir)
+      graft.plans.KnnIndexRewrite.install(s)
+      graft.plans.KnnIndexRegistry.register(s, graft.plans.KnnIndexRegistry.Entry(
+        vectorsPath = s"$dir/embeddings.parquet",
+        indexPath = path, model = model, searchK = Some(Int.MaxValue)))
+      val e = Tables.embeddings(s, dir)
+      val q0 = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble)
+      val naive = e.select(col("vec_id"),
+          round(graft.functions.Distances.l2sq(
+            col("embedding").cast("array<double>"),
+            array(q0.map(lit): _*)), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+      val fired = naive.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+      if (fired) naive
+      else naive.union(Seq((-1L, -1.0)).toDF("vec_id", "dist"))
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           d AS (SELECT a.vec_id,
+                        round(sum(power(a.embedding[t.i]::DOUBLE - q.qe[t.i]::DOUBLE, 2) ORDER BY t.i), 4) AS dist
+                 FROM embeddings a, q, generate_series(1, 64) t(i)
+                 GROUP BY a.vec_id)
+      SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10"""))
+
   def qs: Seq[Q] = Seq(lshKnn, lshKnnFull, lshRecall, lshStats,
-    lshKnnFilteredFull, lshKnnFiltered)
+    lshKnnFilteredFull, lshKnnFiltered, knnRewriteIdx)
 }

@@ -45,7 +45,13 @@ object Sq {
     SqModel(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 
-  /** Compress: (vecId, codes ARRAY<INT> of 0..255) — one narrow map. */
+  /** Compress: (vecId, codes ARRAY<INT>) — one narrow map. Codes are
+    * 0..255 for vectors inside the trained extremes, but DELIBERATELY
+    * fall OUTSIDE that range for out-of-range inputs (frozen-bounds
+    * incremental adds): encode/decode must stay an exact inverse affine
+    * pair, and ZebraEngine's sq8 shortlist contract (plus the
+    * out-of-range insert spec) depends on encode NOT clamping — do not
+    * "fix" this to saturate at 0/255. */
   def encode(
       vectors: DataFrame, model: SqModel,
       vecId: String = "vec_id"): DataFrame = {

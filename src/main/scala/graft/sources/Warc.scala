@@ -52,10 +52,14 @@ object Warc {
     * (the Common Crawl layout, VERDICT r13 ask 5):
     *
     *  - gzip archives (`.warc.gz` — one gzip MEMBER per record,
-    *    members concatenated) are detected by magic and decompressed
-    *    first; `GZIPInputStream` reads concatenated members natively,
-    *    and a corrupt/truncated tail keeps everything decompressed so
-    *    far (the truncated-fetch leniency, now at the compression layer);
+    *    members concatenated) are detected by magic and parsed STREAMING
+    *    from the `GZIPInputStream` (which reads concatenated members
+    *    natively) — the archive is never materialized decompressed, so
+    *    a ~1 GB compressed member that expands past the JVM's 2 GiB
+    *    array ceiling parses fine; a corrupt/truncated tail keeps every
+    *    record already decompressed (the truncated-fetch leniency, now
+    *    at the compression layer), and a corrupt HEAD yields zero
+    *    records instead of an exception;
     *  - records carrying a `WARC-Type` other than `response` (request,
     *    warcinfo, metadata, …) are skipped — their payload boundary is
     *    still honored, so skipping can never desync the framing;
@@ -63,30 +67,44 @@ object Warc {
     *    split at its first blank line and only the BODY becomes the
     *    html — real response records store status line + headers before
     *    the entity. */
-  def parseRecords(bytes: Array[Byte]): Iterator[Record] =
-    parseFramed(if (isGzip(bytes)) gunzipAll(bytes) else bytes)
+  def parseRecords(bytes: Array[Byte]): Iterator[Record] = {
+    val raw = new java.io.ByteArrayInputStream(bytes)
+    parseFramed(if (isGzip(bytes)) lenientGunzip(raw) else raw)
+  }
+
+  /** Stream-parse an archive of UNKNOWN compression: peeks the gzip magic,
+    * then parses records incrementally — per-record memory is O(record),
+    * never O(archive). This is the entry point for production-sized
+    * archives (a ~1 GB compressed Common Crawl member expands to ~4 GB,
+    * past the JVM's 2 GiB array ceiling that the former
+    * materialize-then-parse path hit). */
+  def parseArchive(in: java.io.InputStream): Iterator[Record] = {
+    val pb = new java.io.PushbackInputStream(in, 2)
+    val head = new Array[Byte](2)
+    var n = 0
+    var r = 0
+    while (n < 2 && r >= 0) { // loop: a stream may return 1 byte per read
+      r = try pb.read(head, n, 2 - n) catch { case _: java.io.IOException => -1 }
+      if (r > 0) n += r
+    }
+    if (n > 0) pb.unread(head, 0, n)
+    val gz = n == 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
+    parseFramed(if (gz) lenientGunzip(pb) else pb)
+  }
 
   private def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 
-  /** Decompress concatenated gzip members; a corrupt or truncated tail
-    * keeps what already decompressed (lenient, like the record framing). */
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    // pre-size for small archives, but cap: bytes.length * 4 overflows Int
-    // past 512 MiB (real members run ~1 GB) and would eagerly allocate 4x
-    // the compressed size even when the payload is smaller
-    val out = new java.io.ByteArrayOutputStream(
-      math.max(64L, math.min(bytes.length.toLong * 4, 16L * 1024 * 1024)).toInt)
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-    val buf = new Array[Byte](64 * 1024)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case _: java.io.IOException => () }
-    finally in.close()
-    out.toByteArray
-  }
+  /** Decompression stream over concatenated gzip members, lenient at BOTH
+    * ends: a corrupt gzip HEAD (fetch cut off right after the magic bytes)
+    * yields an empty stream instead of an uncaught ZipException — the
+    * constructor eagerly reads the first member's header — and a corrupt
+    * or truncated TAIL surfaces as an IOException mid-read, which the
+    * parser's fill loop treats as end-of-stream (keeping every record
+    * already decompressed, like the record-framing leniency). */
+  private def lenientGunzip(in: java.io.InputStream): java.io.InputStream =
+    try new java.util.zip.GZIPInputStream(in, 64 * 1024)
+    catch { case _: java.io.IOException => java.io.InputStream.nullInputStream() }
 
   /** (offset, length) of the html within a payload at [off, off+len):
     * the whole payload unless it is an HTTP response, in which case the
@@ -113,31 +131,118 @@ object Warc {
     }
   }
 
-  private def parseFramed(bytes: Array[Byte]): Iterator[Record] = new Iterator[Record] {
-    private val magic = Magic.getBytes(StandardCharsets.US_ASCII)
-    private var pos = 0
-    private var nextRec: Record = _
-    advance()
+  /** One header BLOCK's scan bound: past this without a blank line the
+    * "record" is junk and rescans past its magic (real WARC headers run
+    * well under 1 KiB). This is what keeps an adversarial
+    * no-blank-line-ever stream from buffering unboundedly — the window
+    * never holds more than max(HeaderCap, one payload). */
+  private val HeaderCap = 4 * 1024 * 1024
 
-    private def indexOfMagic(from: Int): Int = {
-      var i = math.max(from, 0)
-      val last = bytes.length - magic.length
-      while (i <= last) {
-        var j = 0
-        while (j < magic.length && bytes(i + j) == magic(j)) j += 1
-        if (j == magic.length) return i
-        i += 1
+  /** Largest payload the parser will MATERIALIZE as a record (1 GiB). A
+    * framed record past this is skipped (its boundary is still honored —
+    * skipping streams the bytes through, no allocation) rather than built
+    * into a >1 GiB String; the former whole-archive parser could never
+    * even reach such a record (its input array capped at 2 GiB total). */
+  private val MaxRecordBytes = 1L << 30
+
+  /** Sliding byte window over the archive stream — the incremental
+    * replacement for the whole-array parse: bytes are buffered only from
+    * the current scan position to the farthest byte the parser has looked
+    * at (≤ one header block or one payload), so memory is O(record) even
+    * on a multi-GB decompressed archive. An IOException from the
+    * underlying stream (corrupt gzip tail, truncated fetch) reads as
+    * end-of-stream: the leniency contract, now at the fill loop. */
+  private final class ByteWindow(in: java.io.InputStream) {
+    private var buf = new Array[Byte](64 * 1024)
+    private var lo = 0
+    private var hi = 0
+    private var eof = false
+
+    /** Buffer at least `n` bytes past the scan position (or to EOF);
+      * returns the buffered count. */
+    def ensure(n: Int): Int = {
+      if (hi - lo < n && !eof) {
+        if (lo > 0) { System.arraycopy(buf, lo, buf, 0, hi - lo); hi -= lo; lo = 0 }
+        if (n > buf.length) {
+          var cap = buf.length
+          while (cap < n) cap *= 2
+          buf = java.util.Arrays.copyOf(buf, cap)
+        }
+        while (!eof && hi < n) {
+          val r = try in.read(buf, hi, buf.length - hi)
+                  catch { case _: java.io.IOException => -1 }
+          if (r < 0) eof = true else hi += r
+        }
       }
-      -1
+      hi - lo
     }
 
-    /** The next CRLF (or lone LF) at/after `from`; returns (lineEnd,
-      * nextLineStart) or null past the end. */
+    /** Byte at window offset `i` (caller `ensure`d availability). */
+    def get(i: Int): Byte = buf(lo + i)
+
+    /** Backing array + base offset for zero-copy range reads. Valid only
+      * until the next `ensure`/`skip` (both may compact or regrow). */
+    def array: Array[Byte] = buf
+    def offset: Int = lo
+
+    /** Advance the scan position by `n` already-buffered bytes. */
+    def consume(n: Int): Unit = lo += n
+
+    /** Advance by `n` bytes, streaming past the buffer if needed (no
+      * allocation — this is how skipped payloads flow through). False if
+      * the stream ended first (truncated tail). */
+    def skip(n: Long): Boolean = {
+      val buffered = math.min(n, (hi - lo).toLong).toInt
+      lo += buffered
+      var left = n - buffered
+      if (left > 0) { lo = 0; hi = 0 } // buffer fully drained: reuse as scratch
+      while (left > 0) {
+        val r = try in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+                catch { case _: java.io.IOException => -1 }
+        if (r < 0) { eof = true; return false }
+        left -= r
+      }
+      true
+    }
+  }
+
+  private def parseFramed(in: java.io.InputStream): Iterator[Record] = new Iterator[Record] {
+    private val magic = Magic.getBytes(StandardCharsets.US_ASCII)
+    private val w = new ByteWindow(in)
+    private var nextRec: Record = _
+    private var stopped = false // truncated tail: the scan stops for good
+    advance()
+
+    /** Discard stream bytes up to the next record magic (window offset 0
+      * = magic start afterwards); false at stream end. */
+    private def seekMagic(): Boolean = {
+      while (true) {
+        val avail = w.ensure(64 * 1024)
+        if (avail < magic.length) return false
+        var i = 0
+        val last = avail - magic.length
+        while (i <= last) {
+          var j = 0
+          while (j < magic.length && w.get(i + j) == magic(j)) j += 1
+          if (j == magic.length) { w.consume(i); return true }
+          i += 1
+        }
+        // keep magic.length-1 bytes so a buffer-boundary-straddling magic
+        // still matches on the next pass
+        w.consume(avail - magic.length + 1)
+      }
+      false
+    }
+
+    /** The next CRLF (or lone LF) at/after window offset `from`, buffering
+      * incrementally; (lineEnd, nextLineStart) window offsets, or null at
+      * stream end / the HeaderCap bound. */
     private def lineEnd(from: Int): (Int, Int) = {
       var i = from
-      while (i < bytes.length) {
-        if (bytes(i) == '\n') {
-          val e = if (i > from && bytes(i - 1) == '\r') i - 1 else i
+      while (i < HeaderCap) {
+        if (w.ensure(i + 1) < i + 1) return null
+        if (w.get(i) == '\n') {
+          val e = if (i > from && w.get(i - 1) == '\r') i - 1 else i
           return (e, i + 1)
         }
         i += 1
@@ -147,16 +252,17 @@ object Warc {
 
     private def advance(): Unit = {
       nextRec = null
-      while (nextRec == null && pos < bytes.length) {
-        val at = indexOfMagic(pos)
-        if (at < 0) { pos = bytes.length; return }
-        // header block: lines to the first empty line
-        var cur = lineEnd(at) match { case null => bytes.length case (_, n) => n }
+      while (nextRec == null && !stopped) {
+        if (!seekMagic()) return
+        // Header block: scanned WITHOUT consuming, so an unframed header
+        // rescans from just past the magic with every byte it looked at
+        // still buffered — the same rescan the whole-array parser did.
+        var cur = lineEnd(0) match { case null => -1 case (_, n) => n }
         var url: String = null
         var date: String = null
         var wtype: String = null
         var len = -1L
-        var ok = cur < bytes.length
+        var ok = cur >= 0 && w.ensure(cur + 1) >= cur + 1
         var done = false
         while (ok && !done) {
           lineEnd(cur) match {
@@ -164,7 +270,8 @@ object Warc {
             case (e, n) =>
               if (e == cur) { done = true; cur = n } // empty line: headers end
               else {
-                val line = new String(bytes, cur, e - cur, StandardCharsets.UTF_8)
+                val line =
+                  new String(w.array, w.offset + cur, e - cur, StandardCharsets.UTF_8)
                 val c = line.indexOf(':')
                 if (c > 0) {
                   val k = line.substring(0, c).trim.toLowerCase
@@ -192,29 +299,34 @@ object Warc {
         val framed = ok && len >= 0 &&
           (wtype != null || url != null || date != null)
         if (!framed) {
-          pos = at + magic.length // unframed: rescan past this magic
-        } else if (cur + len > bytes.length) {
-          // framed header but the declared payload overruns the file: a
-          // truncated tail fetch. Everything after the header is known to
-          // be payload — rescanning into it could resurrect embedded
-          // record bait as ghost records, so the scan STOPS.
-          pos = bytes.length
+          w.consume(magic.length) // unframed: rescan past this magic
         } else {
-          // The payload boundary is KNOWN (valid Content-Length framing),
-          // so whatever disqualifies the record below — non-response type,
-          // missing uri/date, unparseable date — drops it but still skips
-          // past the framed payload; rescanning from the magic would walk
-          // INTO the payload (the ghost-record desync).
-          pos = cur + len.toInt
           val isResponse = wtype == null || wtype.equalsIgnoreCase("response")
-          if (isResponse && url != null && date != null) {
-            val (bodyOff, bodyLen) = httpBodyRange(bytes, cur, len.toInt)
-            val payload =
-              new String(bytes, bodyOff, bodyLen, StandardCharsets.UTF_8)
-            val ts =
+          val ts =
+            if (isResponse && url != null && date != null)
               try java.sql.Timestamp.from(java.time.Instant.parse(date))
               catch { case _: Throwable => null }
-            if (ts != null) nextRec = Record(url, ts, payload)
+            else null
+          if (ts == null || len > MaxRecordBytes) {
+            // The payload boundary is KNOWN (valid Content-Length framing),
+            // so whatever disqualifies the record — non-response type,
+            // missing uri/date, unparseable date, an unmaterializable
+            // size — drops it but still streams past the framed payload;
+            // rescanning from the magic would walk INTO the payload (the
+            // ghost-record desync). A skip the stream cannot complete is
+            // a truncated tail: the scan STOPS (rescanning the partial
+            // payload could resurrect embedded bait).
+            w.consume(cur)
+            if (!w.skip(len)) { stopped = true; return }
+          } else {
+            // Qualified record: buffer exactly this payload.
+            val lenI = len.toInt
+            if (w.ensure(cur + lenI) < cur + lenI) { stopped = true; return }
+            val (bodyOff, bodyLen) =
+              httpBodyRange(w.array, w.offset + cur, lenI)
+            nextRec = Record(url, ts,
+              new String(w.array, bodyOff, bodyLen, StandardCharsets.UTF_8))
+            w.consume(cur + lenI)
           }
         }
       }
@@ -227,11 +339,12 @@ object Warc {
   }
 
   /** Archive files under `path` → (url, fetch_ts, html) rows. One task
-    * per archive file (the WARC parallelism unit); `binaryFile` streams
-    * whole files, so executor memory bounds archive size exactly as real
-    * WARC processing does (~1 GB members). Plain `.warc` and gzipped
-    * `.warc.gz` archives both match; the parser detects the compression
-    * by magic per file. */
+    * per archive file (the WARC parallelism unit). `binaryFile` holds the
+    * COMPRESSED file bytes (Spark's own 2 GB content cap — the real-world
+    * member size, ~1 GB, fits); the record parse streams from those
+    * bytes, so the DECOMPRESSED size (~4x) never materializes. Plain
+    * `.warc` and gzipped `.warc.gz` archives both match; the parser
+    * detects the compression by magic per file. */
   def readWarc(s: SparkSession, path: String): DataFrame =
     bytesToRows(s.read.format("binaryFile")
       .option("pathGlobFilter", ArchiveGlob).load(path))

@@ -988,6 +988,15 @@ object StreamOps {
     if (live.size <= 1) return false
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Reap abandoned staging dirs first: a crash between the staged write
+    // and the rename leaves a compact_staging_* dir that is invisible to
+    // readers (correct) but otherwise lives forever. Compaction is
+    // single-writer per store, so ANY staging dir seen here is by
+    // definition dead.
+    fs.listStatus(new org.apache.hadoop.fs.Path(storePath)).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("compact_staging_"))
+      .foreach(st => fs.delete(st.getPath, true))
     val staging = new org.apache.hadoop.fs.Path(
       storePath, s"compact_staging_${System.nanoTime()}")
     merge(s.read.parquet(live.map(_.toString): _*))
@@ -1137,18 +1146,45 @@ object StreamOps {
       batchId, labelStore)
   }
 
+  /** Compact the crawl→near-dup composition's APPEND stores — the band
+    * store and the composition's doc store, both identity merges (bands
+    * and parses have no merge algebra beyond union; a doc appears in
+    * exactly one epoch past url dedup). Without this, a year of 5-minute
+    * micro-batches is ~100k band-epoch dirs and EVERY delta-banding pass
+    * (`applyCrawlDedupBatch` reads the full band table each batch) pays
+    * the O(epochs) listing — the exact sprawl [[compactCrawlStores]]
+    * solved for the cascade stores. Labels are untouched by construction:
+    * compaction changes the band table's file layout, not its rows, and
+    * replayed ancient batch ids still no-op after band-dir GC via the
+    * transitive `_SUPERSEDES` manifests PLUS the label-commit early
+    * return in [[applyCrawlDedupBatch]]. Returns true when either store
+    * compacted. */
+  def compactCrawlDedupStores(
+      s: org.apache.spark.sql.SparkSession, docStore: String,
+      bandStore: String): Boolean = {
+    val a = compactEpochStore(s, docStore, identity)
+    val b = compactEpochStore(s, bandStore, identity)
+    a || b
+  }
+
   /** Streaming maintenance for the crawl → near-dup composition: each
     * micro-batch of [[crawlIngestStream]] output (url-deduped, parsed —
     * so a refetch can never band against its original) flows through
     * [[applyCrawlDedupBatch]]. Serving reads
     * [[currentComponents]](labelStore) for the maintained duplicate
-    * clusters and [[currentCrawlDocs]](docStore) for the corpus. */
+    * clusters and [[currentCrawlDocs]](docStore) for the corpus.
+    *
+    * `compactEvery` > 0 folds the band + doc epoch dirs every Nth batch
+    * ([[compactCrawlDedupStores]]), bounding the per-batch full-band-table
+    * read at O(N) dirs. The compaction runs strictly AFTER the batch's
+    * label commit, so a crash between them leaves only uncompacted epochs
+    * (absorbed next trigger) and the replay ordering is unchanged. */
   def maintainCrawlDedup(
       ingested: DataFrame, docStore: String, bandStore: String,
       labelStore: String, checkpoint: String,
       bandsOf: DataFrame => DataFrame,
-      pairsDelta: (DataFrame, DataFrame, DataFrame) => DataFrame)
-      : StreamingQuery =
+      pairsDelta: (DataFrame, DataFrame, DataFrame) => DataFrame,
+      compactEvery: Int = 0): StreamingQuery =
     ingested.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1157,9 +1193,14 @@ object StreamOps {
         // maintainCrawl lesson
         batch.persist()
         try {
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             applyCrawlDedupBatch(batch, id, docStore, bandStore, labelStore,
               bandsOf, pairsDelta)
+            if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+              compactCrawlDedupStores(batch.sparkSession, docStore, bandStore)
+              ()
+            }
+          }
         } finally batch.unpersist()
       }
       .start()

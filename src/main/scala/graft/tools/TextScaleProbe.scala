@@ -86,6 +86,14 @@ object TextScaleProbe {
       return
     }
 
+    if (args.nonEmpty && args(0) == "crawldedupcompact") {
+      crawlDedupCompactLeg(spark,
+        epochs = if (args.length > 1) args(1).toInt else 100,
+        perEpoch = if (args.length > 2) args(2).toInt else 120)
+      spark.stop()
+      return
+    }
+
     val terms = Seq("w10", "w500", "w4000")
 
     for (n <- Seq(250000L, 1000000L)) {
@@ -740,6 +748,108 @@ object TextScaleProbe {
       f""""speedup":${preSec / postSec}%.2f,""" +
       f""""compact_sec":$compactSec%.2f,""" +
       s""""serving_identical":true,"ancient_replay_noop":true}""")
+    System.out.flush()
+  }
+
+  /** Crawl→DEDUP composition compaction leg (`crawldedupcompact <epochs>
+    * <perEpoch>`, round 15 — the measurement behind
+    * `compactCrawlDedupStores`): `applyCrawlDedupBatch` reads the FULL
+    * band table on EVERY micro-batch (delta-vs-base banding), so band-
+    * store epoch sprawl is paid per batch, not per serve — a year of
+    * 5-minute batches is ~100k dirs scanned per delta pass. Builds
+    * `epochs` epochs through the real composition (every epoch carries
+    * cross-epoch near-dups so delta banding finds candidates), times one
+    * more epoch against the sprawled stores, then rebuilds identically
+    * WITH compaction and times the same extra epoch — asserting the final
+    * maintained labels are bit-identical across layouts (compaction must
+    * be invisible to results) and reporting the per-batch wall and live
+    * band-dir collapse. */
+  def crawlDedupCompactLeg(spark: SparkSession, epochs: Int, perEpoch: Int): Unit = {
+    require(epochs >= 10, s"crawldedupcompact needs >= 10 epochs, got $epochs")
+    require(perEpoch >= 40 && perEpoch % 40 == 0,
+      s"perEpoch must be a positive multiple of 40 (chain accounting): $perEpoch")
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // epoch e holds ids [e*P, (e+1)*P); ids ≡ 0 (mod 40) reuse the PREVIOUS
+    // epoch's aligned doc's prose — cross-epoch near-dup chains, so every
+    // delta-banding pass joins real candidates against the base table
+    def batchDf(e: Int) = {
+      val p = perEpoch.toLong
+      spark.range(perEpoch)
+        .select((col("id") + e.toLong * p).as("doc_id"))
+        .withColumn("key",
+          when(col("doc_id") % 40 === 0 && col("doc_id") >= p,
+            col("doc_id") - p).otherwise(col("doc_id")))
+        .withColumn("canon_url",
+          concat(lit("https://x.example/doc/"), col("doc_id")))
+        .withColumn("n_blocks", lit(1L))
+        .withColumn("kept", array(concat_ws(" ",
+          (0 until 24).map(w => concat(lit(s"w$w" + "k"), col("key"))): _*)))
+        .drop("key")
+    }
+    def liveBandDirs(store: String): Int = {
+      val f = new java.io.File(store)
+      val committed = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("v=") &&
+          new java.io.File(d, "_SUCCESS").exists())
+      val superseded = committed.flatMap { d =>
+        val m = new java.io.File(d, "_SUPERSEDES")
+        if (!m.exists()) Nil
+        else {
+          val src = scala.io.Source.fromFile(m)
+          try src.getLines().toList finally src.close()
+        }
+      }.toSet
+      committed.count(d => !superseded.contains(d.getName))
+    }
+    def run(compact: Boolean, tag: String)
+        : (Seq[(Long, Long)], Double, Int, Int) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"crawldedup_$tag").toString
+      val (docStore, bandStore, labelStore) =
+        (s"$root/docs", s"$root/bands", s"$root/labels")
+      def apply(e: Int): Unit = graft.streaming.StreamOps.applyCrawlDedupBatch(
+        batchDf(e), e.toLong, docStore, bandStore, labelStore,
+        graft.catalog.DedupQueries.bandsOf,
+        graft.catalog.DedupQueries.minhashPairsDelta)
+      (0 until epochs).foreach { e =>
+        apply(e)
+        if (compact && e > 0 && e % 10 == 0)
+          graft.streaming.StreamOps.compactCrawlDedupStores(
+            spark, docStore, bandStore)
+      }
+      if (compact)
+        graft.streaming.StreamOps.compactCrawlDedupStores(
+          spark, docStore, bandStore)
+      val dirsBefore = liveBandDirs(bandStore)
+      val (_, extraSec) = time(apply(epochs)) // the measured marginal batch
+      val labels = graft.streaming.StreamOps
+        .currentComponents(spark, labelStore).get
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      (labels, extraSec, dirsBefore, liveBandDirs(bandStore))
+    }
+    val (labelsSprawl, secSprawl, dirsSprawl, _) =
+      run(compact = false, "sprawl")
+    val (labelsCompact, secCompact, dirsCompact, _) =
+      run(compact = true, "compact")
+    assert(labelsSprawl == labelsCompact,
+      s"compaction changed the maintained labels " +
+        s"(${labelsSprawl.size} vs ${labelsCompact.size} rows)")
+    // every cross-epoch dup chain labeled: dup docs = ids % 40 == 0 in
+    // epochs 1..epochs (the measured batch included), chained to epoch-0
+    // ancestors — so there are perEpoch/40 chains spanning epochs+1 docs
+    val expectedNodes = (perEpoch / 40) * (epochs + 1)
+    assert(labelsSprawl.size == expectedNodes,
+      s"expected $expectedNodes labeled nodes, got ${labelsSprawl.size}")
+    println(s"""{"probe":"crawl_dedup_compact","epochs":$epochs,""" +
+      s""""per_epoch":$perEpoch,""" +
+      s""""live_band_dirs_sprawl":$dirsSprawl,""" +
+      s""""live_band_dirs_compacted":$dirsCompact,""" +
+      f""""batch_sec_sprawl":$secSprawl%.2f,""" +
+      f""""batch_sec_compacted":$secCompact%.2f,""" +
+      f""""speedup":${secSprawl / secCompact}%.2f,""" +
+      s""""labels_identical":true}""")
     System.out.flush()
   }
 

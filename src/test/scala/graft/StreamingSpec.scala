@@ -1421,6 +1421,98 @@ class StreamingSpec extends AnyFunSuite {
     assert(compactedDirs < 6, s"auto-compaction never fired: $compactedDirs dirs")
   }
 
+  test("maintainCrawlDedup auto-compaction: band + doc stores fold every " +
+      "Nth epoch, labels equal the compaction-free run, ancient replay " +
+      "no-ops after band-dir GC") {
+    // 6 near-dup PAIRS: pair p's two members share 100 words of prose and
+    // differ in a short tail (J ≈ 0.9 ≥ 0.8). Evens stream in batches
+    // 0-2, odds in batches 3-5, so every verified pair is CROSS-batch —
+    // each odd member's bands must join the maintained band table built
+    // epochs earlier, THROUGH the compactions (compactEvery = 2 fires on
+    // epochs 2 and 4, i.e. between the evens and while odds arrive).
+    def page(i: Long): String = {
+      val shared = (0 until 100).map(w => s"prose${i / 2}w$w").mkString(" ")
+      val tail =
+        if (i % 2 == 0) "even tail marker words here"
+        else "odd tail ending other words"
+      s"<p>$shared $tail</p>"
+    }
+    def chunkOf(ids: Seq[Long]): Seq[(Timestamp, Long, String, String)] =
+      ids.map(i => (new Timestamp(30L * 86400000L + i * 1000L), i,
+        s"https://www.example.com/doc/$i", page(i)))
+    val feed = (0 until 3).map(b => chunkOf(Seq(4L * b, 4L * b + 2))) ++
+      (0 until 3).map(b => chunkOf(Seq(4L * b + 1, 4L * b + 3)))
+
+    def run(compactEvery: Int, tag: String)
+        : (Vector[(Long, Long)], Int, (String, String, String)) = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val (docStore, bandStore, labelStore, ckpt) = (tmpCkpt(s"${tag}_docs"),
+        tmpCkpt(s"${tag}_bands"), tmpCkpt(s"${tag}_labels"),
+        tmpCkpt(s"${tag}_ckpt"))
+      val mem = MemoryStream[(Timestamp, Long, String, String)]
+      val q = StreamOps.maintainCrawlDedup(
+        StreamOps.crawlIngestStream(
+          mem.toDF().toDF("ts", "doc_id", "url", "page"), lateness = "7 days"),
+        docStore, bandStore, labelStore, ckpt,
+        graft.catalog.DedupQueries.bandsOf,
+        graft.catalog.DedupQueries.minhashPairsDelta,
+        compactEvery = compactEvery)
+      try feed.foreach { c => mem.addData(c); q.processAllAvailable() }
+      finally q.stop()
+      val labels = StreamOps.currentComponents(spark, labelStore).get
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toVector
+      val nBandDirs = Option(new java.io.File(bandStore).listFiles())
+        .getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.startsWith("v="))
+      (labels, nBandDirs, (docStore, bandStore, labelStore))
+    }
+
+    val (plain, plainBandDirs, _) = run(0, "crawldedup_plain")
+    val (compacted, compactedBandDirs, (docStore, bandStore, labelStore)) =
+      run(2, "crawldedup_compact")
+    // every pair found: 12 nodes in 6 two-member components
+    assert(plain.map(_._1) == (0L to 11L).toVector,
+      s"unexpected labeled nodes: ${plain.map(_._1)}")
+    assert(plain.groupBy(_._2).values.map(_.map(_._1).toSet).toSet ==
+      (0 until 6).map(p => Set(2L * p, 2L * p + 1)).toSet,
+      s"wrong clusters: $plain")
+    assert(compacted == plain,
+      s"compaction changed labels:\n$compacted\nvs\n$plain")
+    assert(plainBandDirs == 6, s"expected 6 raw band epochs, got $plainBandDirs")
+    assert(compactedBandDirs < 6,
+      s"band-store compaction never fired: $compactedBandDirs dirs")
+    // append one more epoch by hand (the streaming run's foreachBatch ids
+    // may exceed the data-chunk count — stateful sources emit extra
+    // batches — so use a safely-later id), then compact AGAIN: this pass
+    // GCs the in-line compactions' sources and must carry their manifest
+    // ids forward transitively
+    StreamOps.applyCrawlDedupBatch(
+      Seq((99L, "https://example.com/doc/99", 1L, Seq(page(99L))))
+        .toDF("doc_id", "canon_url", "n_blocks", "kept"),
+      1000L, docStore, bandStore, labelStore,
+      graft.catalog.DedupQueries.bandsOf,
+      graft.catalog.DedupQueries.minhashPairsDelta)
+    assert(StreamOps.compactCrawlDedupStores(spark, docStore, bandStore))
+    // a replayed ANCIENT batch (id 1 — its band dir long GC'd) must no-op
+    // on every store: these rows would add doc 999 and pair it with
+    // nothing, but even the doc-store write must not happen
+    val labelsBefore = StreamOps.currentComponents(spark, labelStore).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toVector
+    StreamOps.applyCrawlDedupBatch(
+      Seq((999L, "https://example.com/doc/999", 1L, Seq(page(0L))))
+        .toDF("doc_id", "canon_url", "n_blocks", "kept"),
+      1L, docStore, bandStore, labelStore,
+      graft.catalog.DedupQueries.bandsOf,
+      graft.catalog.DedupQueries.minhashPairsDelta)
+    val labelsAfter = StreamOps.currentComponents(spark, labelStore).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toVector
+    assert(labelsAfter == labelsBefore,
+      "ancient epoch id re-applied after band-dir GC")
+    assert(StreamOps.currentCrawlDocs(spark, docStore).get
+      .filter(col("doc_id") === 999L).isEmpty,
+      "ancient epoch's rows leaked into the doc store")
+  }
+
   test("crawl store compaction: serving unchanged, single-epoch no-op, " +
       "double compaction carries manifests, replayed ancient batch no-ops") {
     val docStore = tmpCkpt("compactcrawl_docs")

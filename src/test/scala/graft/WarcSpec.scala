@@ -138,6 +138,99 @@ class WarcSpec extends AnyFunSuite {
       s"truncated gz tail corrupted earlier members: ${out2.map(_.url)}")
   }
 
+  /** Reads at most `chunk` bytes per call — stresses every window-boundary
+    * path in the stream parser (magic straddling a fill, header lines
+    * arriving byte-wise, payloads spanning many fills). */
+  private final class Trickle(bytes: Array[Byte], chunk: Int)
+      extends java.io.InputStream {
+    private var pos = 0
+    override def read(): Int =
+      if (pos >= bytes.length) -1 else { pos += 1; bytes(pos - 1) & 0xff }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (pos >= bytes.length) return -1
+      val n = math.min(math.min(len, chunk), bytes.length - pos)
+      System.arraycopy(bytes, pos, b, off, n); pos += n
+      n
+    }
+  }
+
+  test("stream-parse ≡ byte-parse: a hostile multi-member .warc.gz (bait, " +
+      "request records, HTTP envelopes, truncated tail) parses identically " +
+      "from an incremental stream — no whole-archive materialization") {
+    val bait = rec("https://evil/ghost", 1000009L, "<p>ghost</p>")
+    def httpRec(url: String, sec: Long, body: String) =
+      rec(url, sec, new String(
+        Warc.httpWrap(body.getBytes(StandardCharsets.UTF_8)),
+        StandardCharsets.UTF_8))
+    val members = Seq(
+      Warc.gzipMember(concat( // warcinfo with embedded bait
+        ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "WARC-Date: 1970-01-12T13:46:40Z\r\n" +
+          s"Content-Length: ${bait.length}\r\n\r\n")
+          .getBytes(StandardCharsets.US_ASCII), bait)),
+      Warc.gzipMember(httpRec("https://s/1", 1000001L, "<p>page one</p>")),
+      Warc.gzipMember(Warc.recordBytesTyped("request", "https://s/1",
+        java.time.Instant.ofEpochSecond(1000001L).toString,
+        "GET /1 HTTP/1.1\r\nHost: s\r\n\r\n".getBytes(StandardCharsets.US_ASCII))),
+      Warc.gzipMember(rec("https://s/2", 1000002L, "plain page é世界")),
+      Warc.gzipMember(httpRec("https://s/3", 1000003L, "<p>page three</p>")))
+    // truncated tail member: cut mid-payload
+    val tail = Warc.gzipMember(rec("https://s/cut", 1000004L, "x" * 500))
+    val archive = concat((members :+ tail.take(tail.length / 2)): _*)
+    val viaBytes = Warc.parseRecords(archive).toVector
+    // stream path, worst-case 7-byte reads of the COMPRESSED stream
+    val viaStream =
+      Warc.parseArchive(new Trickle(archive, 7)).toVector
+    assert(viaStream == viaBytes,
+      s"stream parse diverged from byte parse:\n$viaStream\nvs\n$viaBytes")
+    assert(viaBytes.map(_.url) ==
+      Vector("https://s/1", "https://s/2", "https://s/3"))
+    assert(viaBytes.map(_.html) ==
+      Vector("<p>page one</p>", "plain page é世界", "<p>page three</p>"))
+    // and an UNCOMPRESSED archive through the stream entry point too
+    val plain = concat(rec("https://p/1", 1000001L, "a"),
+      rec("https://p/2", 1000002L, "b"))
+    assert(Warc.parseArchive(new Trickle(plain, 3)).toVector ==
+      Warc.parseRecords(plain).toVector)
+  }
+
+  test("corrupt gzip HEAD is lenient (zero records, no exception) — a fetch " +
+      "cut off right after the two magic bytes") {
+    val twoBytes = Array[Byte](0x1f.toByte, 0x8b.toByte)
+    assert(Warc.parseRecords(twoBytes).toVector.isEmpty)
+    assert(Warc.parseArchive(
+      new java.io.ByteArrayInputStream(twoBytes)).toVector.isEmpty)
+    val garbageHead = concat(twoBytes, "not a real gzip header at all"
+      .getBytes(StandardCharsets.US_ASCII))
+    assert(Warc.parseRecords(garbageHead).toVector.isEmpty)
+  }
+
+  test("window boundaries: payloads far larger than the initial buffer — " +
+      "skipped (request) payloads stream through, qualified payloads " +
+      "materialize exactly, records after both survive") {
+    // 300 KB request payload (skip path: streams past the buffer, no
+    // allocation) between two good records, then a 200 KB response
+    // payload (materialize path: window regrow)
+    val bigJunk = "j" * 300000
+    val bigPage = "P" * 200000 + " tail marker é"
+    val bytes = concat(
+      rec("https://w/1", 1000001L, "before"),
+      Warc.recordBytesTyped("request", "https://w/skip",
+        java.time.Instant.ofEpochSecond(1000001L).toString,
+        bigJunk.getBytes(StandardCharsets.US_ASCII)),
+      rec("https://w/2", 1000002L, bigPage),
+      rec("https://w/3", 1000003L, "after"))
+    for (chunk <- Seq(1024, 64 * 1024)) {
+      val out = Warc.parseArchive(new Trickle(bytes, chunk)).toVector
+      assert(out.map(_.url) ==
+        Vector("https://w/1", "https://w/2", "https://w/3"), s"chunk=$chunk")
+      assert(out(1).html == bigPage, s"chunk=$chunk big payload corrupted")
+    }
+    // byte path agrees
+    assert(Warc.parseRecords(bytes).map(_.url).toVector ==
+      Vector("https://w/1", "https://w/2", "https://w/3"))
+  }
+
   test("HTTP response payloads: envelope stripped exactly; headers-only " +
       "yields empty body; non-response records skip without desync") {
     val body = "<p>the real page</p>"
