@@ -131,8 +131,18 @@ object DedupQueries {
     // is the irreducible delta banding + bucket join).
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    verifyJaccard(pairs,
-      shingles(allDocs.join(pairDocs, Seq("doc_id"), "left_semi")))
+    // Two-tier endpoint fetch (the LshForest.candidates pattern): a SMALL
+    // endpoint set pushes into the corpus scan as a literal IN predicate —
+    // row-group pruning against the doc_id-clustered compacted doc store
+    // makes the fetch pruned I/O instead of a corpus scan + semi-join.
+    // Large sets keep the semi-join (a 100k-literal predicate costs more
+    // than it saves, and row-group stats can't help it).
+    val probe = pairDocs.take(1025)
+    val endpointDocs =
+      if (probe.length <= 1024)
+        allDocs.filter(col("doc_id").isin(probe.map(_.get(0)).toSeq: _*))
+      else allDocs.join(pairDocs, Seq("doc_id"), "left_semi")
+    verifyJaccard(pairs, shingles(endpointDocs))
   }
 
   /** Shared oracle shingle CTEs (the `sh` table both the MinHash and the

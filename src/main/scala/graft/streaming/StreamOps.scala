@@ -1162,7 +1162,16 @@ object StreamOps {
   def compactCrawlDedupStores(
       s: org.apache.spark.sql.SparkSession, docStore: String,
       bandStore: String): Boolean = {
-    val a = compactEpochStore(s, docStore, identity)
+    // The doc-store merge CLUSTERS by doc_id (range partition + in-file
+    // sort): the verify stage fetches pair ENDPOINTS from this store every
+    // batch, and against a clustered layout a pushed doc_id predicate
+    // prunes at row-group granularity instead of scanning the corpus —
+    // the bucketed-layout lever (BucketProbe) expressed in the epoch-dir
+    // store's path-based world. Rows are unchanged, so serving and labels
+    // are untouched by construction.
+    val a = compactEpochStore(s, docStore,
+      df => df.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id"))
     val b = compactEpochStore(s, bandStore, identity)
     a || b
   }

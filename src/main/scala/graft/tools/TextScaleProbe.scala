@@ -771,16 +771,18 @@ object TextScaleProbe {
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    // epoch e holds ids [e*P, (e+1)*P); ids ≡ 0 (mod 40) reuse the PREVIOUS
-    // epoch's aligned doc's prose — cross-epoch near-dup chains, so every
-    // delta-banding pass joins real candidates against the base table
+    // epoch e holds ids [e*P, (e+1)*P); ids ≡ 0 (mod 40) reuse their
+    // epoch-0 ancestor's prose (key = id mod P) — cross-epoch near-dup
+    // CLIQUES, so every delta-banding pass joins real candidates against
+    // the maintained band table, and the candidate count per dup grows
+    // with the corpus exactly as a recurring boilerplate page would
     def batchDf(e: Int) = {
       val p = perEpoch.toLong
       spark.range(perEpoch)
         .select((col("id") + e.toLong * p).as("doc_id"))
         .withColumn("key",
           when(col("doc_id") % 40 === 0 && col("doc_id") >= p,
-            col("doc_id") - p).otherwise(col("doc_id")))
+            col("doc_id") % p).otherwise(col("doc_id")))
         .withColumn("canon_url",
           concat(lit("https://x.example/doc/"), col("doc_id")))
         .withColumn("n_blocks", lit(1L))
@@ -804,7 +806,7 @@ object TextScaleProbe {
       committed.count(d => !superseded.contains(d.getName))
     }
     def run(compact: Boolean, tag: String)
-        : (Seq[(Long, Long)], Double, Int, Int) = {
+        : (Seq[(Long, Long)], Seq[Double], Int, Int) = {
       val root = java.nio.file.Files
         .createTempDirectory(s"crawldedup_$tag").toString
       val (docStore, bandStore, labelStore) =
@@ -823,31 +825,40 @@ object TextScaleProbe {
         graft.streaming.StreamOps.compactCrawlDedupStores(
           spark, docStore, bandStore)
       val dirsBefore = liveBandDirs(bandStore)
-      val (_, extraSec) = time(apply(epochs)) // the measured marginal batch
+      // THREE marginal batches, min taken: single-sample walls on this box
+      // swing up to ~3x (BASELINE.md transient-window characterization),
+      // and the quantity under test — the per-batch full-band-table read —
+      // is identical across the three
+      val extraSecs = (epochs until epochs + 3).map(e => time(apply(e))._2)
       val labels = graft.streaming.StreamOps
         .currentComponents(spark, labelStore).get
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-      (labels, extraSec, dirsBefore, liveBandDirs(bandStore))
+      (labels, extraSecs, dirsBefore, liveBandDirs(bandStore))
     }
-    val (labelsSprawl, secSprawl, dirsSprawl, _) =
+    val (labelsSprawl, secsSprawl, dirsSprawl, _) =
       run(compact = false, "sprawl")
-    val (labelsCompact, secCompact, dirsCompact, _) =
+    val (labelsCompact, secsCompact, dirsCompact, _) =
       run(compact = true, "compact")
+    val (secSprawl, secCompact) = (secsSprawl.min, secsCompact.min)
     assert(labelsSprawl == labelsCompact,
       s"compaction changed the maintained labels " +
         s"(${labelsSprawl.size} vs ${labelsCompact.size} rows)")
-    // every cross-epoch dup chain labeled: dup docs = ids % 40 == 0 in
-    // epochs 1..epochs (the measured batch included), chained to epoch-0
-    // ancestors — so there are perEpoch/40 chains spanning epochs+1 docs
-    val expectedNodes = (perEpoch / 40) * (epochs + 1)
+    // every cross-epoch dup clique labeled: dup docs = ids ≡ 0 (mod 40)
+    // sharing their epoch-0 ancestor's prose — perEpoch/40 cliques, each
+    // spanning the ancestor + one member per epoch 1..epochs+2 (the three
+    // measured marginal batches included)
+    val expectedNodes = (perEpoch / 40) * (epochs + 3)
     assert(labelsSprawl.size == expectedNodes,
       s"expected $expectedNodes labeled nodes, got ${labelsSprawl.size}")
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     println(s"""{"probe":"crawl_dedup_compact","epochs":$epochs,""" +
       s""""per_epoch":$perEpoch,""" +
       s""""live_band_dirs_sprawl":$dirsSprawl,""" +
       s""""live_band_dirs_compacted":$dirsCompact,""" +
-      f""""batch_sec_sprawl":$secSprawl%.2f,""" +
-      f""""batch_sec_compacted":$secCompact%.2f,""" +
+      s""""batch_secs_sprawl":${arr(secsSprawl)},""" +
+      s""""batch_secs_compacted":${arr(secsCompact)},""" +
+      f""""batch_sec_sprawl_min":$secSprawl%.2f,""" +
+      f""""batch_sec_compacted_min":$secCompact%.2f,""" +
       f""""speedup":${secSprawl / secCompact}%.2f,""" +
       s""""labels_identical":true}""")
     System.out.flush()
