@@ -115,6 +115,10 @@ object DedupQueries {
     * the catalog oracle replays the full pipeline with that filter). */
   private[graft] def minhashPairsDelta(
       allDocs: DataFrame, allBands: DataFrame, deltaBands: DataFrame): DataFrame = {
+    // localCheckpoint: the endpoint probe take() and the verify join BOTH
+    // drive the candidate set — uncached, the delta-vs-base bucket join
+    // and its distinct would execute twice per micro-batch (the
+    // LshForest.candidates lesson: materialize once, stay distributed).
     val pairs = deltaBands.as("d")
       .join(allBands.as("a"),
         col("d.band_id") === col("a.band_id") &&
@@ -124,8 +128,9 @@ object DedupQueries {
         least(col("a.doc_id"), col("d.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("d.doc_id")).as("doc_b"))
       .distinct()
+      .localCheckpoint()
     // Verify shingles only for docs a candidate actually names — without
-    // the semi-join the verify stage re-explodes the WHOLE corpus's
+    // the pruning the verify stage re-explodes the WHOLE corpus's
     // shingles and the increment degenerates toward full-recompute cost
     // (measured 22.6 s -> 15.8 s at 100k base + 15k delta; what remains
     // is the irreducible delta banding + bucket join).

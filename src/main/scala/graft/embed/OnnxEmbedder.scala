@@ -1,6 +1,6 @@
 package graft.embed
 
-import java.nio.charset.StandardCharsets
+import scala.util.control.NonFatal
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
@@ -51,7 +51,10 @@ final class WordPiece(vocab: Map[String, Int]) extends Serializable {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     def flush(): Unit = { if (cur.nonEmpty) { out += cur.toString; cur.clear() } }
-    text.toLowerCase.foreach { c =>
+    // Locale.ROOT: BERT's basic tokenizer is locale-independent — a
+    // tr_TR-default executor would otherwise fold I to dotless ı and
+    // produce different token ids for identical input across deployments
+    text.toLowerCase(java.util.Locale.ROOT).foreach { c =>
       if (c.isWhitespace) flush()
       else if (!c.isLetterOrDigit) { flush(); out += c.toString }
       else cur += c
@@ -61,6 +64,11 @@ final class WordPiece(vocab: Map[String, Int]) extends Serializable {
   }
 
   def wordPieces(word: String): Seq[Int] = {
+    // The published BERT cap: words past 200 chars become [UNK] without
+    // attempting decomposition. Without it, an unbroken alphanumeric run
+    // (a base64 data-URI in a crawl page) costs O(len²) substring probes
+    // for a token that could never be a real word anyway.
+    if (word.length > WordPiece.MaxWordChars) return Seq(unkId)
     val pieces = scala.collection.mutable.ArrayBuffer.empty[Int]
     var start = 0
     while (start < word.length) {
@@ -83,7 +91,10 @@ final class WordPiece(vocab: Map[String, Int]) extends Serializable {
   /** `[CLS] pieces… [SEP]` padded/truncated to `maxLen`; returns
     * (input_ids, attention_mask). */
   def encode(text: String, maxLen: Int): (Array[Long], Array[Long]) = {
-    val body = preSplit(text).flatMap(wordPieces).take(maxLen - 2)
+    // lazy word stream + early take: a 1 MB document must not pay full
+    // tokenization for the ~510 pieces that survive truncation
+    val body = preSplit(text).iterator.flatMap(wordPieces)
+      .take(maxLen - 2).toSeq
     val ids = new Array[Long](maxLen)
     val mask = new Array[Long](maxLen)
     val seq = clsId +: body :+ sepId
@@ -95,6 +106,8 @@ final class WordPiece(vocab: Map[String, Int]) extends Serializable {
 }
 
 object WordPiece {
+  /** BERT's `max_input_chars_per_word`: longer words are [UNK] outright. */
+  val MaxWordChars = 200
   def fromLines(lines: Iterator[String]): WordPiece =
     new WordPiece(lines.zipWithIndex.map { case (t, i) => t.trim -> i }.toMap)
   def fromFile(path: String): WordPiece = {
@@ -140,21 +153,30 @@ class OnnxSessionBackend(
     // token_type_ids: BGE's graph takes all-zeros
     val zeros = ids.map(r => new Array[Long](r.length))
     val typesT = create.invoke(null, env, zeros)
-    val inputs = new java.util.HashMap[String, AnyRef]()
-    inputs.put("input_ids", idsT)
-    inputs.put("attention_mask", maskT)
-    inputs.put("token_type_ids", typesT)
-    val result = session.getClass
-      .getMethod("run", classOf[java.util.Map[String, AnyRef]])
-      .invoke(session, inputs)
+    def closeQuietly(t: AnyRef): Unit =
+      try t.getClass.getMethod("close").invoke(t)
+      catch { case NonFatal(_) => () }
     try {
-      val first = result.getClass.getMethod("get", classOf[Int])
-        .invoke(result, Integer.valueOf(0))
-      val value = first.getClass.getMethod("getValue").invoke(first)
-      // last_hidden_state: float[batch][maxLen][dim] → flatten rows
-      value.asInstanceOf[Array[Array[Array[Float]]]]
-        .map(_.flatten)
-    } finally result.getClass.getMethod("close").invoke(result)
+      val inputs = new java.util.HashMap[String, AnyRef]()
+      inputs.put("input_ids", idsT)
+      inputs.put("attention_mask", maskT)
+      inputs.put("token_type_ids", typesT)
+      val result = session.getClass
+        .getMethod("run", classOf[java.util.Map[String, AnyRef]])
+        .invoke(session, inputs)
+      try {
+        val first = result.getClass.getMethod("get", classOf[Int])
+          .invoke(result, Integer.valueOf(0))
+        val value = first.getClass.getMethod("getValue").invoke(first)
+        // last_hidden_state: float[batch][maxLen][dim] → flatten rows
+        value.asInstanceOf[Array[Array[Array[Float]]]]
+          .map(_.flatten)
+      } finally closeQuietly(result)
+    } finally {
+      // OnnxTensors hold NATIVE allocations freed by close(), not GC —
+      // leaking three per batch kills a long embedding job with native OOM
+      closeQuietly(idsT); closeQuietly(maskT); closeQuietly(typesT)
+    }
   }
 
   /** The published BGE recipe over raw hidden states: CLS-token (or

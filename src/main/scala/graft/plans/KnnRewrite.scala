@@ -183,11 +183,14 @@ class KnnIndexRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(
       node: LogicalPlan, k: Int, orders: Seq[SortOrder],
       proj: Project, rel: LogicalRelation): Option[LogicalPlan] = {
-    // the scanned files must be a registered indexed corpus
+    // The scanned files must be EXACTLY the registered indexed corpus: a
+    // multi-root-path relation (spark.read.parquet(registeredDir, other))
+    // is a DIFFERENT corpus — rewriting it to the index over just the
+    // registered path would silently drop the other paths' vectors from
+    // the result, so only a single-root scan matches.
     val entry = rel.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.flatMap(p =>
-          KnnIndexRegistry.lookup(p.toUri.toString)).headOption
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        KnnIndexRegistry.lookup(fs.location.rootPaths.head.toUri.toString)
       case _ => None
     }
     if (entry.isEmpty || k <= 0 || k > entry.get.maxK) return None
@@ -268,10 +271,17 @@ object KnnIndexRewrite {
 
   /** Install into a RUNNING session (idempotent) — the
     * `spark.experimental` route for sessions built without
-    * `spark.sql.extensions=graft.GraftExtensions`. */
+    * `spark.sql.extensions=graft.GraftExtensions`. Checks BOTH injection
+    * routes: a session built with the extension already runs the rule in
+    * the operator-optimization batch, and adding a second copy through
+    * `experimental` would double the pattern-match on every plan. */
   def install(s: SparkSession): Unit = synchronized {
+    val viaExtension =
+      try s.sessionState.optimizer.extendedOperatorOptimizationRules
+        .exists(_.isInstanceOf[KnnIndexRewrite])
+      catch { case scala.util.control.NonFatal(_) => false }
     val cur = s.experimental.extraOptimizations
-    if (!cur.exists(_.isInstanceOf[KnnIndexRewrite]))
+    if (!viaExtension && !cur.exists(_.isInstanceOf[KnnIndexRewrite]))
       s.experimental.extraOptimizations = cur :+ new KnnIndexRewrite(s)
   }
 }

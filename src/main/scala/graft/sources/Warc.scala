@@ -164,9 +164,13 @@ object Warc {
       if (hi - lo < n && !eof) {
         if (lo > 0) { System.arraycopy(buf, lo, buf, 0, hi - lo); hi -= lo; lo = 0 }
         if (n > buf.length) {
+          // power-of-two growth, overflow-proof: doubling past 2^30 wraps
+          // Int negative and a naive `while (cap < n)` spins forever for
+          // n just over 1 GiB (records at the MaxRecordBytes boundary) —
+          // clamp the doubled capacity to exactly n when it overshoots
           var cap = buf.length
-          while (cap < n) cap *= 2
-          buf = java.util.Arrays.copyOf(buf, cap)
+          while (cap < n && cap < (1 << 30)) cap *= 2 // cap stays <= 2^30
+          buf = java.util.Arrays.copyOf(buf, math.max(cap, n))
         }
         while (!eof && hi < n) {
           val r = try in.read(buf, hi, buf.length - hi)
@@ -274,7 +278,11 @@ object Warc {
                   new String(w.array, w.offset + cur, e - cur, StandardCharsets.UTF_8)
                 val c = line.indexOf(':')
                 if (c > 0) {
-                  val k = line.substring(0, c).trim.toLowerCase
+                  // Locale.ROOT: a tr_TR-default JVM lowercases the I in
+                  // "WARC-Target-URI" to dotless ı and every record would
+                  // silently disqualify
+                  val k = line.substring(0, c).trim
+                    .toLowerCase(java.util.Locale.ROOT)
                   val v = line.substring(c + 1).trim
                   k match {
                     case "warc-target-uri" => url = v

@@ -991,11 +991,17 @@ object StreamOps {
     // Reap abandoned staging dirs first: a crash between the staged write
     // and the rename leaves a compact_staging_* dir that is invisible to
     // readers (correct) but otherwise lives forever. Compaction is
-    // single-writer per store, so ANY staging dir seen here is by
-    // definition dead.
+    // documented single-writer per store, but an operator-scheduled
+    // compactCrawlStores CAN overlap an in-line compactEvery pass — so
+    // only dirs past an age threshold are reaped (a live writer's staging
+    // dir is minutes old at most; a crashed one is permanent), instead of
+    // deleting a concurrent writer's work out from under its rename.
+    val staleMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
     fs.listStatus(new org.apache.hadoop.fs.Path(storePath)).toSeq
       .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("compact_staging_"))
+        st.getPath.getName.startsWith("compact_staging_") &&
+        now - st.getModificationTime > staleMs)
       .foreach(st => fs.delete(st.getPath, true))
     val staging = new org.apache.hadoop.fs.Path(
       storePath, s"compact_staging_${System.nanoTime()}")

@@ -18,7 +18,24 @@ import graft.plans.{KnnIndexRegistry, KnnIndexRewrite}
   * unregistered corpora / non-matching shapes are left alone. */
 class KnnRewriteSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
-  private val dir = SparkTestBase.sf0001
+
+  /** PRIVATE copy of the embeddings fixture: other suites `.cache()` the
+    * shared sf0.001 table, and the CacheManager then substitutes an
+    * InMemoryRelation into every later scan of that path — the naive
+    * Sort/Project/LogicalRelation shape never forms and the rule
+    * (conservatively, by design) does not fire on cached plans. A
+    * spec-owned path keeps these plan-shape tests deterministic under
+    * any suite ordering. */
+  private lazy val dir: String = {
+    val d = new java.io.File("/tmp/graft_knnrw_fixture")
+    if (!new java.io.File(d, "embeddings.parquet").exists()) {
+      d.mkdirs()
+      org.apache.commons.io.FileUtils.copyFile(
+        new java.io.File(SparkTestBase.sf0001, "embeddings.parquet"),
+        new java.io.File(d, "embeddings.parquet"))
+    }
+    d.getAbsolutePath
+  }
 
   private def naivePlan(k: Int = 10) = {
     val e = Tables.embeddings(spark, dir)

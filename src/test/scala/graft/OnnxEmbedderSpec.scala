@@ -29,6 +29,12 @@ class OnnxEmbedderSpec extends AnyFunSuite {
     // no decomposition at any suffix → the WHOLE word is UNK
     assert(vocab.wordPieces("xyz") == Seq(1))
     assert(vocab.wordPieces("unxyz") == Seq(1))
+    // BERT's max_input_chars_per_word: an unbroken 500 KB run (base64
+    // data-URI in a crawl page) is [UNK] outright, not an O(len²) probe
+    val t0 = System.nanoTime()
+    assert(vocab.wordPieces("un" * 250000) == Seq(1))
+    assert((System.nanoTime() - t0) / 1e9 < 1.0,
+      "oversized word took quadratic time")
   }
 
   test("WordPiece encode: [CLS] body [SEP], attention mask, pad, truncate") {
