@@ -290,10 +290,19 @@ object PipelineQueries {
     * beyond its stages. */
   /** `tauMicro` is the LM keep threshold (fixture-calibrated default);
     * `materialize` checkpoints the filtered crawl between the heuristic
-    * and LM stages — the catalog entry keeps the pure single-plan form,
-    * the scale probe passes true (a production pipeline persists between
-    * stages anyway, and without it the dedup+gate subtree recomputes for
-    * each of its three consumers). */
+    * and LM stages (a production pipeline persists between stages anyway,
+    * and without it the dedup+gate subtree recomputes for each of its
+    * three consumers). The catalog entry passes true since the r15
+    * optimization round: the single-plan form re-executed the corpus-sized
+    * dedup+gate+LM subtree once per downstream consumer — a 907-operator
+    * physical plan whose EXECUTED work measured 9.5–11.2 s of task time
+    * and 12.9 MB of shuffle per run at sf0.1; checkpointed it is
+    * 1.6–2.3 s / 2.3 MB (≈5× less distributed work — the §1.2 lever that
+    * dominates at 100 TB). Local WALL barely moves (the sf0.1 run is
+    * driver-bound on ~35 sequential AQE stage jobs either way), so the
+    * bench sees a modest win; the task-time/shuffle columns in
+    * OPTIMIZATION_r15.md carry the real evidence. Hash gate re-verified
+    * unchanged on the checkpointed form. */
   private[graft] def shardV2From(
       d: org.apache.spark.sql.DataFrame,
       recrawlShift: Long,
@@ -340,7 +349,8 @@ object PipelineQueries {
     (s, dir) => shardV2From(
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("source")),
-      recrawlShift = 100000L, budget = PretrainV2Budget),
+      recrawlShift = 100000L, budget = PretrainV2Budget,
+      materialize = true),
     Some(s"""
       WITH crawl AS (SELECT doc_id, text, lang, source FROM documents
                      UNION ALL
@@ -449,8 +459,15 @@ object PipelineQueries {
     * LM cascade) between its TWO consumers — the tercile aggregation and
     * the final bucket-assignment join; without it the whole upstream
     * cascade re-executes once per consumer (the shardV2From lesson, same
-    * knob convention: the catalog entry keeps the pure single-plan form
-    * for the hash gate, the scale probe and production pass true). */
+    * knob convention: the catalog entry keeps the pure single-plan form,
+    * the scale probe and production pass true). Measured at r15: the
+    * checkpointed form is NOT faster here — the initial plan shows the
+    * scored subtree twice (58 Exchanges) but the EXECUTED work is
+    * 0.3–0.6 s task time / 0.2 MB shuffle, because the two consumers
+    * read the frame through IDENTICAL subtrees and AQE reuses the
+    * materialized exchanges at runtime; the eager checkpoint only adds
+    * a barrier job. Contrast shardV2From, whose consumers' subtrees
+    * differ (different projections/filters) and defeat that reuse. */
   private[graft] def ccnetFrom(
       docs: org.apache.spark.sql.DataFrame,
       materialize: Boolean = false): org.apache.spark.sql.DataFrame = {

@@ -52,19 +52,39 @@ object TextMatch {
     // md5 the gram before the exchange: 32 bytes shuffle instead of the
     // k-token string (the gram text never leaves the map side).
     val hashed = wins.select(col(docId), col("n_tok"), col("pos"),
-      md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
-        .cast("binary")).as("h"))
+      // unhex: shuffle the digest as 16 RAW bytes, not 32 hex chars — h
+      // is internal (grouped/joined, never output) and hex is a 1:1
+      // recoding, so this halves the dominant exchange's key column
+      // (r15, guide §2.3 narrower types)
+      unhex(md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
+        .cast("binary"))).as("h"))
     val dup = hashed.groupBy("h")
       .agg(count_distinct(col(docId)).as("nd"))
       .filter(col("nd") > 1)
       .select("h")
+    // Covered-token count WITHOUT the k× explode (r15 optimization round,
+    // guide §2.3 "shuffle fewer bytes"): the original exploded every hit
+    // into its k covered positions and ran TWO count_distincts (an
+    // Expand that doubled the exploded volume again — hits × k × 2 rows
+    // through the doc-keyed exchange, measured 16.9 MB shuffled at sf0.1
+    // vs rare_span's 7.8 on the same window set). (docId, pos) is UNIQUE
+    // in `hashed` (one hash per window start), so n_dup_wins is a plain
+    // count, and the union size of the duplicated [pos, pos+k-1]
+    // intervals is exactly k for the first sorted hit plus
+    // min(gap, k) per successor — one lag window over the hit rows
+    // themselves (codegen, no Expand), identical by interval arithmetic
+    // (TextMatchSpec pins the overlapping-window case; the DuckDB oracle
+    // still computes count(DISTINCT ti) its own way).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(docId).orderBy("pos")
     hashed.join(dup, "h")
-      .select(col(docId), col("n_tok"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"),
-        col("pos"))
+      .select(col(docId), col("n_tok"), col("pos"))
+      .withColumn("cov_inc",
+        coalesce(least(col("pos") - lag("pos", 1).over(w), lit(k)), lit(k))
+          .cast("long"))
       .groupBy(docId)
-      .agg(count_distinct(col("pos")).as("n_dup_wins"),
-        count_distinct(col("ti")).as("n_cov_tok"),
+      .agg(count(lit(1)).as("n_dup_wins"),
+        sum("cov_inc").as("n_cov_tok"),
         first("n_tok").as("n_tok"))
       .select(col(docId), col("n_dup_wins"), col("n_cov_tok"),
         expr("n_cov_tok * 10000 div n_tok").as("dup_frac_1e4"))
@@ -96,8 +116,9 @@ object TextMatch {
         posexplode(sequence(lit(1), col("n_tok").cast("int") - (k - 1)))
           .as(Seq("pos", "start")))
     val hashed = wins.select(col(docId), col("n_tok"), col("pos"),
-      md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
-        .cast("binary")).as("h"))
+      // raw 16-byte digest for the internal key (see spanDedupStats)
+      unhex(md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
+        .cast("binary"))).as("h"))
     val df = hashed.groupBy("h")
       .agg(count_distinct(col(docId)).as("df"))
     hashed.join(df, "h")
@@ -144,8 +165,9 @@ object TextMatch {
         posexplode(sequence(lit(1), col("n_tok").cast("int") - (k - 1)))
           .as(Seq("ord", "start")))
     val hashed = wins.select(col(docId), col("start").as("pos"),
-      md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
-        .cast("binary")).as("h"))
+      // raw 16-byte digest for the internal key (see spanDedupStats)
+      unhex(md5(array_join(slice(col("toks"), col("start"), lit(k)), " ")
+        .cast("binary"))).as("h"))
     val dup = hashed.groupBy("h")
       .agg(count_distinct(col(docId)).as("nd"))
       .filter(col("nd") > 1).select("h")

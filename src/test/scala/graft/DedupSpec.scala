@@ -129,6 +129,46 @@ class DedupSpec extends AnyFunSuite {
       assert(v >= 0 && v < graft.ops.Minhash.AffineP, s"entry $v out of field")))
   }
 
+  test("md5 signature kernel: byte-identical to the reference form") {
+    // The r15-optimized kernel (shared prefix bytes, duplicate-shingle
+    // skip, unsigned-byte minima) pinned against a direct transcription
+    // of the original definition: sig[j-1] = min over ALL shingles of
+    // hex(md5((j + "|" + shingle).utf8)) compared as hex STRINGS.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def reference(text: String, nPerms: Int): Seq[String] = {
+      val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
+      val shingles: Iterator[String] =
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
+        else Iterator(w.mkString(" "))
+      val mins = new Array[String](nPerms)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      shingles.foreach { sh =>
+        (1 to nPerms).foreach { j =>
+          md.reset()
+          val hex = md.digest((j.toString + "|" + sh).getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          if (mins(j - 1) == null || hex < mins(j - 1)) mins(j - 1) = hex
+        }
+      }
+      mins.toSeq
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "dup dup dup dup dup dup dup dup", // duplicate shingles exercised
+      "two words", // under 3 words: one whole-text shingle
+      "one", "", "a  b   c", // empty + repeated-separator empties
+      "Mixed CASE Tokens repeat repeat repeat Mixed CASE Tokens")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = docs
+      .withColumn("sig", graft.ops.Minhash.signatureUdf(16)(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == reference(t, 16), s"signature drift for '$t'")
+    }
+  }
+
   test("keep-list drops exactly the dominated docs") {
     val pairs = DedupQueries.minhashPairs.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
