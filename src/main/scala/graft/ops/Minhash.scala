@@ -53,7 +53,7 @@ object Minhash {
       val md = java.security.MessageDigest.getInstance("MD5")
       val seen = new java.util.HashSet[String]()
       shingles.foreach { sh =>
-        if (seen.add(sh)) {
+        if (seen.size >= SeenCap || seen.add(sh)) {
           val shB = sh.getBytes("UTF-8")
           var j = 0
           while (j < nPerms) {
@@ -82,16 +82,16 @@ object Minhash {
 
   /** Unsigned lexicographic byte compare — the digest order that renders
     * to the same order as comparing the 32-char hex strings. */
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length && i < b.length) {
-      val ai = a(i) & 0xff
-      val bi = b(i) & 0xff
-      if (ai != bi) return ai < bi
-      i += 1
-    }
-    a.length < b.length
-  }
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean =
+    java.util.Arrays.compareUnsigned(a, b) < 0
+
+  /** Cap on the duplicate-shingle skip set: past this many RETAINED
+    * unique shingles the set stops growing and later shingles hash
+    * unconditionally — hashing a duplicate cannot change a min, so the
+    * cap trades redundant digests for bounded per-row auxiliary memory
+    * (an uncapped multi-MB document would otherwise pin ~its whole
+    * token stream in the set for the row's lifetime). */
+  private val SeenCap = 1 << 16
 
   /** Band hashes over a signature column: array of nPerms/bandRows md5s,
     * band b = md5(concat of sig entries [b·bandRows+1 .. (b+1)·bandRows])
@@ -189,7 +189,7 @@ object Minhash {
     val seen = new java.util.HashSet[String]()
     val half = nPerms / 2
     shingles.foreach { sh =>
-      if (seen.add(sh)) {
+      if (seen.size >= SeenCap || seen.add(sh)) {
         val d = md.digest(sh.getBytes("UTF-8"))
         var v = 0L
         var i = 0

@@ -33,8 +33,9 @@ object TextMatch {
     *
     * Plan: windows explode map-side; the duplicated-gram set is a
     * count-filtered aggregate on the gram hash (never the corpus); the
-    * join-back fans out only on duplicated grams; coverage is one
-    * sequence-explode bounded by k per hit. */
+    * join-back fans out only on duplicated grams; coverage is one lag
+    * window over the hit rows (interval-union arithmetic — no per-hit
+    * explode). */
   def spanDedupStats(
       docs: DataFrame, k: Int = 8,
       docId: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -49,8 +50,8 @@ object TextMatch {
       .select(col(docId), col("n_tok"), col("toks"),
         posexplode(sequence(lit(1), col("n_tok").cast("int") - (k - 1)))
           .as(Seq("pos", "start")))
-    // md5 the gram before the exchange: 32 bytes shuffle instead of the
-    // k-token string (the gram text never leaves the map side).
+    // md5 the gram before the exchange: a 16-byte digest shuffles instead
+    // of the k-token string (the gram text never leaves the map side).
     val hashed = wins.select(col(docId), col("n_tok"), col("pos"),
       // unhex: shuffle the digest as 16 RAW bytes, not 32 hex chars — h
       // is internal (grouped/joined, never output) and hex is a 1:1
@@ -100,7 +101,7 @@ object TextMatch {
     * ⟹ the doc carries at least one span no other doc has; a doc full
     * of PII or keys with uniq_frac ≈ 10000 is the canary profile,
     * while boilerplate scores near 0). Same plan family as the span
-    * ops: windows explode map-side, only 32-byte md5 hashes shuffle
+    * ops: windows explode map-side, only 16-byte md5 digests shuffle
     * (gram text never leaves the map side), df is a gram-sized
     * aggregate, and the join-back is the one corpus-sized exchange.
     * Returns (docId, n_tok, n_wins, n_unique_wins, uniq_frac_1e4,
@@ -144,7 +145,7 @@ object TextMatch {
     * digest gates the reassembled cleaned text, not just counts.
     *
     * Plan: the duplicated-gram set and the per-gram first occurrence are
-    * gram-hash-keyed aggregates (32-byte keys, corpus-duplication-sized);
+    * gram-hash-keyed aggregates (16-byte keys, corpus-duplication-sized);
     * drop positions explode bounded by k per non-first hit; reassembly is
     * one left join of the (bounded) per-doc drop set back to the token
     * arrays with an index-aware `filter` — map-side, no further

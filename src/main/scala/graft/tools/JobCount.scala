@@ -34,13 +34,17 @@ object JobCount {
     @volatile var shuffleReadB = 0L
     @volatile var shuffleWriteB = 0L
     // per-stage task time keyed by the stage's call-site description —
-    // the headless stand-in for the UI's per-stage breakdown
+    // the headless stand-in for the UI's per-stage breakdown.
+    // ONE shared lock guards the counters and the map from both the
+    // listener-bus thread and main()'s reset (separate monitors would
+    // let a straggler stage event race byStage.clear()).
+    val lock = new Object
     val byStage = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        lock.synchronized { jobs += 1 }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        synchronized {
+        lock.synchronized {
           stages += 1
           val key = s.stageInfo.name.take(120)
           val t = Option(s.stageInfo.taskMetrics)
@@ -48,7 +52,7 @@ object JobCount {
           val (pt, pn) = byStage.getOrElse(key, (0L, 0L))
           byStage(key) = (pt + t, pn + 1)
         }
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = lock.synchronized {
         tasks += 1
         val m = t.taskMetrics
         if (m != null) {
@@ -68,7 +72,7 @@ object JobCount {
         // listener bus is async (and private); a short settle keeps event
         // attribution honest enough for a dev diagnostic
         Thread.sleep(500)
-        synchronized {
+        lock.synchronized {
           jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0; gcMs = 0
           shuffleReadB = 0; shuffleWriteB = 0; byStage.clear()
         }
@@ -82,9 +86,10 @@ object JobCount {
           f"shufW=${shuffleWriteB / 1e6}%.1fMB " +
           f"par=${taskTimeMs / 1e3 / math.max(wallS, 1e-9)}%.2fx")
         if (it == iters)
-          byStage.toSeq.sortBy(-_._2._1).take(8).foreach { case (k, (t, n)) =>
-            println(f"[jobcount]   stage ${t / 1e3}%7.2fs x$n%-3d $k")
-          }
+          lock.synchronized(byStage.toSeq).sortBy(-_._2._1).take(8)
+            .foreach { case (k, (t, n)) =>
+              println(f"[jobcount]   stage ${t / 1e3}%7.2fs x$n%-3d $k")
+            }
       }
     }
     spark.stop()

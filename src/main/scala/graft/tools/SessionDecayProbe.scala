@@ -40,8 +40,6 @@ object SessionDecayProbe {
       val rt = Runtime.getRuntime
       val usedMb = (rt.totalMemory - rt.freeMemory) / 1e6
       val nTables = spark.catalog.listTables().count()
-      val nLoaded = org.apache.spark.sql.execution.streaming.state
-        .StateStore.getClass // presence check only; count via reflection below
       val loadedCount =
         try {
           val ss = org.apache.spark.sql.execution.streaming.state.StateStore
@@ -57,7 +55,6 @@ object SessionDecayProbe {
         } catch { case _: Throwable => -1 }
       println(f"[decay] $tag heapUsed=$usedMb%.0fMB tempTables=$nTables " +
         s"loadedStateProviders=$loadedCount")
-      val _ = nLoaded
     }
 
     def run(tag: String, n: Int): Unit = (1 to n).foreach { i =>
