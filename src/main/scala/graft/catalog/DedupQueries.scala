@@ -202,13 +202,16 @@ object DedupQueries {
     * dir) per JVM, persisted as parquet rather than collected (pair/label
     * sets grow with corpus duplication, which a 100 TB crawl makes
     * arbitrarily large; readers get a distributed scan). Paths are stable
-    * across JVMs, so a warm /tmp survives process restarts. */
+    * across JVMs, so a warm /tmp survives process restarts — and since
+    * r16 they embed [[graft.core.FixtureStamp]]'s content stamp, so a
+    * fixture REGENERATED at the same path rolls the cache over instead
+    * of serving intermediates built from the old data. */
   private object ParquetCache {
     private val cache = scala.collection.concurrent.TrieMap[String, String]()
     def get(s: SparkSession, prefix: String, dir: String)
         (build: => DataFrame): DataFrame = {
       val path = cache.getOrElseUpdate(s"$prefix|$dir", {
-        val p = s"/tmp/$prefix/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = s"/tmp/$prefix/v1_" + graft.core.FixtureStamp.key(s, dir)
         build.write.mode("overwrite").parquet(p)
         p
       })
@@ -1205,7 +1208,7 @@ ${affineSigCtes("MATERIALIZED")},
     def buckets(s: SparkSession, dir: String, planted: DataFrame): DataFrame = {
       val path = cache.getOrElseUpdate(dir, {
         val model = LshForest.build(planted)
-        val p = "/tmp/graft_neardup/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = "/tmp/graft_neardup/v1_" + graft.core.FixtureStamp.key(s, dir)
         LshForest.writeIndex(planted, model, p)
         p
       })

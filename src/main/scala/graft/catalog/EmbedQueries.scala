@@ -148,7 +148,7 @@ object EmbedQueries {
     private val cache = scala.collection.concurrent.TrieMap[String, ZebraEngine]()
     def ensure(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
       cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_doc_engine/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = "/tmp/graft_doc_engine/v1_" + graft.core.FixtureStamp.key(s, dir)
         ZebraEngine.destroy(p)
         val eng = ZebraEngine.create(
           s, p, EngineConfig(dim = embedder.dim, metric = "cosine"))
@@ -189,7 +189,7 @@ object EmbedQueries {
     def ensure(s: org.apache.spark.sql.SparkSession, dir: String): ZebraEngine =
       cache.getOrElseUpdate(dir, {
         val twin = graft.embed.Md5CountEmbedder()
-        val p = "/tmp/graft_doc_engine_md5/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = "/tmp/graft_doc_engine_md5/v1_" + graft.core.FixtureStamp.key(s, dir)
         ZebraEngine.destroy(p)
         val eng = ZebraEngine.create(
           s, p, EngineConfig(dim = twin.dim, metric = "l2sq"))
@@ -372,7 +372,7 @@ object EmbedQueries {
     private val cache = scala.collection.concurrent.TrieMap[String, String]()
     def assign(s: SparkSession, dir: String): DataFrame = {
       val path = cache.getOrElseUpdate(dir, {
-        val p = "/tmp/graft_kmassign/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = "/tmp/graft_kmassign/v1_" + graft.core.FixtureStamp.key(s, dir)
         graft.ops.KMeansInt.fitAssign(md5Vectors(s, dir), k = 4, iters = 3)
           .write.mode("overwrite").parquet(p)
         p

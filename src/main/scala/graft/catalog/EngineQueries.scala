@@ -71,7 +71,7 @@ object EngineQueries {
         suffix: String, indexed: Boolean): ZebraEngine =
       cache.getOrElseUpdate(s"$dir|$suffix", {
         val p = s"/tmp/graft_engine/v1_$suffix" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")
+          graft.core.FixtureStamp.key(s, dir)
         ZebraEngine.destroy(p)
         val eng = ZebraEngine.create(s, p, EngineConfig(dim = 64))
         eng.insertRecords(Tables.embeddings(s, dir)
@@ -95,7 +95,7 @@ object EngineQueries {
         kind: String): ZebraEngine =
       cache.getOrElseUpdate(s"$dir|${kind}_", {
         val p = s"/tmp/graft_engine/v1_${kind}_" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")
+          graft.core.FixtureStamp.key(s, dir)
         ZebraEngine.destroy(p)
         val eng = ZebraEngine.create(
           s, p, EngineConfig(dim = 64, indexKind = kind))

@@ -1438,12 +1438,37 @@ object RelationalQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val sink = s"stream_basket_exec_sink_${StreamSinkIds.next()}"
+      // r16 transport (guide §5, the driver): the gate's ~900k pair
+      // emissions were the catalog's largest memory-sink transport — every
+      // pair row crossed the driver per micro-batch commit, a guaranteed
+      // driver bottleneck at 100 TB. The stream now lands DISTRIBUTED
+      // per-epoch partial counts (foreachBatch → groupBy → parquet, the
+      // applyCrawlBatch delta-rollup idiom; count-of-pairs = sum of
+      // per-epoch counts, exact integer algebra, so the declared aggregate
+      // is unchanged) and the driver never sees a pair row. A raw-emission
+      // write was A/B'd: it skips the per-batch aggregation exchange
+      // (19.5 vs 31.1 MB local shuffle) but stores the full emission
+      // volume and pushes it through every serving read — the per-epoch
+      // aggregate keeps the store and the serving read delta-sized, which
+      // is the shape that survives 100 TB (guide §2.3 aggregate-before-
+      // shuffle). The store is wiped and rebuilt INSIDE every invocation —
+      // transport, not a cross-run cache.
+      val root = "/tmp/graft_basket_exec_stream"
+      val store = s"$root/inv_${StreamSinkIds.next()}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rootPath, true) // prior invocations' leftovers (never concurrent)
       graft.streaming.StreamOps.withShufflePartitions(s, 8) {
         val q = graft.streaming.StreamOps
           .basketPairsStream(mem.toDF().toDF("order_id", "part_id", "ts"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
+          .writeStream
+          .option("checkpointLocation", s"$store/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            batch.groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+              .write.mode("overwrite").parquet(s"$store/v=$id")
+            ()
+          }
+          .start()
         try {
           // cost is feed/emission volume, not batch count (2 vs 4 chunks
           // measured equal within noise) — keep 4 for the stronger
@@ -1454,8 +1479,8 @@ object RelationalQueries {
           }
         } finally q.stop()
       }
-      s.table(sink)
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n12"))
+      s.read.parquet(s"$store/v=*")
+        .groupBy("p1", "p2").agg(sum("n").as("n12"))
         .filter(col("n12") >= 2)
         .orderBy("p1", "p2")
     },

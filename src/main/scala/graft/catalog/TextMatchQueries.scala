@@ -20,9 +20,9 @@ import graft.ops.{FuzzyJoin, TextMatch}
 object TextMatchQueries {
 
   /** Cross-doc repeated 8-token spans: per-doc duplicated-window count and
-    * covered-token fraction. The Spark side shuffles 32-byte gram hashes
-    * and count-filters before the join-back; the oracle recomputes from
-    * raw arrays. */
+    * covered-token fraction. The Spark side shuffles 16-byte raw md5 gram
+    * digests (unhex'd — the r15 shuffle diet) and count-filters before
+    * the join-back; the oracle recomputes from raw arrays. */
   val spanDedup = Q(
     "dedup_span_exact",
     (s, dir) =>

@@ -127,7 +127,7 @@ object VectorQueries {
         val e = Tables.embeddings(s, dir)
         val m = Ivf.chooseCentroids(e, nlist)
         val p = "/tmp/graft_ivf/v2_" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$nlist"
+          graft.core.FixtureStamp.key(s, dir) + s"_$nlist"
         Ivf.buildIndex(e, m, p)
         (p, m)
       })
@@ -210,7 +210,7 @@ object VectorQueries {
         // rides inside the model, so every consumer (ADC scan, rerank
         // path, full-budget exact twin) stays coherent automatically
         val m = Pq.trainPermuted(e, m = 8, ksub = 256)
-        val p = "/tmp/graft_pq/v3_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = "/tmp/graft_pq/v3_" + graft.core.FixtureStamp.key(s, dir)
         Pq.encode(e, m).write.mode("overwrite").parquet(p)
         (p, m)
       })
@@ -284,7 +284,7 @@ object VectorQueries {
       val (path, model) = cache.getOrElseUpdate(dir, {
         val e = Tables.embeddings(s, dir)
         val m = Pq.trainPermuted(e, m = 16, ksub = 256)
-        val p = "/tmp/graft_pq16/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = "/tmp/graft_pq16/v1_" + graft.core.FixtureStamp.key(s, dir)
         Pq.encode(e, m).write.mode("overwrite").parquet(p)
         (p, m)
       })
@@ -353,7 +353,7 @@ object VectorQueries {
         def fit(e: org.apache.spark.sql.DataFrame, tag: String) = {
           val m = Pq.train(e, m = 8, ksub = 256)
           val p = s"/tmp/graft_pqrot/${tag}_" +
-            dir.replaceAll("[^A-Za-z0-9.]", "_")
+            graft.core.FixtureStamp.key(s, dir)
           Pq.encode(e, m).write.mode("overwrite").parquet(p)
           (p, m)
         }
@@ -407,7 +407,7 @@ object VectorQueries {
       val (path, model) = cache.getOrElseUpdate(dir, {
         val e = Tables.embeddings(s, dir)
         val m = IvfPq.train(e, nlist = 16)
-        val p = "/tmp/graft_ivfpq/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = "/tmp/graft_ivfpq/v1_" + graft.core.FixtureStamp.key(s, dir)
         IvfPq.buildIndex(e, m, p)
         (p, m)
       })
@@ -496,14 +496,14 @@ object VectorQueries {
     }
     def exact3(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
-      ensure(s, s"exact3_$dir", { () =>
+      ensure(s, "exact3_" + graft.core.FixtureStamp.key(s, dir), { () =>
         val e = Tables.embeddings(s, dir)
         SimSearch.exactTopK(
           e.select(col("vec_id").as("query_id"), col("embedding")), e, k = 3)
       })
     def approx3(s: org.apache.spark.sql.SparkSession, dir: String)
         : org.apache.spark.sql.DataFrame =
-      ensure(s, s"approx3_$dir", { () =>
+      ensure(s, "approx3_" + graft.core.FixtureStamp.key(s, dir), { () =>
         val e = Tables.embeddings(s, dir)
         val (buckets, model) = IndexQueries.LshCache.ensure(s, dir)
         KnnJoin.knnJoin(

@@ -550,6 +550,14 @@ object LshForest {
         val candRel = spark.createDataFrame(t.toSeq.asJava, candSchema)
         val ids = t.map(_.get(1)).distinct.toSeq
         (broadcast(candRel), v0.filter(col(vecId).isin(ids: _*)))
+      case None if sampleExact && candEst <= 2000000 =>
+        // FUSED serving path (r16, guide §2.4/§3.1): when the build sample
+        // covered the corpus, candEst is an exact UPPER bound on the pair
+        // count, so the broadcast tier is provably safe without the
+        // materialize + count round-trip — the bucket join executes ONCE,
+        // inside the broadcast build of the rerank join, collapsing two
+        // scheduler barriers (checkpoint job + count job) per serving call.
+        (broadcast(cand0), v0)
       case None =>
         val c = cand0.localCheckpoint()
         val n = c.count()

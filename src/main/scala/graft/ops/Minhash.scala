@@ -45,27 +45,7 @@ object Minhash {
     val prefixes =
       Array.tabulate(nPerms)(j => s"${j + 1}|".getBytes("UTF-8"))
     udf { (text: String) =>
-      val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
-      val shingles: Iterator[String] =
-        if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
-        else Iterator(w.mkString(" "))
-      val mins = new Array[Array[Byte]](nPerms)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val seen = new java.util.HashSet[String]()
-      shingles.foreach { sh =>
-        if (seen.size >= SeenCap || seen.add(sh)) {
-          val shB = sh.getBytes("UTF-8")
-          var j = 0
-          while (j < nPerms) {
-            md.reset()
-            md.update(prefixes(j))
-            md.update(shB)
-            val d = md.digest()
-            if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
-            j += 1
-          }
-        }
-      }
+      val mins = minhashDigests(text, nPerms, prefixes)
       val hexd = "0123456789abcdef".toCharArray
       mins.toSeq.map { d =>
         val out = new Array[Char](32)
@@ -77,6 +57,91 @@ object Minhash {
         }
         new String(out)
       }
+    }
+  }
+
+  /** The md5-family minima as RAW digests — the shared loop behind
+    * [[signatureUdf]] (which hex-renders them) and [[signatureBinaryUdf]]
+    * (which concatenates them verbatim). */
+  private def minhashDigests(
+      text: String, nPerms: Int,
+      prefixes: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val w = Option(text).getOrElse("").toLowerCase.split(" ", -1)
+    val shingles: Iterator[String] =
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" "))
+      else Iterator(w.mkString(" "))
+    val mins = new Array[Array[Byte]](nPerms)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[String]()
+    shingles.foreach { sh =>
+      if (seen.size >= SeenCap || seen.add(sh)) {
+        val shB = sh.getBytes("UTF-8")
+        var j = 0
+        while (j < nPerms) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(shB)
+          val d = md.digest()
+          if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
+          j += 1
+        }
+      }
+    }
+    mins
+  }
+
+  /** Bytes per signature entry on the binary wire format, per family. */
+  private[graft] val Md5EntryBytes = 16
+  private[graft] val AffineEntryBytes = 4
+
+  /** UDF: text → ONE flat binary cell of nPerms·16 bytes — the md5-family
+    * signature with entry j at bytes [16j, 16j+16), raw digests in
+    * permutation order. The streaming near-dup path's wire/state format
+    * (r16 optimization round, guide §2.3 shuffle-fewer-bytes): its
+    * consumers only test ENTRY EQUALITY, and raw-digest equality ≡
+    * hex-rendering equality, so carrying 32-char hex strings (512 B + one
+    * array cell per entry) through the band fan-out shuffle and the
+    * RocksDB state was pure encoding overhead — the flat cell is 256 B
+    * with a single offset. Hex render skipped entirely (it existed only
+    * to feed string consumers). */
+  def signatureBinaryUdf(nPerms: Int): UserDefinedFunction = {
+    val prefixes =
+      Array.tabulate(nPerms)(j => s"${j + 1}|".getBytes("UTF-8"))
+    udf { (text: String) =>
+      val mins = minhashDigests(text, nPerms, prefixes)
+      val out = new Array[Byte](nPerms * Md5EntryBytes)
+      var j = 0
+      while (j < nPerms) {
+        System.arraycopy(mins(j), 0, out, Md5EntryBytes * j, Md5EntryBytes)
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** UDF: text → ONE flat binary cell of nPerms·4 bytes — the affine
+    * signature with entry j big-endian at bytes [4j, 4j+4). Values are
+    * < 2³¹−1 ([[AffineP]]), so the 4-byte encoding is injective: entry
+    * equality ≡ BIGINT equality ≡ the decimal rendering the batch oracle
+    * replays. Same wire-format rationale as [[signatureBinaryUdf]];
+    * decimal strings (≤10 chars + per-element array cell) shrink to 4
+    * fixed bytes. */
+  def signatureAffineBinaryUdf(nPerms: Int): UserDefinedFunction = {
+    val as = affineCoeffs(nPerms).map(_._1).toArray
+    val bs = affineCoeffs(nPerms).map(_._2).toArray
+    udf { (text: String) =>
+      val sig = signatureAffine(text, nPerms, as, bs)
+      val out = new Array[Byte](nPerms * AffineEntryBytes)
+      var j = 0
+      while (j < nPerms) {
+        val v = sig(j)
+        out(4 * j) = (v >>> 24).toByte
+        out(4 * j + 1) = (v >>> 16).toByte
+        out(4 * j + 2) = (v >>> 8).toByte
+        out(4 * j + 3) = v.toByte
+        j += 1
+      }
+      out
     }
   }
 
@@ -228,5 +293,30 @@ object Minhash {
       b => array_join(
         slice(sig, b * lit(bandRows) + lit(1), lit(bandRows))
           .cast("array<string>"), ","))
+  }
+
+  /** Bucket keys over a FLAT binary signature ([[signatureBinaryUdf]] /
+    * [[signatureAffineBinaryUdf]] output): band b covers the byte slice
+    * [b·bandRows·entryBytes, (b+1)·bandRows·entryBytes), and the key is
+    * `"<band_id>|<key>"` where for the md5 family (entryBytes 16) the
+    * 64-byte slice md5-hashes down and base64-renders (24 chars — the
+    * same md5-collision-equivalence class as the batch pipeline's
+    * hex-concat construction), while the affine family's 16-byte slice
+    * base64-renders AS the key (collision-free — exactly the information
+    * the decimal-joined key carried). Key equality ≡ the string-family
+    * keys' equality, so the streaming candidate structure (and every
+    * consumer gate's oracle hash) is unchanged; the bytes shuffled and
+    * stored per key shrink. All built-in, codegen-friendly expressions. */
+  def bucketKeysBinary(
+      sig: Column, nPerms: Int, bandRows: Int, entryBytes: Int): Column = {
+    require(nPerms % bandRows == 0, "bands must tile the signature")
+    val w = bandRows * entryBytes
+    transform(sequence(lit(0), lit(nPerms / bandRows - 1)), b => {
+      val bandSlice = sig.substr(b * lit(w) + lit(1), lit(w))
+      val key =
+        if (entryBytes == Md5EntryBytes) base64(unhex(md5(bandSlice)))
+        else base64(bandSlice)
+      concat(b.cast("string"), lit("|"), key)
+    })
   }
 }

@@ -127,7 +127,7 @@ object Sq {
       val (path, model) = cache.getOrElseUpdate(dir, {
         val e = graft.core.Tables.embeddings(s, dir)
         val m = train(e)
-        val p = "/tmp/graft_sq/v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val p = "/tmp/graft_sq/v1_" + graft.core.FixtureStamp.key(s, dir)
         encode(e, m).write.mode("overwrite").parquet(p)
         (p, m)
       })

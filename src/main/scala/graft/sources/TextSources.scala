@@ -35,14 +35,14 @@ object TextSources {
 
   def jsonlFixture(s: SparkSession, dir: String): String =
     cache.getOrElseUpdate(s"jsonl|$dir", {
-      val p = "/tmp/graft_sources/jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = "/tmp/graft_sources/jsonl_" + graft.core.FixtureStamp.key(s, dir)
       Tables.documents(s, dir).write.mode("overwrite").json(p)
       p
     })
 
   def csvFixture(s: SparkSession, dir: String): String =
     cache.getOrElseUpdate(s"csv|$dir", {
-      val p = "/tmp/graft_sources/csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = "/tmp/graft_sources/csv_" + graft.core.FixtureStamp.key(s, dir)
       Tables.documents(s, dir).write.mode("overwrite")
         .option("header", "true").csv(p)
       p
@@ -53,7 +53,7 @@ object TextSources {
 
   def orcFixture(s: SparkSession, dir: String): String =
     cache.getOrElseUpdate(s"orc|$dir", {
-      val p = "/tmp/graft_sources/orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = "/tmp/graft_sources/orc_" + graft.core.FixtureStamp.key(s, dir)
       Tables.documents(s, dir).write.mode("overwrite").orc(p)
       p
     })

@@ -468,7 +468,7 @@ object Warc {
     * production write path (a crawler writes archives, engines read them). */
   def warcFixture(s: SparkSession, dir: String): String =
     cache.getOrElseUpdate(s"warc|$dir", {
-      val p = "/tmp/graft_sources/warc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = "/tmp/graft_sources/warc_" + graft.core.FixtureStamp.key(s, dir)
       val f = new java.io.File(p)
       org.apache.commons.io.FileUtils.deleteQuietly(f)
       f.mkdirs()
@@ -503,7 +503,7 @@ object Warc {
     * inverses of this writer. */
   def warcGzFixture(s: SparkSession, dir: String): String =
     cache.getOrElseUpdate(s"warcgz|$dir", {
-      val p = "/tmp/graft_sources/warcgz_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = "/tmp/graft_sources/warcgz_" + graft.core.FixtureStamp.key(s, dir)
       val f = new java.io.File(p)
       org.apache.commons.io.FileUtils.deleteQuietly(f)
       f.mkdirs()

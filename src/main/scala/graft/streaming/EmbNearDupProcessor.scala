@@ -190,13 +190,33 @@ final class EmbNearDupProcessor(thr1e4: Long, occupancyCap: Int,
 }
 
 /** One live prior in a TEXT near-dup band bucket: (doc_id, minhash
-  * signature rendered family-blind as strings, event-time ms). */
-final case class LiveSig(id: Long, sig: Array[String], ts: Long)
+  * signature as ONE flat binary cell of fixed-width entries — family-
+  * blind modulo the entry width, see [[SigNearDupProcessor]] — and
+  * event-time ms). r16 state layout: the r15 form held the signature as
+  * `Array[String]` (16 hex/decimal strings, one array cell each); the
+  * flat cell carries the identical information in 256 B (md5) / 64 B
+  * (affine) with a single offset, halving-or-better the RocksDB value
+  * bytes and the changelog traffic per appended prior. */
+final case class LiveSig(id: Long, sig: Array[Byte], ts: Long)
 
 /** [[EmbNearDupProcessor]]'s text sibling — the state operator behind
   * [[StreamOps.nearDupPairsStream]], keyed by (band_id, band_hash)
   * bucket, emitting (doc_a, doc_b, n_agree) for every live prior whose
   * signature agrees with a new arrival in ≥ `minAgree` positions.
+  * Signatures arrive as flat binary cells of `entryWidth`-byte entries
+  * (16 = raw md5 digests, 4 = big-endian affine values — both injective
+  * encodings, so slice equality ≡ the old string-entry equality and the
+  * agreement count is unchanged by construction).
+  *
+  * STATE-SCHEMA NOTE (the r15→r16 upgrade): `sig` changed from
+  * ARRAY<STRING> to BINARY, which transformWithState's state-schema
+  * compatibility check rejects on a checkpoint restore — a production
+  * stream upgrades by draining to a new checkpoint and rebuilding state
+  * from the watermark horizon (pairs older than `lateness` are the
+  * batch pass's job anyway — the documented hand-off), exactly like any
+  * stateful-operator schema change. The catalog gates start a fresh
+  * checkpoint per invocation, so the bench and oracle replay are
+  * unaffected.
   *
   * Same layout, same rationale (see the vector processor's scaladoc):
   * append-only ListState writes, ONE registered event-time timer per
@@ -211,10 +231,10 @@ final case class LiveSig(id: Long, sig: Array[String], ts: Long)
   * per-arrival compare cost at the cap; the batch pass (which runs
   * exact dedup BEFORE banding — the measured mitigation) remains the
   * documented hand-off for beyond-cap duplication mass. */
-final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int,
-    dropCounter: Option[LongAccumulator] = None)
+final class SigNearDupProcessor(minAgree: Int, entryWidth: Int,
+    occupancyCap: Int, dropCounter: Option[LongAccumulator] = None)
     extends StatefulProcessor[
-      String, (String, java.sql.Timestamp, Long, Seq[String]),
+      String, (String, java.sql.Timestamp, Long, Array[Byte]),
       (Long, Long, Long)] {
 
   @transient private var live: ListState[LiveSig] = _
@@ -242,9 +262,25 @@ final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int,
       timerTs.clear()
     }
 
+  /** Positional agreement of two flat signatures: the count of equal
+    * `entryWidth`-byte slices (entries past the shorter cell don't
+    * count — same truncation rule as the string form's min-length). */
+  private def agreement(a: Array[Byte], b: Array[Byte]): Int = {
+    var agree = 0
+    var k = 0
+    val n = math.min(a.length, b.length) / entryWidth
+    while (k < n) {
+      val off = k * entryWidth
+      if (java.util.Arrays.equals(
+          a, off, off + entryWidth, b, off, off + entryWidth)) agree += 1
+      k += 1
+    }
+    agree
+  }
+
   override def handleInputRows(
       key: String,
-      rows: Iterator[(String, java.sql.Timestamp, Long, Seq[String])],
+      rows: Iterator[(String, java.sql.Timestamp, Long, Array[Byte])],
       timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
     val wm = math.max(timerValues.getCurrentWatermarkInMs(), 0L)
     var nPrior = 0
@@ -260,18 +296,11 @@ final class SigNearDupProcessor(minAgree: Int, occupancyCap: Int,
     val out = Seq.newBuilder[(Long, Long, Long)]
     val fresh = scala.collection.mutable.ArrayBuffer.empty[LiveSig]
     rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
-      case (_, ts, id, s) =>
-        val sa = s.toArray
+      case (_, ts, id, sa) =>
         var j = 0
         while (j < buf.length) {
           val p = buf(j)
-          var agree = 0
-          var k = 0
-          val n = math.min(p.sig.length, sa.length)
-          while (k < n) {
-            if (p.sig(k) == sa(k)) agree += 1
-            k += 1
-          }
+          val agree = agreement(p.sig, sa)
           if (agree >= minAgree && p.id != id) out += ((p.id, id, agree.toLong))
           j += 1
         }

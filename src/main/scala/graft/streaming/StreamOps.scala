@@ -216,8 +216,9 @@ object StreamOps {
     *    keys on (band_id, band_hash) — the SAME candidate structure that
     *    bounds the batch join, so only near-colliding docs ever meet;
     *  - per bucket the state holds (doc_id, signature, event-time) for
-    *    docs inside the watermark horizon — signatures only (512 B/doc at
-    *    16 perms), never text — as a transformWithState ListState with
+    *    docs inside the watermark horizon — signatures only (256 B/doc at
+    *    16 md5 perms, 64 B affine), never text — as a transformWithState
+    *    ListState with
     *    APPEND-ONLY hot-path writes, per-key event-time timers, and a
     *    newest-`occupancyCap` ring ([[SigNearDupProcessor]]; requires
     *    the RocksDB provider — wrap query start in
@@ -244,9 +245,22 @@ object StreamOps {
     * `family` picks the signature kernel: "md5" (nPerms digests per
     * shingle — the original cross-engine parity twin) or "affine" (ONE
     * digest per distinct shingle + affine permutations,
-    * [[graft.ops.Minhash.signatureAffineUdf]] — the cheap kernel a 100 TB
-    * stream runs; entries rendered as decimal strings so the state and
-    * agreement logic are family-blind). */
+    * [[graft.ops.Minhash.signatureAffineUdf]]'s loop — the cheap kernel a
+    * 100 TB stream runs).
+    *
+    * WIRE/STATE FORMAT (r16, guide §2.3 shuffle-fewer-bytes): the
+    * signature crosses the band fan-out shuffle and lives in RocksDB
+    * state as ONE flat binary cell of fixed-width entries (16-byte raw
+    * md5 digests / 4-byte big-endian affine values —
+    * [[graft.ops.Minhash.signatureBinaryUdf]] /
+    * [[graft.ops.Minhash.signatureAffineBinaryUdf]]), and the bucket key
+    * is the 24-char base64 form from
+    * [[graft.ops.Minhash.bucketKeysBinary]]. Both encodings are
+    * injective per entry, so slice equality ≡ the r15 string-entry
+    * equality: the candidate structure, agreement counts, and every
+    * consumer gate's oracle hash are unchanged while the dominant
+    * streaming shuffle (the ×(nPerms/bandRows) signature fan-out)
+    * shrinks ~2× (md5) / ~4× (affine). */
   def nearDupPairsStream(
       docs: DataFrame, nPerms: Int = 16, bandRows: Int = 4,
       minAgree: Int = 13, lateness: String = "7 days",
@@ -263,28 +277,28 @@ object StreamOps {
     // loop per row — see their scaladoc for why this beats both the HOF
     // and the explode forms; the gates' oracle hash-matches are the parity
     // proof). The batch bandsOf/bandsOfFast ride the same kernels.
-    val (sig, bands) = family match {
+    val (sig, entryWidth) = family match {
       case "affine" => (
-        graft.ops.Minhash.signatureAffineUdf(nPerms)(col("text"))
-          .cast("array<string>"),
-        graft.ops.Minhash.bandKeysAffine(col("sig"), nPerms, bandRows))
+        graft.ops.Minhash.signatureAffineBinaryUdf(nPerms)(col("text")),
+        graft.ops.Minhash.AffineEntryBytes)
       case _ => (
-        graft.ops.Minhash.signatureUdf(nPerms)(col("text")),
-        graft.ops.Minhash.bandHashes(col("sig"), nPerms, bandRows))
+        graft.ops.Minhash.signatureBinaryUdf(nPerms)(col("text")),
+        graft.ops.Minhash.Md5EntryBytes)
     }
+    val buckets = graft.ops.Minhash
+      .bucketKeysBinary(col("sig"), nPerms, bandRows, entryWidth)
     val fanned = docs
       .withColumn("sig", sig)
       .select(col("ts"), col("doc_id"), col("sig"),
-        posexplode(bands).as(Seq("band_id", "band_hash")))
-      .withColumn("bucket",
-        concat(col("band_id").cast("string"), lit("|"), col("band_hash")))
+        explode(buckets).as("bucket"))
       .withWatermark("ts", lateness)
       .select(col("bucket"), col("ts"), col("doc_id"), col("sig"))
-      .as[(String, java.sql.Timestamp, Long, Seq[String])]
+      .as[(String, java.sql.Timestamp, Long, Array[Byte])]
     fanned
       .groupByKey(_._1)
       .transformWithState(
-        new SigNearDupProcessor(minAgree, occupancyCap, dropCounter),
+        new SigNearDupProcessor(minAgree, entryWidth, occupancyCap,
+          dropCounter),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("doc_a", "doc_b", "n_agree")
   }

@@ -25,7 +25,20 @@ object ExplainCheck {
       SimSearch.exactTopK(q, e, 10).explain("formatted")
     } else names.foreach { n =>
       println(s"===== $n =====")
-      graft.Catalog.queries(n)(spark, dir).explain("formatted")
+      // streamplan:<family> — the pre-start plan of nearDupPairsStream on a
+      // MemoryStream input (the catalog gates only expose the SINK read's
+      // trivial plan; this shows the fan-out projection + state operator,
+      // the part the r16 binary wire format changed)
+      if (n.startsWith("streamplan:")) {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(java.sql.Timestamp, Long, String)]
+        graft.streaming.StreamOps
+          .nearDupPairsStream(mem.toDF().toDF("ts", "doc_id", "text"),
+            family = n.stripPrefix("streamplan:"))
+          .explain("extended")
+      } else graft.Catalog.queries(n)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

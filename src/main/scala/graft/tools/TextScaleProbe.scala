@@ -217,8 +217,8 @@ object TextScaleProbe {
       System.out.flush()
 
       // Rare-span audit (TextMatch.rareSpanAudit): same plan family as the
-      // span ops (windows explode map-side, 32-byte hashes shuffle, df is
-      // a gram-sized aggregate) — wall should track span_scrub. Every
+      // span ops (windows explode map-side, 16-byte raw digests shuffle,
+      // df is a gram-sized aggregate) — wall should track span_scrub. Every
       // planted copy shares its first 8-token window with its source doc,
       // so no copy may report all-unique windows.
       t0 = System.nanoTime()

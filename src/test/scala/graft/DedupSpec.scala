@@ -169,6 +169,68 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("binary signature wire format: injective re-encoding of the string kernels") {
+    // The r16 streaming wire/state format (flat binary cell) pinned
+    // against the string kernels it re-encodes: md5 entries must unpack
+    // to the exact hex signature, affine entries to the exact BIGINT
+    // signature, and the binary bucket keys must induce the SAME
+    // partition of (doc, band) as the string-family keys — the property
+    // the streaming candidate structure (and the gates' oracle hashes)
+    // rides on.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog zzztwin",
+      "dup dup dup dup dup dup dup dup",
+      "two words", "one", "", "a  b   c",
+      "Mixed CASE Tokens repeat repeat repeat Mixed CASE Tokens")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val m = graft.ops.Minhash
+    val both = docs
+      .withColumn("hexsig", m.signatureUdf(16)(col("text")))
+      .withColumn("binsig", m.signatureBinaryUdf(16)(col("text")))
+      .withColumn("affsig", m.signatureAffineUdf(16)(col("text")))
+      .withColumn("affbin", m.signatureAffineBinaryUdf(16)(col("text")))
+      .withColumn("hexbands", m.bandHashes(col("hexsig"), 16, 4))
+      .withColumn("binbuckets", m.bucketKeysBinary(col("binsig"), 16, 4, 16))
+      .withColumn("affbands", m.bandKeysAffine(col("affsig"), 16, 4))
+      .withColumn("affbuckets", m.bucketKeysBinary(col("affbin"), 16, 4, 4))
+      .collect()
+    both.foreach { r =>
+      val hexsig = r.getSeq[String](r.fieldIndex("hexsig"))
+      val binsig = r.getAs[Array[Byte]]("binsig")
+      assert(binsig.length == 16 * 16)
+      val unpacked = binsig.grouped(16)
+        .map(_.map(b => f"$b%02x").mkString).toSeq
+      assert(unpacked == hexsig, s"md5 binary drift for doc ${r.getLong(0)}")
+      val affsig = r.getSeq[Long](r.fieldIndex("affsig"))
+      val affbin = r.getAs[Array[Byte]]("affbin")
+      assert(affbin.length == 16 * 4)
+      val affUnpacked = affbin.grouped(4).map(g =>
+        g.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))).toSeq
+      assert(affUnpacked == affsig, s"affine binary drift for doc ${r.getLong(0)}")
+    }
+    // bucket-key partition equivalence: for every pair of docs and every
+    // band, string keys collide iff binary keys collide
+    def keyPairs(rows: Array[org.apache.spark.sql.Row],
+        strCol: String, binCol: String): Unit =
+      for {
+        a <- rows; b <- rows if a.getLong(0) < b.getLong(0)
+        band <- 0 until 4
+      } {
+        val sEq = a.getSeq[String](a.fieldIndex(strCol))(band) ==
+          b.getSeq[String](b.fieldIndex(strCol))(band)
+        val bEq = a.getSeq[String](a.fieldIndex(binCol))(band) ==
+          b.getSeq[String](b.fieldIndex(binCol))(band)
+        assert(sEq == bEq,
+          s"bucket collision drift: docs ${a.getLong(0)}/${b.getLong(0)} band $band")
+      }
+    keyPairs(both, "hexbands", "binbuckets")
+    keyPairs(both, "affbands", "affbuckets")
+  }
+
   test("keep-list drops exactly the dominated docs") {
     val pairs = DedupQueries.minhashPairs.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
