@@ -240,7 +240,10 @@ object IndexQueries {
       // runs once, its ≤ 50 rows checkpoint, recall + output read them
       val approx = LshForest.topKFiltered(queries, buckets, e, pred,
         model, k = 10).localCheckpoint()
+      // the exact twin executes twice inside recallAtK (hit join + total
+      // count) — materialize its ≤ 50 rows once, like approx
       val exact = graft.ops.SimSearch.exactTopK(queries, e.filter(pred), k = 10)
+        .localCheckpoint()
       val recall = graft.ops.SimSearch.recallAtK(approx, exact)
       val ordered = approx.orderBy("query_id", "vec_id")
       if (recall >= 0.9) ordered

@@ -32,7 +32,8 @@ object PipelineQueries {
       if (!nearDedup) None
       else Some(DedupQueries.NgramPairsCache.get(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()),
-      recrawlShift = 100000L)
+      recrawlShift = 100000L,
+      materialize = true)
 
   /** The shared crawl→shard head: simulated re-crawl (every doc fetched
     * twice under distinct ids — the dedup stage must provably halve the
@@ -85,9 +86,11 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession,
       d: org.apache.spark.sql.DataFrame,
       nearDupDrop: Option[org.apache.spark.sql.DataFrame],
-      recrawlShift: Long): org.apache.spark.sql.DataFrame = {
+      recrawlShift: Long,
+      materialize: Boolean = false): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      val filtered = dedupAndGate(d, nearDupDrop, recrawlShift)
+      val gated = dedupAndGate(d, nearDupDrop, recrawlShift)
+      val filtered = if (materialize) gated.localCheckpoint() else gated
       // Language-ID: best stopword-hit ratio (text_lang_id). Docs with no
       // stopword hit at all have no prediction and drop out — a real
       // pipeline routes those to a review queue, not the training set.

@@ -386,7 +386,9 @@ object VectorQueries {
         graft.ops.Rotation.rotateUdf(col("embedding")).as("embedding"))
       val ((plainPath, plainModel), (rotPath, rotModel)) =
         RotPqCache.ensure(s, dir)
-      val exact = SimSearch.exactTopK(queries, twin, k = 10)
+      // consumed by TWO recallAtK calls, each executing it twice (hit
+      // join + total count) — materialize the 200-row exact twin once
+      val exact = SimSearch.exactTopK(queries, twin, k = 10).localCheckpoint()
       def recallOf(path: String, model: Pq.PqModel,
           qs: org.apache.spark.sql.DataFrame): Double =
         SimSearch.recallAtK(

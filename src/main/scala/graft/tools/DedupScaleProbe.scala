@@ -101,6 +101,23 @@ object DedupScaleProbe {
       spark.stop()
       return
     }
+    if (args.nonEmpty && args(0) == "crawlprune") {
+      // small parquet row groups: at probe scale a default-sized (128 MB)
+      // store is ONE row group, so row-group pruning physically cannot
+      // show — 64 KiB groups give the store the many-row-group shape a
+      // 100 TB store has, which is what the probe is modeling
+      val spark = SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.hadoop.parquet.block.size", "65536")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      crawlPruneLeg(spark,
+        n = if (args.length > 1) args(1).toInt else 100000,
+        epochs = if (args.length > 2) args(2).toInt else 100,
+        compactEvery = if (args.length > 3) args(3).toInt else 10)
+      spark.stop()
+      return
+    }
     if (args.nonEmpty && args(0) == "decontam") {
       val spark = SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8").getOrCreate()
@@ -975,6 +992,166 @@ object DedupScaleProbe {
       s""""docs_per_day":$m,"pairs":${fullPairs.count()},""" +
       s""""day_walls_sec":[${ws.map(w => f"$w%.2f").mkString(",")}],""" +
       s""""pairs_equal":true,"labels_equal":true}""")
+    System.out.flush()
+  }
+
+  /** ~100-epoch maintained crawl→near-dup composition probe (r16,
+    * VERDICT item 5 — "the verify stage still scans more of the doc
+    * store than the epoch's delta needs; show pruned bytes-read at ~100
+    * epochs"): drives [[graft.streaming.StreamOps.applyCrawlDedupBatch]]
+    * over `epochs` delta batches with in-line clustered compaction every
+    * `compactEvery` epochs (the production choreography, minus the
+    * streaming engine — the function IS the per-batch body), measuring
+    * PER-EPOCH input bytes read and wall under two verify shapes over
+    * the SAME doc_id-clustered compacted store:
+    *
+    *  - pruned  — the production `minhashPairsDelta`: two-tier endpoint
+    *    fetch whose small-set tier pushes a literal doc_id IN predicate
+    *    into the doc-store scan, so parquet row-group stats against the
+    *    clustered layout prune the fetch to the pair endpoints;
+    *  - control — the pre-r15 shape: the endpoint fetch forced to the
+    *    semi-join tier (no pushable predicate), which scans the whole
+    *    accumulated store every epoch regardless of clustering.
+    *
+    * Maintained labels must be identical between shapes (asserted); the
+    * artifact is the last-10-epoch mean bytes-read per epoch (control
+    * grows with the accumulated corpus, pruned stays delta-sized) and
+    * the wall curves. */
+  def crawlPruneLeg(
+      spark: SparkSession, n: Int, epochs: Int, compactEvery: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val perEpoch = math.max(1, n / epochs)
+    val corpus = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(17)) === 0 && col("id") >= perEpoch,
+        concat(textOf(col("id") - perEpoch), lit(" w_dup")))
+        .otherwise(textOf(col("id"))).as("text"))
+      .localCheckpoint(eager = true)
+
+    val lock = new Object
+    var bytes = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        lock.synchronized {
+          if (t.taskMetrics != null) bytes += t.taskMetrics.inputMetrics.bytesRead
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // named defs, not inline synchronized expressions: scalac 2.13
+    // miscompiles a value-returning synchronized block inside the epoch
+    // lambda below (VerifyError: double not assignable to long)
+    def resetBytes(): Unit = lock.synchronized { bytes = 0L }
+    def snapBytes(): Long = lock.synchronized(bytes)
+
+    // the pre-r15 verify shape: same candidate join, endpoint fetch
+    // FORCED to the semi-join tier (nothing pushes into the scan)
+    def pairsDeltaSemiJoin(
+        allDocs: org.apache.spark.sql.DataFrame,
+        allBands: org.apache.spark.sql.DataFrame,
+        deltaBands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val pairs = deltaBands.as("d")
+        .join(allBands.as("a"),
+          col("d.band_id") === col("a.band_id") &&
+            col("d.band_hash") === col("a.band_hash") &&
+            col("a.doc_id") =!= col("d.doc_id"))
+        .select(
+          least(col("a.doc_id"), col("d.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("d.doc_id")).as("doc_b"))
+        .distinct()
+        .localCheckpoint()
+      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      DedupQueries.verifyJaccardProbe(
+        pairs, allDocs.join(pairDocs, Seq("doc_id"), "left_semi"))
+    }
+
+    def runShape(
+        tag: String,
+        pairsDelta: (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Seq[Double], Seq[Double]) = {
+      val root = s"/tmp/graft_crawlprune/$tag"
+      val (docStore, bandStore, labelStore) =
+        (s"$root/docs", s"$root/bands", s"$root/labels")
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+      val walls = Seq.newBuilder[Double]
+      val mbs = Seq.newBuilder[Double]
+      (0 until epochs).foreach { e =>
+        val batch = corpus
+          .filter(col("doc_id") >= e.toLong * perEpoch &&
+            col("doc_id") < (e + 1).toLong * perEpoch)
+          .select(col("doc_id"), array(col("text")).as("kept"))
+          .localCheckpoint(eager = true) // the epoch's crawl; not timed
+        Thread.sleep(150) // listener settle
+        resetBytes()
+        val t0 = System.nanoTime()
+        graft.streaming.StreamOps.applyCrawlDedupBatch(
+          batch, e, docStore, bandStore, labelStore,
+          DedupQueries.bandsOf, pairsDelta)
+        if (compactEvery > 0 && e > 0 && e % compactEvery == 0)
+          graft.streaming.StreamOps
+            .compactCrawlDedupStores(spark, docStore, bandStore)
+        walls += (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150)
+        mbs += snapBytes() / 1e6
+      }
+      val labels = graft.streaming.StreamOps
+        .currentComponents(spark, labelStore).get.localCheckpoint(eager = true)
+      (labels, walls.result(), mbs.result())
+    }
+
+    val (prunedLabels, prunedWalls, prunedMbs) =
+      runShape("pruned", DedupQueries.minhashPairsDelta)
+    val (controlLabels, controlWalls, controlMbs) =
+      runShape("control", pairsDeltaSemiJoin)
+
+    // FOCUSED endpoint-fetch A/B over the final clustered store: the
+    // per-epoch totals above are dominated by the band-table read (the
+    // corpus-sized artifact banding-vs-all inherently re-reads each
+    // epoch, in BOTH shapes), so isolate the verify stage's doc fetch —
+    // the thing the two-tier pruning actually changes. Endpoint ids
+    // mirror a real epoch's pairs: the last delta's planted dups plus
+    // their originals one epoch back (two contiguous id ranges, the
+    // shape the doc_id-clustered layout serves).
+    val finalDocs = graft.streaming.StreamOps
+      .currentCrawlDocs(spark, "/tmp/graft_crawlprune/pruned/docs").get
+      .select(col("doc_id"), array_join(col("kept"), " ").as("text"))
+    val lastDelta = ((n - perEpoch) until n).filter(_ % 17 == 0).map(_.toLong)
+    val endpointIds = (lastDelta ++ lastDelta.map(_ - perEpoch)).sorted
+    def fetchBytes(fetch: org.apache.spark.sql.DataFrame): Double = {
+      Thread.sleep(150)
+      resetBytes()
+      fetch.agg(count(lit(1)), sum(length(col("text")))).collect()
+      Thread.sleep(150)
+      snapBytes() / 1e6
+    }
+    val litMb = fetchBytes(
+      finalDocs.filter(col("doc_id").isin(endpointIds: _*)))
+    val idsDf = endpointIds.toDF("doc_id")
+    val semiMb = fetchBytes(finalDocs.join(idsDf, Seq("doc_id"), "left_semi"))
+    val labelDiff = prunedLabels.as("p")
+      .join(controlLabels.as("c"), col("p.node") === col("c.node"))
+      .filter(col("p.component") =!= col("c.component")).count() +
+      math.abs(prunedLabels.count() - controlLabels.count())
+    require(labelDiff == 0,
+      s"pruned labels != control labels: $labelDiff rows differ")
+    def tail10(xs: Seq[Double]): Double =
+      xs.takeRight(10).sum / math.max(1, xs.takeRight(10).size)
+    println(s"""{"probe":"crawl_prune","n_docs":$n,"epochs":$epochs,""" +
+      s""""docs_per_epoch":$perEpoch,"compact_every":$compactEvery,""" +
+      f""""pruned_last10_mb_per_epoch":${tail10(prunedMbs)}%.1f,""" +
+      f""""control_last10_mb_per_epoch":${tail10(controlMbs)}%.1f,""" +
+      f""""pruned_last10_wall_s":${tail10(prunedWalls)}%.2f,""" +
+      f""""control_last10_wall_s":${tail10(controlWalls)}%.2f,""" +
+      s""""endpoint_ids":${endpointIds.size},""" +
+      f""""endpoint_fetch_literal_mb":$litMb%.2f,""" +
+      f""""endpoint_fetch_semijoin_mb":$semiMb%.2f,""" +
+      s""""pruned_total_wall_s":${prunedWalls.sum.round},""" +
+      s""""control_total_wall_s":${controlWalls.sum.round},""" +
+      s""""labels_equal":true}""")
     System.out.flush()
   }
 

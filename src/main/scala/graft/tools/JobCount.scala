@@ -33,6 +33,7 @@ object JobCount {
     @volatile var gcMs = 0L
     @volatile var shuffleReadB = 0L
     @volatile var shuffleWriteB = 0L
+    @volatile var inputB = 0L
     // per-stage task time keyed by the stage's call-site description —
     // the headless stand-in for the UI's per-stage breakdown.
     // ONE shared lock guards the counters and the map from both the
@@ -60,6 +61,7 @@ object JobCount {
           gcMs += m.jvmGCTime
           shuffleReadB += m.shuffleReadMetrics.totalBytesRead
           shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
+          inputB += m.inputMetrics.bytesRead
         }
       }
     }
@@ -74,17 +76,25 @@ object JobCount {
         Thread.sleep(500)
         lock.synchronized {
           jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0; gcMs = 0
-          shuffleReadB = 0; shuffleWriteB = 0; byStage.clear()
+          shuffleReadB = 0; shuffleWriteB = 0; inputB = 0; byStage.clear()
         }
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wallS = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500)
-        println(f"[jobcount] $name it=$it wall=$wallS%.3fs jobs=$jobs " +
-          f"stages=$stages tasks=$tasks taskTime=${taskTimeMs / 1e3}%.3fs " +
-          f"gc=${gcMs / 1e3}%.3fs shufR=${shuffleReadB / 1e6}%.1fMB " +
-          f"shufW=${shuffleWriteB / 1e6}%.1fMB " +
-          f"par=${taskTimeMs / 1e3 / math.max(wallS, 1e-9)}%.2fx")
+        // snapshot every counter inside ONE lock hold: the listener bus is
+        // async, and reading the volatiles piecemeal let a straggler event
+        // land between reads and skew one line's attribution (r15 advice)
+        val (sJobs, sStages, sTasks, sTaskMs, sGcMs, sShufR, sShufW, sInB) =
+          lock.synchronized {
+            (jobs, stages, tasks, taskTimeMs, gcMs, shuffleReadB,
+              shuffleWriteB, inputB)
+          }
+        println(f"[jobcount] $name it=$it wall=$wallS%.3fs jobs=$sJobs " +
+          f"stages=$sStages tasks=$sTasks taskTime=${sTaskMs / 1e3}%.3fs " +
+          f"gc=${sGcMs / 1e3}%.3fs shufR=${sShufR / 1e6}%.1fMB " +
+          f"shufW=${sShufW / 1e6}%.1fMB input=${sInB / 1e6}%.1fMB " +
+          f"par=${sTaskMs / 1e3 / math.max(wallS, 1e-9)}%.2fx")
         if (it == iters)
           lock.synchronized(byStage.toSeq).sortBy(-_._2._1).take(8)
             .foreach { case (k, (t, n)) =>
